@@ -1,21 +1,32 @@
 package graft
 
-import graft.queries.TpchQueries
+import graft.queries.{EventQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A Druid-dialect timeseries JSON compiled to a DataFrame plan. */
   def entry(spark: SparkSession): DataFrame =
-    TpchQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+    EventQueries.timeseries(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G. TPC-H-style analytics
     "q1_pricing" -> (TpchQueries.q1Pricing _),
     "q3_shipping" -> (TpchQueries.q3Shipping _),
     "q5_local_supplier" -> (TpchQueries.q5LocalSupplier _),
     "q6_forecast" -> (TpchQueries.q6Forecast _),
+    // B. Druid query model (JSON dialect → DataFrame)
+    "q_timeseries" -> (EventQueries.timeseries _),
+    "q_timeseries_15m" -> (EventQueries.timeseries15m _),
+    "q_topn" -> (EventQueries.topN _),
+    "q_groupby" -> (EventQueries.groupBy _),
+    "q_scan_filtered" -> (EventQueries.scanFiltered _),
+    "q_search" -> (EventQueries.search _),
+    "q_time_boundary" -> (EventQueries.timeBoundary _),
+    "q_segment_metadata" -> (EventQueries.segmentMetadata _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +36,13 @@ object SparkEntry {
     "q3_shipping" -> TpchQueries.q3ShippingSql,
     "q5_local_supplier" -> TpchQueries.q5LocalSupplierSql,
     "q6_forecast" -> TpchQueries.q6ForecastSql,
+    "q_timeseries" -> EventQueries.timeseriesSql,
+    "q_timeseries_15m" -> EventQueries.timeseries15mSql,
+    "q_topn" -> EventQueries.topNSql,
+    "q_groupby" -> EventQueries.groupBySql,
+    "q_scan_filtered" -> EventQueries.scanSql,
+    "q_search" -> EventQueries.searchSql,
+    "q_time_boundary" -> EventQueries.timeBoundarySql,
+    "q_segment_metadata" -> EventQueries.segmentMetadataSql,
   )
 }

@@ -1,0 +1,189 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Druid `DimFilter` JSON algebra compiled to Catalyst `Column`s.
+  *
+  * The reference passes an optional `filter` in its load spec
+  * (druid-pig/PigSegmentLoadSpec.java:40, druid-mr uses it through
+  * `DatasourceIngestionSpec`); Druid evaluates it inside the segment
+  * scan. Here each filter node becomes a boolean `Column`, so Catalyst
+  * pushes the supported conjuncts into the parquet scan
+  * (`PushedFilters` in explain) — the Spark-native equivalent of
+  * Druid's in-segment filtering.
+  *
+  * Multi-value dimensions (`ArrayType` columns) get Druid semantics:
+  * a selector/in/bound on a multi-value dim matches if ANY value
+  * matches (Druid docs, "Multi-value dimensions: filtering").
+  */
+sealed trait DimFilter {
+  def compile(schema: StructType): Column
+}
+
+object DimFilter {
+
+  /** True if `dim` is a multi-value (array) column in `schema`. */
+  private def isMv(schema: StructType, dim: String): Boolean =
+    schema.fields.exists(f => f.name == dim && f.dataType.isInstanceOf[ArrayType])
+
+  /** Apply a scalar predicate to a possibly multi-value dimension. */
+  private def dimPred(schema: StructType, dim: String)(pred: Column => Column): Column =
+    if (isMv(schema, dim)) exists(col(dim), pred) else pred(col(dim))
+
+  final case class Selector(dimension: String, value: Option[String]) extends DimFilter {
+    def compile(schema: StructType): Column = value match {
+      case Some(v) => dimPred(schema, dimension)(_ === lit(v))
+      case None => col(dimension).isNull // Druid: selector with null value matches null/missing
+    }
+  }
+
+  final case class In(dimension: String, values: Seq[String]) extends DimFilter {
+    def compile(schema: StructType): Column =
+      dimPred(schema, dimension)(_.isin(values: _*))
+  }
+
+  /** Bound filter: lexicographic by default, numeric when ordering=numeric
+    * (or legacy alphaNumeric=true). */
+  final case class Bound(
+      dimension: String, lower: Option[String], upper: Option[String],
+      lowerStrict: Boolean, upperStrict: Boolean, numeric: Boolean) extends DimFilter {
+    def compile(schema: StructType): Column = {
+      def side(c: Column): Column = if (numeric) c.cast("double") else c
+      dimPred(schema, dimension) { raw =>
+        val c = side(raw)
+        val lo = lower.map { v =>
+          if (lowerStrict) c > side(lit(v)) else c >= side(lit(v))
+        }
+        val hi = upper.map { v =>
+          if (upperStrict) c < side(lit(v)) else c <= side(lit(v))
+        }
+        (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
+      }
+    }
+  }
+
+  final case class Like(dimension: String, pattern: String) extends DimFilter {
+    def compile(schema: StructType): Column = dimPred(schema, dimension)(_.like(pattern))
+  }
+
+  final case class Regex(dimension: String, pattern: String) extends DimFilter {
+    def compile(schema: StructType): Column = dimPred(schema, dimension)(_.rlike(pattern))
+  }
+
+  /** search filter with contains / insensitive_contains query. */
+  final case class Search(dimension: String, value: String, caseSensitive: Boolean) extends DimFilter {
+    def compile(schema: StructType): Column = dimPred(schema, dimension) { c =>
+      if (caseSensitive) c.contains(lit(value))
+      else lower(c).contains(lit(value.toLowerCase))
+    }
+  }
+
+  /** interval filter over a timestamp column (Druid __time). */
+  final case class Intervals(dimension: String, intervals: Seq[(Long, Long)]) extends DimFilter {
+    def compile(schema: StructType): Column = {
+      val ms = unix_millis(col(dimension))
+      intervals.map { case (s, e) => ms >= lit(s) && ms < lit(e) }
+        .reduceOption(_ || _).getOrElse(lit(false))
+    }
+  }
+
+  final case class ColumnComparison(dimensions: Seq[String]) extends DimFilter {
+    def compile(schema: StructType): Column =
+      dimensions.sliding(2).map { case Seq(a, b) => col(a) === col(b) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  final case class And(fields: Seq[DimFilter]) extends DimFilter {
+    def compile(schema: StructType): Column = fields.map(_.compile(schema)).reduce(_ && _)
+  }
+  final case class Or(fields: Seq[DimFilter]) extends DimFilter {
+    def compile(schema: StructType): Column = fields.map(_.compile(schema)).reduce(_ || _)
+  }
+  final case class Not(field: DimFilter) extends DimFilter {
+    def compile(schema: StructType): Column = !field.compile(schema)
+  }
+
+  /** True constant — used when a query has no filter. */
+  case object True extends DimFilter {
+    def compile(schema: StructType): Column = lit(true)
+  }
+
+  // ---- JSON parsing (same dialect as Druid's DimFilter) ----
+
+  def parse(json: String): DimFilter = fromJson(JsonMethods.parse(json))
+
+  def fromJson(j: JValue): DimFilter = j match {
+    case JNothing | JNull => True
+    case obj: JObject =>
+      def str(k: String): Option[String] = (obj \ k) match {
+        case JString(s) => Some(s)
+        case JInt(i) => Some(i.toString)
+        case JDouble(d) => Some(d.toString)
+        case _ => None
+      }
+      def bool(k: String): Boolean = (obj \ k) match {
+        case JBool(b) => b
+        case _ => false
+      }
+      str("type").getOrElse(throw new IllegalArgumentException(s"filter missing type: $j")) match {
+        case "selector" => Selector(str("dimension").get, str("value"))
+        case "in" =>
+          val vals = (obj \ "values") match {
+            case JArray(xs) => xs.collect {
+              case JString(s) => s
+              case JInt(i) => i.toString
+              case JDouble(d) => d.toString
+            }
+            case _ => Nil
+          }
+          In(str("dimension").get, vals)
+        case "bound" =>
+          val numeric = bool("alphaNumeric") || str("ordering").contains("numeric")
+          Bound(str("dimension").get, str("lower"), str("upper"),
+            bool("lowerStrict"), bool("upperStrict"), numeric)
+        case "like" => Like(str("dimension").get, str("pattern").get)
+        case "regex" => Regex(str("dimension").get, str("pattern").get)
+        case "search" =>
+          val q = obj \ "query"
+          val value = (q \ "value") match { case JString(s) => s; case _ => "" }
+          val cs = (q \ "type") match { case JString("contains") => (q \ "caseSensitive") match {
+              case JBool(b) => b
+              case _ => true
+            }
+            case _ => false // insensitive_contains
+          }
+          Search(str("dimension").get, value, cs)
+        case "interval" =>
+          val ivs = (obj \ "intervals") match {
+            case JArray(xs) => xs.collect { case JString(s) =>
+              val Array(a, b) = s.split("/")
+              (java.time.Instant.parse(a).toEpochMilli, java.time.Instant.parse(b).toEpochMilli)
+            }
+            case _ => Nil
+          }
+          Intervals(str("dimension").getOrElse("__time"), ivs)
+        case "columnComparison" =>
+          val dims = (obj \ "dimensions") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case _ => Nil
+          }
+          ColumnComparison(dims)
+        case "and" => And(children(obj, "fields"))
+        case "or" => Or(children(obj, "fields"))
+        case "not" => Not(fromJson(obj \ "field"))
+        case "true" => True
+        case other => throw new IllegalArgumentException(s"unsupported filter type $other")
+      }
+    case x => throw new IllegalArgumentException(s"bad filter json $x")
+  }
+
+  private def children(obj: JObject, key: String): Seq[DimFilter] =
+    (obj \ key) match {
+      case JArray(xs) => xs.map(fromJson)
+      case _ => Nil
+    }
+}

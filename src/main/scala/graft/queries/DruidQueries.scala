@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.model.{Aggregators, DimFilter, Granularity}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Druid query JSON → DataFrame compiler.
+  *
+  * The reference ships Druid rows into MapReduce/Pig so users can run
+  * Druid-style aggregations downstream (druid-mr/DruidInputFormat.java,
+  * druid-pig/udfs). Here the *query dialect itself* is kept: a user
+  * hands the same JSON they'd POST to a Druid broker — timeseries,
+  * topN, groupBy, scan, search, timeBoundary, segmentMetadata — and it
+  * compiles to a declarative DataFrame plan that Catalyst optimizes
+  * (filter/projection pushdown to parquet, partial aggregation,
+  * TakeOrderedAndProject for topN — never a global sort).
+  *
+  * The input DataFrame is any "datasource": a raw table or a
+  * SegmentStore scan. `timeCol` names its Druid __time column.
+  */
+object DruidQueries {
+
+  def run(df: DataFrame, timeCol: String, queryJson: String): DataFrame = {
+    val q = JsonMethods.parse(queryJson) match {
+      case o: JObject => o
+      case x => throw new IllegalArgumentException(s"bad query $x")
+    }
+    val queryType = (q \ "queryType") match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("queryType missing")
+    }
+    queryType match {
+      case "timeseries" => timeseries(df, timeCol, q)
+      case "topN" => topN(df, timeCol, q)
+      case "groupBy" => groupBy(df, timeCol, q)
+      case "scan" | "select" => scan(df, timeCol, q)
+      case "search" => search(df, timeCol, q)
+      case "timeBoundary" => timeBoundary(df, timeCol, q)
+      case "segmentMetadata" => segmentMetadata(df, q)
+      case other => throw new IllegalArgumentException(s"unsupported queryType $other")
+    }
+  }
+
+  // ---- shared pieces ----
+
+  /** intervals + filter applied up front so they push into the scan. */
+  private def prepared(df: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val afterIntervals = (q \ "intervals") match {
+      case JArray(xs) if xs.nonEmpty =>
+        val conds = xs.collect { case JString(s) =>
+          val Array(a, b) = s.split("/")
+          val (lo, hi) = (java.time.Instant.parse(a).toEpochMilli,
+            java.time.Instant.parse(b).toEpochMilli)
+          unix_millis(col(timeCol)) >= lit(lo) && unix_millis(col(timeCol)) < lit(hi)
+        }
+        df.filter(conds.reduce(_ || _))
+      case _ => df
+    }
+    (q \ "filter") match {
+      case JNothing | JNull => afterIntervals
+      case f => afterIntervals.filter(DimFilter.fromJson(f).compile(afterIntervals.schema))
+    }
+  }
+
+  private def aggCols(df: DataFrame, timeCol: String, q: JObject): Seq[Column] = {
+    val aggs = (q \ "aggregations") match {
+      case JArray(xs) => xs.map(Aggregators.aggFromJson)
+      case _ => Nil
+    }
+    aggs.map(a => Aggregators.compile(a, df.schema, timeCol))
+  }
+
+  /** post-aggregations appended as a projection over agg outputs. */
+  private def withPostAggs(aggregated: DataFrame, q: JObject): DataFrame =
+    (q \ "postAggregations") match {
+      case JArray(xs) if xs.nonEmpty =>
+        aggregated.select(col("*") +: xs.map(Aggregators.compilePostAgg): _*)
+      case _ => aggregated
+    }
+
+  private def havingFilter(df: DataFrame, j: JValue): DataFrame = j match {
+    case JNothing | JNull => df
+    case h => df.filter(compileHaving(h))
+  }
+
+  private def compileHaving(j: JValue): Column = j match {
+    case obj: JObject =>
+      def str(k: String) = (obj \ k) match { case JString(s) => Some(s); case _ => None }
+      def num(k: String): Double = (obj \ k) match {
+        case JInt(v) => v.toDouble
+        case JLong(v) => v.toDouble
+        case JDouble(v) => v
+        case x => throw new IllegalArgumentException(s"bad having value $x")
+      }
+      str("type").get match {
+        case "greaterThan" => col(str("aggregation").get) > lit(num("value"))
+        case "lessThan" => col(str("aggregation").get) < lit(num("value"))
+        case "equalTo" => col(str("aggregation").get) === lit(num("value"))
+        case "dimSelector" => col(str("dimension").get) === lit(str("value").get)
+        case "and" => subHavings(obj).reduce(_ && _)
+        case "or" => subHavings(obj).reduce(_ || _)
+        case "not" => !compileHaving(obj \ "havingSpec")
+        case other => throw new IllegalArgumentException(s"unsupported having $other")
+      }
+    case x => throw new IllegalArgumentException(s"bad having $x")
+  }
+
+  private def subHavings(obj: JObject): Seq[Column] =
+    (obj \ "havingSpecs") match {
+      case JArray(xs) => xs.map(compileHaving)
+      case _ => Nil
+    }
+
+  /** limitSpec {type:default, limit, columns:[{dimension,direction}]} */
+  private def applyLimitSpec(df: DataFrame, j: JValue, tiebreak: Seq[Column]): DataFrame = j match {
+    case obj: JObject =>
+      val ordered = (obj \ "columns") match {
+        case JArray(xs) if xs.nonEmpty =>
+          val cols = xs.collect { case c: JObject =>
+            val d = (c \ "dimension") match { case JString(s) => s; case _ => "" }
+            (c \ "direction") match {
+              case JString("descending") | JString("DESC") => col(d).desc
+              case _ => col(d).asc
+            }
+          }
+          df.orderBy(cols ++ tiebreak: _*)
+        case _ => df
+      }
+      (obj \ "limit") match {
+        case JInt(n) => ordered.limit(n.toInt)
+        case JLong(n) => ordered.limit(n.toInt)
+        case _ => ordered
+      }
+    case _ => df
+  }
+
+  private def granularityOf(q: JObject): Granularity =
+    Granularity.fromJson(q \ "granularity")
+
+  // ---- query types ----
+
+  def timeseries(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    val aggs = aggCols(df, timeCol, q)
+    val out = granularityOf(q) match {
+      case Granularity.All => df.agg(aggs.head, aggs.tail: _*)
+      case g =>
+        df.groupBy(g.bucket(col(timeCol)).as("__time"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("__time"))
+    }
+    withPostAggs(out, q)
+  }
+
+  def topN(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    val dim = (q \ "dimension") match {
+      case JString(s) => s
+      case x => throw new IllegalArgumentException(s"bad dimension $x")
+    }
+    val metric = (q \ "metric") match {
+      case JString(s) => s
+      case o: JObject => (o \ "metric") match { case JString(s) => s; case _ => "" }
+      case x => throw new IllegalArgumentException(s"bad metric $x")
+    }
+    val threshold = (q \ "threshold") match {
+      case JInt(n) => n.toInt
+      case JLong(n) => n.toInt
+      case _ => 10
+    }
+    val aggs = aggCols(df, timeCol, q)
+    // groupBy + TakeOrderedAndProject: partial aggs map-side, then only
+    // the per-partition top-k reach the driver-side merge — no full sort.
+    val out = df.groupBy(col(dim))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(metric).desc, col(dim).asc)
+      .limit(threshold)
+    withPostAggs(out, q)
+  }
+
+  def groupBy(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    val dims: Seq[String] = (q \ "dimensions") match {
+      case JArray(xs) => xs.collect {
+        case JString(s) => s
+        case o: JObject => (o \ "dimension") match { case JString(s) => s; case _ => "" }
+      }
+      case _ => Nil
+    }
+    val aggs = aggCols(df, timeCol, q)
+    // Multi-value dims get Druid groupBy semantics: each value of the
+    // array becomes its own group (unnest), per Druid's docs.
+    val exploded = dims.foldLeft(df) { (d, dim) =>
+      d.schema.fields.find(_.name == dim) match {
+        case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          d.withColumn(dim, explode(col(dim)))
+        case _ => d
+      }
+    }
+    val keyCols = granularityOf(q) match {
+      case Granularity.All => dims.map(col)
+      case g => dims.map(col) :+ g.bucket(col(timeCol)).as("__time")
+    }
+    val grouped = exploded.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    val havinged = havingFilter(withPostAggs(grouped, q), q \ "having")
+    applyLimitSpec(havinged, q \ "limitSpec", dims.map(col(_).asc))
+  }
+
+  def scan(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    val projected = (q \ "columns") match {
+      case JArray(xs) if xs.nonEmpty =>
+        val names = xs.collect { case JString(s) => s }
+        df.select(names.map {
+          case `timeCol` => unix_millis(col(timeCol)).as("__time")
+          case c => col(c)
+        }: _*)
+      case _ => df.withColumn("__time", unix_millis(col(timeCol))).drop(timeCol)
+    }
+    (q \ "limit") match {
+      // a limit without order is nondeterministic; Druid scan is too —
+      // callers wanting determinism order first
+      case JInt(n) => projected.limit(n.toInt)
+      case JLong(n) => projected.limit(n.toInt)
+      case _ => projected
+    }
+  }
+
+  def search(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    val dims: Seq[String] = (q \ "searchDimensions") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+    }
+    val (value, caseSensitive) = (q \ "query") match {
+      case o: JObject =>
+        val v = (o \ "value") match { case JString(s) => s; case _ => "" }
+        val cs = (o \ "type") match {
+          case JString("contains") => (o \ "caseSensitive") match {
+            case JBool(b) => b; case _ => true
+          }
+          case _ => false
+        }
+        (v, cs)
+      case _ => ("", false)
+    }
+    val perDim = dims.map { d =>
+      val c = if (caseSensitive) col(d).contains(lit(value))
+              else lower(col(d)).contains(lit(value.toLowerCase))
+      df.filter(c)
+        .groupBy(col(d).as("value"))
+        .agg(count(lit(1)).as("count"))
+        .select(lit(d).as("dimension"), col("value"), col("count"))
+    }
+    perDim.reduce(_ unionAll _).orderBy(col("dimension"), col("value"))
+  }
+
+  /** min/max __time as epoch-millis (the engine's canonical __time). */
+  def timeBoundary(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = prepared(df0, timeCol, q)
+    df.agg(unix_millis(min(col(timeCol))).as("minTime"),
+           unix_millis(max(col(timeCol))).as("maxTime"))
+  }
+
+  /** Per-column stats in one pass: a single agg computing (count, nulls,
+    * exact cardinality, min, max) per column, then unpivoted. Druid's
+    * segmentMetadata reads cardinality off segment dictionaries; parquet
+    * gives min/max/nulls from footer stats, so at scale this plans as a
+    * metadata-heavy scan per segment, merged associatively.
+    *
+    * min/max/cardinality go through a type-canonical string form
+    * (timestamps as epoch-ms, floats via decimal) so results are
+    * engine-independent. */
+  def segmentMetadata(df0: DataFrame, q: JObject): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df0.schema.fields.toSeq
+    def canon(f: StructField): Column = f.dataType match {
+      case TimestampType | TimestampNTZType => unix_millis(col(f.name)).cast("string")
+      case DoubleType | FloatType => col(f.name).cast(DecimalType(28, 10)).cast("string")
+      case _ => col(f.name).cast("string")
+    }
+    val aggs = cols.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"${f.name}__nonnull"),
+        count_distinct(canon(f)).as(s"${f.name}__card"),
+        min(canon(f)).as(s"${f.name}__min"),
+        max(canon(f)).as(s"${f.name}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df0.agg(aggs.head, aggs.tail: _*)
+    val structs = array(cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("type"),
+        (col("__rows") - col(s"${f.name}__nonnull")).as("nulls"),
+        col(s"${f.name}__card").as("cardinality"),
+        col(s"${f.name}__min").as("min"),
+        col(s"${f.name}__max").as("max"))
+    }: _*)
+    one.select(explode(structs).as("c")).select("c.*").orderBy("column")
+  }
+}

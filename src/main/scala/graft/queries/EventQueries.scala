@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import graft.queries.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Druid-dialect queries over the `events` table — each entry is the
+  * SAME JSON a Druid user would POST, compiled by [[DruidQueries]].
+  * `ts` plays the role of Druid's __time.
+  */
+object EventQueries {
+
+  private def ev(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+
+  // -- timeseries: hourly counts + sums over an interval with a filter --
+
+  val timeseriesJson: String =
+    """{
+      |  "queryType": "timeseries",
+      |  "granularity": "hour",
+      |  "intervals": ["2024-01-05T00:00:00Z/2024-01-20T00:00:00Z"],
+      |  "filter": {"type": "in", "dimension": "event_type",
+      |             "values": ["click", "purchase", "view"]},
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
+      |    {"type": "doubleMax", "name": "max_value", "fieldName": "value"}
+      |  ]
+      |}""".stripMargin
+
+  def timeseries(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", timeseriesJson)
+
+  val timeseriesSql: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
+       |  count(*) AS cnt,
+       |  ${sqlSum("value")} AS sum_value,
+       |  max(value) AS max_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+       |  AND event_type IN ('click', 'purchase', 'view')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- timeseries with duration granularity (15-minute buckets) --
+
+  val timeseries15mJson: String =
+    """{
+      |  "queryType": "timeseries",
+      |  "granularity": {"type": "period", "period": "PT15M"},
+      |  "intervals": ["2024-01-10T00:00:00Z/2024-01-11T00:00:00Z"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "longSum", "name": "sum_users", "fieldName": "user_id"}
+      |  ]
+      |}""".stripMargin
+
+  def timeseries15m(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", timeseries15mJson)
+
+  val timeseries15mSql: String = {
+    val g = graft.model.Granularity.Duration(15L * 60 * 1000).sql("ts")
+    s"""SELECT CAST($g AS TIMESTAMP) AS __time,
+       |  count(*) AS cnt,
+       |  sum(user_id) AS sum_users
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // -- topN: top event types by summed value --
+
+  val topNJson: String =
+    """{
+      |  "queryType": "topN",
+      |  "dimension": "event_type",
+      |  "metric": "sum_value",
+      |  "threshold": 3,
+      |  "granularity": "all",
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"}
+      |  ]
+      |}""".stripMargin
+
+  def topN(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", topNJson)
+
+  val topNSql: String =
+    s"""SELECT event_type, count(*) AS cnt, ${sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       |GROUP BY event_type
+       |ORDER BY sum_value DESC, event_type
+       |LIMIT 3""".stripMargin
+
+  // -- groupBy: dim × day granularity, having + limitSpec, filtered agg --
+
+  val groupByJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dimensions": ["event_type"],
+      |  "granularity": "day",
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-01-15T00:00:00Z"],
+      |  "filter": {"type": "not", "field":
+      |    {"type": "selector", "dimension": "event_type", "value": "error"}},
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
+      |    {"type": "filtered",
+      |     "filter": {"type": "bound", "dimension": "value", "lower": "100",
+      |                "ordering": "numeric"},
+      |     "aggregator": {"type": "count", "name": "big_cnt"}}
+      |  ],
+      |  "postAggregations": [
+      |    {"type": "arithmetic", "name": "avg_value", "fn": "/",
+      |     "fields": [{"type": "fieldAccess", "fieldName": "sum_value"},
+      |                {"type": "fieldAccess", "fieldName": "cnt"}]}
+      |  ],
+      |  "having": {"type": "greaterThan", "aggregation": "cnt", "value": 5},
+      |  "limitSpec": {"type": "default", "limit": 50, "columns": [
+      |    {"dimension": "sum_value", "direction": "descending"}]}
+      |}""".stripMargin
+
+  def groupBy(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", groupByJson)
+
+  val groupBySql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       |    count(*) AS cnt,
+       |    ${sqlSum("value")} AS sum_value,
+       |    count(CASE WHEN value >= 100 THEN 1 END) AS big_cnt
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+       |    AND NOT event_type = 'error'
+       |  GROUP BY 1, 2)
+       |SELECT event_type, __time, cnt, sum_value, big_cnt,
+       |  sum_value / cnt AS avg_value
+       |FROM g
+       |WHERE cnt > 5
+       |ORDER BY sum_value DESC, event_type
+       |LIMIT 50""".stripMargin
+
+  // -- scan with a deeply nested filter: full pushdown showcase --
+
+  val scanJson: String =
+    """{
+      |  "queryType": "scan",
+      |  "columns": ["event_id", "ts", "event_type", "value"],
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+      |  "filter": {"type": "and", "fields": [
+      |    {"type": "or", "fields": [
+      |      {"type": "selector", "dimension": "event_type", "value": "purchase"},
+      |      {"type": "like", "dimension": "event_type", "pattern": "sign%"},
+      |      {"type": "search", "dimension": "props",
+      |       "query": {"type": "insensitive_contains", "value": "\"k\": 9"}}
+      |    ]},
+      |    {"type": "bound", "dimension": "value", "lower": "20", "upper": "180",
+      |     "lowerStrict": false, "upperStrict": true, "ordering": "numeric"},
+      |    {"type": "not", "field":
+      |      {"type": "regex", "dimension": "event_type", "pattern": "^err"}}
+      |  ]}
+      |}""".stripMargin
+
+  def scanFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", scanJson)
+
+  val scanSql: String =
+    """SELECT event_id, epoch_ms(ts) AS __time, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |  AND (event_type = 'purchase' OR event_type LIKE 'sign%'
+      |       OR contains(lower(props), '"k": 9'))
+      |  AND value >= 20 AND value < 180
+      |  AND NOT regexp_matches(event_type, '^err')""".stripMargin
+
+  // -- search query --
+
+  val searchJson: String =
+    """{
+      |  "queryType": "search",
+      |  "searchDimensions": ["event_type", "props"],
+      |  "query": {"type": "insensitive_contains", "value": "9"},
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"]
+      |}""".stripMargin
+
+  def search(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", searchJson)
+
+  val searchSql: String =
+    """SELECT * FROM (
+      |  SELECT 'event_type' AS dimension, event_type AS value, count(*) AS count
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      |    AND contains(lower(event_type), '9')
+      |  GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'props' AS dimension, props AS value, count(*) AS count
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      |    AND contains(lower(props), '9')
+      |  GROUP BY props)
+      |ORDER BY dimension, value""".stripMargin
+
+  // -- timeBoundary --
+
+  val timeBoundaryJson: String =
+    """{"queryType": "timeBoundary"}""".stripMargin
+
+  def timeBoundary(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", timeBoundaryJson)
+
+  val timeBoundarySql: String =
+    """SELECT epoch_ms(min(ts)) AS minTime, epoch_ms(max(ts)) AS maxTime
+      |FROM events""".stripMargin
+
+  // -- segmentMetadata --
+
+  val segmentMetadataJson: String =
+    """{"queryType": "segmentMetadata"}""".stripMargin
+
+  def segmentMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", segmentMetadataJson)
+
+  /** Oracle generated per column to mirror the one-pass unpivot. */
+  val segmentMetadataSql: String = {
+    val cols = Seq(
+      ("event_id", "bigint", "CAST(event_id AS VARCHAR)"),
+      ("event_type", "string", "event_type"),
+      ("props", "string", "props"),
+      ("ts", "timestamp", "CAST(epoch_ms(ts) AS VARCHAR)"),
+      ("user_id", "bigint", "CAST(user_id AS VARCHAR)"),
+      ("value", "double", "CAST(CAST(value AS DECIMAL(28,10)) AS VARCHAR)"))
+    cols.map { case (name, tpe, canon) =>
+      s"""SELECT '$name' AS "column", '$tpe' AS type,
+         |  count(*) - count($name) AS nulls,
+         |  count(DISTINCT $canon) AS cardinality,
+         |  min($canon) AS min, max($canon) AS max
+         |FROM events""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+}
