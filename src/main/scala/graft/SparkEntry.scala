@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, TpchQueries}
+import graft.queries.{EventQueries, SegmentQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -27,6 +27,9 @@ object SparkEntry {
     "q_search" -> (EventQueries.search _),
     "q_time_boundary" -> (EventQueries.timeBoundary _),
     "q_segment_metadata" -> (EventQueries.segmentMetadata _),
+    // A. Segment store: rollup ingest + timeline-resolved scan + re-agg
+    "q_segment_scan" -> (SegmentQueries.segmentScan _),
+    "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +47,7 @@ object SparkEntry {
     "q_search" -> EventQueries.searchSql,
     "q_time_boundary" -> EventQueries.timeBoundarySql,
     "q_segment_metadata" -> EventQueries.segmentMetadataSql,
+    "q_segment_scan" -> SegmentQueries.segmentScanSql,
+    "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
   )
 }

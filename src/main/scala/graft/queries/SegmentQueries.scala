@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Sketches
+import graft.model.Granularity
+import graft.sources.{SegmentCatalog, SegmentStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver queries exercising the segment store end-to-end: rollup
+  * ingestion of `events` into a versioned, time-chunked store, then
+  * timeline-resolved scans and sketch re-aggregation. Oracles recompute
+  * from the raw events table, proving the store round-trip is lossless
+  * at the rollup grain.
+  */
+object SegmentQueries {
+
+  private val metricsJson =
+    """[
+      |{"type":"count","name":"cnt"},
+      |{"type":"longSum","name":"sum_users","fieldName":"user_id"},
+      |{"type":"doubleSum","name":"sum_value","fieldName":"value"},
+      |{"type":"thetaSketch","name":"users_sk","fieldName":"user_id"}
+      |]""".stripMargin
+
+  private def ingestSpec = SegmentStore.IngestSpec(
+    dataSource = "events_rollup",
+    timeCol = "ts",
+    dimensions = Seq("event_type"),
+    metricsJson = metricsJson,
+    queryGranularity = Granularity.Calendar("hour"),
+    segmentGranularity = Granularity.Calendar("day"))
+
+  /** Idempotent per-sfDir ingest (driver may call queries repeatedly).
+    * v1 = full range; v2 re-ingests 2024-01-15 with identical data, so
+    * the scan exercises version overshadowing while staying
+    * oracle-equivalent to a raw recompute. */
+  private def ensureIngested(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_segstore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (SegmentCatalog.read(base, "events_rollup").isEmpty) {
+      val ev = Tables.events(spark, sfDir)
+      SegmentStore.ingest(spark, ev, ingestSpec, base, version = "v1")
+      val d0 = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli
+      val d1 = d0 + 86400000L
+      val day = ev.filter(unix_millis(col("ts")) >= d0 && unix_millis(col("ts")) < d1)
+      if (day.limit(1).count() > 0)
+        SegmentStore.ingest(spark, day, ingestSpec, base, version = "v2")
+    }
+    base
+  }
+
+  private val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+  private val t1 = java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli
+
+  /** Timeline-resolved scan of the rolled-up store: interval pruning +
+    * dim filter + projection (≙ DruidInputFormat read with a spec). */
+  def segmentScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ensureIngested(spark, sfDir)
+    SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "events_rollup", t0, t1,
+      dimensions = Seq("event_type"),
+      metrics = Seq("cnt", "sum_users", "sum_value"),
+      filterJson = Some(
+        """{"type":"in","dimension":"event_type","values":["click","view","purchase"]}""")))
+      .orderBy(col("__time"), col("event_type"))
+  }
+
+  val segmentScanSql: String =
+    s"""SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS __time,
+       |  event_type,
+       |  count(*) AS cnt,
+       |  sum(user_id) AS sum_users,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       |  AND event_type IN ('click', 'view', 'purchase')
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Re-aggregation of stored sketch bytes to a coarser grain: hourly
+    * theta sketches → daily distinct users, exact below k=4096
+    * (≙ NonFinalizing→Finalizing adapter chain in the reference). */
+  def rollupReagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ensureIngested(spark, sfDir)
+    val scanned = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "events_rollup", t0, t1,
+      dimensions = Seq("event_type"),
+      metrics = Seq("cnt", "users_sk")))
+    scanned
+      .groupBy(date_trunc("day", timestamp_millis(col("__time"))).as("day"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        Sketches.theta_estimate(Sketches.theta_sketch_agg(col("users_sk"))).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  val rollupReaggSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  count(*) AS cnt,
+      |  CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Segment descriptors + versioned-interval timeline resolution.
+  *
+  * The reference gets its segment list from the Druid overlord and
+  * resolves a `VersionedIntervalTimeline` — latest version wins per
+  * overlapping time chunk, shard chunks unioned
+  * (druid-mr/DruidInputFormat.java:100-115). Here the overlord HTTP
+  * round-trip is replaced by a filesystem JSON catalog (a Spark cluster
+  * needs no coordinator), but the timeline semantics are identical:
+  * re-ingesting an interval under a newer version atomically
+  * overshadows the old data, including *partial* overshadowing where a
+  * newer segment covers only part of an older one.
+  */
+final case class SegmentDescriptor(
+    dataSource: String,
+    startMs: Long,
+    endMs: Long,
+    version: String,
+    shardNum: Int,
+    numShards: Int,
+    path: String)
+
+/** A descriptor clipped to the window the timeline grants it
+  * (≙ Druid WindowedDataSegment, DruidInputFormat.java:110-114). */
+final case class WindowedSegment(segment: SegmentDescriptor, windowStartMs: Long, windowEndMs: Long)
+
+object VersionedTimeline {
+
+  /** Resolve which (segment, window) pairs are visible for a query
+    * interval: per elementary sub-interval, the lexicographically
+    * greatest version covering it wins; all shards of that version are
+    * included; contiguous windows of the same segment are merged.
+    */
+  def resolve(segments: Seq[SegmentDescriptor], queryStartMs: Long, queryEndMs: Long): Seq[WindowedSegment] = {
+    val candidates = segments.filter(s => s.startMs < queryEndMs && s.endMs > queryStartMs)
+    if (candidates.isEmpty) return Nil
+
+    // elementary intervals between all clipped boundary points
+    val bounds = candidates.flatMap(s => Seq(s.startMs.max(queryStartMs), s.endMs.min(queryEndMs)))
+      .distinct.sorted
+    val elementary = bounds.zip(bounds.tail)
+
+    val picked: Seq[(SegmentDescriptor, Long, Long)] = elementary.flatMap { case (lo, hi) =>
+      val covering = candidates.filter(s => s.startMs <= lo && s.endMs >= hi)
+      if (covering.isEmpty) Nil
+      else {
+        val winner = covering.map(_.version).max // latest version wins
+        covering.filter(_.version == winner).map(s => (s, lo, hi))
+      }
+    }
+
+    // merge contiguous windows of the same segment
+    picked.groupBy(_._1).toSeq.flatMap { case (seg, windows) =>
+      val sorted = windows.map(w => (w._2, w._3)).sortBy(_._1)
+      sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, (lo, hi)) if lo == e => (s, hi) :: rest
+        case (acc, w) => w :: acc
+      }.reverse.map { case (lo, hi) => WindowedSegment(seg, lo, hi) }
+    }.sortBy(w => (w.windowStartMs, w.segment.version, w.segment.shardNum))
+  }
+}
+
+/** Filesystem JSON catalog: one `catalog.json` per datasource dir.
+  * Single-writer per datasource (the overlord's role in Druid);
+  * readers see an atomic snapshot via atomic rename on publish. */
+object SegmentCatalog {
+
+  def catalogPath(base: String, dataSource: String): String =
+    s"$base/$dataSource/catalog.json"
+
+  def read(base: String, dataSource: String): Seq[SegmentDescriptor] = {
+    val p = Paths.get(catalogPath(base, dataSource))
+    if (!Files.exists(p)) Nil
+    else JsonMethods.parse(Files.readString(p)) match {
+      case JArray(xs) => xs.collect { case o: JObject =>
+        implicit val fmts: Formats = DefaultFormats
+        o.extract[SegmentDescriptor]
+      }
+      case _ => Nil
+    }
+  }
+
+  /** Append descriptors and publish atomically (write temp + rename). */
+  def publish(base: String, dataSource: String, newSegments: Seq[SegmentDescriptor]): Unit = {
+    val all = read(base, dataSource) ++ newSegments
+    val json = JArray(all.map(s => JObject(
+      "dataSource" -> JString(s.dataSource),
+      "startMs" -> JLong(s.startMs),
+      "endMs" -> JLong(s.endMs),
+      "version" -> JString(s.version),
+      "shardNum" -> JInt(s.shardNum),
+      "numShards" -> JInt(s.numShards),
+      "path" -> JString(s.path))).toList)
+    val target = Paths.get(catalogPath(base, dataSource))
+    Files.createDirectories(target.getParent)
+    val tmp = Paths.get(target.toString + ".tmp")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.Granularity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SegmentStoreSpec extends SparkSpec {
+
+  private lazy val s2 = spark
+  import s2.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_store_").toString
+
+  private def eventsDf = graft.Tables.events(spark, sf())
+
+  private val metricsJson =
+    """[
+      |{"type":"count","name":"cnt"},
+      |{"type":"longSum","name":"su","fieldName":"user_id"},
+      |{"type":"thetaSketch","name":"users_sk","fieldName":"user_id"}
+      |]""".stripMargin
+
+  private def specOf = SegmentStore.IngestSpec(
+    dataSource = "ev",
+    timeCol = "ts",
+    dimensions = Seq("event_type"),
+    metricsJson = metricsJson,
+    queryGranularity = Granularity.Calendar("hour"),
+    segmentGranularity = Granularity.Calendar("day"))
+
+  test("ingest + scan roundtrip preserves rolled-up totals") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("cnt", "su")))
+
+    val got = out.agg(sum($"cnt"), sum($"su")).collect()(0)
+    val want = eventsDf.agg(count(lit(1)), sum($"user_id")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+  }
+
+  test("interval scan prunes to requested window") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val t0 = java.time.Instant.parse("2024-01-03T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("cnt")))
+    val got = out.agg(sum($"cnt")).collect()(0).getLong(0)
+    val want = eventsDf.filter(unix_millis($"ts") >= t0 && unix_millis($"ts") < t1).count()
+    assert(got == want)
+  }
+
+  test("newer version overshadows; partial overshadow keeps old rows outside window") {
+    val base = freshBase()
+    // v1: all data; v2: Jan-04 only, with user_id shifted by +1000 to detect origin
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val day0 = java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli
+    val day1 = day0 + 86400000L
+    val patched = eventsDf
+      .filter(unix_millis($"ts") >= day0 && unix_millis($"ts") < day1)
+      .withColumn("user_id", $"user_id" + 1000)
+    SegmentStore.ingest(spark, patched, specOf, base, version = "v2")
+
+    val t0 = java.time.Instant.parse("2024-01-03T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-01-06T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("su", "cnt")))
+
+    val gotSum = out.agg(sum($"su")).collect()(0).getLong(0)
+    val raw = eventsDf.filter(unix_millis($"ts") >= t0 && unix_millis($"ts") < t1)
+    val wantSum = raw.agg(sum($"user_id")).collect()(0).getLong(0) +
+      1000L * raw.filter(unix_millis($"ts") >= day0 && unix_millis($"ts") < day1).count()
+    assert(gotSum == wantSum, "patched day contributes v2 rows, other days v1")
+  }
+
+  test("sketch metrics re-aggregate from stored bytes (exact below k)") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("users_sk")))
+    val est = out.agg(
+      graft.functions.Sketches.theta_estimate(
+        graft.functions.Sketches.theta_sketch_agg($"users_sk")).as("e"))
+      .collect()(0).getDouble(0)
+    val exact = eventsDf.select($"user_id").distinct().count().toDouble
+    assert(est == exact, s"theta re-agg $est vs exact $exact")
+  }
+
+  test("filter JSON applies on scan") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("cnt"),
+      filterJson = Some("""{"type":"selector","dimension":"event_type","value":"purchase"}""")))
+    val got = out.agg(sum($"cnt")).collect()(0).getLong(0)
+    val want = eventsDf.filter($"event_type" === "purchase").count()
+    assert(got == want)
+  }
+}
