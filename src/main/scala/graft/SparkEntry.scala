@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, SegmentQueries, TpchQueries}
+import graft.queries.{EventQueries, PipelineQueries, SegmentQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -30,6 +30,19 @@ object SparkEntry {
     // A. Segment store: rollup ingest + timeline-resolved scan + re-agg
     "q_segment_scan" -> (SegmentQueries.segmentScan _),
     "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
+    // H. LLM-pipeline operators
+    "q_dedup_exact" -> (PipelineQueries.dedupExact _),
+    "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
+    "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "q_dedup_embed" -> (PipelineQueries.dedupEmbed _),
+    "q_ann_brute" -> (PipelineQueries.annBrute _),
+    "q_ann_ivf" -> (PipelineQueries.annIvf _),
+    "q_lang_id" -> (PipelineQueries.langIdQ _),
+    "q_text_quality" -> (PipelineQueries.textQuality _),
+    "q_token_count" -> (PipelineQueries.tokenCount _),
+    "q_doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    "q_multimodal" -> (PipelineQueries.multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +62,17 @@ object SparkEntry {
     "q_segment_metadata" -> EventQueries.segmentMetadataSql,
     "q_segment_scan" -> SegmentQueries.segmentScanSql,
     "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
+    "q_dedup_exact" -> PipelineQueries.dedupExactSql,
+    "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
+    "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,
+    "q_ann_brute" -> PipelineQueries.annBruteSql,
+    "q_ann_ivf" -> PipelineQueries.annIvfSql,
+    "q_lang_id" -> PipelineQueries.langIdSql,
+    "q_text_quality" -> PipelineQueries.textQualitySql,
+    "q_token_count" -> PipelineQueries.tokenCountSql,
+    "q_multimodal" -> PipelineQueries.multimodalSql,
+    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint: rows-only
+    // (bit-ops / LSH recall / rolling hash not SQL-expressible);
+    // exactness asserted in ScalaTest instead.
   )
 }

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{toColumn, toExpr}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text primitives for the large-scale data-pipeline operators:
+  * shingling, MinHash signatures, SimHash, winnowing fingerprints,
+  * token counts, language/quality heuristics.
+  *
+  * Everything is deterministic (fixed seeds) so distributed runs are
+  * reproducible and the dedup operators' outputs are stable across
+  * partitionings. The per-document hash work (k permutations × s
+  * shingles) runs inside a single Catalyst expression evaluation —
+  * one pass over the shingle array, no UDF serialization overhead.
+  */
+object TextFunctions {
+
+  /** Word n-gram shingles (distinct), matching
+    * `list_distinct(list_transform(...))` over `string_split` tokens in
+    * the DuckDB oracle: split on single spaces, join n-grams with ' '. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val cnt = size(words) - lit(n - 1)
+    // NB: Spark sequence(1, 0) is DESCENDING [1,0], not empty like
+    // DuckDB range(1, 1) — short texts need the explicit guard.
+    when(cnt < 1, array().cast(ArrayType(StringType, containsNull = false)))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))))
+  }
+
+  /** k-permutation MinHash signature of a string array → array<long>. */
+  def minhashSig(shingles: Column, numHashes: Int = 128): Column =
+    toColumn(MinHashSig(toExpr(shingles), numHashes))
+
+  /** 64-bit SimHash over a token array → long. */
+  def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): char k-gram
+    * rolling hashes, minimum per sliding window → array<long> distinct. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    toColumn(WinnowFingerprints(toExpr(text), k, w))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
+
+  /** BPE-ish token count: word pieces + digits + punctuation runs. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // 64-bit FNV-1a over UTF-8 bytes — stable string hash for sketches.
+  private[functions] def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  // splitmix64 finalizer — decorrelates permutation seeds.
+  private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash: for permutation i, min over shingles of mix64(fnv64(s) ^
+  * seed_i). One fnv64 per shingle, k mixes — O(s·k) with no allocation
+  * beyond the signature. */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = TextFunctions.fnv64(arr.getUTF8String(i))
+      var k = 0
+      while (k < numHashes) {
+        val hk = TextFunctions.mix64(h ^ MinHashSig.seeds(k))
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object MinHashSig {
+  // fixed seeds: mix64 of the permutation index
+  private val seeds: Array[Long] = Array.tabulate(1024)(i => TextFunctions.mix64(i.toLong * 0x9e3779b97f4a7c15L + 1))
+}
+
+/** SimHash-64: sign-sum of token-hash bits. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = TextFunctions.fnv64(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (w(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Winnowing: rolling FNV over char k-grams, per-window minimum
+  * (rightmost on ties), consecutive duplicates collapsed. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h ^= s.charAt(i + j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    var win = 0
+    val lastWin = math.max(nGrams - w, 0)
+    while (win <= lastWin) {
+      var minIdx = win
+      var j = win
+      val end = math.min(win + w, nGrams)
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      if (minIdx != lastIdx) {
+        out += hashes(minIdx)
+        lastIdx = minIdx
+      }
+      win += 1
+    }
+    new GenericArrayData(out.distinct.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media as opaque
+  * `binary` columns with typed metadata structs, batch decode /
+  * feature-extract over partitions.
+  *
+  * The actual codecs are STUBBED (`StubCodec` — this environment has no
+  * image/audio libraries): the stub derives deterministic "decoded"
+  * properties from the byte content alone, so the Spark-side plumbing
+  * (schema, per-partition batching, partition sizing) is real and
+  * testable end-to-end while the codec is swappable.
+  *
+  * Scale design: decode runs per-partition over an iterator (one codec
+  * init per partition, not per row — the moral equivalent of
+  * mapInPandas batching); media tables should be repartitioned by
+  * byte-size budget, not row count, before decode (`repartitionForMedia`).
+  */
+object Multimodal {
+
+  /** Pluggable codec boundary. A real deployment binds JNI/FFI codecs
+    * here; batch-oriented so implementations amortize init. */
+  trait MediaCodec extends Serializable {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[MediaMeta]
+  }
+
+  final case class MediaMeta(nBytes: Long, width: Int, height: Int, frames: Int)
+
+  /** Deterministic stand-in: properties derived from byte length.
+    * (A real codec parses headers; same shape, same plumbing.) */
+  object StubCodec extends MediaCodec {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[MediaMeta] =
+      blobs.map { b =>
+        val n = b.length.toLong
+        MediaMeta(n, (n % 640 + 16).toInt, (n % 480 + 16).toInt, (n % 30 + 1).toInt)
+      }
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frames", IntegerType)))
+
+  /** Per-partition batch decode: (idCol, blobCol) → decoded metadata. */
+  def decode(df: DataFrame, idCol: String, blobCol: String,
+             codec: MediaCodec = StubCodec): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val rowEnc = ExpressionEncoder(decodedSchema)
+    input.mapPartitions { rows =>
+      // one codec session per partition; decode streams through it
+      val buffered = rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      val (ids, blobs) = buffered.duplicate
+      ids.map(_._1).zip(codec.decodeBatch(blobs.map(_._2))).map {
+        case (id, m) => Row(id, m.nBytes, m.width, m.height, m.frames)
+      }
+    }(rowEnc)
+  }
+
+  /** Byte-budget repartitioning: media rows are wildly variable-sized,
+    * so partition count follows total payload bytes, not row count. */
+  def repartitionForMedia(df: DataFrame, blobCol: String,
+                          targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = df.select(sum(length(col(blobCol))).cast("long")).first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+
+  /** Frame sampling plan for video-like media: one output row per
+    * sampled frame index (stride sampling) — the exploded shape a
+    * feature extractor consumes. */
+  def sampleFrames(decoded: DataFrame, stride: Int = 10): DataFrame =
+    decoded.select(
+      col("media_id"),
+      explode(sequence(lit(0), greatest(col("frames") - 1, lit(0)), lit(stride)))
+        .as("frame_idx"))
+}

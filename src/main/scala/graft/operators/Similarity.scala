@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Cosines are computed as a *sequential* double fold
+  * (`aggregate(zip_with(...))`), which is deterministic and
+  * bit-identical to the DuckDB oracle's `list_sum(list_transform(...))`
+  * fold — exact cross-engine comparisons even for floating point.
+  *
+  * Scale design: queries (or centroids) are the small side and are
+  * broadcast; the corpus is never self-joined. Top-k goes through a
+  * per-query window rank after a broadcast join — the shuffle carries
+  * only (query × corpus-partition local candidates), and an IVF index
+  * routes to nprobe cells so the per-query scan is corpus/cells ×
+  * nprobe instead of the full corpus.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine between two double arrays. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force top-k cosine neighbors for each query id.
+    * `queries` must be small (broadcast side). Self-matches excluded. */
+  def bruteTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+    // rank within query: cosine desc, id asc (total order → stable top-k)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (first `cells` corpus
+    * vectors — a seeded KMeans drop-in), each corpus vector assigned to
+    * its nearest cell; queries probe the `nprobe` nearest cells and
+    * brute-force only within them.
+    *
+    * At 100 TB the assignment is one broadcast-join pass and the probe
+    * scans corpus/cells × nprobe vectors per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+
+    // deterministic centroids: the `cells` lowest-id corpus vectors
+    val centroids = c.orderBy(col("n_id")).limit(cells)
+      .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
+
+    val assignW = Window.partitionBy("n_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("n_id"), col("n_v"), col("c_id").as("cell"))
+
+    val q = queries.select(col("q_id"), col("q_v"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", cosine(col("q_v"), col("c_v")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** Normalize queries input for ivfTopK. */
+  def prepareQueries(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+}

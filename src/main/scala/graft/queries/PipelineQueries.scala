@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver queries for the large-scale pipeline operators (SURVEY §2.H)
+  * over the `documents` / `embeddings` tables.
+  *
+  * Oracle notes: every SQL-expressible op has a DuckDB mirror built to
+  * be bit-identical — int/int double divisions, sequential-fold
+  * cosines, identical CASE ordering. Probabilistic-recall ops
+  * (simhash buckets beyond SQL, hyperplane LSH, winnowing) are
+  * rows-only here and exactness-tested in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  // ---- dedup ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY 1""".stripMargin
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = 128, bandRows = 2, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  /** All-pairs shingle Jaccard ≥ 0.8 — equals LSH+verify output because
+    * the r=2,b=64 miss probability at 0.8 is ~1e-28. */
+  val dedupMinhashSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.doc_id a_id, b.doc_id b_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** SimHash hamming ≤ 3 pairs — not SQL-expressible; exactness (vs
+    * brute-force hamming) is asserted in DedupSpec. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3, maxId = 200)
+      .orderBy("a_id", "b_id")
+
+  val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') words FROM documents
+      |           WHERE doc_id < 200),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.doc_id a_id, b.doc_id b_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Hyperplane-LSH embedding near-dups — probabilistic recall, so
+    * rows-only here; recall asserted on planted pairs in SimilaritySpec. */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding", minCosine = 0.9)
+      .orderBy("a_id", "b_id")
+
+  // ---- similarity search ----
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    embs(s, d).filter(col("vec_id") < 5)
+
+  def annBrute(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteTopK(embs(s, d), queriesDf(s, d), "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+
+  val annBruteSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |d AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |s AS (SELECT q.vec_id q_id, n.vec_id n_id,
+      |        list_sum(list_transform(list_zip(q.v, n.v), p -> p[1]*p[2]))
+      |          / (q.nrm * n.nrm) cosine
+      |      FROM d q, d n WHERE q.vec_id < 5 AND n.vec_id != q.vec_id),
+      |r AS (SELECT q_id, n_id, cosine,
+      |        row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY cosine DESC, n_id) rank
+      |      FROM s)
+      |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding")
+    Similarity.ivfTopK(embs(s, d), q, "vec_id", "embedding",
+      k = 10, cells = 16, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The IVF route is fully deterministic (centroids = 16 lowest ids,
+    * argmax assignment, 4 probes) — mirrored in SQL window functions. */
+  val annIvfSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, v, nrm, cell FROM (
+      |  SELECT d.vec_id, d.v, d.nrm, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c) WHERE r = 1),
+      |probe AS (SELECT q_id, q_v, q_nrm, cell FROM (
+      |  SELECT d.vec_id q_id, d.v q_v, d.nrm q_nrm, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c WHERE d.vec_id < 5) WHERE r <= 4),
+      |scored AS (SELECT p.q_id, a.vec_id n_id,
+      |    list_sum(list_transform(list_zip(p.q_v, a.v), x -> x[1]*x[2]))
+      |      / (p.q_nrm * a.nrm) cosine
+      |  FROM probe p JOIN asg a USING (cell)
+      |  WHERE a.vec_id != p.q_id),
+      |r AS (SELECT q_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---- text analysis ----
+
+  def langIdQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val langIdSql: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreExprs = langs.map { l =>
+      val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))::DOUBLE / " +
+        s"greatest(len(string_split(text, ' ')), 1) AS score_$l"
+    }.mkString(",\n  ")
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN score_$l = $best AND $best > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH s AS (SELECT doc_id,
+       |  $scoreExprs
+       |FROM documents)
+       |SELECT doc_id, score_de, score_en, score_es, score_fr,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  length(text)::DOUBLE / greatest(len(string_split(text, ' ')), 1) AS avg_word_len,
+       |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+       |    / greatest(length(text), 1) AS digit_ratio,
+       |  len(list_filter(string_split(text, ' '), w -> w IN ($stop)))::DOUBLE
+       |    / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0
+      |       ELSE len(string_split(text, ' ')) END AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprints — rolling-hash arithmetic is not
+    * SQL-expressible (64-bit wraparound); exactness in TextSpec. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      .orderBy("doc_id")
+
+  // ---- multimodal ----
+
+  /** Stub-codec decode over binary media columns; the byte-derived
+    * metadata is mirrored arithmetically in SQL, so the mapPartitions
+    * plumbing is verified end-to-end. */
+  def multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = docs(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("blob"))
+    Multimodal.decode(Multimodal.repartitionForMedia(media, "blob", 1L << 20),
+        "media_id", "blob")
+      .orderBy("media_id")
+  }
+
+  val multimodalSql: String =
+    """SELECT doc_id AS media_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+      |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS frames
+      |FROM documents ORDER BY media_id""".stripMargin
+}

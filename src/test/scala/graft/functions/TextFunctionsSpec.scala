@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private lazy val s2 = spark
+  import s2.implicits._
+
+  test("word shingles: distinct n-grams joined by spaces") {
+    val got = Seq("a b c d a b c d").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(got.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingles of short text are empty") {
+    val got = Seq("a b").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(got.isEmpty)
+  }
+
+  test("minhash signature: equal sets → equal sigs; sim ≈ jaccard") {
+    val df = Seq(
+      ("x", "a b c d e f g h i j k l m n o p"),
+      ("y", "a b c d e f g h i j k l m n o p"),
+      ("z", "q r s t u v w x y z a2 b2 c2 d2 e2 f2"))
+      .toDF("id", "t")
+      .select($"id", TextFunctions.minhashSig(TextFunctions.wordShingles($"t", 2), 256).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("x") == m("y"))
+    val simXZ = m("x").zip(m("z")).count { case (a, b) => a == b } / 256.0
+    assert(simXZ < 0.15, s"disjoint sets should rarely collide, got $simXZ")
+  }
+
+  test("simhash: identical inputs equal; near inputs close; far inputs far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog today ok fine"),
+      ("b", "the quick brown fox jumps over the lazy dog today ok good"),
+      ("c", "completely different words altogether nothing shared here at all everybody"))
+      .toDF("id", "t")
+      .select($"id", TextFunctions.simhash64(split($"t", " ")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(m("a") ^ m("b"))
+    val far = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("winnowing: substring sharing implies shared fingerprints") {
+    val common = "the common substring shared by both documents here"
+    val df = Seq(
+      ("a", s"prefix one $common suffix alpha"),
+      ("b", s"other beginning text $common distinct ending"),
+      ("c", "entirely unrelated content with zero overlap whatsoever"))
+      .toDF("id", "t")
+      .select($"id", TextFunctions.winnowFingerprints($"t", 8, 4).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((m("a") & m("b")).nonEmpty, "shared substring → shared fingerprints")
+    assert((m("a") & m("b")).size > (m("a") & m("c")).size)
+  }
+
+  test("winnowing of short text is empty, not an error") {
+    val got = Seq("tiny").toDF("t")
+      .select(TextFunctions.winnowFingerprints($"t", 8, 4).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(got.isEmpty)
+  }
+
+  test("token counts: whitespace and regex variants") {
+    val df = Seq(("hello world, 42 ok!", 1), ("", 2)).toDF("t", "i")
+      .select(
+        TextFunctions.tokenCount($"t").as("ws"),
+        TextFunctions.regexTokenCount($"t").as("re"),
+        $"i")
+    val rows = df.orderBy($"i").collect()
+    assert(rows(0).getInt(0) == 4)
+    // hello | world | , | 4 | 2 | ok | !
+    assert(rows(0).getInt(1) == 7)
+    assert(rows(1).getInt(0) == 0)
+    assert(rows(1).getInt(1) == 0)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val s2 = spark
+  import s2.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("exact dedup keeps min id per distinct text and counts copies") {
+    val df = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 1L), (4L, 1L)))
+  }
+
+  /** Brute-force word-3-gram jaccard pairs, the oracle for LSH. */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    val rows = docs.select($"doc_id", $"text").collect()
+    val sh = rows.map(r => r.getLong(0) -> {
+      val w = r.getString(1).split(" ", -1)
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }).toMap
+    val ids = sh.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sh(a) & sh(b)).size
+      uni = (sh(a) | sh(b)).size
+      if uni > 0 && inter.toDouble / uni >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minhash LSH pairs equal brute-force jaccard pairs") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brutePairs(0.8))
+    assert(got.nonEmpty, "test data contains planted near-duplicates")
+  }
+
+  test("simhash pairs equal brute-force hamming pairs") {
+    val rows = docs.select($"doc_id", $"text").collect()
+    val hashes = rows.map { r =>
+      r.getLong(0) -> simhashRef(r.getString(1).split(" ", -1))
+    }.toMap
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  // reference simhash identical to the Catalyst expression's definition
+  private def simhashRef(tokens: Array[String]): Long = {
+    val w = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = 0xcbf29ce484222325L
+      t.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      (0 until 64).foreach(i => if (((h >>> i) & 1L) == 1L) w(i) += 1 else w(i) -= 1)
+    }
+    (0 until 64).foldLeft(0L)((acc, i) => if (w(i) > 0) acc | (1L << i) else acc)
+  }
+
+  test("skew guard drops degenerate buckets instead of exploding") {
+    // 200 identical docs → one giant bucket; cap at 50 → no pairs, no blowup
+    val df = (1L to 200L).map(i => (i, "same same same same")).toDF("doc_id", "text")
+    val out = Dedup.minhashPairs(df, "doc_id", "text", maxBucketSize = 50)
+    assert(out.count() == 0)
+    // without the cap the pairs appear
+    val out2 = Dedup.minhashPairs(df, "doc_id", "text", maxBucketSize = 1000)
+    assert(out2.count() == 200L * 199L / 2)
+  }
+
+  test("embedding LSH finds planted near-duplicate vectors") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
+    val rows = (0 until 100).map { i =>
+      val v = if (i == 99) nearDup else if (i == 98) base
+        else Array.fill(64)(rng.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(df, "vec_id", "embedding", minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((98L, 99L)))
+  }
+}

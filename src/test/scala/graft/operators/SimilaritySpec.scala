@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val s2 = spark
+  import s2.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  private def bruteRef(k: Int, nq: Int): Map[Long, Seq[Long]] = {
+    val all = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    all.keys.filter(_ < nq).map { q =>
+      q -> all.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(all(q), all(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("brute-force top-k matches an in-memory reference") {
+    val q = embs.filter($"vec_id" < 3)
+    val got = Similarity.bruteTopK(embs, q, "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(got == bruteRef(5, 3))
+  }
+
+  test("ivf top-k achieves high recall vs brute force") {
+    val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", k = 10, cells = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ref = bruteRef(10, 5)
+    val recalls = ref.map { case (qid, want) =>
+      val got = ivf.getOrElse(qid, Array.empty).map(_._2).toSet
+      want.count(got.contains).toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean (nprobe=8/16 cells on unclustered data)")
+  }
+
+  test("cosine fold is sequential and deterministic") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(
+      transform($"a", x => x.cast("double")),
+      transform($"b", x => x.cast("double"))).as("c")).collect()(0).getDouble(0)
+    val want = (4.0 + 10.0 + 18.0) / (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(c == want)
+  }
+}
