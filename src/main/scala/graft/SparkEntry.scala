@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, PipelineQueries, SegmentQueries, TpchQueries}
+import graft.queries.{AggQueries, EventQueries, PipelineQueries, SegmentQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -43,6 +43,13 @@ object SparkEntry {
     "q_token_count" -> (PipelineQueries.tokenCount _),
     "q_doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "q_multimodal" -> (PipelineQueries.multimodal _),
+    // D. remaining aggregator coverage
+    "q_agg_firstlast" -> (AggQueries.aggFirstLast _),
+    "q_theta" -> (AggQueries.aggTheta _),
+    "q_theta_setops" -> (AggQueries.aggThetaSetops _),
+    "q_hll" -> (AggQueries.aggHll _),
+    "q_multivalue" -> (AggQueries.multiValue _),
+    "q_quantiles" -> (AggQueries.aggQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,8 +78,13 @@ object SparkEntry {
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_token_count" -> PipelineQueries.tokenCountSql,
     "q_multimodal" -> PipelineQueries.multimodalSql,
-    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint: rows-only
-    // (bit-ops / LSH recall / rolling hash not SQL-expressible);
-    // exactness asserted in ScalaTest instead.
+    "q_agg_firstlast" -> AggQueries.aggFirstLastSql,
+    "q_theta" -> AggQueries.aggThetaSql,
+    "q_theta_setops" -> AggQueries.aggThetaSetopsSql,
+    "q_multivalue" -> AggQueries.multiValueSql,
+    "q_quantiles" -> AggQueries.aggQuantilesSql,
+    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll:
+    // rows-only (bit-ops / LSH recall / rolling hash / HLL algorithm
+    // not SQL-expressible); exactness asserted in ScalaTest instead.
   )
 }

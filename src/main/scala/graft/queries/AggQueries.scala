@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.Aggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining aggregator-coverage queries: first/last, theta sketches,
+  * HLL, multi-value dimensions, quantiles — all through the Druid JSON
+  * aggregator dialect where applicable.
+  */
+object AggQueries {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  // -- first/last by __time per day (Druid long/doubleFirst/Last) --
+
+  val firstLastJson: String =
+    """[
+      |{"type":"doubleFirst","name":"first_value","fieldName":"value"},
+      |{"type":"doubleLast","name":"last_value","fieldName":"value"},
+      |{"type":"stringFirst","name":"first_type","fieldName":"event_type"},
+      |{"type":"longLast","name":"last_user","fieldName":"user_id"}
+      |]""".stripMargin
+
+  def aggFirstLast(s: SparkSession, d: String): DataFrame = {
+    val df = ev(s, d)
+    val aggs = Aggregators.parseAggs(firstLastJson)
+      .map(a => Aggregators.compile(a, df.schema, "ts"))
+    df.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("day")
+  }
+
+  val aggFirstLastSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  arg_min(value, ts) AS first_value,
+      |  arg_max(value, ts) AS last_value,
+      |  arg_min(event_type, ts) AS first_type,
+      |  arg_max(user_id, ts) AS last_user
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- theta sketch distinct per dimension (exact below k=4096) --
+
+  def aggTheta(s: SparkSession, d: String): DataFrame = {
+    val df = ev(s, d)
+    val agg = Aggregators.compile(
+      Aggregators.parseAggs(
+        """{"type":"thetaSketch","name":"n_users","fieldName":"user_id"}""").head,
+      df.schema, "ts")
+    df.groupBy(col("event_type")).agg(agg).orderBy("event_type")
+  }
+
+  val aggThetaSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- theta set ops across dimension values (Druid post-agg intersect) --
+
+  /** Distinct users doing BOTH 'click' and 'purchase', per day —
+    * theta intersection, the set operation HLL cannot do. Exact below
+    * k, so oracle-able against a self-join recompute. */
+  def aggThetaSetops(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sketches._
+    val df = ev(s, d)
+    df.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        theta_sketch_agg(when(col("event_type") === "click", col("user_id"))).as("clicks"),
+        theta_sketch_agg(when(col("event_type") === "purchase", col("user_id"))).as("buys"))
+      .select(col("day"),
+        theta_estimate(theta_intersect(col("clicks"), col("buys"))).as("both_users"),
+        theta_estimate(theta_union(col("clicks"), col("buys"))).as("either_users"),
+        theta_estimate(theta_anotb(col("clicks"), col("buys"))).as("click_only_users"))
+      .orderBy("day")
+  }
+
+  val aggThetaSetopsSql: String =
+    """WITH c AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT coalesce(c.d, p.d) AS d,
+      |        c.user_id IS NOT NULL AS in_c, p.user_id IS NOT NULL AS in_p
+      |      FROM c FULL JOIN p ON c.d = p.d AND c.user_id = p.user_id),
+      |g AS (SELECT d,
+      |        CAST(count(CASE WHEN in_c AND in_p THEN 1 END) AS DOUBLE) AS both_users,
+      |        CAST(count(*) AS DOUBLE) AS either_users,
+      |        CAST(count(CASE WHEN in_c AND NOT in_p THEN 1 END) AS DOUBLE) AS click_only_users
+      |      FROM j GROUP BY d),
+      |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events)
+      |SELECT days.d AS day,
+      |  coalesce(g.both_users, 0.0) AS both_users,
+      |  coalesce(g.either_users, 0.0) AS either_users,
+      |  coalesce(g.click_only_users, 0.0) AS click_only_users
+      |FROM days LEFT JOIN g USING (d) ORDER BY 1""".stripMargin
+
+  // -- hyperUnique (HLL): algorithm-specific estimate, rows-only --
+
+  def aggHll(s: SparkSession, d: String): DataFrame = {
+    val df = ev(s, d)
+    val agg = Aggregators.compile(
+      Aggregators.parseAggs(
+        """{"type":"hyperUnique","name":"approx_users","fieldName":"user_id"}""").head,
+      df.schema, "ts")
+    df.groupBy(col("event_type")).agg(agg).orderBy("event_type")
+  }
+
+  // -- multi-value dimension groupBy (Druid unnest semantics) --
+
+  /** Derive a 2-value dim (event_type, user bucket) and group by it
+    * through the Druid groupBy path — each array value becomes its own
+    * group, as in Druid multi-value dimensions. */
+  def multiValue(s: SparkSession, d: String): DataFrame = {
+    val df = ev(s, d).withColumn("mv",
+      array(col("event_type"), concat(lit("u"), pmod(col("user_id"), lit(5)))))
+    DruidQueries.run(df, "ts",
+      """{
+        |  "queryType": "groupBy",
+        |  "dimensions": ["mv"],
+        |  "granularity": "all",
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "sum_users", "fieldName": "user_id"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "mv", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  val multiValueSql: String =
+    """SELECT mv, count(*) AS cnt, sum(user_id) AS sum_users
+      |FROM (SELECT unnest(list_value(event_type, 'u' || (user_id % 5))) AS mv,
+      |             user_id
+      |      FROM events)
+      |GROUP BY mv ORDER BY mv""".stripMargin
+
+  // -- quantiles: exact interpolated percentiles (cross-checkable) --
+
+  def aggQuantiles(s: SparkSession, d: String): DataFrame = {
+    val df = ev(s, d)
+    df.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy("event_type")
+  }
+
+  val aggQuantilesSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
