@@ -39,33 +39,46 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 128, bandRows: Int = 2,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / bandRows
+    // fused text→signature expression: no shingle arrays materialize on
+    // the banding path (they are recomputed only for candidate pairs)
     val docs = df.select(
-        col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", TextFunctions.minhashSig(col("sh"), numHashes))
+      col(idCol).as("id"),
+      TextFunctions.minhashSigText(col(textCol), shingleN, numHashes).as("sig"))
 
-    // (id, bucket) — bucket key hashes (band index, band slice of sig)
+    // (id, bucket) — bucket key hashes (band index, band slice of sig).
+    // Only (id, bucket) flows through the self-join: shingle arrays are
+    // joined back per-id AFTER pair dedup, so the wide payload never
+    // crosses the bucket shuffle (at 100 TB the bands shuffle is
+    // O(docs × bands × 16 bytes), not O(docs × bands × doc size)).
     val bands = docs.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(transform(
         sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows))))).as("bucket"))
 
     // skew guard: drop degenerate buckets before the self-join
-    val sized = bands
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bn") <= maxBucketSize)
-      .drop("bn")
+    val bucketSizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val sized = bands.join(bucketSizes.filter(col("bn") <= maxBucketSize), Seq("bucket"))
+      .select("id", "bucket")
 
-    val a = sized.select(col("id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("sh").as("b_sh"), col("bucket"))
+    val a = sized.select(col("id").as("a_id"), col("bucket"))
+    val b = sized.select(col("id").as("b_id"), col("bucket"))
     val candidates = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
+    // shingle only the docs that appear in candidate pairs (broadcast
+    // semi-join) — at scale the candidate set is tiny vs the corpus
+    val candIds = candidates.select(col("a_id").as("id"))
+      .union(candidates.select(col("b_id").as("id"))).distinct()
+    val shingleSets = df
+      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
     candidates
+      .join(shingleSets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shingleSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))))
@@ -128,30 +141,31 @@ object Dedup {
 
     val dim = vecs.select(size(col("v"))).first().getInt(0)
     val rng = new java.util.Random(42)
-    // numTables × numPlanes × dim fixed hyperplanes, broadcast as literals
-    val tables = Array.fill(numTables, numPlanes, dim)(rng.nextGaussian())
+    // numTables × numPlanes × dim fixed hyperplanes; one custom
+    // expression computes every table signature in a single pass
+    val tables = Array.fill(numTables * numPlanes, dim)(rng.nextGaussian())
 
-    val bucketCols: Seq[Column] = tables.zipWithIndex.map { case (planes, t) =>
-      val bits: Seq[Column] = planes.toSeq.map { plane =>
-        val planeArr = array(plane.map(lit): _*)
-        val dot = aggregate(zip_with(col("v"), planeArr, (x, p) => x * p), lit(0.0), _ + _)
-        when(dot >= 0, lit(1)).otherwise(lit(0))
-      }
-      concat(lit(s"$t:") +: bits.map(_.cast("string")): _*)
-    }.toSeq
+    val bands = vecs.select(col("id"),
+      explode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        col("v"), tables, numTables, numPlanes)).as("bucket"))
 
-    val bands = vecs.select(col("id"), col("v"), explode(array(bucketCols: _*)).as("bucket"))
-    val sized = bands
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bn") <= maxBucketSize)
-      .drop("bn")
+    // skew guard, then pair-gen on (id, bucket) only — vectors join
+    // back per-id after dedup (same shuffle-weight rationale as
+    // minhashPairs)
+    val bucketSizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val sized = bands.join(bucketSizes.filter(col("bn") <= maxBucketSize), Seq("bucket"))
+      .select("id", "bucket")
 
-    val a = sized.select(col("id").as("a_id"), col("v").as("a_v"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("v").as("b_v"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val a = sized.select(col("id").as("a_id"), col("bucket"))
+    val b = sized.select(col("id").as("b_id"), col("bucket"))
+    val candidates = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .withColumn("cosine", Similarity.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= minCosine)
       .select("a_id", "b_id", "cosine")

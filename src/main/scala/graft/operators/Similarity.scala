@@ -62,12 +62,15 @@ object Similarity {
     val centroids = c.orderBy(col("n_id")).limit(cells)
       .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
 
-    val assignW = Window.partitionBy("n_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    // argmax assignment via max_by over (cosine, -c_id) — one partial-
+    // aggregable pass, no per-vector window sort (ties break to the
+    // lowest c_id, matching the oracle's "cos DESC, c_id ASC")
     val assigned = c.join(broadcast(centroids), lit(true))
       .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("n_id"), col("n_v"), col("c_id").as("cell"))
+      .groupBy(col("n_id"))
+      .agg(
+        first(col("n_v")).as("n_v"), // constant within the group
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("cell"))
 
     val q = queries.select(col("q_id"), col("q_v"))
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)

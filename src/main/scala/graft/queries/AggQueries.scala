@@ -98,11 +98,11 @@ object AggQueries {
 
   def aggHll(s: SparkSession, d: String): DataFrame = {
     val df = ev(s, d)
-    val agg = Aggregators.compile(
-      Aggregators.parseAggs(
-        """{"type":"hyperUnique","name":"approx_users","fieldName":"user_id"}""").head,
-      df.schema, "ts")
-    df.groupBy(col("event_type")).agg(agg).orderBy("event_type")
+    val aggs = Aggregators.parseAggs(
+      """[{"type":"hyperUnique","name":"approx_users","fieldName":"user_id"},
+        |{"type":"cardinality","name":"approx_props","fields":["props"]}]""".stripMargin)
+      .map(a => Aggregators.compile(a, df.schema, "ts"))
+    df.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*).orderBy("event_type")
   }
 
   // -- multi-value dimension groupBy (Druid unnest semantics) --
