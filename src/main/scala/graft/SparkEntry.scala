@@ -50,6 +50,8 @@ object SparkEntry {
     "q_hll" -> (AggQueries.aggHll _),
     "q_multivalue" -> (AggQueries.multiValue _),
     "q_quantiles" -> (AggQueries.aggQuantiles _),
+    "q_extraction" -> (EventQueries.extraction _),
+    "q_lookup" -> (EventQueries.lookup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,6 +85,8 @@ object SparkEntry {
     "q_theta_setops" -> AggQueries.aggThetaSetopsSql,
     "q_multivalue" -> AggQueries.multiValueSql,
     "q_quantiles" -> AggQueries.aggQuantilesSql,
+    "q_extraction" -> EventQueries.extractionSql,
+    "q_lookup" -> EventQueries.lookupSql,
     // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll:
     // rows-only (bit-ops / LSH recall / rolling hash / HLL algorithm
     // not SQL-expressible); exactness asserted in ScalaTest instead.

@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering graft's custom expressions as SQL
+  * functions, so `spark.sql(...)` users get the full surface:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)      // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * ...
+  * spark.sql("SELECT theta_estimate(theta_sketch_agg(user_id)) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register into an already-built session (temp functions) — for
+    * sessions that were not created with the extension config. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[plans] lazy val functions: Seq[(String, String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, String, Seq[Expression] => Expression)]
+    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      out += ((name, usage, builder))
+
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
+    }
+
+    reg("theta_sketch_agg", "theta_sketch_agg(col) - mergeable theta sketch bytes") {
+      case Seq(c) => ThetaSketchAgg(c).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"theta_sketch_agg takes 1 arg, got ${args.size}")
+    }
+    reg("theta_estimate", "theta_estimate(sketch) - distinct estimate") {
+      case Seq(c) => ThetaEstimate(c)
+      case args => throw new IllegalArgumentException(s"theta_estimate takes 1 arg, got ${args.size}")
+    }
+    reg("theta_union", "theta_union(a, b) - union of sketches") {
+      case Seq(a, b) => ThetaSetOp(a, b, "union")
+      case args => throw new IllegalArgumentException(s"theta_union takes 2 args, got ${args.size}")
+    }
+    reg("theta_intersect", "theta_intersect(a, b) - intersection of sketches") {
+      case Seq(a, b) => ThetaSetOp(a, b, "intersect")
+      case args => throw new IllegalArgumentException(s"theta_intersect takes 2 args, got ${args.size}")
+    }
+    reg("theta_anotb", "theta_anotb(a, b) - difference of sketches") {
+      case Seq(a, b) => ThetaSetOp(a, b, "anotb")
+      case args => throw new IllegalArgumentException(s"theta_anotb takes 2 args, got ${args.size}")
+    }
+    reg("minhash_sig", "minhash_sig(text, shingleN, numHashes) - MinHash signature from text") {
+      case Seq(t) => MinHashSigText(t, 3, 128)
+      case Seq(t, n) => MinHashSigText(t, intArg(n, "shingleN"), 128)
+      case Seq(t, n, k) => MinHashSigText(t, intArg(n, "shingleN"), intArg(k, "numHashes"))
+      case args => throw new IllegalArgumentException(s"minhash_sig takes 1-3 args, got ${args.size}")
+    }
+    reg("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array") {
+      case Seq(c) => SimHash64(c)
+      case args => throw new IllegalArgumentException(s"simhash64 takes 1 arg, got ${args.size}")
+    }
+    reg("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing fingerprints") {
+      case Seq(t) => WinnowFingerprints(t, 8, 4)
+      case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))
+      case args => throw new IllegalArgumentException(s"winnow_fingerprints takes 1 or 3 args, got ${args.size}")
+    }
+    out.result()
+  }
+}

@@ -156,10 +156,8 @@ object DruidQueries {
 
   def topN(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
     val df = prepared(df0, timeCol, q)
-    val dim = (q \ "dimension") match {
-      case JString(s) => s
-      case x => throw new IllegalArgumentException(s"bad dimension $x")
-    }
+    val dimSpec = graft.model.DimensionSpec.fromJson(q \ "dimension", timeCol)
+    val dim = dimSpec.outputName
     val metric = (q \ "metric") match {
       case JString(s) => s
       case o: JObject => (o \ "metric") match { case JString(s) => s; case _ => "" }
@@ -173,7 +171,7 @@ object DruidQueries {
     val aggs = aggCols(df, timeCol, q)
     // groupBy + TakeOrderedAndProject: partial aggs map-side, then only
     // the per-partition top-k reach the driver-side merge — no full sort.
-    val out = df.groupBy(col(dim))
+    val out = df.groupBy(dimSpec.column.as(dim))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col(metric).desc, col(dim).asc)
       .limit(threshold)
@@ -182,30 +180,29 @@ object DruidQueries {
 
   def groupBy(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
     val df = prepared(df0, timeCol, q)
-    val dims: Seq[String] = (q \ "dimensions") match {
-      case JArray(xs) => xs.collect {
-        case JString(s) => s
-        case o: JObject => (o \ "dimension") match { case JString(s) => s; case _ => "" }
-      }
+    val dims: Seq[graft.model.DimensionSpec.Dim] = (q \ "dimensions") match {
+      case JArray(xs) => xs.map(graft.model.DimensionSpec.fromJson(_, timeCol))
       case _ => Nil
     }
     val aggs = aggCols(df, timeCol, q)
     // Multi-value dims get Druid groupBy semantics: each value of the
-    // array becomes its own group (unnest), per Druid's docs.
+    // array becomes its own group (unnest), per Druid's docs —
+    // extractionFns then apply per value.
     val exploded = dims.foldLeft(df) { (d, dim) =>
-      d.schema.fields.find(_.name == dim) match {
+      d.schema.fields.find(_.name == dim.baseName) match {
         case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-          d.withColumn(dim, explode(col(dim)))
+          d.withColumn(dim.baseName, explode(col(dim.baseName)))
         case _ => d
       }
     }
+    val dimCols = dims.map(d => d.column.as(d.outputName))
     val keyCols = granularityOf(q) match {
-      case Granularity.All => dims.map(col)
-      case g => dims.map(col) :+ g.bucket(col(timeCol)).as("__time")
+      case Granularity.All => dimCols
+      case g => dimCols :+ g.bucket(col(timeCol)).as("__time")
     }
     val grouped = exploded.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val havinged = havingFilter(withPostAggs(grouped, q), q \ "having")
-    applyLimitSpec(havinged, q \ "limitSpec", dims.map(col(_).asc))
+    applyLimitSpec(havinged, q \ "limitSpec", dims.map(d => col(d.outputName).asc))
   }
 
   def scan(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {

@@ -217,6 +217,70 @@ object EventQueries {
     """SELECT epoch_ms(min(ts)) AS minTime, epoch_ms(max(ts)) AS maxTime
       |FROM events""".stripMargin
 
+  // -- dimension extraction fns: substring + timeFormat + cascade --
+
+  val extractionJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dimensions": [
+      |    {"type": "extraction", "dimension": "event_type",
+      |     "outputName": "type_prefix",
+      |     "extractionFn": {"type": "cascade", "extractionFns": [
+      |       {"type": "substring", "index": 0, "length": 3},
+      |       {"type": "upper"}]}},
+      |    {"type": "extraction", "dimension": "__time",
+      |     "outputName": "day_str",
+      |     "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd"}}
+      |  ],
+      |  "granularity": "all",
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+      |  "aggregations": [{"type": "count", "name": "cnt"}],
+      |  "limitSpec": {"type": "default", "columns": [
+      |    {"dimension": "day_str", "direction": "ascending"},
+      |    {"dimension": "type_prefix", "direction": "ascending"}]}
+      |}""".stripMargin
+
+  def extraction(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", extractionJson)
+
+  val extractionSql: String =
+    """SELECT upper(substring(event_type, 1, 3)) AS type_prefix,
+      |  strftime(ts, '%Y-%m-%d') AS day_str,
+      |  count(*) AS cnt
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |GROUP BY 1, 2
+      |ORDER BY day_str, type_prefix""".stripMargin
+
+  // -- lookup extraction (Druid map lookup ≙ broadcast dim mapping) --
+
+  val lookupJson: String =
+    """{
+      |  "queryType": "topN",
+      |  "dimension": {"type": "extraction", "dimension": "event_type",
+      |    "outputName": "type_group",
+      |    "extractionFn": {"type": "lookup", "retainMissingValue": true,
+      |      "lookup": {"type": "map", "map": {
+      |        "click": "engagement", "view": "engagement",
+      |        "purchase": "revenue", "signup": "growth"}}}},
+      |  "metric": "cnt",
+      |  "threshold": 10,
+      |  "granularity": "all",
+      |  "aggregations": [{"type": "count", "name": "cnt"}]
+      |}""".stripMargin
+
+  def lookup(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", lookupJson)
+
+  val lookupSql: String =
+    """SELECT CASE event_type
+      |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+      |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+      |    ELSE event_type END AS type_group,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY 1 ORDER BY cnt DESC, type_group LIMIT 10""".stripMargin
+
   // -- segmentMetadata --
 
   val segmentMetadataJson: String =

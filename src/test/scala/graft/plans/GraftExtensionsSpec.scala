@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface spec: graft functions registered into the shared
+  * session (GraftExtensions.register) run from plain SQL — same
+  * builders the SparkSessionExtensions path injects at build time. */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkSpec.session
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("extension class injects every function builder") {
+    assert(GraftExtensions.functions.map(_._1).toSet == Set(
+      "theta_sketch_agg", "theta_estimate", "theta_union",
+      "theta_intersect", "theta_anotb", "minhash_sig", "simhash64",
+      "winnow_fingerprints"))
+  }
+
+  test("theta functions work from SQL") {
+    spark.range(1000).createOrReplaceTempView("t")
+    val est = spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(id)) AS e FROM t")
+      .collect()(0).getDouble(0)
+    assert(est == 1000.0)
+  }
+
+  test("theta set ops from SQL") {
+    spark.range(1500).createOrReplaceTempView("t2")
+    val row = spark.sql(
+      """SELECT
+        |  theta_estimate(theta_intersect(a, b)) AS i,
+        |  theta_estimate(theta_union(a, b)) AS u
+        |FROM (SELECT
+        |  theta_sketch_agg(CASE WHEN id < 1000 THEN id END) AS a,
+        |  theta_sketch_agg(CASE WHEN id >= 500 THEN id END) AS b
+        |FROM t2)""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 500.0)
+    assert(row.getDouble(1) == 1500.0)
+  }
+
+  test("text functions from SQL") {
+    spark.sql("SELECT 'a b c d e f g h' AS t").createOrReplaceTempView("docs")
+    val sig = spark.sql("SELECT minhash_sig(t, 3, 16) AS s FROM docs")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
+    val sh = spark.sql("SELECT simhash64(split(t, ' ')) AS h FROM docs")
+      .collect()(0).getLong(0)
+    assert(sh != 0L)
+    val fp = spark.sql("SELECT winnow_fingerprints(t, 4, 3) AS f FROM docs")
+      .collect()(0).getSeq[Long](0)
+    assert(fp.nonEmpty)
+  }
+
+  test("wrong arity yields a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT theta_union(x'00')").collect())
+    assert(e.getMessage.contains("theta_union") || e.getMessage.contains("2 args"))
+  }
+}
