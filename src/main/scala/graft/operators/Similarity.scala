@@ -20,12 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine between two double arrays. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Sequential-fold cosine between two double arrays — a codegen'd
+    * fused loop (same ascending-index accumulation as the interpreted
+    * fold and the DuckDB oracle, so bit-identical results). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
