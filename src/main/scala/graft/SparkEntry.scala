@@ -52,6 +52,8 @@ object SparkEntry {
     "q_quantiles" -> (AggQueries.aggQuantiles _),
     "q_extraction" -> (EventQueries.extraction _),
     "q_lookup" -> (EventQueries.lookup _),
+    "q_virtual" -> (EventQueries.virtual _),
+    "q_scan_paged" -> (EventQueries.scanPaged _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +89,8 @@ object SparkEntry {
     "q_quantiles" -> AggQueries.aggQuantilesSql,
     "q_extraction" -> EventQueries.extractionSql,
     "q_lookup" -> EventQueries.lookupSql,
+    "q_virtual" -> EventQueries.virtualSql,
+    "q_scan_paged" -> EventQueries.scanPagedSql,
     // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll:
     // rows-only (bit-ops / LSH recall / rolling hash / HLL algorithm
     // not SQL-expressible); exactness asserted in ScalaTest instead.

@@ -110,8 +110,10 @@ object Aggregators {
         val sketch = graft.functions.Sketches.theta_sketch_agg(f)
         if (finalize) graft.functions.Sketches.theta_estimate(sketch) else sketch
       case "quantilesDoublesSketch" | "approxHistogramFold" =>
-        // mergeable digest not exposed; finalized quantiles via percentile_approx
-        percentile_approx(f.cast("double"), lit(0.5), lit(10000))
+        // mergeable KLL sketch bytes; finalized form = median (further
+        // quantiles via the quantilesDoublesSketchToQuantile post-agg)
+        val sketch = graft.functions.KllSketch.kll_sketch_agg(f, spec.lgK.max(8))
+        if (finalize) graft.functions.KllSketch.kll_quantile(sketch, lit(0.5)) else sketch
       case "filtered" =>
         val sub = spec.sub.getOrElse(throw new IllegalArgumentException("filtered agg needs aggregator"))
         val cond = spec.filter.getOrElse(DimFilter.True).compile(schema)
@@ -188,6 +190,14 @@ object Aggregators {
           hll_sketch_estimate(f).cast("double")
         case "thetaSketchEstimate" =>
           graft.functions.Sketches.theta_estimate(compilePostAgg(obj \ "field"))
+        case "quantilesDoublesSketchToQuantile" =>
+          val fraction = (obj \ "fraction") match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case x => throw new IllegalArgumentException(s"bad fraction $x")
+          }
+          graft.functions.KllSketch.kll_quantile(
+            compilePostAgg(obj \ "field"), lit(fraction))
         case other => throw new IllegalArgumentException(s"unsupported postAggregator $other")
       }
       str("name").map(named.as).getOrElse(named)

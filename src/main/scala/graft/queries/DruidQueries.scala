@@ -45,8 +45,20 @@ object DruidQueries {
 
   // ---- shared pieces ----
 
-  /** intervals + filter applied up front so they push into the scan. */
-  private def prepared(df: DataFrame, timeCol: String, q: JObject): DataFrame = {
+  /** virtualColumns + intervals + filter applied up front so they push
+    * into the scan. Virtual columns use Spark SQL's expression dialect
+    * (documented deviation from Druid's native expression language —
+    * the common arithmetic/function subset is spelled identically). */
+  private def prepared(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    val df = (q \ "virtualColumns") match {
+      case JArray(vcs) => vcs.foldLeft(df0) { (d, vc) =>
+        (vc \ "name", vc \ "expression") match {
+          case (JString(n), JString(e)) => d.withColumn(n, expr(e))
+          case _ => d
+        }
+      }
+      case _ => df0
+    }
     val afterIntervals = (q \ "intervals") match {
       case JArray(xs) if xs.nonEmpty =>
         val conds = xs.collect { case JString(s) =>
@@ -216,12 +228,27 @@ object DruidQueries {
         }: _*)
       case _ => df.withColumn("__time", unix_millis(col(timeCol))).drop(timeCol)
     }
+    // Druid scan "order" is by __time; remaining projected columns act
+    // as an engine-defined stable tiebreak so paging is deterministic
+    // (Druid's own within-timestamp order is segment-dependent).
+    val ordered = (q \ "order") match {
+      case JString(dir) if dir == "ascending" || dir == "descending" =>
+        val others = projected.columns.filter(_ != "__time").map(col(_).asc)
+        val timeOrd = if (dir == "ascending") col("__time").asc else col("__time").desc
+        projected.orderBy(timeOrd +: others.toSeq: _*)
+      case _ => projected
+    }
+    val offsetted = (q \ "offset") match {
+      case JInt(n) => ordered.offset(n.toInt)
+      case JLong(n) => ordered.offset(n.toInt)
+      case _ => ordered
+    }
     (q \ "limit") match {
       // a limit without order is nondeterministic; Druid scan is too —
       // callers wanting determinism order first
-      case JInt(n) => projected.limit(n.toInt)
-      case JLong(n) => projected.limit(n.toInt)
-      case _ => projected
+      case JInt(n) => offsetted.limit(n.toInt)
+      case JLong(n) => offsetted.limit(n.toInt)
+      case _ => offsetted
     }
   }
 

@@ -217,6 +217,58 @@ object EventQueries {
     """SELECT epoch_ms(min(ts)) AS minTime, epoch_ms(max(ts)) AS maxTime
       |FROM events""".stripMargin
 
+  // -- virtual columns: expression columns usable in filters + aggs --
+
+  val virtualJson: String =
+    """{
+      |  "queryType": "timeseries",
+      |  "granularity": "day",
+      |  "intervals": ["2024-01-01T00:00:00Z/2024-01-10T00:00:00Z"],
+      |  "virtualColumns": [
+      |    {"type": "expression", "name": "gross", "expression": "value * (1 + 0.1)"}
+      |  ],
+      |  "filter": {"type": "bound", "dimension": "gross", "lower": "50",
+      |             "ordering": "numeric"},
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "doubleSum", "name": "sum_gross", "fieldName": "gross"}
+      |  ]
+      |}""".stripMargin
+
+  def virtual(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", virtualJson)
+
+  val virtualSql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       |  count(*) AS cnt,
+       |  ${Exact.sqlSum("value * (1 + 0.1)")} AS sum_gross
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'
+       |  AND value * (1 + 0.1) >= 50
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- scan ordering + paging (order by __time, deterministic tiebreak) --
+
+  val scanPagedJson: String =
+    """{
+      |  "queryType": "scan",
+      |  "columns": ["ts", "event_id", "event_type"],
+      |  "intervals": ["2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"],
+      |  "order": "descending",
+      |  "offset": 10,
+      |  "limit": 25
+      |}""".stripMargin
+
+  def scanPaged(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", scanPagedJson)
+
+  val scanPagedSql: String =
+    """SELECT epoch_ms(ts) AS __time, event_id, event_type
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+      |ORDER BY __time DESC, event_id, event_type
+      |LIMIT 25 OFFSET 10""".stripMargin
+
   // -- dimension extraction fns: substring + timeFormat + cascade --
 
   val extractionJson: String =
