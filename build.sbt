@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many codegen-heavy queries in one JVM exhaust the default 240m JIT
+  // code cache; once full, compilation stops and CPU-bound expressions
+  // run interpreted (observed: a 10s LSH query taking 200s late in a
+  // bench run). Larger cache + flushing keeps the JIT alive.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

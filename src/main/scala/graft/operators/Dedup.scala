@@ -28,6 +28,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__h")
 
+  /** Candidate pairs from (id, bucket) rows: ONE shuffle (groupBy
+    * bucket + collect_list), in-bucket pair explosion via higher-order
+    * functions, oversized buckets dropped (skew guard), then pair
+    * dedup. Replaces a bucket self-join (which shuffles both sides and
+    * recomputes the banding pipeline per consumer); the result is
+    * checkpointed because every caller consumes it several times. */
+  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .localCheckpoint(true)
+
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
     * numHashes = bandRows × numBands. With r=2, b=64 the probability of
@@ -56,17 +74,7 @@ object Dedup {
         sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows))))).as("bucket"))
 
-    // skew guard: drop degenerate buckets before the self-join
-    val bucketSizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    val sized = bands.join(bucketSizes.filter(col("bn") <= maxBucketSize), Seq("bucket"))
-      .select("id", "bucket")
-
-    val a = sized.select(col("id").as("a_id"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("bucket"))
-    val candidates = a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
+    val candidates = bucketPairs(bands, maxBucketSize)
 
     // shingle only the docs that appear in candidate pairs (broadcast
     // semi-join) — at scale the candidate set is tiny vs the corpus
@@ -100,14 +108,12 @@ object Dedup {
       concat(lit(s"$c:"),
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).cast("string")))
     val chunks = docs.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array(chunkCols: _*)).as("bucket"))
 
-    val a = chunks.select(col("id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
-    val b = chunks.select(col("id").as("b_id"), col("sh").as("b_sh"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    bucketPairs(chunks, maxBucketSize = Int.MaxValue)
+      .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
@@ -149,19 +155,7 @@ object Dedup {
       explode(graft.functions.VectorFunctions.hyperplaneBuckets(
         col("v"), tables, numTables, numPlanes)).as("bucket"))
 
-    // skew guard, then pair-gen on (id, bucket) only — vectors join
-    // back per-id after dedup (same shuffle-weight rationale as
-    // minhashPairs)
-    val bucketSizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    val sized = bands.join(bucketSizes.filter(col("bn") <= maxBucketSize), Seq("bucket"))
-      .select("id", "bucket")
-
-    val a = sized.select(col("id").as("a_id"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("bucket"))
-    val candidates = a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
+    val candidates = bucketPairs(bands, maxBucketSize)
 
     candidates
       .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))

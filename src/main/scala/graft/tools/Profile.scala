@@ -49,7 +49,8 @@ object Profile {
     time("cand0")(println("  cand0=" + cand0.count()))
     val candidates = cand0.dropDuplicates("a_id", "b_id")
     time("candidates dedup")(println("  candidates=" + candidates.count()))
-    time("full op")(graft.operators.Dedup.minhashPairs(docsRaw, "doc_id", "text").count())
+    (1 to 3).foreach(i =>
+      time(s"full op run$i")(graft.operators.Dedup.minhashPairs(docsRaw, "doc_id", "text").count()))
     spark.stop()
   }
 }
