@@ -18,6 +18,9 @@ object SparkEntry {
     "q3_shipping" -> (TpchQueries.q3Shipping _),
     "q5_local_supplier" -> (TpchQueries.q5LocalSupplier _),
     "q6_forecast" -> (TpchQueries.q6Forecast _),
+    "q4_priority" -> (TpchQueries.q4Priority _),
+    "q10_top_customers" -> (TpchQueries.q10TopCustomers _),
+    "q19_discounted" -> (TpchQueries.q19Discounted _),
     // B. Druid query model (JSON dialect → DataFrame)
     "q_timeseries" -> (EventQueries.timeseries _),
     "q_timeseries_15m" -> (EventQueries.timeseries15m _),
@@ -54,6 +57,8 @@ object SparkEntry {
     "q_lookup" -> (EventQueries.lookup _),
     "q_virtual" -> (EventQueries.virtual _),
     "q_scan_paged" -> (EventQueries.scanPaged _),
+    "q_json_extract" -> (EventQueries.jsonExtract _),
+    "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,6 +68,9 @@ object SparkEntry {
     "q3_shipping" -> TpchQueries.q3ShippingSql,
     "q5_local_supplier" -> TpchQueries.q5LocalSupplierSql,
     "q6_forecast" -> TpchQueries.q6ForecastSql,
+    "q4_priority" -> TpchQueries.q4PrioritySql,
+    "q10_top_customers" -> TpchQueries.q10TopCustomersSql,
+    "q19_discounted" -> TpchQueries.q19DiscountedSql,
     "q_timeseries" -> EventQueries.timeseriesSql,
     "q_timeseries_15m" -> EventQueries.timeseries15mSql,
     "q_topn" -> EventQueries.topNSql,
@@ -91,6 +99,8 @@ object SparkEntry {
     "q_lookup" -> EventQueries.lookupSql,
     "q_virtual" -> EventQueries.virtualSql,
     "q_scan_paged" -> EventQueries.scanPagedSql,
+    "q_json_extract" -> EventQueries.jsonExtractSql,
+    "q_dedup_clusters" -> PipelineQueries.dedupClustersSql,
     // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll:
     // rows-only (bit-ops / LSH recall / rolling hash / HLL algorithm
     // not SQL-expressible); exactness asserted in ScalaTest instead.

@@ -94,6 +94,43 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the LSH pair
+    * graph by distributed min-label propagation. Each iteration is one
+    * join + one aggregation; near-dup components have tiny diameters so
+    * convergence is a handful of rounds (checked, bounded by maxIter).
+    * The driver only coordinates rounds and reads a change counter —
+    * all data stays distributed. Output: (id, cluster_id) where
+    * cluster_id = min id in the component (singletons keep their id);
+    * "keep one per cluster" dedup = filter id == cluster_id. */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+      .select("a_id", "b_id")
+    val und = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("v", "nbr")
+      .localCheckpoint(true)
+
+    var labels = df.select(col(idCol).as("v"), col(idCol).as("lbl")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels, "v")
+        .groupBy(col("nbr")).agg(min("lbl").as("nlbl"))
+        .withColumnRenamed("nbr", "v")
+      val updated = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changes = updated.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
     * Exact for maxHamming ≤ 3 (pigeonhole over 4 chunk buckets). */
   def simhashPairs(

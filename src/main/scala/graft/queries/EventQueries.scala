@@ -217,6 +217,25 @@ object EventQueries {
     """SELECT epoch_ms(min(ts)) AS minTime, epoch_ms(max(ts)) AS maxTime
       |FROM events""".stripMargin
 
+  // -- semi-structured props: JSON field extraction + aggregation --
+
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  count(CAST(props::JSON->>'k' AS INT)) AS n_with_k,
+      |  sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+      |  max(CAST(props::JSON->>'k' AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- virtual columns: expression columns usable in filters + aggs --
 
   val virtualJson: String =

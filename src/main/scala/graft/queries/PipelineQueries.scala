@@ -49,6 +49,33 @@ object PipelineQueries {
       |WHERE jaccard >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.clusters(docs(s, d), "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_id")
+
+  /** Connected components of the Jaccard≥0.8 graph via recursive CTE —
+    * min reachable id per node, singletons keep their own id. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t),
+      |e AS (SELECT a_id, b_id FROM (
+      |  SELECT a.doc_id a_id, b.doc_id b_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8),
+      |und(v, nbr) AS (SELECT a_id, b_id FROM e UNION SELECT b_id, a_id FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT und.nbr, cc.lbl FROM cc JOIN und ON cc.v = und.v)
+      |SELECT v AS doc_id, min(lbl) AS cluster_id
+      |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin
+
   /** SimHash hamming ≤ 3 pairs — not SQL-expressible; exactness (vs
     * brute-force hamming) is asserted in DedupSpec. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =

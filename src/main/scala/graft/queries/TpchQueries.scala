@@ -134,4 +134,88 @@ object TpchQueries {
        |  AND l_shipdate < TIMESTAMP '1997-01-01'
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24""".stripMargin
+
+  /** Q4-style: order-priority counts for orders with at least one
+    * late-shipped lineitem — EXISTS compiled to a left-semi join (no
+    * duplicate inflation, no distinct). */
+  def q4Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val lateKeys = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(lateKeys, ord("o_orderkey") === lateKeys("l_orderkey") &&
+        lateKeys("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q10-style: top 20 customers by revenue in a quarter — fact joins
+    * broadcast dims, TakeOrderedAndProject for the top-k. */
+  def q10TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10TopCustomersSql: String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal, revenue FROM (
+       |  SELECT o_custkey, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |  FROM lineitem, orders
+       |  WHERE l_orderkey = o_orderkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY o_custkey) r, customer, nation
+       |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q19-style: disjunctive brand/size/quantity predicates — pushed
+    * into the broadcast-joined scan as one OR-of-ANDs condition. */
+  def q19Discounted(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DiscountedSql: String =
+    s"""SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey AND (
+       |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR
+       |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) OR
+       |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 }

@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
     assert(out2.count() == 200L * 199L / 2)
   }
 
+  test("clusters: connected components with min-id labels") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; singleton 20
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i k"), // near-dup of 1/2
+      (10L, "z y x w v u t s r q"), (11L, "z y x w v u t s r q"),
+      (20L, "totally different words here that share nothing at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusters(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L)
+  }
+
   test("embedding LSH finds planted near-duplicate vectors") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)
