@@ -131,6 +131,16 @@ object Dedup {
     labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Keep-one-per-cluster dedup: drop every near-duplicate except the
+    * minimum-id representative of its cluster. */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val keep = clusters(df, idCol, textCol, threshold)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
     * Exact for maxHamming ≤ 3 (pigeonhole over 4 chunk buckets). */
   def simhashPairs(

@@ -159,9 +159,13 @@ object DruidQueries {
     val out = granularityOf(q) match {
       case Granularity.All => df.agg(aggs.head, aggs.tail: _*)
       case g =>
-        df.groupBy(g.bucket(col(timeCol)).as("__time"))
+        val desc = (q \ "descending") match {
+          case JBool(true) => true
+          case _ => false
+        }
+        val grouped = df.groupBy(g.bucket(col(timeCol)).as("__time"))
           .agg(aggs.head, aggs.tail: _*)
-          .orderBy(col("__time"))
+        if (desc) grouped.orderBy(col("__time").desc) else grouped.orderBy(col("__time"))
     }
     withPostAggs(out, q)
   }
@@ -170,9 +174,19 @@ object DruidQueries {
     val df = prepared(df0, timeCol, q)
     val dimSpec = graft.model.DimensionSpec.fromJson(q \ "dimension", timeCol)
     val dim = dimSpec.outputName
-    val metric = (q \ "metric") match {
-      case JString(s) => s
-      case o: JObject => (o \ "metric") match { case JString(s) => s; case _ => "" }
+    val (metric, inverted, byDimension) = (q \ "metric") match {
+      case JString(s) => (s, false, false)
+      case o: JObject => (o \ "type") match {
+        case JString("inverted") => (o \ "metric") match {
+          case JString(s) => (s, true, false)
+          case _ => throw new IllegalArgumentException("inverted metric needs metric")
+        }
+        case JString("dimension") => ("", false, true)
+        case _ => (o \ "metric") match {
+          case JString(s) => (s, false, false)
+          case x => throw new IllegalArgumentException(s"bad metric $x")
+        }
+      }
       case x => throw new IllegalArgumentException(s"bad metric $x")
     }
     val threshold = (q \ "threshold") match {
@@ -183,9 +197,13 @@ object DruidQueries {
     val aggs = aggCols(df, timeCol, q)
     // groupBy + TakeOrderedAndProject: partial aggs map-side, then only
     // the per-partition top-k reach the driver-side merge — no full sort.
+    val ordering =
+      if (byDimension) Seq(col(dim).asc)
+      else if (inverted) Seq(col(metric).asc, col(dim).asc)
+      else Seq(col(metric).desc, col(dim).asc)
     val out = df.groupBy(dimSpec.column.as(dim))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(metric).desc, col(dim).asc)
+      .orderBy(ordering: _*)
       .limit(threshold)
     withPostAggs(out, q)
   }
@@ -280,7 +298,14 @@ object DruidQueries {
         .agg(count(lit(1)).as("count"))
         .select(lit(d).as("dimension"), col("value"), col("count"))
     }
-    perDim.reduce(_ unionAll _).orderBy(col("dimension"), col("value"))
+    val sorted = (q \ "sort" \ "type") match {
+      case JString("strlen") =>
+        perDim.reduce(_ unionAll _)
+          .orderBy(col("dimension"), length(col("value")), col("value"))
+      case _ =>
+        perDim.reduce(_ unionAll _).orderBy(col("dimension"), col("value"))
+    }
+    sorted
   }
 
   /** min/max __time as epoch-millis (the engine's canonical __time). */
