@@ -18,24 +18,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    ext.injectOptimizerRule(ApproxCountDistinctRewrite)
+  }
 }
 
 object GraftExtensions {
 
-  /** Register into an already-built session (temp functions) — for
-    * sessions that were not created with the extension config. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register into an already-built session (temp functions +
+    * experimental optimizer rules) — for sessions that were not created
+    * with the extension config. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ApproxCountDistinctRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxCountDistinctRewrite(spark)
+  }
 
   private[plans] lazy val functions: Seq[(String, String, Seq[Expression] => Expression)] = {
     val out = Seq.newBuilder[(String, String, Seq[Expression] => Expression)]

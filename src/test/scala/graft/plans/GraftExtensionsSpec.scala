@@ -61,4 +61,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql("SELECT theta_union(x'00')").collect())
     assert(e.getMessage.contains("theta_union") || e.getMessage.contains("2 args"))
   }
+
+  test("approx count-distinct rewrite: opt-in, exact below k, plan rewritten") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map(i => i % 700).toDF("v")
+
+    // off by default: exact count-distinct plan untouched
+    val offPlan = df.agg(count_distinct($"v")).queryExecution.optimizedPlan.toString
+    assert(!offPlan.toLowerCase.contains("thetasketch"))
+
+    spark.conf.set("spark.graft.approxCountDistinct", "true")
+    try {
+      val agged = df.agg(count_distinct($"v").as("n"))
+      val onPlan = agged.queryExecution.optimizedPlan.toString
+      assert(onPlan.toLowerCase.contains("thetasketch"), s"plan not rewritten:\n$onPlan")
+      assert(agged.collect()(0).getLong(0) == 700L, "theta exact below k")
+      // multi-arg distinct stays exact
+      val multi = df.withColumn("w", $"v" % 3)
+        .agg(count_distinct($"v", $"w")).queryExecution.optimizedPlan.toString
+      assert(!multi.toLowerCase.contains("thetasketch"))
+    } finally spark.conf.unset("spark.graft.approxCountDistinct")
+  }
 }
