@@ -143,6 +143,28 @@ object Aggregators {
     }
   }
 
+  /** Metric spec for re-aggregating already-rolled partials: counts
+    * re-sum, sums/min/max/sketch-merges keep their type, field = name
+    * (used by streaming handoff and segment compaction). */
+  def reaggSpec(metricsJson: String): String = {
+    val reagg = JsonMethods.parse(metricsJson) match {
+      case JArray(xs) => JArray(xs.map {
+        case o: JObject =>
+          val name = (o \ "name") match { case JString(s) => s; case _ => "agg" }
+          val tpe = (o \ "type") match { case JString(s) => s; case _ => "" }
+          val newTpe = tpe match {
+            case "count" => "longSum"
+            case t => t
+          }
+          JObject("type" -> JString(newTpe), "name" -> JString(name),
+            "fieldName" -> JString(name))
+        case x => x
+      })
+      case x => x
+    }
+    JsonMethods.compact(JsonMethods.render(reagg))
+  }
+
   // ---- post-aggregators ----
 
   def parsePostAggs(json: String): Seq[JValue] =

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.model.{Aggregators, DimFilter, Granularity}
+// (compact() composes scan + ingest; no extra imports)
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +99,30 @@ object SegmentStore {
       dimensions: Seq[String],
       metrics: Seq[String],
       filterJson: Option[String] = None)
+
+  /** Compaction: re-read an interval through the timeline and publish
+    * it back at a coarser query granularity under a new version — the
+    * Druid compaction task. Sketch metrics merge from stored bytes and
+    * counts re-sum (reaggSpec), so no raw data is touched; the new
+    * version overshadows the fine-grained segments atomically.
+    */
+  def compact(spark: SparkSession, base: String, dataSource: String,
+              startMs: Long, endMs: Long,
+              dimensions: Seq[String], metricsJson: String,
+              queryGranularity: Granularity, segmentGranularity: Granularity,
+              version: String): Seq[SegmentDescriptor] = {
+    val metricNames = Aggregators.parseAggs(metricsJson).map(_.name)
+    val scanned = scan(spark, base, ScanSpec(dataSource, startMs, endMs,
+      dimensions, metricNames))
+    val withTs = scanned.withColumn("__ts", timestamp_millis(col("__time")))
+    ingest(spark, withTs, IngestSpec(
+      dataSource = dataSource,
+      timeCol = "__ts",
+      dimensions = dimensions,
+      metricsJson = Aggregators.reaggSpec(metricsJson),
+      queryGranularity = queryGranularity,
+      segmentGranularity = segmentGranularity), base, version)
+  }
 
   /** Timeline-resolved read. Only the winning (segment × window)
     * parquet paths are opened; each is clipped to its window, so

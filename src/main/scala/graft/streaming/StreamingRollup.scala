@@ -76,7 +76,7 @@ object StreamingRollup {
               timeCol = spec.timeCol,
               dimensions = spec.dimensions,
               // already rolled up: re-aggregate pre-rolled partials
-              metricsJson = reaggSpec(spec.metricsJson),
+              metricsJson = Aggregators.reaggSpec(spec.metricsJson),
               queryGranularity = Granularity.None_,
               segmentGranularity = spec.segmentGranularity),
             base,
@@ -86,26 +86,4 @@ object StreamingRollup {
       }
   }
 
-  /** Metric spec for re-aggregating already-rolled partials: sums of
-    * sums, merges of sketch bytes (names preserved). */
-  private[streaming] def reaggSpec(metricsJson: String): String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val reagg = JsonMethods.parse(metricsJson) match {
-      case JArray(xs) => JArray(xs.map {
-        case o: JObject =>
-          val name = (o \ "name") match { case JString(s) => s; case _ => "agg" }
-          val tpe = (o \ "type") match { case JString(s) => s; case _ => "" }
-          val newTpe = tpe match {
-            case "count" => "longSum" // counts re-aggregate as sums
-            case t => t // sums/min/max/sketch merges are idempotent by type
-          }
-          JObject("type" -> JString(newTpe), "name" -> JString(name),
-            "fieldName" -> JString(name))
-        case x => x
-      })
-      case x => x
-    }
-    JsonMethods.compact(JsonMethods.render(reagg))
-  }
 }

@@ -95,6 +95,35 @@ class SegmentStoreSpec extends SparkSpec {
     assert(est == exact, s"theta re-agg $est vs exact $exact")
   }
 
+  test("compaction: hourly segments re-publish as daily, totals and sketches preserved") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+
+    SegmentStore.compact(spark, base, "ev", t0, t1,
+      dimensions = Seq("event_type"),
+      metricsJson = metricsJson,
+      queryGranularity = Granularity.Calendar("day"),
+      segmentGranularity = Granularity.Calendar("week"),
+      version = "v2-compacted")
+
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("cnt", "su", "users_sk")))
+    // compacted rows are daily — strictly fewer than hourly rollups
+    assert(out.count() < eventsDf.count())
+    val got = out.agg(sum($"cnt"), sum($"su")).collect()(0)
+    val want = eventsDf.agg(count(lit(1)), sum($"user_id")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0), "counts survive compaction")
+    assert(got.getLong(1) == want.getLong(1), "sums survive compaction")
+    val est = out.agg(
+      graft.functions.Sketches.theta_estimate(
+        graft.functions.Sketches.theta_sketch_agg($"users_sk")).as("e"))
+      .collect()(0).getDouble(0)
+    val exact = eventsDf.select($"user_id").distinct().count().toDouble
+    assert(est == exact, "sketch bytes survive compaction")
+  }
+
   test("filter JSON applies on scan") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
