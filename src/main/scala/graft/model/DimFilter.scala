@@ -107,6 +107,13 @@ object DimFilter {
     def compile(schema: StructType): Column = !field.compile(schema)
   }
 
+  /** Druid expression filter — the expression dialect is Spark SQL's
+    * (documented deviation; arithmetic/comparison subset is spelled
+    * identically). */
+  final case class Expr(expression: String) extends DimFilter {
+    def compile(schema: StructType): Column = expr(expression)
+  }
+
   /** True constant — used when a query has no filter. */
   case object True extends DimFilter {
     def compile(schema: StructType): Column = lit(true)
@@ -175,6 +182,8 @@ object DimFilter {
         case "and" => And(children(obj, "fields"))
         case "or" => Or(children(obj, "fields"))
         case "not" => Not(fromJson(obj \ "field"))
+        case "expression" => Expr(str("expression").getOrElse(
+          throw new IllegalArgumentException("expression filter needs expression")))
         case "true" => True
         case other => throw new IllegalArgumentException(s"unsupported filter type $other")
       }

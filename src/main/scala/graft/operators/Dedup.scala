@@ -111,24 +111,31 @@ object Dedup {
       .toDF("v", "nbr")
       .localCheckpoint(true)
 
-    var labels = df.select(col(idCol).as("v"), col(idCol).as("lbl")).localCheckpoint(true)
+    // iterate over the pair graph only — the near-dup subgraph is tiny
+    // relative to the corpus, so each round joins O(pairs), not O(docs)
+    var labels = und.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = und.join(labels, "v")
         .groupBy(col("nbr")).agg(min("lbl").as("nlbl"))
         .withColumnRenamed("nbr", "v")
+      // change flag computed in the same pass — one materialization per
+      // round, then a cheap local count on the checkpointed result
       val updated = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      val changes = updated.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = updated
-      converged = changes == 0
+      converged = updated.filter(col("chg")).limit(1).count() == 0
+      labels = updated.select(col("v"), col("newLbl").as("lbl"))
       i += 1
     }
-    labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
+    // singletons (no near-dup edges) label themselves — no iteration
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("v", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
   }
 
   /** Keep-one-per-cluster dedup: drop every near-duplicate except the

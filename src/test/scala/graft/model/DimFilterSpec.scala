@@ -71,6 +71,10 @@ class DimFilterSpec extends SparkSpec {
     assert(idsJson("""{"type":"in","dimension":"tags","values":["y","z"]}""") == Set(1L, 2L, 3L, 5L))
   }
 
+  test("expression filter uses SQL dialect") {
+    assert(idsJson("""{"type":"expression","expression":"score > 25 AND grade = 'A'"}""") == Set(3L))
+  }
+
   test("columnComparison") {
     val df2 = df.withColumn("grade2", org.apache.spark.sql.functions.lit("A"))
     val f = DimFilter.parse("""{"type":"columnComparison","dimensions":["grade","grade2"]}""")
