@@ -35,8 +35,13 @@ object SegmentQueries {
     * v1 = full range; v2 re-ingests 2024-01-15 with identical data, so
     * the scan exercises version overshadowing while staying
     * oracle-equivalent to a raw recompute. */
+  /** Bump when the ingest layout/semantics change, so a cached store
+    * from an earlier driver round can never serve stale data. */
+  private val StoreFormatVersion = 2
+
   private def ensureIngested(spark: SparkSession, sfDir: String): String = synchronized {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_segstore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_segstore_v$StoreFormatVersion" +
+      s"_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     if (SegmentCatalog.read(base, "events_rollup").isEmpty) {
       val ev = Tables.events(spark, sfDir)
       SegmentStore.ingest(spark, ev, ingestSpec, base, version = "v1")
