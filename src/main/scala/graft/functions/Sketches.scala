@@ -32,8 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object Sketches {
 
   /** Aggregate: build (or merge) a theta sketch; returns sketch bytes. */
-  def theta_sketch_agg(c: Column): Column =
-    toColumn(ThetaSketchAgg(toExpr(c)).toAggregateExpression())
+  def theta_sketch_agg(c: Column, nominalEntries: Int = 4096): Column =
+    toColumn(ThetaSketchAgg(toExpr(c), nominalEntries).toAggregateExpression())
 
   /** Estimate of distinct count from sketch bytes. */
   def theta_estimate(c: Column): Column = toColumn(ThetaEstimate(toExpr(c)))

@@ -33,7 +33,7 @@ object Aggregators {
   final case class AggSpec(
       name: String, tpe: String, fieldName: String,
       fields: Seq[String], filter: Option[DimFilter], sub: Option[AggSpec],
-      lgK: Int = 12)
+      lgK: Int = 12, size: Int = 4096)
 
   def parseAggs(json: String): Seq[AggSpec] =
     JsonMethods.parse(json) match {
@@ -56,6 +56,10 @@ object Aggregators {
         case JInt(v) => v.toInt
         case _ => 12
       }
+      val size = (obj \ "size") match { // thetaSketch nominal entries
+        case JInt(v) => v.toInt
+        case _ => 4096
+      }
       val filter = (obj \ "filter") match {
         case JNothing | JNull => None
         case f => Some(DimFilter.fromJson(f))
@@ -68,7 +72,7 @@ object Aggregators {
         name = str("name").getOrElse(sub.map(_.name).getOrElse("agg")),
         tpe = tpe,
         fieldName = str("fieldName").getOrElse(""),
-        fields = fields, filter = filter, sub = sub, lgK = lgK)
+        fields = fields, filter = filter, sub = sub, lgK = lgK, size = size)
     case x => throw new IllegalArgumentException(s"bad aggregator $x")
   }
 
@@ -107,7 +111,7 @@ object Aggregators {
         val sketch = hll_sketch_agg(key, lit(spec.lgK))
         if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
       case "thetaSketch" =>
-        val sketch = graft.functions.Sketches.theta_sketch_agg(f)
+        val sketch = graft.functions.Sketches.theta_sketch_agg(f, spec.size)
         if (finalize) graft.functions.Sketches.theta_estimate(sketch) else sketch
       case "quantilesDoublesSketch" | "approxHistogramFold" =>
         // mergeable KLL sketch bytes; finalized form = median (further

@@ -71,6 +71,14 @@ class DimFilterSpec extends SparkSpec {
     assert(idsJson("""{"type":"in","dimension":"tags","values":["y","z"]}""") == Set(1L, 2L, 3L, 5L))
   }
 
+  test("SQL three-valued null semantics (Druid SQL-compatible mode)") {
+    // name is null for id=5: selector != and NOT selector both exclude
+    // null rows, matching Druid's modern (SQL-compatible) null handling
+    assert(!idsJson("""{"type":"not","field":{"type":"selector","dimension":"name","value":"alpha"}}""").contains(5L))
+    assert(!idsJson("""{"type":"bound","dimension":"name","lower":"a"}""").contains(5L))
+    assert(idsJson("""{"type":"selector","dimension":"name","value":null}""") == Set(5L))
+  }
+
   test("expression filter uses SQL dialect") {
     assert(idsJson("""{"type":"expression","expression":"score > 25 AND grade = 'A'"}""") == Set(3L))
   }
