@@ -34,10 +34,23 @@ object Granularity {
     def sql(tsExpr: String): String = tsExpr
   }
 
-  /** date_trunc-able calendar units (Druid simple granularities). */
-  final case class Calendar(unit: String) extends Granularity {
-    def bucket(ts: Column): Column = date_trunc(unit, ts)
-    def sql(tsExpr: String): String = s"date_trunc('$unit', $tsExpr)"
+  /** date_trunc-able calendar units (Druid simple granularities).
+    * With a timeZone, buckets align to that zone's calendar (Druid
+    * granularity timeZone field): shift in, truncate, shift back. */
+  final case class Calendar(unit: String, timeZone: Option[String] = None) extends Granularity {
+    def bucket(ts: Column): Column = timeZone match {
+      case Some(tz) =>
+        to_utc_timestamp(date_trunc(unit, from_utc_timestamp(ts, tz)), tz)
+      case None => date_trunc(unit, ts)
+    }
+    def sql(tsExpr: String): String = timeZone match {
+      case Some(tz) =>
+        // DuckDB needs the ICU extension for timezones — unavailable
+        // offline, so tz-granularities are spec-tested, not oracle'd
+        throw new UnsupportedOperationException(
+          s"no offline DuckDB oracle for tz-aware granularity ($tz)")
+      case None => s"date_trunc('$unit', $tsExpr)"
+    }
   }
 
   /** Fixed-duration buckets anchored at `originMillis` (Druid duration
@@ -87,6 +100,10 @@ object Granularity {
           case JString(o) => java.time.Instant.parse(o).toEpochMilli
           case _ => 0L
         }
+        val tz = (obj \ "timeZone") match {
+          case JString(z) if z.nonEmpty && z != "UTC" => Some(z)
+          case _ => None
+        }
         tpe match {
           case "duration" =>
             val d = (obj \ "duration") match {
@@ -98,7 +115,10 @@ object Granularity {
             Duration(d, origin)
           case "period" =>
             val p = (obj \ "period") match { case JString(v) => v; case x => throw new IllegalArgumentException(s"bad period $x") }
-            parsePeriod(p, origin)
+            parsePeriod(p, origin) match {
+              case Calendar(u, None) if tz.isDefined => Calendar(u, tz)
+              case g => g
+            }
           case "all" => All
           case "none" => None_
           case other => fromString(other)

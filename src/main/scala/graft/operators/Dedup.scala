@@ -103,9 +103,16 @@ object Dedup {
     * cluster_id = min id in the component (singletons keep their id);
     * "keep one per cluster" dedup = filter id == cluster_id. */
   def clusters(df: DataFrame, idCol: String, textCol: String,
-               threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
-      .select("a_id", "b_id")
+               threshold: Double = 0.8, maxIter: Int = 20): DataFrame =
+    clustersFromPairs(df, idCol,
+      minhashPairs(df, idCol, textCol, threshold = threshold), maxIter)
+
+  /** Connected components from an existing (a_id, b_id) pair set —
+    * lets callers reuse pairs they already computed (e.g. after
+    * minhashPairs) instead of re-running the LSH pipeline. */
+  def clustersFromPairs(df: DataFrame, idCol: String, pairsDf: DataFrame,
+                        maxIter: Int = 20): DataFrame = {
+    val pairs = pairsDf.select("a_id", "b_id")
     val und = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("v", "nbr")

@@ -81,9 +81,9 @@ object SegmentStore {
 
   private def chunkWidthMs(g: Granularity): Long = g match {
     case Granularity.Duration(ms, _) => ms
-    case Granularity.Calendar("hour") => 3600000L
-    case Granularity.Calendar("day") => 86400000L
-    case Granularity.Calendar("week") => 7L * 86400000L
+    case Granularity.Calendar("hour", None) => 3600000L
+    case Granularity.Calendar("day", None) => 86400000L
+    case Granularity.Calendar("week", None) => 7L * 86400000L
     case other => throw new IllegalArgumentException(
       s"segment granularity must be a fixed width (got $other)")
   }

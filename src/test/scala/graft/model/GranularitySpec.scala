@@ -53,6 +53,20 @@ class GranularitySpec extends SparkSpec {
     assert(Granularity.fromString("P1D") == Granularity.Calendar("day"))
   }
 
+  test("timezone-aware calendar granularity shifts the bucket grid") {
+    import org.json4s.jackson.JsonMethods
+    // 2024-03-05 01:30 UTC is 2024-03-05 07:00 in +05:30 → that zone's
+    // day starts 2024-03-04 18:30 UTC
+    val g = Granularity.fromJson(JsonMethods.parse(
+      """{"type":"period","period":"P1D","timeZone":"Asia/Kolkata"}"""))
+    assert(g == Granularity.Calendar("day", Some("Asia/Kolkata")))
+    assert(bucketOf(g, "2024-03-05 01:30:00") == ts("2024-03-04 18:30:00"))
+    // UTC stays unchanged
+    assert(Granularity.fromJson(JsonMethods.parse(
+      """{"type":"period","period":"P1D","timeZone":"UTC"}""")) ==
+      Granularity.Calendar("day"))
+  }
+
   test("ALL produces a single group") {
     val g = Granularity.fromString("ALL")
     assert(g == Granularity.All)

@@ -48,4 +48,28 @@ class IngestionSpecSpec extends SparkSpec {
     val want = ev.filter($"event_type" === "click").count()
     assert(got == want)
   }
+
+  test("multi-interval specs union the windows") {
+    val base = Files.createTempDirectory("graft_ispec2_").toString
+    val ev = Tables.events(spark, sf())
+    SegmentStore.ingest(spark, ev, SegmentStore.IngestSpec(
+      "ev", "ts", Seq("event_type"),
+      """[{"type":"count","name":"cnt"}]""",
+      Granularity.Calendar("hour"), Granularity.Calendar("day")), base, "v1")
+
+    val out = IngestionSpec.scan(spark, base, IngestionSpec.parse(
+      """{
+        |  "dataSource": "ev",
+        |  "intervals": ["2024-01-02T00:00:00Z/2024-01-03T00:00:00Z",
+        |                "2024-01-05T00:00:00Z/2024-01-06T00:00:00Z"],
+        |  "dimensions": ["event_type"],
+        |  "metrics": ["cnt"]
+        |}""".stripMargin))
+    val got = out.agg(sum($"cnt")).collect()(0).getLong(0)
+    def dayCount(d: String): Long = {
+      val t0 = java.time.Instant.parse(s"${d}T00:00:00Z").toEpochMilli
+      ev.filter(unix_millis($"ts") >= t0 && unix_millis($"ts") < t0 + 86400000L).count()
+    }
+    assert(got == dayCount("2024-01-02") + dayCount("2024-01-05"))
+  }
 }
