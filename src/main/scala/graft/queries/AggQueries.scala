@@ -128,7 +128,7 @@ object AggQueries {
   }
 
   val multiValueSql: String =
-    """SELECT mv, count(*) AS cnt, sum(user_id) AS sum_users
+    """SELECT mv, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_users
       |FROM (SELECT unnest(list_value(event_type, 'u' || (user_id % 5))) AS mv,
       |             user_id
       |      FROM events)

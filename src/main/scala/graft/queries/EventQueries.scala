@@ -63,7 +63,7 @@ object EventQueries {
     val g = graft.model.Granularity.Duration(15L * 60 * 1000).sql("ts")
     s"""SELECT CAST($g AS TIMESTAMP) AS __time,
        |  count(*) AS cnt,
-       |  sum(user_id) AS sum_users
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users
        |FROM events
        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -232,7 +232,7 @@ object EventQueries {
   val jsonExtractSql: String =
     """SELECT event_type,
       |  count(CAST(props::JSON->>'k' AS INT)) AS n_with_k,
-      |  sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+      |  CAST(sum(CAST(props::JSON->>'k' AS INT)) AS BIGINT) AS sum_k,
       |  max(CAST(props::JSON->>'k' AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -74,7 +74,7 @@ object SegmentQueries {
     s"""SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS __time,
        |  event_type,
        |  count(*) AS cnt,
-       |  sum(user_id) AS sum_users,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
        |  ${Exact.sqlSum("value")} AS sum_value
        |FROM events
        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
