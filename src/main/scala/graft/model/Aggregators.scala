@@ -76,28 +76,57 @@ object Aggregators {
     case x => throw new IllegalArgumentException(s"bad aggregator $x")
   }
 
+  /** Injective string encoding of a dim tuple: each field is
+    * length-prefixed (`<len>:<value>`), NULL encodes as `"N"` — which
+    * cannot collide with a length prefix since those start with a
+    * digit. Unlike concat_ws, NULL fields are preserved positionally,
+    * so (NULL,"a") ≠ ("a",NULL) ≠ ("a"). */
+  private def tupleKey(fields: Seq[String]): Column = {
+    val parts = fields.map { fn =>
+      val s = col(fn).cast("string")
+      when(s.isNull, lit("N")).otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    concat(parts: _*)
+  }
+
   /** Compile one aggregator spec to an aggregate Column.
     *
     * @param timeCol  the __time column name (for first/last)
     * @param finalize finalize sketches to estimates (vs mergeable bytes)
     */
   def compile(spec: AggSpec, schema: StructType, timeCol: String = "__time",
-              finalize: Boolean = true): Column = {
-    def f: Column = col(spec.fieldName)
+              finalize: Boolean = true): Column =
+    compileGuarded(spec, schema, timeCol, finalize, cond = None)
+
+  /** Compile with an optional row guard (the `filtered` aggregator's
+    * condition). Instead of a per-type whitelist of filterable
+    * sub-aggregators (the reference adapts ANY AggregatorFactory —
+    * druid-pig/udfs/AggregatorFactoryAdapter.java:43-119), the guard is
+    * woven into each aggregator's inputs: non-matching rows contribute
+    * NULL, and every aggregate here — sums, min/max, min_by/max_by via
+    * a guarded ordering key, HLL/theta/KLL sketch builds — skips NULL
+    * inputs. Nested `filtered` specs AND their conditions. */
+  private def compileGuarded(spec: AggSpec, schema: StructType, timeCol: String,
+                             finalize: Boolean, cond: Option[Column]): Column = {
+    def guard(c: Column): Column = cond.map(when(_, c)).getOrElse(c)
+    def f: Column = guard(col(spec.fieldName))
+    // first/last: guard the ORDERING key — min_by/max_by ignore rows
+    // whose ordering key is NULL, so non-matching rows never win
+    def t: Column = guard(col(timeCol))
     val c: Column = spec.tpe match {
-      case "count" => count(lit(1))
+      case "count" => count(guard(lit(1)))
       case "longSum" => coalesce(sum(f.cast("long")), lit(0L))
       case "doubleSum" | "floatSum" => coalesce(Exact.dsum(f), lit(0.0))
       case "longMin" => min(f.cast("long"))
       case "longMax" => max(f.cast("long"))
       case "doubleMin" | "floatMin" => min(f.cast("double"))
       case "doubleMax" | "floatMax" => max(f.cast("double"))
-      case "longFirst" => min_by(f.cast("long"), col(timeCol))
-      case "longLast" => max_by(f.cast("long"), col(timeCol))
-      case "doubleFirst" | "floatFirst" => min_by(f.cast("double"), col(timeCol))
-      case "doubleLast" | "floatLast" => max_by(f.cast("double"), col(timeCol))
-      case "stringFirst" => min_by(f.cast("string"), col(timeCol))
-      case "stringLast" => max_by(f.cast("string"), col(timeCol))
+      case "longFirst" => min_by(f.cast("long"), t)
+      case "longLast" => max_by(f.cast("long"), t)
+      case "doubleFirst" | "floatFirst" => min_by(f.cast("double"), t)
+      case "doubleLast" | "floatLast" => max_by(f.cast("double"), t)
+      case "stringFirst" => min_by(f.cast("string"), t)
+      case "stringLast" => max_by(f.cast("string"), t)
       case "hyperUnique" =>
         // over a sketch column (segment metric) → merge; over raw → build
         val isSketchCol = schema.fields.exists(x => x.name == spec.fieldName &&
@@ -106,9 +135,13 @@ object Aggregators {
         if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
       case "cardinality" =>
         // byRow=false semantics over the value union is rare; implement
-        // Druid's default byRow=true (distinct dim tuples)
-        val key = concat_ws("", spec.fields.map(col): _*)
-        val sketch = hll_sketch_agg(key, lit(spec.lgK))
+        // Druid's default byRow=true (distinct dim tuples). The tuple
+        // key is length-prefixed per field so ("ab","c") ≠ ("a","bc")
+        // and no separator-in-value collision is possible; NULL encodes
+        // as a sentinel that cannot collide with a length prefix
+        // (non-null fields always start with a digit). concat (not
+        // concat_ws) so NULL fields are never silently skipped.
+        val sketch = hll_sketch_agg(guard(tupleKey(spec.fields)), lit(spec.lgK))
         if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
       case "thetaSketch" =>
         val sketch = graft.functions.Sketches.theta_sketch_agg(f, spec.size)
@@ -120,31 +153,14 @@ object Aggregators {
         if (finalize) graft.functions.KllSketch.kll_quantile(sketch, lit(0.5)) else sketch
       case "filtered" =>
         val sub = spec.sub.getOrElse(throw new IllegalArgumentException("filtered agg needs aggregator"))
-        val cond = spec.filter.getOrElse(DimFilter.True).compile(schema)
-        compileFiltered(sub, cond, schema, timeCol, finalize)
+        val subCond = spec.filter.getOrElse(DimFilter.True).compile(schema)
+        val combined = cond.map(_ && subCond).getOrElse(subCond)
+        // strip the alias compileGuarded adds for the sub spec; the
+        // outer spec's name wins (Druid: filtered agg's name is its own)
+        return compileGuarded(sub, schema, timeCol, finalize, Some(combined)).as(spec.name)
       case other => throw new IllegalArgumentException(s"unsupported aggregator type $other")
     }
     c.as(spec.name)
-  }
-
-  /** Druid filtered aggregator: aggregate only rows matching the filter.
-    * Compiled as agg(when(cond, field)) so it stays a single pass. */
-  private def compileFiltered(sub: AggSpec, cond: Column, schema: StructType,
-                              timeCol: String, finalize: Boolean): Column = {
-    val f = when(cond, col(sub.fieldName))
-    sub.tpe match {
-      case "count" => count(when(cond, lit(1)))
-      case "longSum" => coalesce(sum(f.cast("long")), lit(0L))
-      case "doubleSum" | "floatSum" => coalesce(Exact.dsum(f.cast("double")), lit(0.0))
-      case "longMin" => min(f.cast("long"))
-      case "longMax" => max(f.cast("long"))
-      case "doubleMin" | "floatMin" => min(f.cast("double"))
-      case "doubleMax" | "floatMax" => max(f.cast("double"))
-      case "hyperUnique" =>
-        val sketch = hll_sketch_agg(f)
-        if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
-      case other => throw new IllegalArgumentException(s"unsupported filtered sub-aggregator $other")
-    }
   }
 
   /** Metric spec for re-aggregating already-rolled partials: counts

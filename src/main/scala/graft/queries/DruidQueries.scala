@@ -84,6 +84,12 @@ object DruidQueries {
     aggs.map(a => Aggregators.compile(a, df.schema, timeCol))
   }
 
+  /** Group with the spec's aggregations; an empty `aggregations` list
+    * is legal in Druid and degrades to the distinct group keys. */
+  private def groupAgg(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    if (aggs.nonEmpty) df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    else df.select(keys: _*).distinct()
+
   /** post-aggregations appended as a projection over agg outputs. */
   private def withPostAggs(aggregated: DataFrame, q: JObject): DataFrame =
     (q \ "postAggregations") match {
@@ -157,14 +163,15 @@ object DruidQueries {
     val df = prepared(df0, timeCol, q)
     val aggs = aggCols(df, timeCol, q)
     val out = granularityOf(q) match {
-      case Granularity.All => df.agg(aggs.head, aggs.tail: _*)
+      case Granularity.All =>
+        if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.agg(count(lit(1)).as("__rows")).select() // one row, no columns
       case g =>
         val desc = (q \ "descending") match {
           case JBool(true) => true
           case _ => false
         }
-        val grouped = df.groupBy(g.bucket(col(timeCol)).as("__time"))
-          .agg(aggs.head, aggs.tail: _*)
+        val grouped = groupAgg(df, Seq(g.bucket(col(timeCol)).as("__time")), aggs)
         if (desc) grouped.orderBy(col("__time").desc) else grouped.orderBy(col("__time"))
     }
     withPostAggs(out, q)
@@ -201,11 +208,13 @@ object DruidQueries {
       if (byDimension) Seq(col(dim).asc)
       else if (inverted) Seq(col(metric).asc, col(dim).asc)
       else Seq(col(metric).desc, col(dim).asc)
-    val out = df.groupBy(dimSpec.column.as(dim))
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy(ordering: _*)
-      .limit(threshold)
-    withPostAggs(out, q)
+    // post-aggs are projected BEFORE ranking: Druid allows `metric` to
+    // name a post-aggregator, and an empty `aggregations` list is legal
+    val grouped = withPostAggs(groupAgg(df, Seq(dimSpec.column.as(dim)), aggs), q)
+    if (!byDimension)
+      require(grouped.columns.contains(metric),
+        s"topN metric '$metric' names neither an aggregator nor a post-aggregator")
+    grouped.orderBy(ordering: _*).limit(threshold)
   }
 
   def groupBy(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
@@ -217,11 +226,13 @@ object DruidQueries {
     val aggs = aggCols(df, timeCol, q)
     // Multi-value dims get Druid groupBy semantics: each value of the
     // array becomes its own group (unnest), per Druid's docs —
-    // extractionFns then apply per value.
+    // extractionFns then apply per value. explode_outer, not explode:
+    // Druid groups rows with a NULL or empty multi-value dim under the
+    // NULL group rather than dropping them.
     val exploded = dims.foldLeft(df) { (d, dim) =>
       d.schema.fields.find(_.name == dim.baseName) match {
         case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-          d.withColumn(dim.baseName, explode(col(dim.baseName)))
+          d.withColumn(dim.baseName, explode_outer(col(dim.baseName)))
         case _ => d
       }
     }
@@ -230,7 +241,7 @@ object DruidQueries {
       case Granularity.All => dimCols
       case g => dimCols :+ g.bucket(col(timeCol)).as("__time")
     }
-    val grouped = exploded.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = groupAgg(exploded, keyCols, aggs)
     val havinged = havingFilter(withPostAggs(grouped, q), q \ "having")
     applyLimitSpec(havinged, q \ "limitSpec", dims.map(d => col(d.outputName).asc))
   }

@@ -9,25 +9,45 @@ import org.apache.spark.sql.types.DecimalType
   * `sum(double)` is order-dependent, so Spark and a DuckDB oracle can
   * disagree in the last ulp (and, after rounding, at any rounding
   * boundary). Summing through an exact DECIMAL makes the result
-  * independent of addition order: double→decimal(18,6) rounding of the
+  * independent of addition order: double→decimal(38,6) rounding of the
   * same IEEE double is identical in both engines, decimal addition is
   * exact, and the final decimal→double cast is deterministic.
+  *
+  * Overflow is LOUD, never silent: a non-ANSI decimal cast would turn
+  * an overflowing value into NULL (and a downstream coalesce could
+  * mask a fully-overflowed sum as 0.0), so values with |v| ≥ 1e32 —
+  * beyond DECIMAL(38,6)'s integral range — raise an error, and a sum
+  * that nulls out despite non-null inputs (accumulator overflow)
+  * raises as well. DuckDB mirrors this: its decimal casts and sums
+  * error on overflow natively.
   *
   * Every double-valued aggregate exposed to the driver's hash-compare
   * goes through these (Spark side) and the matching `sql*` strings
   * (DuckDB side).
   */
 object Exact {
-  private val Dec = DecimalType(18, 6)
+  private val Dec = DecimalType(38, 6)
+  private val MaxAbs = 1e32 // DECIMAL(38,6) holds ±(10^32 − 10^-6)
 
-  /** Order-independent sum of a double expression, as double. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Order-independent sum of a double expression, as double.
+    * Raises on per-value or accumulator overflow instead of nulling. */
+  def dsum(c: Column): Column = {
+    val d = c.cast("double")
+    val checked = when(abs(d) >= lit(MaxAbs),
+        raise_error(concat(lit("Exact.dsum value overflows DECIMAL(38,6): "), d.cast("string"))))
+      .otherwise(d.cast(Dec))
+    val s = sum(checked)
+    when(count(checked) > 0 && s.isNull,
+        raise_error(lit("Exact.dsum accumulator overflowed DECIMAL(38,6)")))
+      .otherwise(s)
+      .cast("double")
+  }
 
   /** Order-independent mean of a double expression, as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   def sqlSum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)"
 
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / count(*))"

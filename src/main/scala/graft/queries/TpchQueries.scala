@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * exercise the scan/agg/join machinery that segment reads feed at scale.
   *
   * Scale notes (100 TB): q1/q6 are single-pass scan-aggs with full
-  * predicate pushdown and map-side partial aggregation; q3/q5 broadcast
-  * every dimension table so the only shuffles are the fact-table
-  * aggregations.
+  * predicate pushdown and map-side partial aggregation. Join-side
+  * policy: constant-size dims (nation, region, part at fixed card) get
+  * an explicit broadcast; anything derived from a fact table (filtered
+  * orders, customer at TPC-H scale) gets NO hint — AQE broadcasts it
+  * when the runtime size is small and falls back to shuffle joins when
+  * it isn't, so the plan survives a 100× scale-up without driver OOM.
   */
 object TpchQueries {
 
@@ -49,8 +52,8 @@ object TpchQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Q3: shipping priority — customer ⋈ orders ⋈ lineitem. customer is
-    * broadcast into orders, the joined dim side broadcast into lineitem;
-    * the only shuffle is the (orderkey, orderdate) aggregation. */
+    * broadcast into orders; the orders side joins lineitem however AQE
+    * decides (it is fact-derived, so no forced broadcast). */
   def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -61,7 +64,10 @@ object TpchQueries {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1997-06-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    // the joined orders side is fact-derived: at 100× scale it is tens
+    // of GB, so no broadcast hint — AQE picks broadcast when the
+    // filtered side turns out small at runtime, shuffle-hash otherwise
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -93,12 +99,14 @@ object TpchQueries {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir)
 
+    // nation/region are true dims (constant size) → broadcast; orders
+    // and customer scale with the fact data → no hint, AQE decides
     val dims = cust
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .select(col("c_custkey"), col("n_name"))
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(dims, ord("o_custkey") === dims("c_custkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
@@ -171,7 +179,9 @@ object TpchQueries {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val cust = Tables.customer(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    // orders is fact-derived (date-filtered fact table, not a dim):
+    // no broadcast hint — AQE decides from the runtime size
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))

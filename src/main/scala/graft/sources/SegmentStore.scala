@@ -79,7 +79,7 @@ object SegmentStore {
     descriptors
   }
 
-  private def chunkWidthMs(g: Granularity): Long = g match {
+  private[graft] def chunkWidthMs(g: Granularity): Long = g match {
     case Granularity.Duration(ms, _) => ms
     case Granularity.Calendar("hour", None) => 3600000L
     case Granularity.Calendar("day", None) => 86400000L

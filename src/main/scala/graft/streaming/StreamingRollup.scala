@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model.{Aggregators, DimFilter, Granularity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -56,9 +56,20 @@ object StreamingRollup {
   }
 
   /** Wire the rolled-up stream into the segment store: each micro-batch
-    * publishes its windows as version `b<batchId>` — monotonically
-    * increasing, so updates to a window overshadow prior publications
-    * of the same chunk in the timeline. */
+    * publishes new versions of the chunks it touches, which overshadow
+    * prior publications of those chunks in the timeline.
+    *
+    * Update-mode batches carry ONLY the groups that changed in the
+    * micro-batch, but a published chunk version overshadows the WHOLE
+    * chunk — so before publishing, the currently-visible contents of
+    * each touched chunk are re-read through the timeline and groups not
+    * re-emitted in this batch are carried forward. Without this merge,
+    * a group emitted only in an earlier batch would be erased by the
+    * next publication of its chunk. (≙ Druid realtime handoff, which
+    * also rewrites whole segments.) Untouched chunks are not re-read or
+    * re-published, so per-batch IO is O(touched chunks), and the merge
+    * is a key-anti-join on (window × dims) — null-safe, since dims may
+    * legitimately be NULL. */
   def toSegmentStore(spark: SparkSession, rolled: DataFrame, spec: StreamSpec,
                      base: String, checkpoint: Option[String] = None): DataStreamWriter[Row] = {
     val w = rolled.writeStream
@@ -66,23 +77,55 @@ object StreamingRollup {
       .trigger(Trigger.AvailableNow())
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val withTs = batch.withColumn(spec.timeCol, timestamp_millis(col("__time")))
-          graft.sources.SegmentStore.ingest(
-            spark, withTs,
-            graft.sources.SegmentStore.IngestSpec(
-              dataSource = spec.dataSource,
-              timeCol = spec.timeCol,
-              dimensions = spec.dimensions,
-              // already rolled up: re-aggregate pre-rolled partials
-              metricsJson = Aggregators.reaggSpec(spec.metricsJson),
-              queryGranularity = Granularity.None_,
-              segmentGranularity = spec.segmentGranularity),
-            base,
-            version = f"b$batchId%012d")
-          ()
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.persist()
+        try {
+          if (!batch.isEmpty) {
+            val metricNames = Aggregators.parseAggs(spec.metricsJson).map(_.name)
+            val cols = "__time" +: (spec.dimensions ++ metricNames)
+            def chunkOf(tMs: Column): Column =
+              unix_millis(spec.segmentGranularity.bucket(timestamp_millis(tMs)))
+
+            val touched = batch.select(chunkOf(col("__time")).as("c"))
+              .distinct().collect().map(_.getLong(0))
+            val existing: Option[DataFrame] =
+              if (touched.isEmpty) None
+              else try {
+                val hi = touched.max +
+                  graft.sources.SegmentStore.chunkWidthMs(spec.segmentGranularity)
+                val visible = graft.sources.SegmentStore.scan(
+                  spark, base, graft.sources.SegmentStore.ScanSpec(
+                    spec.dataSource, touched.min, hi, spec.dimensions, metricNames))
+                Some(visible.filter(chunkOf(col("__time")).isin(touched.toSeq: _*)))
+              } catch { case _: IllegalArgumentException => None } // nothing published yet
+
+            val toPublish = existing match {
+              case None => batch.select(cols.map(col): _*)
+              case Some(ex) =>
+                val keys = "__time" +: spec.dimensions
+                val batchKeys = batch.select(keys.map(col): _*).dropDuplicates()
+                val cond = keys.map(k => ex(k) <=> batchKeys(k)).reduce(_ && _)
+                val carried = ex.join(batchKeys, cond, "left_anti")
+                carried.select(cols.map(col): _*)
+                  .unionByName(batch.select(cols.map(col): _*))
+            }
+
+            val withTs = toPublish.withColumn(spec.timeCol, timestamp_millis(col("__time")))
+            graft.sources.SegmentStore.ingest(
+              spark, withTs,
+              graft.sources.SegmentStore.IngestSpec(
+                dataSource = spec.dataSource,
+                timeCol = spec.timeCol,
+                dimensions = spec.dimensions,
+                // already rolled up: re-aggregate pre-rolled partials
+                metricsJson = Aggregators.reaggSpec(spec.metricsJson),
+                queryGranularity = Granularity.None_,
+                segmentGranularity = spec.segmentGranularity),
+              base,
+              version = f"b$batchId%012d")
+            ()
+          }
+        } finally batch.unpersist()
       }
   }
 

@@ -70,6 +70,87 @@ class AggregatorsSpec extends SparkSpec {
     assert(row.getLong(0) == exact)
   }
 
+  test("filtered works with ANY sub-aggregator: first/last, theta, quantiles") {
+    // matches the reference's any-factory adapter
+    // (druid-pig/udfs/AggregatorFactoryAdapter.java:43-119)
+    val row = runAggs(
+      """[
+        |{"type":"filtered","name":"ff",
+        |  "filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+        |  "aggregator":{"type":"doubleFirst","name":"ff","fieldName":"value"}},
+        |{"type":"filtered","name":"fl",
+        |  "filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+        |  "aggregator":{"type":"stringLast","name":"fl","fieldName":"event_type"}},
+        |{"type":"filtered","name":"fth",
+        |  "filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+        |  "aggregator":{"type":"thetaSketch","name":"fth","fieldName":"user_id"}},
+        |{"type":"filtered","name":"fq",
+        |  "filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+        |  "aggregator":{"type":"quantilesDoublesSketch","name":"fq","fieldName":"value"}},
+        |{"type":"filtered","name":"fsum",
+        |  "filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+        |  "aggregator":{"type":"doubleSum","name":"fsum","fieldName":"value"}}
+        |]""".stripMargin)
+    val purchases = ev.filter($"event_type" === "purchase")
+    val byTime = purchases.orderBy($"ts").select($"value").collect()
+    assert(row.getDouble(0) == byTime.head.getDouble(0), "filtered doubleFirst")
+    assert(row.getString(1) == "purchase", "filtered stringLast")
+    val exactCard = purchases.select($"user_id").distinct().count().toDouble
+    assert(math.abs(row.getDouble(2) - exactCard) / exactCard < 0.05, "filtered theta")
+    val (mn, mx) = {
+      val r = purchases.agg(min($"value"), max($"value")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(row.getDouble(3) >= mn && row.getDouble(3) <= mx, "filtered KLL median in range")
+    val exactSum = purchases.agg(sum($"value")).collect()(0).getDouble(0)
+    assert(math.abs(row.getDouble(4) - exactSum) < 1e-6, "filtered doubleSum")
+  }
+
+  test("filtered first/last never picks a non-matching row's value") {
+    // the globally-first row is (t=1, type=a); filtered on type=b the
+    // first must be (t=2)'s value, not NULL and not t=1's
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0), (4L, "a", 40.0)
+    ).toDF("t", "typ", "v").withColumn("t", timestamp_millis($"t"))
+    val aggs = Aggregators.parseAggs(
+      """[{"type":"filtered","name":"f",
+        |   "filter":{"type":"selector","dimension":"typ","value":"b"},
+        |   "aggregator":{"type":"doubleFirst","name":"f","fieldName":"v"}},
+        |  {"type":"filtered","name":"l",
+        |   "filter":{"type":"selector","dimension":"typ","value":"b"},
+        |   "aggregator":{"type":"doubleLast","name":"l","fieldName":"v"}}]""".stripMargin)
+      .map(a => Aggregators.compile(a, df.schema, timeCol = "t"))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    assert(r.getDouble(0) == 20.0 && r.getDouble(1) == 30.0)
+  }
+
+  test("cardinality tuple encoding: (ab,c) != (a,bc), nulls positional") {
+    // 4 distinct tuples that a naive concat would conflate into 2
+    val df = Seq(
+      ("ab", "c"), ("a", "bc"), ("abc", null), (null, "abc")
+    ).toDF("d1", "d2")
+    val spec = Aggregators.parseAggs(
+      """{"type":"cardinality","name":"c","fields":["d1","d2"]}""").head
+    val got = df.agg(Aggregators.compile(spec, df.schema)).collect()(0).getDouble(0)
+    assert(math.round(got) == 4L, s"expected 4 distinct tuples, got $got")
+  }
+
+  test("doubleSum raises on overflow instead of silent 0.0") {
+    val df = Seq(1.0, 1e33, 2.0).toDF("v")
+    val spec = Aggregators.parseAggs(
+      """{"type":"doubleSum","name":"s","fieldName":"v"}""").head
+    val ex = intercept[Exception] {
+      df.agg(Aggregators.compile(spec, df.schema)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("overflow")), s"got: ${messages(ex)}")
+    // non-overflowing values still sum exactly
+    val okDf = Seq(1.5, 2.25, -0.75).toDF("v")
+    val ok = okDf.agg(Aggregators.compile(spec, okDf.schema)).collect()(0).getDouble(0)
+    assert(ok == 3.0)
+  }
+
   test("non-finalizing hyperUnique yields mergeable bytes (re-agg chain)") {
     val spec = Aggregators.parseAggs(
       """{"type":"hyperUnique","name":"sk","fieldName":"user_id"}""").head

@@ -31,6 +31,62 @@ class DruidQueriesSpec extends SparkSpec {
     assert(normal.sameElements(inverted.reverse))
   }
 
+  test("multi-value groupBy keeps null/empty arrays as the NULL group") {
+    val df = Seq(
+      (1L, Seq("a", "b"), 10L),
+      (2L, Seq.empty[String], 20L),
+      (3L, null.asInstanceOf[Seq[String]], 30L)
+    ).toDF("t", "mv", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"groupBy","dimensions":["mv"],"granularity":"all",
+        |"aggregations":[{"type":"longSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // rows 2 and 3 (empty and null arrays) both land in the NULL group
+    assert(out == Set((Some("a"), 10L), (Some("b"), 10L), (None, 50L)))
+  }
+
+  test("topN can rank by a post-aggregator") {
+    val out = DruidQueries.run(ev, "ts",
+      """{"queryType":"topN","dimension":"event_type","metric":"mean","threshold":3,
+        |"aggregations":[
+        |  {"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}],
+        |"postAggregations":[{"type":"arithmetic","name":"mean","fn":"/",
+        |  "fields":[{"type":"fieldAccess","fieldName":"sv"},
+        |            {"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin)
+      .collect()
+    assert(out.length == 3)
+    val means = out.map(_.getAs[Double]("mean"))
+    assert(means.sameElements(means.sorted(Ordering[Double].reverse)))
+  }
+
+  test("topN metric naming nothing fails with a clear message") {
+    val ex = intercept[IllegalArgumentException] {
+      DruidQueries.run(ev, "ts",
+        """{"queryType":"topN","dimension":"event_type","metric":"nope","threshold":3,
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  test("empty aggregations list degrades to distinct keys, not a crash") {
+    val tn = DruidQueries.run(ev, "ts",
+      """{"queryType":"topN","dimension":"event_type",
+        |"metric":{"type":"dimension"},"threshold":2,"aggregations":[]}""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(tn.length == 2 && tn.sameElements(tn.sorted))
+
+    val gb = DruidQueries.run(ev, "ts",
+      """{"queryType":"groupBy","dimensions":["event_type"],"granularity":"all",
+        |"aggregations":[]}""".stripMargin).collect()
+    assert(gb.length == ev.select($"event_type").distinct().count())
+
+    val series = DruidQueries.run(ev, "ts",
+      """{"queryType":"timeseries","granularity":"day","aggregations":[]}""".stripMargin)
+      .collect()
+    assert(series.nonEmpty)
+  }
+
   test("topN dimension metric orders lexicographically") {
     val out = DruidQueries.run(ev, "ts",
       """{"queryType":"topN","dimension":"event_type",
