@@ -16,24 +16,49 @@ object VectorFunctions {
     * (table × plane) dot product — versus evaluating tables × planes
     * separate fold expressions (which made the LSH bucketing the
     * dominant cost of embedding dedup). Output: array<string> of
-    * "t:bitstring" bucket keys, one per table. */
-  def hyperplaneBuckets(vec: Column, planes: Array[Array[Double]],
+    * "t:bitstring" bucket keys, one per table.
+    *
+    * The hyperplanes are derived deterministically from `seed` and the
+    * vector dimension at eval time (java.util.Random's specified
+    * gaussian sequence), so no driver-side pass over the data is
+    * needed to size them — the dimension is read off the first row
+    * each executor sees and the matrix is cached per instance. */
+  def hyperplaneBuckets(vec: Column, seed: Long,
                         numTables: Int, numPlanes: Int): Column =
-    toColumn(HyperplaneBuckets(toExpr(vec), planes, numTables, numPlanes))
+    toColumn(HyperplaneBuckets(toExpr(vec), seed, numTables, numPlanes))
 }
 
 case class HyperplaneBuckets(
     child: Expression,
-    planes: Array[Array[Double]], // (numTables*numPlanes) × dim, row-major
+    seed: Long,
     numTables: Int,
     numPlanes: Int)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // Lazily-built (numTables*numPlanes) × dim plane matrix. Each task
+  // deserializes its own expression instance, and a racing rebuild
+  // computes identical values (pure function of seed × dim), so the
+  // unsynchronized cache is benign. Vectors of differing dims within
+  // one dataset get per-dim plane sets — their buckets simply never
+  // collide, which is correct (cross-dim cosine is undefined anyway).
+  @transient private var cachedDim: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (cachedDim != dim) {
+      val rng = new java.util.Random(seed)
+      cachedPlanes = Array.fill(numTables * numPlanes, dim)(rng.nextGaussian())
+      cachedDim = dim
+    }
+    cachedPlanes
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    val planes = planesFor(dim)
     val nAll = numTables * numPlanes
     val dots = new Array[Double](nAll)
     var d = 0
@@ -41,8 +66,7 @@ case class HyperplaneBuckets(
       val x = arr.getDouble(d)
       var p = 0
       while (p < nAll) {
-        val plane = planes(p)
-        if (d < plane.length) dots(p) += x * plane(d)
+        dots(p) += x * planes(p)(d)
         p += 1
       }
       d += 1
@@ -63,7 +87,5 @@ case class HyperplaneBuckets(
     new GenericArrayData(out)
   }
 
-  // case-class equality on Array fields is reference-based, which is
-  // fine: the planes are fixed per operator instantiation
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }

@@ -48,13 +48,16 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
-    * numHashes = bandRows × numBands. With r=2, b=64 the probability of
-    * missing a pair at Jaccard 0.8 is (1−0.8²)^64 ≈ 1e-28 — the output
-    * is the full set of pairs ≥ threshold for any realistic input.
+    * numHashes = bandRows × numBands. With the default r=2, b=32 the
+    * probability of missing a pair at Jaccard 0.8 is (1−0.8²)^32 ≈
+    * 7e-15 (at 0.7: ≈ 4e-10) — the output is the full set of pairs ≥
+    * threshold for any realistic input, at half the signature cost of
+    * r=2, b=64. Signature hashing dominates the operator, so numHashes
+    * is THE throughput knob; raise it only for thresholds ≪ 0.7.
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bandRows: Int = 2,
+      shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / bandRows
     // fused text→signature expression: no shingle arrays materialize on
@@ -95,13 +98,9 @@ object Dedup {
   }
 
   /** Near-duplicate CLUSTERS: connected components over the LSH pair
-    * graph by distributed min-label propagation. Each iteration is one
-    * join + one aggregation; near-dup components have tiny diameters so
-    * convergence is a handful of rounds (checked, bounded by maxIter).
-    * The driver only coordinates rounds and reads a change counter —
-    * all data stays distributed. Output: (id, cluster_id) where
-    * cluster_id = min id in the component (singletons keep their id);
-    * "keep one per cluster" dedup = filter id == cluster_id. */
+    * graph. Output: (id, cluster_id) where cluster_id = min id in the
+    * component (singletons keep their id); "keep one per cluster"
+    * dedup = filter id == cluster_id. */
   def clusters(df: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.8, maxIter: Int = 20): DataFrame =
     clustersFromPairs(df, idCol,
@@ -109,40 +108,83 @@ object Dedup {
 
   /** Connected components from an existing (a_id, b_id) pair set —
     * lets callers reuse pairs they already computed (e.g. after
-    * minhashPairs) instead of re-running the LSH pipeline. */
+    * minhashPairs) instead of re-running the LSH pipeline.
+    *
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * converges in O(log n) rounds on ANY graph shape (min-label
+    * propagation needs diameter rounds, a scale risk on chained
+    * near-dup graphs), and each round touches only the edge set.
+    * Convergence is detected from a count + order-independent hash
+    * fingerprint of the materialized edge set — no extra pass over
+    * unmaterialized data, no driver-side edge collection.
+    *
+    * Fault tolerance: when `spark.sparkContext.setCheckpointDir` is
+    * configured (always, on a real cluster), per-round edge sets are
+    * reliably checkpointed — an executor loss recomputes nothing.
+    * Without one (tests, single node) it falls back to localCheckpoint.
+    * Lineage is truncated either way, so per-round plans stay O(1). */
   def clustersFromPairs(df: DataFrame, idCol: String, pairsDf: DataFrame,
                         maxIter: Int = 20): DataFrame = {
-    val pairs = pairsDf.select("a_id", "b_id")
-    val und = pairs
-      .union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("v", "nbr")
-      .localCheckpoint(true)
+    val spark = df.sparkSession
+    def materialize(d: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+      else d.localCheckpoint(true)
+    // (count, order-independent hash xor) of the DISTINCT edge set —
+    // equal fingerprints across a round ⇒ fixed point reached (xor is
+    // overflow-free; edges are deduped, so no cancellation ambiguity)
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
 
-    // iterate over the pair graph only — the near-dup subgraph is tiny
-    // relative to the corpus, so each round joins O(pairs), not O(docs)
-    var labels = und.select(col("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
-    var converged = false
+    // large-star: every node links its larger neighbors to the min of
+    // its closed neighborhood; small-star: links its smaller neighbors
+    // (and itself) to that min. Alternating the two contracts every
+    // component to a star rooted at its global min.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      und.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+                        least(col("src"), col("dst")).as("dst"))
+      val mins = or.groupBy("src").agg(min("dst").as("m"))
+      or.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var edges = materialize(
+      pairsDf.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = und.join(labels, "v")
-        .groupBy(col("nbr")).agg(min("lbl").as("nlbl"))
-        .withColumnRenamed("nbr", "v")
-      // change flag computed in the same pass — one materialization per
-      // round, then a cheap local count on the checkpointed result
-      val updated = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("chg")).limit(1).count() == 0
-      labels = updated.select(col("v"), col("newLbl").as("lbl"))
+      val next = materialize(smallStar(largeStar(edges)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
       i += 1
     }
-    // singletons (no near-dup edges) label themselves — no iteration
+
+    // at the fixed point every edge is (node, component-min root);
+    // roots and singletons label themselves via the left join
     df.select(col(idCol))
-      .join(labels.withColumnRenamed("v", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+      .join(edges.select(col("src").as(idCol), col("dst").as("cluster_id")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** Keep-one-per-cluster dedup: drop every near-duplicate except the
@@ -156,23 +198,54 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
-    * Exact for maxHamming ≤ 3 (pigeonhole over 4 chunk buckets). */
+    *
+    * The 64-bit signature is split into `numChunks` chunks; a pair at
+    * hamming ≤ h has ≥ numChunks−h chunks equal (pigeonhole), so
+    * bucketing on every (numChunks−h)-subset of chunks is lossless for
+    * the exact-hamming verify. numChunks trades bucket cardinality
+    * against keys per doc:
+    *  - numChunks=4, h=3 → 4 single-chunk keys, only 4×2^16 possible
+    *    buckets — fine to ~1M docs, quadratic beyond (expected bucket
+    *    is N/65536 ids);
+    *  - numChunks=6, h=3 → C(6,3)=20 three-chunk keys of ~32 bits —
+    *    the 100 TB setting: buckets stay tiny because the key space is
+    *    ~10^9, at 5× the per-doc key fan-out.
+    *
+    * `maxBucketSize` is the skew guard: buckets above it are dropped,
+    * so a degenerate mass-duplicate value (e.g. the empty document)
+    * cannot create a quadratic pair explosion. Recall consequence:
+    * pairs whose ONLY shared buckets are oversized are lost — that
+    * happens exactly when > maxBucketSize docs share those chunk
+    * values, i.e. mass near-identical documents; run `exact` dedup
+    * first (its output feeds smaller buckets here), as minhashPairs
+    * documents for its identical guard. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk bucketing is lossless only for hamming <= 3")
+      maxHamming: Int = 3, numChunks: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(numChunks > maxHamming,
+      "chunk bucketing is lossless only when numChunks > maxHamming")
+    require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
     val docs = df.select(
       col(idCol).as("id"),
       TextFunctions.simhash64(split(col(textCol), " ")).as("sh"))
 
-    val chunkCols = (0 until 4).map(c =>
-      concat(lit(s"$c:"),
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).cast("string")))
-    val chunks = docs.select(
-      col("id"),
-      explode(array(chunkCols: _*)).as("bucket"))
+    // chunk i covers widths(i) bits starting at offsets(i); first
+    // (64 % numChunks) chunks take the extra bit
+    val base = 64 / numChunks
+    val widths = (0 until numChunks).map(i => if (i < 64 % numChunks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftrightunsigned(col("sh"), offsets(i))
+        .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
 
-    bucketPairs(chunks, maxBucketSize = Int.MaxValue)
+    val k = numChunks - maxHamming
+    val keyCols = (0 until numChunks).combinations(k).toSeq.zipWithIndex.map {
+      case (combo, ci) => xxhash64(lit(ci) +: combo.map(chunk): _*)
+    }
+    val chunks = docs.select(col("id"), explode(array(keyCols: _*)).as("bucket"))
+
+    bucketPairs(chunks, maxBucketSize)
       .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(docs.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
@@ -198,23 +271,19 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane LSH buckets +
-    * exact cosine verify. Deterministic hyperplanes (fixed seed). */
+    * exact cosine verify. Hyperplanes derive deterministically from the
+    * seed and the vector dimension inside the expression — no
+    * driver-side pass over the data to size them. */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.9, numPlanes: Int = 16, numTables: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
 
-    val dim = vecs.select(size(col("v"))).first().getInt(0)
-    val rng = new java.util.Random(42)
-    // numTables × numPlanes × dim fixed hyperplanes; one custom
-    // expression computes every table signature in a single pass
-    val tables = Array.fill(numTables * numPlanes, dim)(rng.nextGaussian())
-
     val bands = vecs.select(col("id"),
       explode(graft.functions.VectorFunctions.hyperplaneBuckets(
-        col("v"), tables, numTables, numPlanes)).as("bucket"))
+        col("v"), seed, numTables, numPlanes)).as("bucket"))
 
     val candidates = bucketPairs(bands, maxBucketSize)
 

@@ -44,22 +44,60 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (first `cells` corpus
-    * vectors — a seeded KMeans drop-in), each corpus vector assigned to
-    * its nearest cell; queries probe the `nprobe` nearest cells and
-    * brute-force only within them.
+  /** Deterministic distributed k-means for IVF coarse centroids:
+    * init = the `cells` lowest-id vectors, then `iters` Lloyd rounds
+    * (cosine assignment via one broadcast join, per-cell elementwise
+    * mean via posexplode + map-side partial aggregation — the shuffle
+    * per round carries only cells × dim partials per partition, not
+    * data). Fully deterministic: no sampling, ties break to the lowest
+    * cell id. Empty cells keep their previous centroid. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 16, iters: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    var centroids = c.orderBy(col("n_id")).limit(cells)
+      .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = c.join(broadcast(centroids), lit(true))
+        .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
+        .groupBy(col("n_id"))
+        .agg(first(col("n_v")).as("n_v"),
+          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("n_v")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), transform(col("pm"), p => p("m")).as("c_v"))
+      // empty cells (no assignments) carry their previous centroid
+      centroids = centroids.select(col("c_id"), col("c_v").as("prev_v"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("c_v"), col("prev_v")).as("c_v"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (by default the
+    * first `cells` corpus vectors — pass `kmeansCentroids(...)` output
+    * via `centroids` for data-adaptive cells), each corpus vector
+    * assigned to its nearest cell; queries probe the `nprobe` nearest
+    * cells and brute-force only within them.
     *
     * At 100 TB the assignment is one broadcast-join pass and the probe
     * scans corpus/cells × nprobe vectors per query.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, cells: Int = 16, nprobe: Int = 4,
+      centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
 
     // deterministic centroids: the `cells` lowest-id corpus vectors
-    val centroids = c.orderBy(col("n_id")).limit(cells)
-      .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
+    val centroids = centroids0.getOrElse(
+      c.orderBy(col("n_id")).limit(cells)
+        .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
 
     // argmax assignment via max_by over (cosine, -c_id) — one partial-
     // aggregable pass, no per-vector window sort (ties break to the

@@ -30,11 +30,13 @@ object PipelineQueries {
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-      shingleN = 3, numHashes = 128, bandRows = 2, threshold = 0.8)
+      shingleN = 3, numHashes = 64, bandRows = 2, threshold = 0.8)
       .orderBy("a_id", "b_id")
 
   /** All-pairs shingle Jaccard ≥ 0.8 — equals LSH+verify output because
-    * the r=2,b=64 miss probability at 0.8 is ~1e-28. */
+    * the r=2,b=32 miss probability at 0.8 is 0.36^32 ≈ 7e-15 (and the
+    * exact-Jaccard verify removes every false positive), so over the
+    * full pair space the expected miss count is ≪ 1. */
   val dedupMinhashSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
       |s AS (SELECT doc_id,
@@ -102,11 +104,26 @@ object PipelineQueries {
       |WHERE jaccard >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Hyperplane-LSH embedding near-dups — probabilistic recall, so
-    * rows-only here; recall asserted on planted pairs in SimilaritySpec. */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding", minCosine = 0.9)
+  /** Hyperplane-LSH embedding near-dups — rows-only (LSH bucketing is
+    * not SQL-expressible); recall asserted on planted pairs in
+    * DedupSpec/SimilaritySpec.
+    *
+    * The synthetic embeddings table contains NO near-duplicates (max
+    * pairwise cosine ≈ 0.51 at sf0.01, 0.60 at sf0.1), so a threshold
+    * query over it alone proves nothing. The driver query therefore
+    * PLANTS near-dups: every vec_id < 100 gets a copy at id+1,000,000
+    * with a tiny deterministic perturbation (cosine ≈ 0.9999); the
+    * operator must recover exactly those (original, planted) pairs. */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + pmod(i, lit(7)).cast("float") * lit(0.001f)).as("embedding"))
+    Dedup.embeddingPairs(base.unionByName(planted), "vec_id", "embedding",
+        minCosine = 0.99)
       .orderBy("a_id", "b_id")
+  }
 
   // ---- similarity search ----
 

@@ -70,6 +70,45 @@ class DedupSpec extends SparkSpec {
     (0 until 64).foldLeft(0L)((acc, i) => if (w(i) > 0) acc | (1L << i) else acc)
   }
 
+  test("simhash 6-chunk combination bucketing stays exact") {
+    // same brute-force oracle, scale-shaped bucketing (C(6,3)=20 keys
+    // of ~32 bits instead of 4 keys of 16 bits)
+    val rows = docs.select($"doc_id", $"text").collect()
+    val hashes = rows.map { r =>
+      r.getLong(0) -> simhashRef(r.getString(1).split(" ", -1))
+    }.toMap
+    val ids = hashes.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, numChunks = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("simhash skew guard bounds degenerate buckets; planted pairs survive") {
+    // 1000 identical docs share every bucket → capped out (they belong
+    // to exact-dedup anyway); a planted near-pair in its own buckets
+    // must still be found
+    val degenerate = (1L to 1000L).map(i => (i, "same same same same same"))
+    val planted = Seq(
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (degenerate ++ planted).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, maxBucketSize = 200)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only expect the planted pair if its simhashes are within 3 bits —
+    // compute the truth from the reference implementation
+    val h1 = simhashRef(planted(0)._2.split(" ", -1))
+    val h2 = simhashRef(planted(1)._2.split(" ", -1))
+    val plantedClose = java.lang.Long.bitCount(h1 ^ h2) <= 3
+    assert(!out.exists(p => p._1 <= 1000L && p._2 <= 1000L),
+      "degenerate bucket must be dropped by the cap")
+    if (plantedClose) assert(out.contains((5001L, 5002L)))
+  }
+
   test("skew guard drops degenerate buckets instead of exploding") {
     // 200 identical docs → one giant bucket; cap at 50 → no pairs, no blowup
     val df = (1L to 200L).map(i => (i, "same same same same")).toDF("doc_id", "text")

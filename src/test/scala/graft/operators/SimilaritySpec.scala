@@ -46,6 +46,29 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall $mean (nprobe=8/16 cells on unclustered data)")
   }
 
+  test("ivf with k-means centroids beats naive centroids' recall floor") {
+    val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
+    val km = Similarity.kmeansCentroids(embs, "vec_id", "embedding", cells = 16, iters = 3)
+    val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding",
+        k = 10, cells = 16, nprobe = 8, centroids0 = Some(km))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ref = bruteRef(10, 5)
+    val recalls = ref.map { case (qid, want) =>
+      val got = ivf.getOrElse(qid, Array.empty).map(_._2).toSet
+      want.count(got.contains).toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall $mean (kmeans cells, nprobe=8/16)")
+  }
+
+  test("kmeans centroids are deterministic across runs") {
+    val a = Similarity.kmeansCentroids(embs, "vec_id", "embedding", cells = 8, iters = 2)
+      .orderBy("c_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = Similarity.kmeansCentroids(embs, "vec_id", "embedding", cells = 8, iters = 2)
+      .orderBy("c_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b))
+  }
+
   test("cosine fold is sequential and deterministic") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine(
