@@ -1,6 +1,9 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -67,21 +70,51 @@ object VersionedTimeline {
 
 /** Filesystem JSON catalog: one `catalog.json` per datasource dir.
   * Single-writer per datasource (the overlord's role in Druid);
-  * readers see an atomic snapshot via atomic rename on publish. */
+  * readers see an atomic snapshot via rename-on-publish.
+  *
+  * All IO goes through the Hadoop FileSystem API resolved from the
+  * base path's scheme + the active session's Hadoop configuration, so
+  * the store runs unchanged on local disk, HDFS, or any object store
+  * with a Hadoop connector (s3a, gs, abfs). Rename is atomic on local
+  * and HDFS; on object stores where rename is copy+delete the
+  * single-writer assumption still makes publishes safe, and readers
+  * retry once on the (tiny) not-found window. */
 object SegmentCatalog {
 
   def catalogPath(base: String, dataSource: String): String =
     s"$base/$dataSource/catalog.json"
 
+  private def fsFor(path: HPath): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    path.getFileSystem(conf)
+  }
+
   def read(base: String, dataSource: String): Seq[SegmentDescriptor] = {
-    val p = Paths.get(catalogPath(base, dataSource))
-    if (!Files.exists(p)) Nil
-    else JsonMethods.parse(Files.readString(p)) match {
-      case JArray(xs) => xs.collect { case o: JObject =>
-        implicit val fmts: Formats = DefaultFormats
-        o.extract[SegmentDescriptor]
+    def attempt(): Option[String] = {
+      val p = new HPath(catalogPath(base, dataSource))
+      val fs = fsFor(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8))
+        finally in.close()
       }
-      case _ => Nil
+    }
+    // one retry bridges a concurrent publisher's rename window on
+    // stores without atomic rename
+    val content = attempt().orElse { Thread.sleep(50); attempt() }
+    content match {
+      case None => Nil
+      case Some(text) => JsonMethods.parse(text) match {
+        case JArray(xs) => xs.collect { case o: JObject =>
+          implicit val fmts: Formats = DefaultFormats
+          o.extract[SegmentDescriptor]
+        }
+        case _ => Nil
+      }
     }
   }
 
@@ -96,10 +129,18 @@ object SegmentCatalog {
       "shardNum" -> JInt(s.shardNum),
       "numShards" -> JInt(s.numShards),
       "path" -> JString(s.path))).toList)
-    val target = Paths.get(catalogPath(base, dataSource))
-    Files.createDirectories(target.getParent)
-    val tmp = Paths.get(target.toString + ".tmp")
-    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val target = new HPath(catalogPath(base, dataSource))
+    val fs = fsFor(target)
+    fs.mkdirs(target.getParent)
+    val tmp = new HPath(target.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // delete-then-rename: FileSystem.rename refuses existing targets on
+    // several stores; single-writer + reader retry covers the gap
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"catalog publish rename failed: $tmp -> $target")
   }
 }

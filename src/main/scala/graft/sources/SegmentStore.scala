@@ -54,26 +54,36 @@ object SegmentStore {
         case g => g.bucket(col(spec.timeCol))
       }))
 
+    // shard by dim-tuple hash within each chunk (≙ Druid hashed shard
+    // spec): same-key rows co-locate in one shard, each (chunk, shard)
+    // writes independently — with numShards=N an ingest fans out over
+    // N×chunks tasks instead of funnelling each chunk through one
+    val shardCol =
+      if (spec.numShards <= 1 || spec.dimensions.isEmpty) lit(0)
+      else pmod(xxhash64(spec.dimensions.map(col): _*), lit(spec.numShards)).cast("int")
+
     val rolledUp = prepared
       .groupBy(col("__chunk") +: col("__time") +: spec.dimensions.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__shard", shardCol)
 
     val versionDir = s"$base/${spec.dataSource}/version=$version"
     rolledUp
-      .repartition(spec.numShards, col("__chunk"))
-      .write.mode("overwrite").partitionBy("__chunk").parquet(versionDir)
+      .repartition(col("__chunk"), col("__shard"))
+      .write.mode("overwrite").partitionBy("__chunk", "__shard").parquet(versionDir)
 
-    // descriptors: one per written chunk
-    val chunkStarts = rolledUp.select("__chunk").distinct().collect().map(_.getLong(0)).sorted
-    val descriptors = chunkStarts.toSeq.map { start =>
+    // descriptors: one per written (chunk, shard)
+    val chunkShards = rolledUp.select("__chunk", "__shard").distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(identity).toSeq
+    val descriptors = chunkShards.map { case (start, shard) =>
       SegmentDescriptor(
         dataSource = spec.dataSource,
         startMs = start,
         endMs = chunkEnd(spec.segmentGranularity, start),
         version = version,
-        shardNum = 0,
+        shardNum = shard,
         numShards = spec.numShards,
-        path = s"$versionDir/__chunk=$start")
+        path = s"$versionDir/__chunk=$start/__shard=$shard")
     }
     SegmentCatalog.publish(base, spec.dataSource, descriptors)
     descriptors
@@ -127,18 +137,37 @@ object SegmentStore {
   /** Timeline-resolved read. Only the winning (segment × window)
     * parquet paths are opened; each is clipped to its window, so
     * partially-overshadowed old segments contribute only their
-    * still-visible rows. */
+    * still-visible rows. Segments sharing a window (all shards of a
+    * chunk, runs of identically-clipped chunks) are read as ONE
+    * multi-path scan node — a year of daily chunks plans as a handful
+    * of scans, not hundreds. */
   def scan(spark: SparkSession, base: String, spec: ScanSpec): DataFrame = {
     val segments = SegmentCatalog.read(base, spec.dataSource)
     val windows = VersionedTimeline.resolve(segments, spec.intervalStartMs, spec.intervalEndMs)
 
     val projection: Seq[String] = "__time" +: (spec.dimensions ++ spec.metrics)
 
-    val perWindow: Seq[DataFrame] = windows.map { w =>
-      val df = spark.read.parquet(w.segment.path)
-      df.filter(col("__time") >= lit(w.windowStartMs) && col("__time") < lit(w.windowEndMs))
-        .select(projection.map(col): _*)
-    }
+    // Fully-visible segments (window == segment bounds) carry no
+    // overshadowed rows — ingest buckets rows into their chunk, so no
+    // per-segment clip is needed and ALL of them read as one multi-path
+    // scan (clipped only to the query interval, which pushes to parquet
+    // stats). Partially-overshadowed segments keep per-window clips.
+    val (full, partial) = windows.partition(w =>
+      w.windowStartMs == w.segment.startMs && w.windowEndMs == w.segment.endMs)
+    val fullScan: Seq[DataFrame] =
+      if (full.isEmpty) Nil
+      else Seq(spark.read.parquet(full.map(_.segment.path).sorted: _*)
+        .filter(col("__time") >= lit(spec.intervalStartMs) &&
+                col("__time") < lit(spec.intervalEndMs))
+        .select(projection.map(col): _*))
+    val perWindow: Seq[DataFrame] = fullScan ++ partial
+      .groupBy(w => (w.windowStartMs, w.windowEndMs)).toSeq
+      .sortBy(_._1)
+      .map { case ((lo, hi), ws) =>
+        spark.read.parquet(ws.map(_.segment.path).sorted: _*)
+          .filter(col("__time") >= lit(lo) && col("__time") < lit(hi))
+          .select(projection.map(col): _*)
+      }
     if (perWindow.isEmpty) {
       // empty result with the right shape: read nothing
       throw new IllegalArgumentException(

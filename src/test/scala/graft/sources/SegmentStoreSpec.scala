@@ -45,6 +45,37 @@ class SegmentStoreSpec extends SparkSpec {
     assert(got.getLong(1) == want.getLong(1))
   }
 
+  test("multi-shard ingest publishes per-shard descriptors; scan unions all shards") {
+    val base = freshBase()
+    val descs = SegmentStore.ingest(spark, eventsDf,
+      specOf.copy(dataSource = "ev4", numShards = 4), base, version = "v1")
+
+    // per-(chunk, shard) descriptors, multiple shards actually used
+    val byChunk = descs.groupBy(_.startMs)
+    assert(byChunk.values.exists(_.size > 1), "expected >1 shard per chunk")
+    assert(descs.forall(_.numShards == 4))
+    assert(descs.map(_.shardNum).distinct.sorted.forall(s => s >= 0 && s < 4))
+    // each shard path is a distinct directory
+    assert(descs.map(_.path).distinct.size == descs.size)
+
+    // same dim value never splits across shards within a chunk
+    // (hash-sharded by dims) — and totals survive the union
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev4", t0, t1, Seq("event_type"), Seq("cnt", "su")))
+    val got = out.agg(sum($"cnt"), sum($"su")).collect()(0)
+    val want = eventsDf.agg(count(lit(1)), sum($"user_id")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+
+    // timeline: all 4 shards of the winning version are visible
+    val segs = SegmentCatalog.read(base, "ev4")
+    val windows = VersionedTimeline.resolve(segs, t0, t1)
+    val firstChunk = windows.filter(_.segment.startMs == windows.map(_.segment.startMs).min)
+    assert(firstChunk.map(_.segment.shardNum).distinct.size == firstChunk.size)
+  }
+
   test("interval scan prunes to requested window") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
