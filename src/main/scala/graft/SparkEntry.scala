@@ -33,6 +33,7 @@ object SparkEntry {
     // A. Segment store: rollup ingest + timeline-resolved scan + re-agg
     "q_segment_scan" -> (SegmentQueries.segmentScan _),
     "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
+    "q_druid_segment" -> (SegmentQueries.druidSegmentRead _),
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
     "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
@@ -101,8 +102,9 @@ object SparkEntry {
     "q_scan_paged" -> EventQueries.scanPagedSql,
     "q_json_extract" -> EventQueries.jsonExtractSql,
     "q_dedup_clusters" -> PipelineQueries.dedupClustersSql,
-    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll:
-    // rows-only (bit-ops / LSH recall / rolling hash / HLL algorithm
-    // not SQL-expressible); exactness asserted in ScalaTest instead.
+    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll,
+    // q_druid_segment: rows-only (bit-ops / LSH recall / rolling hash /
+    // HLL algorithm / binary-segment decode not SQL-expressible);
+    // exactness asserted in ScalaTest instead.
   )
 }

@@ -106,4 +106,19 @@ object SegmentQueries {
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Decode a REAL Apache Druid v9 binary segment (the reference
+    * repo's test fixture) — dictionary strings, LZ4 longs, and the
+    * hyperUnique complex metric finalized via the Druid HLL estimator.
+    * Rows-only (the fixture is not derivable from the parquet tables);
+    * bit-exactness is pinned in DruidSegmentReaderSpec against the
+    * fixture's documented contents. */
+  def druidSegmentRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val fixture = "/root/reference/druid-mr/src/test/resources/test-segment"
+    graft.sources.DruidSegmentReader.read(spark, Seq(fixture))
+      .withColumn("unique_hosts_est",
+        graft.functions.DruidHll.druid_hll_estimate(col("unique_hosts")))
+      .drop("unique_hosts")
+      .orderBy("__time")
+  }
 }

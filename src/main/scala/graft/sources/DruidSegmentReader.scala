@@ -1,0 +1,314 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Reader for ACTUAL Apache Druid binary segments (binaryVersion 9) —
+  * the reference's core capability re-expressed for Spark: where
+  * druid-mr/DruidInputFormat.java:66-120 hands WindowedDataSegments to
+  * Druid's own DatasourceInputFormat for decoding, this decodes the
+  * segment format directly (smoosh container, GenericIndexed,
+  * dictionary-encoded string dims, LZ4-compressed long/float metric
+  * columns, complex metrics as raw bytes) and exposes the rows as a
+  * DataFrame, so a user migrating off Druid can read their existing
+  * deep-storage segments with no Druid runtime at all.
+  *
+  * A segment directory holds `descriptor.json` (identity, interval,
+  * version, dimension/metric name lists — the shape the reference's
+  * overlord action returns) and `index.zip` (version.bin, meta.smoosh,
+  * NNNNN.smoosh). All IO goes through the Hadoop FileSystem API, so
+  * segments read straight off HDFS/S3 deep storage.
+  *
+  * Scale design: the driver touches ONE segment to derive the schema;
+  * row decoding runs per-segment on executors (one task per segment —
+  * Druid segments are built ~500 MB-sized, a natural split). Complex
+  * metrics (e.g. hyperUnique) surface as their raw sketch bytes,
+  * exactly like the reference's Pig adapter
+  * (druid-pig/DruidStorage.java:139-152).
+  *
+  * Format notes (public, from the Apache Druid source):
+  *  - meta.smoosh: csv — `v1,maxChunkSize,numChunks` then
+  *    `name,chunk,start,end` per internal file.
+  *  - GenericIndexed v1: version(1)=1, allowReverseLookup(1),
+  *    totalBytes(4BE), count(4BE), end-offsets(4BE each, relative to
+  *    the values region), values (each 4BE-length-prefixed).
+  *  - String dim column: serde version(1)=2, flags(4), dictionary
+  *    GenericIndexed<utf8>, then compressed int row ids: version(1)=2,
+  *    numBytes(1), totalSize(4BE), sizePer(4BE), compression(1),
+  *    GenericIndexed of LZ4 chunks. Bitmap indexes follow; scans skip
+  *    them.
+  *  - long/float metric: version(1)=2, totalSize(4BE), sizePer(4BE),
+  *    compression(1), GenericIndexed of LZ4 chunks of little-endian
+  *    values.
+  *  - complex metric: GenericIndexed of opaque byte arrays.
+  */
+object DruidSegmentReader {
+
+  // ---- public API ----
+
+  final case class DruidColumn(name: String, valueType: String, hasMultipleValues: Boolean)
+
+  /** Schema of a segment (driver-side: reads descriptors only). */
+  def segmentSchema(spark: SparkSession, segmentDir: String): StructType = {
+    val file = openSegment(spark.sparkContext.hadoopConfiguration, segmentDir)
+    StructType(columnsOf(file).map(sparkField))
+  }
+
+  /** Read one or more segment dirs as a DataFrame. Rows carry __time
+    * (epoch millis), then dimensions, then metrics, per the segment's
+    * own column order. All segments must share a schema (one Druid
+    * datasource), which is derived from the first. */
+  def read(spark: SparkSession, segmentDirs: Seq[String]): DataFrame = {
+    require(segmentDirs.nonEmpty, "no segment dirs")
+    val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val schema = segmentSchema(spark, segmentDirs.head)
+    val names = schema.fields.map(_.name).toSeq
+    val rdd = spark.sparkContext
+      .parallelize(segmentDirs, segmentDirs.size)
+      .flatMap(dir => decodeRows(openSegment(confSer.value, dir), names))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Timeline-style scan over segment dirs: interval clip on __time +
+    * optional projection + Druid DimFilter JSON — the reference's
+    * DatasourceIngestionSpec surface (DruidInputFormat.java:44-57). */
+  def scan(spark: SparkSession, segmentDirs: Seq[String],
+           intervalStartMs: Long, intervalEndMs: Long,
+           columns: Seq[String] = Nil,
+           filterJson: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df0 = read(spark, segmentDirs)
+      .filter(col("__time") >= intervalStartMs && col("__time") < intervalEndMs)
+    val df1 = filterJson match {
+      case Some(j) => df0.filter(graft.model.DimFilter.parse(j).compile(df0.schema))
+      case None => df0
+    }
+    if (columns.isEmpty) df1
+    else df1.select(("__time" +: columns.filter(_ != "__time")).map(col): _*)
+  }
+
+  // ---- segment container ----
+
+  private class SerializableConfiguration(@transient var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  /** A decoded smoosh container: internal file name → bytes. */
+  private final class SegmentFile(entries: Map[String, (Int, Int, Int)],
+                                  chunks: IndexedSeq[Array[Byte]]) {
+    def apply(name: String): Array[Byte] = {
+      val (chunk, start, end) = entries.getOrElse(name,
+        throw new IllegalArgumentException(s"smoosh missing internal file $name"))
+      java.util.Arrays.copyOfRange(chunks(chunk), start, end)
+    }
+    def names: Seq[String] = entries.keys.toSeq
+  }
+
+  /** Unzip index.zip (via Hadoop FS, so HDFS/S3 paths work) into a
+    * SegmentFile. Segments are bounded (~500 MB by Druid's build
+    * defaults), so whole-file buffering per task is the simple,
+    * correct choice. */
+  private def openSegment(conf: Configuration, segmentDir: String): SegmentFile = {
+    val zipPath = new HPath(s"$segmentDir/index.zip")
+    val fs = zipPath.getFileSystem(conf)
+    val entries = scala.collection.mutable.Map[String, Array[Byte]]()
+    val in = new java.util.zip.ZipInputStream(fs.open(zipPath))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) entries(e.getName) = in.readAllBytes()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    val versionBin = entries.getOrElse("version.bin",
+      throw new IllegalArgumentException(s"$segmentDir: no version.bin in index.zip"))
+    val binaryVersion = ByteBuffer.wrap(versionBin).getInt
+    require(binaryVersion == 9, s"unsupported segment binaryVersion $binaryVersion (only 9)")
+    val metaText = new String(entries("meta.smoosh"), StandardCharsets.UTF_8)
+    val lines = metaText.linesIterator.toSeq
+    val header = lines.head.split(",")
+    require(header(0) == "v1", s"unsupported smoosh version ${header(0)}")
+    val chunkData = (0 until header(2).toInt).map(i => entries(f"$i%05d.smoosh"))
+    val fileMap = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(name, chunk, start, end) = l.split(",")
+      name -> ((chunk.toInt, start.toInt, end.toInt))
+    }.toMap
+    new SegmentFile(fileMap, chunkData)
+  }
+
+  // ---- column decoding ----
+
+  private def columnsOf(file: SegmentFile): Seq[DruidColumn] = {
+    val buf = ByteBuffer.wrap(file("index.drd"))
+    val allCols = readGenericIndexedStrings(buf)
+    val dims = readGenericIndexedStrings(buf).toSet
+    val ordered = "__time" +: (allCols.filter(dims.contains) ++ allCols.filterNot(dims.contains))
+    ordered.distinct.map { name =>
+      val buf = ByteBuffer.wrap(file(name))
+      val json = readPrefixedJson(buf)
+      val vt = (json \ "valueType") match { case JString(s) => s; case _ => "COMPLEX" }
+      val mv = (json \ "hasMultipleValues") match { case JBool(b) => b; case _ => false }
+      DruidColumn(name, vt, mv)
+    }
+  }
+
+  private def sparkField(c: DruidColumn): StructField = c.valueType match {
+    case _ if c.name == "__time" => StructField("__time", LongType, nullable = false)
+    case "STRING" if c.hasMultipleValues => StructField(c.name, ArrayType(StringType), nullable = true)
+    case "STRING" => StructField(c.name, StringType, nullable = true)
+    case "LONG" => StructField(c.name, LongType, nullable = true)
+    case "FLOAT" => StructField(c.name, FloatType, nullable = true)
+    case "DOUBLE" => StructField(c.name, DoubleType, nullable = true)
+    case _ => StructField(c.name, BinaryType, nullable = true) // complex → sketch bytes
+  }
+
+  private def decodeRows(file: SegmentFile, names: Seq[String]): Seq[Row] = {
+    val cols: Seq[IndexedSeq[Any]] = names.map { n =>
+      val buf = ByteBuffer.wrap(file(n))
+      val json = readPrefixedJson(buf)
+      val vt = (json \ "valueType") match { case JString(s) => s; case _ => "COMPLEX" }
+      vt match {
+        case "LONG" => decodeCompressedLongs(buf).asInstanceOf[IndexedSeq[Any]]
+        case "FLOAT" => decodeCompressedFloats(buf).asInstanceOf[IndexedSeq[Any]]
+        case "STRING" => decodeStringColumn(buf, json).asInstanceOf[IndexedSeq[Any]]
+        case _ => decodeComplex(buf).asInstanceOf[IndexedSeq[Any]]
+      }
+    }
+    val n = cols.map(_.size).min
+    (0 until n).map(i => Row.fromSeq(cols.map(_(i))))
+  }
+
+  // GenericIndexed v1 of UTF-8 strings
+  private def readGenericIndexedStrings(buf: ByteBuffer): Seq[String] =
+    readGenericIndexedBytes(buf).map(b => new String(b, StandardCharsets.UTF_8))
+
+  /** GenericIndexed v1, leaving `buf` positioned after it. */
+  private def readGenericIndexedBytes(buf: ByteBuffer): IndexedSeq[Array[Byte]] = {
+    val version = buf.get()
+    require(version == 1, s"GenericIndexed version $version (want 1)")
+    buf.get() // allowReverseLookup
+    val totalBytes = buf.getInt()
+    val regionEnd = buf.position() + totalBytes
+    val count = buf.getInt()
+    val offsets = (0 until count).map(_ => buf.getInt())
+    val valuesStart = buf.position()
+    val out = (0 until count).map { i =>
+      val start = valuesStart + (if (i == 0) 0 else offsets(i - 1))
+      val b = buf.duplicate()
+      b.position(start)
+      val len = b.getInt()
+      val arr = new Array[Byte](len)
+      b.get(arr)
+      arr
+    }
+    buf.position(regionEnd)
+    out
+  }
+
+  private def readPrefixedJson(buf: ByteBuffer): JValue = {
+    val len = buf.getInt()
+    val arr = new Array[Byte](len)
+    buf.get(arr)
+    JsonMethods.parse(new String(arr, StandardCharsets.UTF_8))
+  }
+
+  private def decompressChunks(buf: ByteBuffer, compression: Int,
+                               chunkByteSize: Int): IndexedSeq[Array[Byte]] = {
+    val chunks = readGenericIndexedBytes(buf)
+    compression match {
+      case 0x1 => // LZ4 block
+        val d = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        chunks.map { c =>
+          val out = new Array[Byte](chunkByteSize)
+          val n = d.decompress(c, 0, c.length, out, 0)
+          if (n == chunkByteSize) out else java.util.Arrays.copyOf(out, n)
+        }
+      case 0xFF => chunks // uncompressed
+      case other => throw new IllegalArgumentException(
+        f"unsupported segment compression id 0x$other%02x (LZ4 and uncompressed only)")
+    }
+  }
+
+  /** CompressedLongsIndexedSupplier v2 (little-endian longs). */
+  private def decodeCompressedLongs(buf: ByteBuffer): IndexedSeq[Long] = {
+    val version = buf.get()
+    require(version == 2, s"compressed longs version $version")
+    val totalSize = buf.getInt()
+    val sizePer = buf.getInt()
+    val compression = buf.get() & 0xff
+    val chunks = decompressChunks(buf, compression, sizePer * 8)
+    (0 until totalSize).map { i =>
+      val chunk = chunks(i / sizePer)
+      val off = (i % sizePer) * 8
+      ByteBuffer.wrap(chunk, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    }
+  }
+
+  /** CompressedFloatsIndexedSupplier v2 (little-endian floats). */
+  private def decodeCompressedFloats(buf: ByteBuffer): IndexedSeq[Float] = {
+    val version = buf.get()
+    require(version == 2, s"compressed floats version $version")
+    val totalSize = buf.getInt()
+    val sizePer = buf.getInt()
+    val compression = buf.get() & 0xff
+    val chunks = decompressChunks(buf, compression, sizePer * 4)
+    (0 until totalSize).map { i =>
+      val chunk = chunks(i / sizePer)
+      val off = (i % sizePer) * 4
+      ByteBuffer.wrap(chunk, off, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
+    }
+  }
+
+  /** Dictionary-encoded single-value string column: dictionary +
+    * compressed vsize ints (bitmap indexes after them are not needed
+    * for scans and are skipped implicitly). */
+  private def decodeStringColumn(buf: ByteBuffer, desc: JValue): IndexedSeq[String] = {
+    val mv = (desc \ "hasMultipleValues") match { case JBool(b) => b; case _ => false }
+    require(!mv, "multi-value string columns not yet supported by the segment reader")
+    val version = buf.get()
+    require(version == 2, s"dictionary column serde version $version")
+    buf.getInt() // flags
+    val dict = readGenericIndexedBytes(buf).map(b => new String(b, StandardCharsets.UTF_8))
+    val ids = decodeCompressedVSizeInts(buf)
+    ids.map(id => if (id < dict.size) dict(id) else null)
+  }
+
+  /** CompressedVSizeIntsIndexedSupplier v2. */
+  private def decodeCompressedVSizeInts(buf: ByteBuffer): IndexedSeq[Int] = {
+    val version = buf.get()
+    require(version == 2, s"compressed vsize ints version $version")
+    val numBytes = buf.get() & 0xff
+    val totalSize = buf.getInt()
+    val sizePer = buf.getInt()
+    val compression = buf.get() & 0xff
+    val chunks = decompressChunks(buf, compression, sizePer * numBytes)
+    (0 until totalSize).map { i =>
+      val chunk = chunks(i / sizePer)
+      val off = (i % sizePer) * numBytes
+      var v = 0
+      var b = 0
+      // little-endian packed ints of numBytes bytes
+      while (b < numBytes) { v |= (chunk(off + b) & 0xff) << (8 * b); b += 1 }
+      v
+    }
+  }
+
+  /** Complex column (ComplexColumnPartSerde): GenericIndexed of the
+    * aggregator's serialized form — surfaced raw, like the reference's
+    * Pig bytearray metrics. */
+  private def decodeComplex(buf: ByteBuffer): IndexedSeq[Array[Byte]] =
+    readGenericIndexedBytes(buf)
+}
