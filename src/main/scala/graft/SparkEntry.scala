@@ -54,6 +54,7 @@ object SparkEntry {
     "q_hll" -> (AggQueries.aggHll _),
     "q_multivalue" -> (AggQueries.multiValue _),
     "q_quantiles" -> (AggQueries.aggQuantiles _),
+    "q_quantiles_sketch" -> (AggQueries.aggQuantilesSketch _),
     "q_extraction" -> (EventQueries.extraction _),
     "q_lookup" -> (EventQueries.lookup _),
     "q_virtual" -> (EventQueries.virtual _),

@@ -18,6 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * partitionings. The per-document hash work (k permutations × s
   * shingles) runs inside a single Catalyst expression evaluation —
   * one pass over the shingle array, no UDF serialization overhead.
+  *
+  * Codegen note: the custom expressions here are CodegenFallback —
+  * each row pays one interpreted dispatch, then the tight primitive
+  * loop inside nullSafeEval does the real work. The loop dominates
+  * (thousands of hash ops per row), so a doGenCode would shave only
+  * the per-row dispatch; measured cost is in the loop, not the glue.
   */
 object TextFunctions {
 

@@ -14,8 +14,10 @@ import org.json4s.jackson.JsonMethods
   * adapters (druid-pig/udfs/AggregatorFactoryAdapter.java:43-119,
   * PostAggregatorAdapter.java): where the reference re-runs Druid
   * `BufferAggregator`s over Pig bags, we compile the same JSON dialect
-  * to codegen'd Catalyst aggregates, so partial aggregation and
-  * whole-stage codegen apply.
+  * to Catalyst aggregates. Numeric aggs are Spark built-ins (codegen'd,
+  * whole-stage); the sketch aggs (theta/KLL) are
+  * TypedImperativeAggregate — not codegen'd, but still partial-
+  * aggregating, so only sketch bytes cross the shuffle.
   *
   * Finalizing vs non-finalizing (reference
   * …FinalizingAggregatorFactoryAdapter vs NonFinalizing…): sketch aggs

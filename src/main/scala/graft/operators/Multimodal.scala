@@ -64,11 +64,16 @@ object Multimodal {
   }
 
   /** Byte-budget repartitioning: media rows are wildly variable-sized,
-    * so partition count follows total payload bytes, not row count. */
+    * so partition count follows total payload bytes, not row count.
+    * Sized from Catalyst plan statistics (file-source size estimates),
+    * NOT a data pass — at 100 TB a `sum(length(blob))` pre-scan would
+    * read the whole table once just to pick a partition count. Blobs
+    * dominate a media table's bytes, so the table-level estimate is
+    * the right magnitude. */
   def repartitionForMedia(df: DataFrame, blobCol: String,
                           targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = df.select(sum(length(col(blobCol))).cast("long")).first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (totalBytes / targetBytesPerPartition).max(1).min(1 << 20).toInt
     df.repartition(parts)
   }
 

@@ -152,4 +152,34 @@ object AggQueries {
       |  quantile_cont(value, 0.95) AS p95,
       |  quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Quantiles via the mergeable KLL sketch — the 100 TB path.
+    * q_quantiles (exact `percentile`) is the oracle cross-check but
+    * holds every group's values in memory; this is what survives
+    * scale: bounded sketch state, map-side partial aggregation, only
+    * sketch bytes across the shuffle. Exercised through the Druid JSON
+    * dialect (quantilesDoublesSketch + ToQuantile post-aggs, ≙ the
+    * reference adapting any AggregatorFactory). Rows-only: sketch
+    * quantiles are approximate (rank error pinned in KllSketchSpec). */
+  def aggQuantilesSketch(s: SparkSession, d: String): DataFrame =
+    DruidQueries.run(ev(s, d), "ts",
+      """{
+        |  "queryType": "groupBy",
+        |  "dimensions": ["event_type"],
+        |  "granularity": "all",
+        |  "aggregations": [
+        |    {"type": "quantilesDoublesSketch", "name": "sk", "fieldName": "value", "lgK": 12}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+        |     "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.5},
+        |    {"type": "quantilesDoublesSketchToQuantile", "name": "p95",
+        |     "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.95},
+        |    {"type": "quantilesDoublesSketchToQuantile", "name": "p99",
+        |     "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.99}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .drop("sk")
 }

@@ -81,7 +81,31 @@ object DruidQueries {
       case JArray(xs) => xs.map(Aggregators.aggFromJson)
       case _ => Nil
     }
-    aggs.map(a => Aggregators.compile(a, df.schema, timeCol))
+    // Druid finalizes sketch aggs at result output — so an agg a
+    // sketch-consuming post-agg references must stay the raw sketch,
+    // not a premature estimate/median
+    val keepRaw = sketchConsumedFields(q \ "postAggregations")
+    aggs.map(a => Aggregators.compile(a, df.schema, timeCol,
+      finalize = !keepRaw.contains(a.name)))
+  }
+
+  /** Names referenced through sketch-consuming post-aggregators
+    * (ToQuantile / thetaSketchEstimate / hyperUniqueCardinality). */
+  private def sketchConsumedFields(j: JValue): Set[String] = j match {
+    case JArray(xs) => xs.flatMap(sketchConsumedFields).toSet
+    case obj: JObject =>
+      val tpe = (obj \ "type") match { case JString(s) => s; case _ => "" }
+      val own: Set[String] = tpe match {
+        case "quantilesDoublesSketchToQuantile" | "thetaSketchEstimate" =>
+          (obj \ "field" \ "fieldName") match {
+            case JString(s) => Set(s); case _ => Set.empty
+          }
+        case "hyperUniqueCardinality" =>
+          (obj \ "fieldName") match { case JString(s) => Set(s); case _ => Set.empty }
+        case _ => Set.empty
+      }
+      own ++ sketchConsumedFields(obj \ "fields") ++ sketchConsumedFields(obj \ "field")
+    case _ => Set.empty
   }
 
   /** Group with the spec's aggregations; an empty `aggregations` list
