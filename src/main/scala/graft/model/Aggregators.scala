@@ -35,7 +35,7 @@ object Aggregators {
   final case class AggSpec(
       name: String, tpe: String, fieldName: String,
       fields: Seq[String], filter: Option[DimFilter], sub: Option[AggSpec],
-      lgK: Int = 12, size: Int = 4096)
+      lgK: Int = 12, size: Int = 4096, k: Int = 128)
 
   def parseAggs(json: String): Seq[AggSpec] =
     JsonMethods.parse(json) match {
@@ -58,6 +58,10 @@ object Aggregators {
         case JInt(v) => v.toInt
         case _ => 12
       }
+      val k = (obj \ "k") match { // quantilesDoublesSketch size
+        case JInt(v) => v.toInt
+        case _ => 128 // Druid's default k
+      }
       val size = (obj \ "size") match { // thetaSketch nominal entries
         case JInt(v) => v.toInt
         case _ => 4096
@@ -74,7 +78,7 @@ object Aggregators {
         name = str("name").getOrElse(sub.map(_.name).getOrElse("agg")),
         tpe = tpe,
         fieldName = str("fieldName").getOrElse(""),
-        fields = fields, filter = filter, sub = sub, lgK = lgK, size = size)
+        fields = fields, filter = filter, sub = sub, lgK = lgK, size = size, k = k)
     case x => throw new IllegalArgumentException(s"bad aggregator $x")
   }
 
@@ -151,7 +155,7 @@ object Aggregators {
       case "quantilesDoublesSketch" | "approxHistogramFold" =>
         // mergeable KLL sketch bytes; finalized form = median (further
         // quantiles via the quantilesDoublesSketchToQuantile post-agg)
-        val sketch = graft.functions.KllSketch.kll_sketch_agg(f, spec.lgK.max(8))
+        val sketch = graft.functions.KllSketch.kll_sketch_agg(f, spec.k)
         if (finalize) graft.functions.KllSketch.kll_quantile(sketch, lit(0.5)) else sketch
       case "filtered" =>
         val sub = spec.sub.getOrElse(throw new IllegalArgumentException("filtered agg needs aggregator"))

@@ -168,7 +168,7 @@ object AggQueries {
         |  "dimensions": ["event_type"],
         |  "granularity": "all",
         |  "aggregations": [
-        |    {"type": "quantilesDoublesSketch", "name": "sk", "fieldName": "value", "lgK": 12}
+        |    {"type": "quantilesDoublesSketch", "name": "sk", "fieldName": "value", "k": 128}
         |  ],
         |  "postAggregations": [
         |    {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
