@@ -178,6 +178,11 @@ object Dedup {
       fp = nfp
       i += 1
     }
+    // a silent partial contraction would return WRONG labels — fail
+    // loudly instead (maxIter=20 covers component diameters ~2^20;
+    // non-convergence means something pathological, not "close enough")
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds; raise maxIter")
 
     // at the fixed point every edge is (node, component-min root);
     // roots and singletons label themselves via the left join

@@ -134,6 +134,16 @@ class DedupSpec extends SparkSpec {
     assert(got(20L) == 20L)
   }
 
+  test("connected components fails loudly if maxIter is too small") {
+    // a path graph 1-2-3-4-5 needs >1 round; maxIter=1 must throw,
+    // never return partially-contracted labels
+    val df = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.clustersFromPairs(df, "doc_id", pairs, maxIter = 1).collect()
+    }
+  }
+
   test("embedding LSH finds planted near-duplicate vectors") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)

@@ -57,6 +57,37 @@ class DruidSegmentReaderSpec extends SparkSpec {
     assert(math.abs(merged - 3.0) < 0.3, s"merged estimate $merged != ~3")
   }
 
+  test("multi-segment read unions rows across segment dirs") {
+    assume(available)
+    // same dir twice stands in for two shards/chunks of one datasource
+    val rows = DruidSegmentReader.read(spark, Seq(segDir, segDir)).collect()
+    assert(rows.length == 6)
+  }
+
+  test("Druid JSON queries run over migrated segment rows") {
+    assume(available)
+    import org.apache.spark.sql.functions._
+    // the reference's whole story: read segments, run Druid-style
+    // aggregations downstream. __time arrives as epoch millis.
+    val df = DruidSegmentReader.read(spark, Seq(segDir))
+      .withColumn("ts", timestamp_millis(col("__time")))
+    val out = graft.queries.DruidQueries.run(df, "ts",
+      """{"queryType":"timeseries","granularity":"day",
+        |"aggregations":[
+        |  {"type":"count","name":"rows"},
+        |  {"type":"longSum","name":"visits","fieldName":"visited_sum"}]}""".stripMargin)
+      .collect()
+    assert(out.length == 1) // one day
+    assert(out(0).getAs[Long]("rows") == 3L)
+    assert(out(0).getAs[Long]("visits") == 450L)
+    // migrated hyperUnique metrics re-aggregate via the Druid HLL
+    // merge (NOT the datasketches hyperUnique agg — different bytes)
+    val uniques = df.agg(graft.functions.DruidHll.druid_hll_estimate(
+        graft.functions.DruidHll.druid_hll_merge_agg(col("unique_hosts"))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(uniques - 3.0) < 0.3)
+  }
+
   test("scan clips interval, projects, and applies DimFilter JSON") {
     assume(available)
     val t0 = java.time.Instant.parse("2014-10-22T00:00:00Z").toEpochMilli
