@@ -33,9 +33,10 @@ object Dedup {
     * functions, oversized buckets dropped (skew guard), then pair
     * dedup. Replaces a bucket self-join (which shuffles both sides and
     * recomputes the banding pipeline per consumer); the result is
-    * checkpointed because every caller consumes it several times. */
+    * materialized (reliable checkpoint on clusters, localCheckpoint
+    * otherwise) because every caller consumes it several times. */
   private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
-    bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+    Materialize(bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
       .withColumn("ids", array_sort(col("ids")))
       .select(explode(expr(
@@ -43,8 +44,7 @@ object Dedup {
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .localCheckpoint(true)
+      .dropDuplicates("a_id", "b_id"))
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
@@ -126,10 +126,7 @@ object Dedup {
     * Lineage is truncated either way, so per-round plans stay O(1). */
   def clustersFromPairs(df: DataFrame, idCol: String, pairsDf: DataFrame,
                         maxIter: Int = 20): DataFrame = {
-    val spark = df.sparkSession
-    def materialize(d: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
-      else d.localCheckpoint(true)
+    def materialize(d: DataFrame): DataFrame = Materialize(d)
     // (count, order-independent hash xor) of the DISTINCT edge set —
     // equal fingerprints across a round ⇒ fixed point reached (xor is
     // overflow-free; edges are deduped, so no cancellation ambiguity)

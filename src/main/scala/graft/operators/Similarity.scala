@@ -55,9 +55,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       cells: Int = 16, iters: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    var centroids = c.orderBy(col("n_id")).limit(cells)
-      .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
-      .localCheckpoint(true)
+    var centroids = Materialize(c.orderBy(col("n_id")).limit(cells)
+      .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
     for (_ <- 1 to iters) {
       val assigned = c.join(broadcast(centroids), lit(true))
         .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
@@ -71,10 +70,9 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("c_id"), transform(col("pm"), p => p("m")).as("c_v"))
       // empty cells (no assignments) carry their previous centroid
-      centroids = centroids.select(col("c_id"), col("c_v").as("prev_v"))
+      centroids = Materialize(centroids.select(col("c_id"), col("c_v").as("prev_v"))
         .join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("c_v"), col("prev_v")).as("c_v"))
-        .localCheckpoint(true)
+        .select(col("c_id"), coalesce(col("c_v"), col("prev_v")).as("c_v")))
     }
     centroids
   }
