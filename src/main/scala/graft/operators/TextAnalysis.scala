@@ -12,11 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Function-word lists per language (standard high-frequency words —
+    * public knowledge). The SQL oracle is GENERATED from this same map
+    * (PipelineQueries.langIdSql/textQualitySql), so list changes stay
+    * oracle-consistent automatically. Overlapping words (e.g. "la" in
+    * es+fr, "in" in en+de) are fine: the argmax over per-language
+    * ratios decides, ties break alphabetically in both engines. */
   val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "los", "y", "en", "que"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+      "was", "for", "on", "are", "as", "with", "his", "they", "at", "be",
+      "this", "have", "from", "or", "had", "by", "not", "but", "what", "were"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una",
+      "es", "no", "se", "del", "por", "con", "para", "su", "al", "lo",
+      "como", "mas", "pero", "sus", "le", "ya", "o", "este", "si", "porque"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "den", "von", "sie",
+      "mit", "dem", "nicht", "ein", "eine", "als", "auch", "es", "an", "auf",
+      "fur", "man", "aber", "aus", "durch", "wenn", "nur", "war", "noch",
+      "werden", "bei"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "des", "du", "de",
+      "en", "que", "qui", "dans", "pour", "pas", "sur", "ne", "se", "ce",
+      "il", "elle", "au", "aux", "par", "plus", "mais", "ou", "avec", "son"))
 
   private def words(text: Column): Column = split(text, " ")
 
