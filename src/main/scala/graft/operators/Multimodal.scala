@@ -85,4 +85,43 @@ object Multimodal {
       col("media_id"),
       explode(sequence(lit(0), greatest(col("frames") - 1, lit(0)), lit(stride)))
         .as("frame_idx"))
+
+  /** Batch resize boundary: blob → blob at (width, height). The stub
+    * derives a deterministic smaller payload (a real binding re-encodes
+    * pixels); same per-partition batching as decode. */
+  trait MediaResizer extends Serializable {
+    def resizeBatch(blobs: Iterator[Array[Byte]], w: Int, h: Int): Iterator[Array[Byte]]
+  }
+
+  object StubResizer extends MediaResizer {
+    def resizeBatch(blobs: Iterator[Array[Byte]], w: Int, h: Int): Iterator[Array[Byte]] =
+      blobs.map { b =>
+        // deterministic: payload shrinks proportionally to target area,
+        // bounded by the original (stands in for pixel re-encoding)
+        val target = math.min(b.length.toLong, math.max(1L, w.toLong * h / 64)).toInt
+        java.util.Arrays.copyOf(b, target)
+      }
+  }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("blob", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Per-partition batch resize: (idCol, blobCol) → (media_id, blob,
+    * width, height) at the target dimensions. */
+  def resize(df: DataFrame, idCol: String, blobCol: String,
+             width: Int, height: Int,
+             resizer: MediaResizer = StubResizer): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val rowEnc = ExpressionEncoder(resizedSchema)
+    input.mapPartitions { rows =>
+      val buffered = rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      val (ids, blobs) = buffered.duplicate
+      ids.map(_._1).zip(resizer.resizeBatch(blobs.map(_._2), width, height)).map {
+        case (id, b) => Row(id, b, width, height)
+      }
+    }(rowEnc)
+  }
 }

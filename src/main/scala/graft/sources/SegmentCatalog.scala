@@ -118,9 +118,14 @@ object SegmentCatalog {
     }
   }
 
-  /** Append descriptors and publish atomically (write temp + rename). */
+  /** Append descriptors and publish atomically (write temp + rename).
+    * Idempotent per (version, chunk, shard): re-publishing the same
+    * segment identity REPLACES its descriptor instead of appending a
+    * duplicate — a retried ingest must not double-count at scan time. */
   def publish(base: String, dataSource: String, newSegments: Seq[SegmentDescriptor]): Unit = {
-    val all = read(base, dataSource) ++ newSegments
+    def key(s: SegmentDescriptor) = (s.version, s.startMs, s.shardNum)
+    val newKeys = newSegments.map(key).toSet
+    val all = read(base, dataSource).filterNot(s => newKeys.contains(key(s))) ++ newSegments
     val json = JArray(all.map(s => JObject(
       "dataSource" -> JString(s.dataSource),
       "startMs" -> JLong(s.startMs),

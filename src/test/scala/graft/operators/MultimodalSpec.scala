@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val s2 = spark
+  import s2.implicits._
+
+  private def media = Seq(
+    (1L, Array.fill[Byte](1000)(7)),
+    (2L, Array.fill[Byte](64)(3)),
+    (3L, Array.emptyByteArray)
+  ).toDF("media_id", "blob")
+
+  test("decode derives metadata per row through the batch codec") {
+    val out = Multimodal.decode(media, "media_id", "blob")
+      .orderBy("media_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1000L, 64L, 0L))
+    // stub formula: width = n % 640 + 16
+    assert(out.map(_.getInt(2)).toSeq == Seq((1000 % 640 + 16), 80, 16))
+  }
+
+  test("resize emits bounded payloads at the target dimensions") {
+    val out = Multimodal.resize(media, "media_id", "blob", width = 32, height = 32)
+      .orderBy("media_id").collect()
+    // target = min(len, 32*32/64 = 16)
+    assert(out.map(_.getAs[Array[Byte]]("blob").length).toSeq == Seq(16, 16, 0))
+    assert(out.forall(r => r.getInt(2) == 32 && r.getInt(3) == 32))
+    // content preserved from the original prefix
+    assert(out(0).getAs[Array[Byte]]("blob").forall(_ == 7))
+  }
+
+  test("frame sampling strides over decoded frame counts") {
+    val decoded = Multimodal.decode(media, "media_id", "blob")
+    val frames = Multimodal.sampleFrames(decoded, stride = 5)
+      .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .orderBy("media_id").collect()
+    // frames = n_bytes % 30 + 1; stride-5 sampling emits ceil(frames/5) rows
+    val expect = Seq(1000, 64, 0).map(n => (n % 30 + 1)).map(f => (f + 4) / 5)
+    assert(frames.map(_.getLong(1).toInt).toSeq == expect)
+  }
+
+  test("repartitionForMedia sizes from plan statistics without a data pass") {
+    val repart = Multimodal.repartitionForMedia(media, "blob", targetBytesPerPartition = 512)
+    assert(repart.rdd.getNumPartitions >= 1)
+    assert(repart.count() == 3)
+  }
+}

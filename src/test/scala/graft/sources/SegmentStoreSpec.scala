@@ -76,6 +76,25 @@ class SegmentStoreSpec extends SparkSpec {
     assert(firstChunk.map(_.segment.shardNum).distinct.size == firstChunk.size)
   }
 
+  test("re-ingesting the same version is idempotent (no double counting)") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    // a retried ingest of the identical version must replace, not append
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+
+    val segs = SegmentCatalog.read(base, "ev")
+    assert(segs.map(s => (s.version, s.startMs, s.shardNum)).distinct.size == segs.size,
+      "duplicate descriptors in catalog")
+
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val got = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", t0, t1, Seq("event_type"), Seq("cnt", "su")))
+      .agg(sum($"cnt")).collect()(0).getLong(0)
+    val want = eventsDf.count()
+    assert(got == want, s"scan counted $got rows, raw has $want")
+  }
+
   test("interval scan prunes to requested window") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
