@@ -61,6 +61,7 @@ object SparkEntry {
     "q_scan_paged" -> (EventQueries.scanPaged _),
     "q_json_extract" -> (EventQueries.jsonExtract _),
     "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "q_sample_split" -> (PipelineQueries.sampleSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training-data
+  * pipelines.
+  *
+  * Everything keys off a 64-bit content/id hash, NOT rand(): the same
+  * row lands on the same side of every cut across runs, partitionings,
+  * and cluster sizes — so samples are reproducible, train/eval splits
+  * never leak when data is re-processed, and downstream incremental
+  * runs see stable membership. All pure column expressions: sampling
+  * is a pushed-down filter (no shuffle), mixing is a union of filters.
+  */
+object Sampling {
+
+  private val Buckets = 1L << 20
+
+  /** Hash bucket in [0, Buckets) for a key column under a seed. */
+  private def bucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), key), lit(Buckets))
+
+  /** Keep ~fraction of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    df.filter(bucket(col(idCol), seed) < lit((fraction * Buckets).toLong))
+  }
+
+  /** Disjoint deterministic split (e.g. train/val/test). Weights are
+    * normalized; every row lands in exactly one part under the seed. */
+  def split(df: DataFrame, idCol: String, weights: Seq[Double],
+            seed: Long = 0L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
+      s"bad weights $weights")
+    val cum = weights.map(_ / weights.sum).scanLeft(0.0)(_ + _)
+    val cuts = cum.map(c => (c * Buckets).toLong)
+    cuts.zip(cuts.tail).map { case (lo, hi) =>
+      df.filter(bucket(col(idCol), seed) >= lit(lo) &&
+                bucket(col(idCol), seed) < lit(hi))
+    }
+  }
+
+  /** Weighted mixture of corpora: keep wᵢ of corpus i (wᵢ ∈ [0,1] —
+    * down-sampling rates, the usual shape of a training-data mixing
+    * recipe), union by name. Deterministic per (corpus index, id). */
+  def mixture(corpora: Seq[(DataFrame, Double)], idCol: String,
+              seed: Long = 0L): DataFrame = {
+    require(corpora.nonEmpty, "no corpora")
+    corpora.zipWithIndex.map { case ((df, w), i) =>
+      hashSample(df, idCol, w, seed = seed ^ (i.toLong << 32))
+    }.reduce(_ unionByName _)
+  }
+}

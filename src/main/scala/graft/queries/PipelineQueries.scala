@@ -125,6 +125,16 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Deterministic train/val/test split sizes over documents —
+    * rows-only (hash-based membership is not oracle-expressible);
+    * determinism, disjointness, and nesting pinned in SamplingSpec. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val parts = graft.operators.Sampling.split(docs(s, d), "doc_id", Seq(0.8, 0.1, 0.1))
+    parts.zipWithIndex.map { case (p, i) =>
+      p.agg(count(lit(1)).as("n")).select(lit(i).as("part"), col("n"))
+    }.reduce(_ unionByName _).orderBy("part")
+  }
+
   // ---- similarity search ----
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
