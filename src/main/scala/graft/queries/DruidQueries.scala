@@ -265,7 +265,27 @@ object DruidQueries {
       case Granularity.All => dimCols
       case g => dimCols :+ g.bucket(col(timeCol)).as("__time")
     }
-    val grouped = groupAgg(exploded, keyCols, aggs)
+    // subtotalsSpec (Druid groupBy v2): named dim subsets → ONE pass
+    // via Catalyst grouping sets (Expand), not a union of re-scans;
+    // dims absent from a subset surface as NULL, like Druid. The time
+    // bucket (if granular) stays in every set. Dim/time expressions
+    // are projected FIRST so the sets reference plain attributes —
+    // grouping-set matching is by attribute, and aliased expressions
+    // would not resolve against the grouping keys.
+    val grouped = (q \ "subtotalsSpec") match {
+      case JArray(sets) if sets.nonEmpty =>
+        require(aggs.nonEmpty, "subtotalsSpec requires aggregations")
+        val names = dims.map(_.outputName) ++
+          (if (keyCols.size > dimCols.size) Seq("__time") else Nil)
+        val base = names.zip(keyCols).foldLeft(exploded) { (d, p) => d.withColumn(p._1, p._2) }
+        val timeKey = if (names.contains("__time")) Seq(col("__time")) else Nil
+        val groupingSets: Seq[Seq[Column]] = sets.map {
+          case JArray(ns) => ns.collect { case JString(s) => col(s) } ++ timeKey
+          case x => throw new IllegalArgumentException(s"bad subtotals entry $x")
+        }
+        base.groupingSets(groupingSets, names.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case _ => groupAgg(exploded, keyCols, aggs)
+    }
     val havinged = havingFilter(withPostAggs(grouped, q), q \ "having")
     applyLimitSpec(havinged, q \ "limitSpec", dims.map(d => col(d.outputName).asc))
   }
@@ -326,9 +346,16 @@ object DruidQueries {
       case _ => ("", false)
     }
     val perDim = dims.map { d =>
+      // multi-value dims: Druid search matches ANY value of the array
+      // and counts per matched value — explode first, then as strings
+      val base = df.schema.fields.find(_.name == d) match {
+        case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          df.select(explode(col(d)).as(d))
+        case _ => df
+      }
       val c = if (caseSensitive) col(d).contains(lit(value))
               else lower(col(d)).contains(lit(value.toLowerCase))
-      df.filter(c)
+      base.filter(c)
         .groupBy(col(d).as("value"))
         .agg(count(lit(1)).as("count"))
         .select(lit(d).as("dimension"), col("value"), col("count"))
@@ -343,11 +370,17 @@ object DruidQueries {
     sorted
   }
 
-  /** min/max __time as epoch-millis (the engine's canonical __time). */
+  /** min/max __time as epoch-millis (the engine's canonical __time).
+    * `bound: minTime|maxTime` narrows to one side, per Druid. */
   def timeBoundary(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
     val df = prepared(df0, timeCol, q)
-    df.agg(unix_millis(min(col(timeCol))).as("minTime"),
-           unix_millis(max(col(timeCol))).as("maxTime"))
+    (q \ "bound") match {
+      case JString("minTime") => df.agg(unix_millis(min(col(timeCol))).as("minTime"))
+      case JString("maxTime") => df.agg(unix_millis(max(col(timeCol))).as("maxTime"))
+      case _ =>
+        df.agg(unix_millis(min(col(timeCol))).as("minTime"),
+               unix_millis(max(col(timeCol))).as("maxTime"))
+    }
   }
 
   /** Per-column stats in one pass: a single agg computing (count, nulls,

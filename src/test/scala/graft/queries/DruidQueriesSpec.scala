@@ -87,6 +87,51 @@ class DruidQueriesSpec extends SparkSpec {
     assert(series.nonEmpty)
   }
 
+  test("subtotalsSpec computes each dim subset in one grouping-sets pass") {
+    val out = DruidQueries.run(ev, "ts",
+      """{"queryType":"groupBy","dimensions":["event_type"],"granularity":"all",
+        |"subtotalsSpec":[["event_type"],[]],
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    val perType = ev.groupBy($"event_type").count()
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val total = ev.count()
+    // union of the per-dim groups and the grand-total (NULL dim) row
+    assert(out.toSet == perType + ((None: Option[String], total)))
+    // single-pass: the plan uses Expand (grouping sets), not a union
+    val plan = DruidQueries.run(ev, "ts",
+      """{"queryType":"groupBy","dimensions":["event_type"],"granularity":"all",
+        |"subtotalsSpec":[["event_type"],[]],
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand"), s"expected grouping-sets Expand plan:\n$plan")
+  }
+
+  test("search matches any value of a multi-value dimension") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq("gamma")),
+      (3L, Seq("beta", "delta"))
+    ).toDF("t", "tags").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"search","searchDimensions":["tags"],
+        |"query":{"type":"insensitive_contains","value":"et"}}""".stripMargin)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("beta", 2L))) // "beta" appears in rows 1 and 3
+  }
+
+  test("timeBoundary bound narrows to one side") {
+    val mn = DruidQueries.run(ev, "ts",
+      """{"queryType":"timeBoundary","bound":"minTime"}""")
+    assert(mn.columns.toSeq == Seq("minTime"))
+    val mx = DruidQueries.run(ev, "ts",
+      """{"queryType":"timeBoundary","bound":"maxTime"}""")
+    assert(mx.columns.toSeq == Seq("maxTime"))
+    val both = DruidQueries.run(ev, "ts", """{"queryType":"timeBoundary"}""").collect()(0)
+    assert(mn.collect()(0).getLong(0) == both.getLong(0))
+    assert(mx.collect()(0).getLong(0) == both.getLong(1))
+  }
+
   test("topN dimension metric orders lexicographically") {
     val out = DruidQueries.run(ev, "ts",
       """{"queryType":"topN","dimension":"event_type",
