@@ -55,6 +55,7 @@ object SparkEntry {
     "q_multivalue" -> (AggQueries.multiValue _),
     "q_quantiles" -> (AggQueries.aggQuantiles _),
     "q_quantiles_sketch" -> (AggQueries.aggQuantilesSketch _),
+    "q_subtotals" -> (AggQueries.subtotals _),
     "q_extraction" -> (EventQueries.extraction _),
     "q_lookup" -> (EventQueries.lookup _),
     "q_virtual" -> (EventQueries.virtual _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_theta" -> AggQueries.aggThetaSql,
     "q_theta_setops" -> AggQueries.aggThetaSetopsSql,
     "q_multivalue" -> AggQueries.multiValueSql,
+    "q_subtotals" -> AggQueries.subtotalsSql,
     "q_quantiles" -> AggQueries.aggQuantilesSql,
     "q_extraction" -> EventQueries.extractionSql,
     "q_lookup" -> EventQueries.lookupSql,

@@ -153,6 +153,34 @@ object AggQueries {
       |  quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Druid groupBy v2 subtotalsSpec — per-dim subtotal rows + grand
+    * total in ONE grouping-sets pass, oracle-matched against DuckDB's
+    * GROUPING SETS. */
+  def subtotals(s: SparkSession, d: String): DataFrame =
+    DruidQueries.run(ev(s, d), "ts",
+      """{
+        |  "queryType": "groupBy",
+        |  "virtualColumns": [
+        |    {"name": "bucket", "expression": "cast(user_id % 3 as string)"}],
+        |  "dimensions": ["event_type", "bucket"],
+        |  "granularity": "all",
+        |  "subtotalsSpec": [["event_type"], ["bucket"], []],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "su", "fieldName": "user_id"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "event_type", "direction": "ascending"},
+        |    {"dimension": "bucket", "direction": "ascending"}]}
+        |}""".stripMargin)
+
+  val subtotalsSql: String =
+    """SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket,
+      |  count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS VARCHAR)), ())
+      |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin
+
   /** Quantiles via the mergeable KLL sketch — the 100 TB path.
     * q_quantiles (exact `percentile`) is the oracle cross-check but
     * holds every group's values in memory; this is what survives
