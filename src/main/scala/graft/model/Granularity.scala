@@ -18,6 +18,10 @@ sealed trait Granularity {
   def bucket(ts: Column): Column
   /** DuckDB SQL equivalent over the expression `tsExpr` (oracle side). */
   def sql(tsExpr: String): String
+  /** One-granule interval step (for empty-bucket grids); not defined
+    * for ALL/NONE. */
+  def step: Column = throw new UnsupportedOperationException(
+    s"granularity $this has no fixed step")
 }
 
 object Granularity {
@@ -38,6 +42,11 @@ object Granularity {
     * With a timeZone, buckets align to that zone's calendar (Druid
     * granularity timeZone field): shift in, truncate, shift back. */
   final case class Calendar(unit: String, timeZone: Option[String] = None) extends Granularity {
+    override def step: Column = unit match {
+      case "week" => expr("interval 7 day")
+      case "quarter" => expr("interval 3 month")
+      case u => expr(s"interval 1 $u")
+    }
     def bucket(ts: Column): Column = timeZone match {
       case Some(tz) =>
         to_utc_timestamp(date_trunc(unit, from_utc_timestamp(ts, tz)), tz)
@@ -56,6 +65,7 @@ object Granularity {
   /** Fixed-duration buckets anchored at `originMillis` (Druid duration
     * granularity). pmod keeps floor semantics for pre-origin rows. */
   final case class Duration(millis: Long, originMillis: Long = 0L) extends Granularity {
+    override def step: Column = expr(s"interval $millis millisecond")
     def bucket(ts: Column): Column = {
       val ms = unix_millis(ts)
       timestamp_millis(ms - pmod(ms - lit(originMillis), lit(millis)))

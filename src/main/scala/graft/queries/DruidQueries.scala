@@ -59,16 +59,13 @@ object DruidQueries {
       }
       case _ => df0
     }
-    val afterIntervals = (q \ "intervals") match {
-      case JArray(xs) if xs.nonEmpty =>
-        val conds = xs.collect { case JString(s) =>
-          val Array(a, b) = s.split("/")
-          val (lo, hi) = (java.time.Instant.parse(a).toEpochMilli,
-            java.time.Instant.parse(b).toEpochMilli)
+    val afterIntervals = intervalBounds(q) match {
+      case Nil => df
+      case ivs =>
+        val conds = ivs.map { case (lo, hi) =>
           unix_millis(col(timeCol)) >= lit(lo) && unix_millis(col(timeCol)) < lit(hi)
         }
         df.filter(conds.reduce(_ || _))
-      case _ => df
     }
     (q \ "filter") match {
       case JNothing | JNull => afterIntervals
@@ -181,6 +178,14 @@ object DruidQueries {
   private def granularityOf(q: JObject): Granularity =
     Granularity.fromJson(q \ "granularity")
 
+  private def intervalBounds(q: JObject): Seq[(Long, Long)] = (q \ "intervals") match {
+    case JArray(xs) => xs.collect { case JString(s) =>
+      val Array(a, b) = s.split("/")
+      (java.time.Instant.parse(a).toEpochMilli, java.time.Instant.parse(b).toEpochMilli)
+    }
+    case _ => Nil
+  }
+
   // ---- query types ----
 
   def timeseries(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
@@ -196,7 +201,38 @@ object DruidQueries {
           case _ => false
         }
         val grouped = groupAgg(df, Seq(g.bucket(col(timeCol)).as("__time")), aggs)
-        if (desc) grouped.orderBy(col("__time").desc) else grouped.orderBy(col("__time"))
+        // context.skipEmptyBuckets=false (Druid's own default): emit a
+        // row for EVERY granule of the query intervals, zero-filling
+        // counts/sums and nulling the rest. Engine default stays
+        // "skip" (documented deviation) so plain queries don't carry a
+        // grid join; the fill is a broadcast-able granule grid built
+        // from sequence(), no extra scan of the data.
+        val fillEmpty = (q \ "context" \ "skipEmptyBuckets") match {
+          case JBool(false) => true
+          case _ => false
+        }
+        val filled = if (!fillEmpty) grouped else {
+          val ivs = intervalBounds(q)
+          require(ivs.nonEmpty, "skipEmptyBuckets=false requires explicit intervals")
+          val grid = ivs.map { case (lo, hi) =>
+            df.sparkSession.range(1).select(explode(sequence(
+              g.bucket(timestamp_millis(lit(lo))),
+              timestamp_millis(lit(hi - 1)), g.step)).as("__raw"))
+          }.reduce(_ union _)
+            .select(g.bucket(col("__raw")).as("__time")).distinct()
+          val aggSpecs = (q \ "aggregations") match {
+            case JArray(xs) => xs.map(Aggregators.aggFromJson)
+            case _ => Nil
+          }
+          val fills = aggSpecs.map { s => s.tpe match {
+            case "count" | "longSum" => coalesce(col(s.name), lit(0L)).as(s.name)
+            case "doubleSum" | "floatSum" => coalesce(col(s.name), lit(0.0)).as(s.name)
+            case _ => col(s.name)
+          }}
+          grid.join(grouped, Seq("__time"), "left")
+            .select(col("__time") +: fills: _*)
+        }
+        if (desc) filled.orderBy(col("__time").desc) else filled.orderBy(col("__time"))
     }
     withPostAggs(out, q)
   }

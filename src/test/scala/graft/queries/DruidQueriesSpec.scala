@@ -87,6 +87,32 @@ class DruidQueriesSpec extends SparkSpec {
     assert(series.nonEmpty)
   }
 
+  test("skipEmptyBuckets=false zero-fills every granule of the intervals") {
+    // two events a day apart → daily series over 4 days has 2 gaps
+    val df = Seq((0, 5.0), (2, 7.0))
+      .map { case (d, v) => (java.sql.Timestamp.valueOf(f"2024-03-0${d + 1} 12:00:00"), v) }
+      .toDF("ts", "value")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"timeseries","granularity":"day",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-05T00:00:00Z"],
+        |"context":{"skipEmptyBuckets":false},
+        |"aggregations":[
+        |  {"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"},
+        |  {"type":"doubleMax","name":"mx","fieldName":"value"}]}""".stripMargin)
+      .collect()
+    assert(out.length == 4, s"expected 4 daily buckets, got ${out.length}")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 0L, 1L, 0L)) // counts zero-fill
+    assert(out.map(_.getDouble(2)).toSeq == Seq(5.0, 0.0, 7.0, 0.0)) // sums zero-fill
+    assert(out(1).isNullAt(3) && out(3).isNullAt(3)) // max stays NULL
+    // default (skip) still omits the gaps
+    val skipped = DruidQueries.run(df, "ts",
+      """{"queryType":"timeseries","granularity":"day",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-05T00:00:00Z"],
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin).collect()
+    assert(skipped.length == 2)
+  }
+
   test("subtotalsSpec computes each dim subset in one grouping-sets pass") {
     val out = DruidQueries.run(ev, "ts",
       """{"queryType":"groupBy","dimensions":["event_type"],"granularity":"all",
