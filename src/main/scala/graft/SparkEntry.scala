@@ -25,6 +25,7 @@ object SparkEntry {
     "q_timeseries" -> (EventQueries.timeseries _),
     "q_timeseries_15m" -> (EventQueries.timeseries15m _),
     "q_topn" -> (EventQueries.topN _),
+    "q_topn_daily" -> (EventQueries.topNDaily _),
     "q_groupby" -> (EventQueries.groupBy _),
     "q_scan_filtered" -> (EventQueries.scanFiltered _),
     "q_search" -> (EventQueries.search _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_timeseries" -> EventQueries.timeseriesSql,
     "q_timeseries_15m" -> EventQueries.timeseries15mSql,
     "q_topn" -> EventQueries.topNSql,
+    "q_topn_daily" -> EventQueries.topNDailySql,
     "q_groupby" -> EventQueries.groupBySql,
     "q_scan_filtered" -> EventQueries.scanSql,
     "q_search" -> EventQueries.searchSql,

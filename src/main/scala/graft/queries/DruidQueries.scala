@@ -268,13 +268,33 @@ object DruidQueries {
       if (byDimension) Seq(col(dim).asc)
       else if (inverted) Seq(col(metric).asc, col(dim).asc)
       else Seq(col(metric).desc, col(dim).asc)
-    // post-aggs are projected BEFORE ranking: Druid allows `metric` to
-    // name a post-aggregator, and an empty `aggregations` list is legal
-    val grouped = withPostAggs(groupAgg(df, Seq(dimSpec.column.as(dim)), aggs), q)
-    if (!byDimension)
-      require(grouped.columns.contains(metric),
-        s"topN metric '$metric' names neither an aggregator nor a post-aggregator")
-    grouped.orderBy(ordering: _*).limit(threshold)
+    granularityOf(q) match {
+      // an absent granularity (None_) means "all" for topN — Druid
+      // requires the field; treat the omission as the global top-K
+      case Granularity.All | Granularity.None_ =>
+        // post-aggs are projected BEFORE ranking: Druid allows `metric`
+        // to name a post-aggregator, and empty `aggregations` is legal
+        val grouped = withPostAggs(groupAgg(df, Seq(dimSpec.column.as(dim)), aggs), q)
+        if (!byDimension)
+          require(grouped.columns.contains(metric),
+            s"topN metric '$metric' names neither an aggregator nor a post-aggregator")
+        grouped.orderBy(ordering: _*).limit(threshold)
+      case g =>
+        // granular topN = Druid's per-time-bucket top-K: rank within
+        // each bucket (window partitioned by bucket — parallel across
+        // buckets, no global sort), keep `threshold` rows per bucket
+        val grouped = withPostAggs(
+          groupAgg(df, Seq(g.bucket(col(timeCol)).as("__time"), dimSpec.column.as(dim)), aggs), q)
+        if (!byDimension)
+          require(grouped.columns.contains(metric),
+            s"topN metric '$metric' names neither an aggregator nor a post-aggregator")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__time")).orderBy(ordering: _*)
+        grouped.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= threshold)
+          .drop("__rank")
+          .orderBy(col("__time") +: ordering: _*)
+    }
   }
 
   def groupBy(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {

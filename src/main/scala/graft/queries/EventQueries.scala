@@ -96,6 +96,36 @@ object EventQueries {
        |ORDER BY sum_value DESC, event_type
        |LIMIT 3""".stripMargin
 
+  // -- granular topN: top-2 event types per DAY (Druid per-bucket top-K) --
+
+  def topNDaily(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts",
+      """{
+        |  "queryType": "topN",
+        |  "dimension": "event_type",
+        |  "metric": "sum_value",
+        |  "threshold": 2,
+        |  "granularity": "day",
+        |  "intervals": ["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"}
+        |  ]
+        |}""".stripMargin)
+
+  val topNDailySql: String =
+    s"""SELECT __time, event_type, cnt, sum_value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY __time
+       |      ORDER BY sum_value DESC, event_type) AS rk
+       |  FROM (
+       |    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time, event_type,
+       |      count(*) AS cnt, ${sqlSum("value")} AS sum_value
+       |    FROM events
+       |    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+       |    GROUP BY 1, 2))
+       |WHERE rk <= 2
+       |ORDER BY __time, sum_value DESC, event_type""".stripMargin
+
   // -- groupBy: dim × day granularity, having + limitSpec, filtered agg --
 
   val groupByJson: String =
