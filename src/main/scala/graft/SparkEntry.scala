@@ -47,6 +47,8 @@ object SparkEntry {
     "q_text_quality" -> (PipelineQueries.textQuality _),
     "q_token_count" -> (PipelineQueries.tokenCount _),
     "q_doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    "q_redact" -> (PipelineQueries.redactQ _),
+    "q_contamination" -> (PipelineQueries.contaminationQ _),
     "q_multimodal" -> (PipelineQueries.multimodal _),
     // D. remaining aggregator coverage
     "q_agg_firstlast" -> (AggQueries.aggFirstLast _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "q_lang_id" -> PipelineQueries.langIdSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_token_count" -> PipelineQueries.tokenCountSql,
+    "q_redact" -> PipelineQueries.redactSql,
     "q_multimodal" -> PipelineQueries.multimodalSql,
     "q_agg_firstlast" -> AggQueries.aggFirstLastSql,
     "q_theta" -> AggQueries.aggThetaSql,

@@ -91,4 +91,42 @@ object TextAnalysis {
                    k: Int = 8, w: Int = 4): DataFrame =
     df.select(col(idCol),
         explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+
+  /** PII redaction: emails, international-format phone numbers, and
+    * URLs replaced with typed placeholders. Patterns stay in the
+    * RE2-compatible subset (no backrefs/lookahead) so Spark and the
+    * DuckDB oracle agree byte-for-byte. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), redactText(col(textCol)).as("text"))
+
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+  val urlRe = "https?://[^ ]+"
+
+  def redactText(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minMatches` winnowing fingerprints with any probe (benchmark)
+    * document — the n-gram-overlap contamination check run before
+    * training. Scale shape: corpus fingerprints are an exploded
+    * index; probes are tiny and broadcast; the join output carries
+    * only (doc, probe, fp) hits, aggregated to match counts. No
+    * text-to-text comparison ever happens. */
+  def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
+                    probes: DataFrame, probeId: String, probeText: String,
+                    k: Int = 8, w: Int = 4, minMatches: Int = 2): DataFrame = {
+    val corpusFp = fingerprints(corpus, corpusId, corpusText, k, w)
+      .select(col(corpusId).as("doc_id"), col("fp"))
+    val probeFp = fingerprints(probes, probeId, probeText, k, w)
+      .select(col(probeId).as("probe_id"), col("fp")).distinct()
+    corpusFp.join(broadcast(probeFp), Seq("fp"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minMatches)
+  }
 }

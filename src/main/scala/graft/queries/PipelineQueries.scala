@@ -247,6 +247,30 @@ object PipelineQueries {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII redaction — RE2-safe patterns, byte-identical in DuckDB
+    * (note DuckDB needs the 'g' flag for replace-all). */
+  def redactQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redact(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val redactSql: String = {
+    def esc(re: String) = re.replace("\\", "\\\\")
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${esc(TextAnalysis.emailRe)}', '<EMAIL>', 'g'),
+       |    '${esc(TextAnalysis.urlRe)}', '<URL>', 'g'),
+       |    '${esc(TextAnalysis.phoneRe)}', '<PHONE>', 'g') AS text
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination — every probe contaminates at least its
+    * own source document, so rows > 0 deterministically; exact overlap
+    * semantics pinned in TextAnalysis/DedupSpec coverage. */
+  def contaminationQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.contamination(
+      docs(s, d), "doc_id", "text",
+      docs(s, d).filter(col("doc_id") < 5), "doc_id", "text")
+      .orderBy("doc_id", "probe_id")
+
   /** Winnowing fingerprints — rolling-hash arithmetic is not
     * SQL-expressible (64-bit wraparound); exactness in TextSpec. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
