@@ -34,6 +34,7 @@ object SparkEntry {
     // A. Segment store: rollup ingest + timeline-resolved scan + re-agg
     "q_segment_scan" -> (SegmentQueries.segmentScan _),
     "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
+    "q_segment_compact" -> (SegmentQueries.segmentCompact _),
     "q_druid_segment" -> (SegmentQueries.druidSegmentRead _),
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_segment_metadata" -> EventQueries.segmentMetadataSql,
     "q_segment_scan" -> SegmentQueries.segmentScanSql,
     "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
+    "q_segment_compact" -> SegmentQueries.segmentCompactSql,
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,

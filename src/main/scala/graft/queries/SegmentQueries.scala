@@ -107,6 +107,52 @@ object SegmentQueries {
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Compaction end-to-end: hourly segments re-published as daily
+    * under a new version (its own store dir — compaction overshadows,
+    * so it must not mutate the shared hourly store other queries
+    * scan), then scanned back. Totals must equal a raw daily rollup —
+    * the oracle recomputes from the events table. */
+  def segmentCompact(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val src = ensureIngested(spark, sfDir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_segcompact_v$StoreFormatVersion" +
+      s"_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (SegmentCatalog.read(base, "events_rollup").isEmpty) {
+      // seed the compaction store with the hourly segments, then compact
+      val hourly = SegmentStore.scan(spark, src, SegmentStore.ScanSpec(
+        "events_rollup", t0, t1, Seq("event_type"),
+        Seq("cnt", "sum_users", "sum_value", "users_sk")))
+      SegmentStore.ingest(spark,
+        hourly.withColumn("ts", timestamp_millis(col("__time"))),
+        ingestSpec.copy(metricsJson = graft.model.Aggregators.reaggSpec(metricsJson)),
+        base, version = "v1")
+      SegmentStore.compact(spark, base, "events_rollup", t0, t1,
+        dimensions = Seq("event_type"),
+        metricsJson = graft.model.Aggregators.reaggSpec(metricsJson),
+        queryGranularity = Granularity.Calendar("day"),
+        segmentGranularity = Granularity.Calendar("day"),
+        version = "v2_compacted")
+    }
+    val daily = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "events_rollup", t0, t1, Seq("event_type"),
+      Seq("cnt", "sum_users", "sum_value", "users_sk")))
+    daily.select(
+        timestamp_millis(col("__time")).as("day"), col("event_type"),
+        col("cnt"), col("sum_users"),
+        col("sum_value"),
+        Sketches.theta_estimate(col("users_sk")).as("n_users"))
+      .orderBy("day", "event_type")
+  }
+
+  val segmentCompactSql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |  count(*) AS cnt,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Decode a REAL Apache Druid v9 binary segment (the reference
     * repo's test fixture) — dictionary strings, LZ4 longs, and the
     * hyperUnique complex metric finalized via the Druid HLL estimator.

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
 object SegmentStore {
 
   /** Metric spec: Druid aggregator JSON (array). Sketch metrics are
-    * stored as mergeable bytes; numeric aggs as their finalized type. */
+    * stored as mergeable bytes; numeric aggs as their finalized type.
+    * `rollup=false` (Druid detail tables): rows are stored as-is —
+    * each metric spec's fieldName column is carried through under the
+    * spec's name, duplicates are preserved, and aggregation happens
+    * only at query time. */
   final case class IngestSpec(
       dataSource: String,
       timeCol: String,
@@ -39,14 +43,12 @@ object SegmentStore {
       metricsJson: String,
       queryGranularity: Granularity,
       segmentGranularity: Granularity,
-      numShards: Int = 1)
+      numShards: Int = 1,
+      rollup: Boolean = true)
 
   /** Rollup `df` and publish it as a new version of its chunks. */
   def ingest(spark: SparkSession, df: DataFrame, spec: IngestSpec, base: String,
              version: String): Seq[SegmentDescriptor] = {
-    val aggs = Aggregators.parseAggs(spec.metricsJson)
-      .map(a => Aggregators.compile(a, df.schema, spec.timeCol, finalize = false))
-
     val prepared = df
       .withColumn("__chunk", unix_millis(spec.segmentGranularity.bucket(col(spec.timeCol))))
       .withColumn("__time", unix_millis(spec.queryGranularity match {
@@ -62,9 +64,23 @@ object SegmentStore {
       if (spec.numShards <= 1 || spec.dimensions.isEmpty) lit(0)
       else pmod(xxhash64(spec.dimensions.map(col): _*), lit(spec.numShards)).cast("int")
 
-    val rolledUp = prepared
-      .groupBy(col("__chunk") +: col("__time") +: spec.dimensions.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val metricSpecs = Aggregators.parseAggs(spec.metricsJson)
+    val rolledUp = (if (spec.rollup) {
+      val aggs = metricSpecs.map(a =>
+        Aggregators.compile(a, df.schema, spec.timeCol, finalize = false))
+      prepared
+        .groupBy(col("__chunk") +: col("__time") +: spec.dimensions.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      // detail ingest: no aggregation, metric columns renamed to their
+      // spec names (count has no source column → literal 1 per row)
+      val metricCols = metricSpecs.map { m =>
+        if (m.tpe == "count") lit(1L).as(m.name)
+        else col(m.fieldName).as(m.name)
+      }
+      prepared.select((col("__chunk") +: col("__time") +:
+        spec.dimensions.map(col)) ++ metricCols: _*)
+    })
       .withColumn("__shard", shardCol)
 
     val versionDir = s"$base/${spec.dataSource}/version=$version"

@@ -76,6 +76,37 @@ class SegmentStoreSpec extends SparkSpec {
     assert(firstChunk.map(_.segment.shardNum).distinct.size == firstChunk.size)
   }
 
+  test("rollup=false ingests detail rows: duplicates preserved, agg at query time") {
+    val base = freshBase()
+    // two IDENTICAL rows — rollup would collapse them; detail must not
+    val df = Seq(
+      ("2024-01-01 10:00:00", "click", 7L),
+      ("2024-01-01 10:00:00", "click", 7L),
+      ("2024-01-01 11:00:00", "view", 9L)
+    ).toDF("ts", "event_type", "user_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    SegmentStore.ingest(spark, df,
+      SegmentStore.IngestSpec(
+        dataSource = "detail", timeCol = "ts", dimensions = Seq("event_type"),
+        metricsJson = """[{"type":"count","name":"cnt"},
+                         |{"type":"longSum","name":"su","fieldName":"user_id"}]""".stripMargin,
+        queryGranularity = graft.model.Granularity.None_,
+        segmentGranularity = graft.model.Granularity.Calendar("day"),
+        rollup = false),
+      base, version = "v1")
+
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val out = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "detail", t0, t0 + 86400000L, Seq("event_type"), Seq("cnt", "su")))
+    assert(out.count() == 3, "detail ingest must keep duplicate rows")
+    // query-time re-aggregation over the detail rows
+    val agg = out.groupBy($"event_type")
+      .agg(sum($"cnt").as("cnt"), sum($"su").as("su"))
+      .orderBy("event_type").collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("click", 2L, 14L), ("view", 1L, 9L)))
+  }
+
   test("re-ingesting the same version is idempotent (no double counting)") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
