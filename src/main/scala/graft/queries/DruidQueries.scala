@@ -22,7 +22,14 @@ import org.json4s.jackson.JsonMethods
   */
 object DruidQueries {
 
-  def run(df: DataFrame, timeCol: String, queryJson: String): DataFrame = {
+  def run(df0: DataFrame, timeCol: String, queryJson: String): DataFrame = {
+    // accept epoch-millis long time columns (what SegmentStore scans
+    // and DruidSegmentReader emit) alongside native timestamps
+    val df = df0.schema.fields.find(_.name == timeCol) match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df0.withColumn(timeCol, timestamp_millis(col(timeCol)))
+      case _ => df0
+    }
     val q = JsonMethods.parse(queryJson) match {
       case o: JObject => o
       case x => throw new IllegalArgumentException(s"bad query $x")

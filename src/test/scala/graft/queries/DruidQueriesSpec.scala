@@ -146,6 +146,16 @@ class DruidQueriesSpec extends SparkSpec {
     assert(out == Set(("beta", 2L))) // "beta" appears in rows 1 and 3
   }
 
+  test("run accepts an epoch-millis long time column (store-scan shape)") {
+    val df = Seq((1704067200000L, "a", 1L), (1704070800000L, "b", 2L))
+      .toDF("__time", "typ", "v")
+    val out = DruidQueries.run(df, "__time",
+      """{"queryType":"timeseries","granularity":"hour",
+        |"aggregations":[{"type":"longSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    assert(out.length == 2 && out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
   test("timeBoundary bound narrows to one side") {
     val mn = DruidQueries.run(ev, "ts",
       """{"queryType":"timeBoundary","bound":"minTime"}""")
