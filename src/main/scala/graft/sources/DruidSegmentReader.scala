@@ -63,11 +63,22 @@ object DruidSegmentReader {
   /** Read one or more segment dirs as a DataFrame. Rows carry __time
     * (epoch millis), then dimensions, then metrics, per the segment's
     * own column order. All segments must share a schema (one Druid
-    * datasource), which is derived from the first. */
-  def read(spark: SparkSession, segmentDirs: Seq[String]): DataFrame = {
+    * datasource), which is derived from the first.
+    *
+    * `columns` prunes at DECODE time: only the requested internal
+    * files are parsed/decompressed — a 2-column projection of a wide
+    * segment never touches the other columns' bytes. */
+  def read(spark: SparkSession, segmentDirs: Seq[String],
+           columns: Seq[String] = Nil): DataFrame = {
     require(segmentDirs.nonEmpty, "no segment dirs")
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val schema = segmentSchema(spark, segmentDirs.head)
+    val full = segmentSchema(spark, segmentDirs.head)
+    val schema =
+      if (columns.isEmpty) full
+      else {
+        val want = ("__time" +: columns.filter(_ != "__time")).distinct
+        StructType(want.map(full.apply))
+      }
     val names = schema.fields.map(_.name).toSeq
     val rdd = spark.sparkContext
       .parallelize(segmentDirs, segmentDirs.size)
@@ -83,7 +94,10 @@ object DruidSegmentReader {
            columns: Seq[String] = Nil,
            filterJson: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val df0 = read(spark, segmentDirs)
+    // decode-time column pruning only when the filter needs no extra
+    // columns (a DimFilter may reference unprojected dims)
+    val pruned = if (filterJson.isEmpty) columns else Nil
+    val df0 = read(spark, segmentDirs, pruned)
       .filter(col("__time") >= intervalStartMs && col("__time") < intervalEndMs)
     val df1 = filterJson match {
       case Some(j) => df0.filter(graft.model.DimFilter.parse(j).compile(df0.schema))
@@ -175,7 +189,7 @@ object DruidSegmentReader {
     case _ => StructField(c.name, BinaryType, nullable = true) // complex → sketch bytes
   }
 
-  private def decodeRows(file: SegmentFile, names: Seq[String]): Seq[Row] = {
+  private def decodeRows(file: SegmentFile, names: Seq[String]): Iterator[Row] = {
     val cols: Seq[IndexedSeq[Any]] = names.map { n =>
       val buf = ByteBuffer.wrap(file(n))
       val json = readPrefixedJson(buf)
@@ -188,7 +202,9 @@ object DruidSegmentReader {
       }
     }
     val n = cols.map(_.size).min
-    (0 until n).map(i => Row.fromSeq(cols.map(_(i))))
+    // iterator, not a materialized Seq — columns are necessarily
+    // in memory (columnar decode) but row objects stream out
+    (0 until n).iterator.map(i => Row.fromSeq(cols.map(_(i))))
   }
 
   // GenericIndexed v1 of UTF-8 strings

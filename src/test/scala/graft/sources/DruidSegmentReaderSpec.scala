@@ -57,6 +57,13 @@ class DruidSegmentReaderSpec extends SparkSpec {
     assert(math.abs(merged - 3.0) < 0.3, s"merged estimate $merged != ~3")
   }
 
+  test("column pruning decodes only the requested columns") {
+    assume(available)
+    val out = DruidSegmentReader.read(spark, Seq(segDir), columns = Seq("visited_sum"))
+    assert(out.columns.toSeq == Seq("__time", "visited_sum"))
+    assert(out.orderBy("__time").collect().map(_.getLong(1)).toSeq == Seq(100L, 150L, 200L))
+  }
+
   test("multi-segment read unions rows across segment dirs") {
     assume(available)
     // same dir twice stands in for two shards/chunks of one datasource
