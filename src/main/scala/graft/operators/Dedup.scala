@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *    otherwise create a quadratic bucket). Candidates are then
   *    verified with exact shingle Jaccard, so false positives from
   *    banding (or bucket-hash collisions) never reach the output.
-  *  - SimHash: 4×16-bit chunk buckets; hamming ≤ 3 ⇒ at least one
-  *    chunk equal (pigeonhole), so bucketing is lossless for the
-  *    verify threshold — exact result, no O(n²).
+  *  - SimHash: C(numChunks, numChunks−h) chunk-combination buckets;
+  *    hamming ≤ h ⇒ some combination of chunks equal (pigeonhole), so
+  *    bucketing is lossless for the verify threshold — exact result,
+  *    no O(n²); bucket-size cap guards mass-duplicate degenerate keys.
   */
 object Dedup {
 
