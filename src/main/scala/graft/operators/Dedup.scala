@@ -84,10 +84,12 @@ object Dedup {
     // semi-join) — at scale the candidate set is tiny vs the corpus
     val candIds = candidates.select(col("a_id").as("id"))
       .union(candidates.select(col("b_id").as("id"))).distinct()
-    val shingleSets = df
+    // materialized: consumed by BOTH pair-side joins below — without
+    // it the semi-join + shingling of candidate docs runs twice
+    val shingleSets = Materialize(df
       .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh")))
     candidates
       .join(shingleSets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(shingleSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
