@@ -26,6 +26,7 @@ object SparkEntry {
     "q_timeseries_15m" -> (EventQueries.timeseries15m _),
     "q_topn" -> (EventQueries.topN _),
     "q_topn_daily" -> (EventQueries.topNDaily _),
+    "q_sessionize" -> (EventQueries.sessionize _),
     "q_groupby" -> (EventQueries.groupBy _),
     "q_scan_filtered" -> (EventQueries.scanFiltered _),
     "q_search" -> (EventQueries.search _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_timeseries_15m" -> EventQueries.timeseries15mSql,
     "q_topn" -> EventQueries.topNSql,
     "q_topn_daily" -> EventQueries.topNDailySql,
+    "q_sessionize" -> EventQueries.sessionizeSql,
     "q_groupby" -> EventQueries.groupBySql,
     "q_scan_filtered" -> EventQueries.scanSql,
     "q_search" -> EventQueries.searchSql,

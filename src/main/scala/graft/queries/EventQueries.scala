@@ -96,6 +96,33 @@ object EventQueries {
        |ORDER BY sum_value DESC, event_type
        |LIMIT 3""".stripMargin
 
+  // -- batch sessionization: 30-minute-gap sessions per user --
+
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(
+      ev(spark, sfDir), "user_id", "ts", gapMs = 30 * 60 * 1000L)
+      .orderBy("user_id", "session_start_ms")
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |            > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_ms(min(ts)) AS session_start_ms,
+      |  epoch_ms(max(ts)) AS session_end_ms,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   // -- granular topN: top-2 event types per DAY (Druid per-bucket top-K) --
 
   def topNDaily(spark: SparkSession, sfDir: String): DataFrame =

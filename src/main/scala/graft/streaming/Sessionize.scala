@@ -16,6 +16,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
+  /** Batch sessionization over a static table — same gap semantics as
+    * the streaming path, expressed with window functions so it is
+    * DuckDB-oracle-checkable: a session starts where the gap from the
+    * previous event (per user) exceeds `gapMs`; the session id is the
+    * running count of starts. RANGE-framed cumulative sum gives
+    * timestamp ties identical session ids in both engines, so results
+    * are deterministic under any tie order. One shuffle (partition by
+    * user), no state. */
+  def batchSessions(df: DataFrame, userCol: String, timeCol: String,
+                    gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol))
+    val ms = unix_millis(col(timeCol))
+    val flagged = df.withColumn("__new",
+      when(lag(col(timeCol), 1).over(w).isNull ||
+           ms - unix_millis(lag(col(timeCol), 1).over(w)) > gapMs, 1L)
+        .otherwise(0L))
+    val wRange = Window.partitionBy(col(userCol)).orderBy(col(timeCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged.withColumn("__session", sum(col("__new")).over(wRange))
+      .groupBy(col(userCol), col("__session"))
+      .agg(
+        unix_millis(min(col(timeCol))).as("session_start_ms"),
+        unix_millis(max(col(timeCol))).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .drop("__session")
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long, sum_value: Double)
   final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,

@@ -42,4 +42,18 @@ class SessionizeSpec extends SparkSpec {
       (2L, ts(10, 30).getTime, 1L, 8.0)),
       "u3's 12:00 session stays open (no later watermark)")
   }
+
+  test("batch sessionization agrees with the streaming gap semantics") {
+    val df = Seq(
+      (ts(10, 0), 1L), (ts(10, 1), 1L), (ts(11, 0), 1L),
+      (ts(10, 30), 2L), (ts(12, 0), 3L)
+    ).toDF("ts", "user_id")
+    val got = Sessionize.batchSessions(df, "user_id", "ts", gapMs = 5 * 60 * 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, ts(10, 0).getTime, ts(10, 1).getTime, 2L),
+      (1L, ts(11, 0).getTime, ts(11, 0).getTime, 1L),
+      (2L, ts(10, 30).getTime, ts(10, 30).getTime, 1L),
+      (3L, ts(12, 0).getTime, ts(12, 0).getTime, 1L))) // batch closes ALL sessions
+  }
 }
