@@ -210,11 +210,13 @@ object Dedup {
     * the exact-hamming verify. numChunks trades bucket cardinality
     * against keys per doc:
     *  - numChunks=4, h=3 → 4 single-chunk keys, only 4×2^16 possible
-    *    buckets — fine to ~1M docs, quadratic beyond (expected bucket
-    *    is N/65536 ids);
+    *    buckets — cheapest fan-out but fine only to ~1M docs, quadratic
+    *    beyond (expected bucket is N/65536 ids);
     *  - numChunks=6, h=3 → C(6,3)=20 three-chunk keys of ~32 bits —
-    *    the 100 TB setting: buckets stay tiny because the key space is
-    *    ~10^9, at 5× the per-doc key fan-out.
+    *    the DEFAULT, chosen for the 100 TB target: buckets stay tiny
+    *    because the key space is ~10^9, at 5× the per-doc key fan-out.
+    *    Pass numChunks=4 explicitly for small corpora where the extra
+    *    fan-out costs more than it saves.
     *
     * `maxBucketSize` is the skew guard: buckets above it are dropped,
     * so a degenerate mass-duplicate value (e.g. the empty document)
@@ -226,7 +228,7 @@ object Dedup {
     * documents for its identical guard. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, numChunks: Int = 4,
+      maxHamming: Int = 3, numChunks: Int = 6,
       maxBucketSize: Int = 10000): DataFrame = {
     require(numChunks > maxHamming,
       "chunk bucketing is lossless only when numChunks > maxHamming")

@@ -64,10 +64,11 @@ object TpchQueries {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1997-06-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // the joined orders side is fact-derived: at 100× scale it is tens
-    // of GB, so no broadcast hint — AQE picks broadcast when the
+    // customer and orders both scale with the fact data (customer is
+    // billions of rows at 100 TB — a forced broadcast would OOM the
+    // driver), so neither gets a hint: AQE picks broadcast when the
     // filtered side turns out small at runtime, shuffle-hash otherwise
-    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -179,12 +180,13 @@ object TpchQueries {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val cust = Tables.customer(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
-    // orders is fact-derived (date-filtered fact table, not a dim):
-    // no broadcast hint — AQE decides from the runtime size
+    // orders and customer are fact-scaled (customer grows with SF, not
+    // a constant-size dim): no broadcast hints — AQE decides from the
+    // runtime sizes; only nation is a true dim
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .join(cust, col("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
       .orderBy(desc("revenue"), col("c_custkey"))
