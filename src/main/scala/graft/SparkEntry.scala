@@ -37,6 +37,7 @@ object SparkEntry {
     "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
     "q_segment_compact" -> (SegmentQueries.segmentCompact _),
     "q_druid_segment" -> (SegmentQueries.druidSegmentRead _),
+    "q_druid_deepstore" -> (SegmentQueries.druidDeepStore _),
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
     "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_segment_scan" -> SegmentQueries.segmentScanSql,
     "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
     "q_segment_compact" -> SegmentQueries.segmentCompactSql,
+    "q_druid_deepstore" -> SegmentQueries.druidDeepStoreSql,
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,

@@ -167,4 +167,56 @@ object SegmentQueries {
       .drop("unique_hosts")
       .orderBy("__time")
   }
+
+  /** Descriptor-driven deep-storage scan, oracle-checked end to end:
+    * writes a deterministic two-version Druid v9 tree (v2 partially
+    * overshadows v1), then scans (dataSource, interval) through
+    * discovery → VersionedTimeline → windowed binary decode, exploding
+    * the multi-value dim. Covers the DOUBLE metric and array<string>
+    * decode paths under the driver's hash gate; the oracle is the
+    * fixture's known contents as a VALUES table. */
+  def druidDeepStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{DruidDeepStorage, DruidSegmentWriter => W}
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_druid_deepstore")
+    def seg(dir: java.io.File, version: String, hosts: Seq[String],
+            tags: Seq[Seq[String]], lo: Long, hi: Long): Unit = {
+      val n = hosts.size
+      val times = (0 until n).map(i => lo + i * ((hi - lo) / n))
+      W.write(dir, "fixture", times,
+        Seq(W.StrDim("host", hosts), W.MvDim("tags", tags),
+          W.LongMet("hits", (1 to n).map(_ * 10L)),
+          W.DoubleMet("revenue", (1 to n).map(_ * 1.25))),
+        lo, hi, version = version)
+    }
+    // idempotent rebuild: content is a pure function of these literals
+    seg(new java.io.File(root, "fixture/day/v1/0"), "v1",
+      Seq("a", "b", "c", "d", "e"),
+      Seq(Seq("x", "y"), Seq(), Seq("y"), Seq("x", "z"), Seq("z")), t0, t0 + day)
+    seg(new java.io.File(root, "fixture/half2/v2/0"), "v2",
+      Seq("n1", "n2"), Seq(Seq("x"), Seq()), t0 + day / 2, t0 + day)
+    DruidDeepStorage.scan(spark, root.getAbsolutePath, "fixture", t0, t0 + day)
+      .select(col("__time"), col("host"), col("hits"), col("revenue"),
+        explode_outer(col("tags")).as("tag"))
+      .orderBy("__time", "tag")
+  }
+
+  /** The VALUES oracle: v1's rows 0-2 survive (rows 3-4 overshadowed
+    * by v2's half-day window), v2 contributes both its rows. */
+  val druidDeepStoreSql: String = {
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    val rows = Seq(
+      (t0, "a", 10, 1.25, "'x'"), (t0, "a", 10, 1.25, "'y'"),
+      (t0 + day / 5, "b", 20, 2.5, "NULL"),
+      (t0 + 2 * day / 5, "c", 30, 3.75, "'y'"),
+      (t0 + day / 2, "n1", 10, 1.25, "'x'"),
+      (t0 + 3 * day / 4, "n2", 20, 2.5, "NULL"))
+    rows.map { case (t, h, hits, rev, tag) =>
+      s"(CAST($t AS BIGINT), '$h', CAST($hits AS BIGINT), CAST($rev AS DOUBLE), $tag)"
+    }.mkString(
+      "SELECT * FROM (VALUES\n", ",\n", ") AS t(__time, host, hits, revenue, tag)")
+  }
 }

@@ -69,10 +69,19 @@ object DruidSegmentReader {
     * files are parsed/decompressed — a 2-column projection of a wide
     * segment never touches the other columns' bytes. */
   def read(spark: SparkSession, segmentDirs: Seq[String],
-           columns: Seq[String] = Nil): DataFrame = {
-    require(segmentDirs.nonEmpty, "no segment dirs")
+           columns: Seq[String] = Nil): DataFrame =
+    readWindowed(spark, segmentDirs.map(d => (d, Long.MinValue, Long.MaxValue)), columns)
+
+  /** Read (segmentDir, windowStartMs, windowEndMs) triples — the
+    * timeline's WindowedDataSegment shape (DruidInputFormat.java:
+    * 110-114). The window clip happens inside the per-segment decode
+    * task (one task per segment, one job, no union-of-plans), so a
+    * partially-overshadowed segment only emits its visible rows. */
+  def readWindowed(spark: SparkSession, windows: Seq[(String, Long, Long)],
+                   columns: Seq[String] = Nil): DataFrame = {
+    require(windows.nonEmpty, "no segment dirs")
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val full = segmentSchema(spark, segmentDirs.head)
+    val full = segmentSchema(spark, windows.head._1)
     val schema =
       if (columns.isEmpty) full
       else {
@@ -81,8 +90,12 @@ object DruidSegmentReader {
       }
     val names = schema.fields.map(_.name).toSeq
     val rdd = spark.sparkContext
-      .parallelize(segmentDirs, segmentDirs.size)
-      .flatMap(dir => decodeRows(openSegment(confSer.value, dir), names))
+      .parallelize(windows, windows.size)
+      .flatMap { case (dir, lo, hi) =>
+        // __time is always names.head (read() forces it first)
+        decodeRows(openSegment(confSer.value, dir), names)
+          .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+      }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -197,7 +210,8 @@ object DruidSegmentReader {
       vt match {
         case "LONG" => decodeCompressedLongs(buf).asInstanceOf[IndexedSeq[Any]]
         case "FLOAT" => decodeCompressedFloats(buf).asInstanceOf[IndexedSeq[Any]]
-        case "STRING" => decodeStringColumn(buf, json).asInstanceOf[IndexedSeq[Any]]
+        case "DOUBLE" => decodeCompressedDoubles(buf).asInstanceOf[IndexedSeq[Any]]
+        case "STRING" => decodeStringColumn(buf, json)
         case _ => decodeComplex(buf).asInstanceOf[IndexedSeq[Any]]
       }
     }
@@ -288,18 +302,74 @@ object DruidSegmentReader {
     }
   }
 
-  /** Dictionary-encoded single-value string column: dictionary +
-    * compressed vsize ints (bitmap indexes after them are not needed
-    * for scans and are skipped implicitly). */
-  private def decodeStringColumn(buf: ByteBuffer, desc: JValue): IndexedSeq[String] = {
+  /** CompressedColumnarDoublesSupplier v2 (little-endian doubles) —
+    * any post-0.13 Druid segment with a doubleSum/doubleMin/doubleMax
+    * metric stores one of these; same supplier layout as longs with
+    * 8-byte IEEE754 values. */
+  private def decodeCompressedDoubles(buf: ByteBuffer): IndexedSeq[Double] = {
+    val version = buf.get()
+    require(version == 2, s"compressed doubles version $version")
+    val totalSize = buf.getInt()
+    val sizePer = buf.getInt()
+    val compression = buf.get() & 0xff
+    val chunks = decompressChunks(buf, compression, sizePer * 8)
+    (0 until totalSize).map { i =>
+      val chunk = chunks(i / sizePer)
+      val off = (i % sizePer) * 8
+      ByteBuffer.wrap(chunk, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    }
+  }
+
+  /** Dictionary-encoded string column (bitmap indexes after the row
+    * ids are not needed for scans and are skipped implicitly).
+    *
+    * Single-value: dictionary + compressed vsize int row ids →
+    * `string`. Multi-value (the reference maps every dim as a Pig
+    * tuple precisely because Druid dims are multi-value,
+    * druid-pig/DruidStorage.java:109-165): dictionary + a V3
+    * ColumnarMultiInts — version byte 3, a compressed int column of
+    * n+1 row end-offsets, then one compressed vsize int column of all
+    * values concatenated — decoded to `array<string>`, matching the
+    * engine's own parquet MV-dim representation so explode_outer
+    * groupBy semantics apply unchanged to migrated segments. */
+  private def decodeStringColumn(buf: ByteBuffer, desc: JValue): IndexedSeq[Any] = {
     val mv = (desc \ "hasMultipleValues") match { case JBool(b) => b; case _ => false }
-    require(!mv, "multi-value string columns not yet supported by the segment reader")
     val version = buf.get()
     require(version == 2, s"dictionary column serde version $version")
-    buf.getInt() // flags
+    val flags = buf.getInt()
     val dict = readGenericIndexedBytes(buf).map(b => new String(b, StandardCharsets.UTF_8))
-    val ids = decodeCompressedVSizeInts(buf)
-    ids.map(id => if (id < dict.size) dict(id) else null)
+    def lookup(id: Int): String = if (id >= 0 && id < dict.size) dict(id) else null
+    if (!mv) {
+      decodeCompressedVSizeInts(buf).map(lookup)
+    } else {
+      // flags bit 0x1 = legacy V2 multi-value, bit 0x2 = V3 (the
+      // layout every Druid ≥ 0.9.2 writes)
+      require((flags & 0x2) != 0,
+        f"unsupported multi-value column layout (flags=0x$flags%x): only V3 compressed multi-ints")
+      val v3 = buf.get()
+      require(v3 == 3, s"V3 ColumnarMultiInts version $v3 (want 3)")
+      val offsets = decodeCompressedInts(buf) // n+1 end-offsets, offsets(0)=0
+      val ids = decodeCompressedVSizeInts(buf)
+      (0 until offsets.size - 1).map { row =>
+        ids.slice(offsets(row), offsets(row + 1)).map(lookup)
+      }
+    }
+  }
+
+  /** CompressedColumnarIntsSupplier v2 (full little-endian 4-byte
+    * ints — the offsets column of a V3 multi-value dim). */
+  private def decodeCompressedInts(buf: ByteBuffer): IndexedSeq[Int] = {
+    val version = buf.get()
+    require(version == 2, s"compressed ints version $version")
+    val totalSize = buf.getInt()
+    val sizePer = buf.getInt()
+    val compression = buf.get() & 0xff
+    val chunks = decompressChunks(buf, compression, sizePer * 4)
+    (0 until totalSize).map { i =>
+      val chunk = chunks(i / sizePer)
+      val off = (i % sizePer) * 4
+      ByteBuffer.wrap(chunk, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    }
   }
 
   /** CompressedVSizeIntsIndexedSupplier v2. */
