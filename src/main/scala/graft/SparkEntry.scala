@@ -38,6 +38,8 @@ object SparkEntry {
     "q_segment_compact" -> (SegmentQueries.segmentCompact _),
     "q_druid_segment" -> (SegmentQueries.druidSegmentRead _),
     "q_druid_deepstore" -> (SegmentQueries.druidDeepStore _),
+    // I. Streaming (AvailableNow micro-batches → segment store)
+    "q_stream_rollup" -> (SegmentQueries.streamRollup _),
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
     "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
     "q_segment_compact" -> SegmentQueries.segmentCompactSql,
     "q_druid_deepstore" -> SegmentQueries.druidDeepStoreSql,
+    "q_stream_rollup" -> SegmentQueries.streamRollupSql,
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,

@@ -168,6 +168,66 @@ object SegmentQueries {
       .orderBy("__time")
   }
 
+  /** Streaming rollup end to end under the correctness gate: the
+    * events table staged as 4 parquet files, consumed as an
+    * AvailableNow stream one file per micro-batch (so the store takes
+    * several update-mode publications and the carry-forward chunk
+    * merge actually runs), rolled up hourly into the segment store,
+    * then scanned back through the timeline. The oracle recomputes the
+    * same rollup from raw events in one batch — streaming ingestion
+    * must be indistinguishable from batch at the rollup grain.
+    * Lateness 40d > the data's 30d span, so no event is ever dropped
+    * by the watermark and the comparison is exact. */
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.streaming.StreamingRollup
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_streamroll_v${StoreFormatVersion}_$sfKey"
+    if (SegmentCatalog.read(base, "events_stream").isEmpty) {
+      val stage = s"${base}_stage"
+      Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = spark.read.parquet(stage).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val spec = StreamingRollup.StreamSpec(
+        dataSource = "events_stream",
+        timeCol = "ts",
+        dimensions = Seq("event_type"),
+        metricsJson =
+          """[
+            |{"type":"count","name":"cnt"},
+            |{"type":"longSum","name":"sum_users","fieldName":"user_id"},
+            |{"type":"doubleSum","name":"sum_value","fieldName":"value"}
+            |]""".stripMargin,
+        queryGranularity = "1 hour",
+        segmentGranularity = Granularity.Calendar("day"),
+        lateness = "40 days")
+      StreamingRollup.toSegmentStore(spark,
+          StreamingRollup.rollup(src, spec), spec, base,
+          checkpoint = Some(s"${base}_ckpt"))
+        .start().awaitTermination()
+    }
+    val all0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val all1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "events_stream", all0, all1,
+      dimensions = Seq("event_type"),
+      metrics = Seq("cnt", "sum_users", "sum_value")))
+      .orderBy(col("__time"), col("event_type"))
+  }
+
+  val streamRollupSql: String =
+    s"""SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS __time,
+       |  event_type,
+       |  count(*) AS cnt,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Descriptor-driven deep-storage scan, oracle-checked end to end:
     * writes a deterministic two-version Druid v9 tree (v2 partially
     * overshadows v1), then scans (dataSource, interval) through
