@@ -92,9 +92,9 @@ object SegmentCatalog {
   }
 
   def read(base: String, dataSource: String): Seq[SegmentDescriptor] = {
+    val p = new HPath(catalogPath(base, dataSource))
+    val fs = fsFor(p)
     def attempt(): Option[String] = {
-      val p = new HPath(catalogPath(base, dataSource))
-      val fs = fsFor(p)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -103,9 +103,27 @@ object SegmentCatalog {
         finally in.close()
       }
     }
-    // one retry bridges a concurrent publisher's rename window on
-    // stores without atomic rename
-    val content = attempt().orElse { Thread.sleep(50); attempt() }
+    // Publish is write-tmp → delete-target → rename-tmp-to-target, so
+    // a reader can land in the window where the target is briefly
+    // absent. In exactly that window (and only there) the publisher's
+    // .tmp is present — on copy+delete object stores the new target
+    // object appears before the tmp is deleted. So: target missing AND
+    // tmp present → publisher mid-rename, retry with backoff (object
+    // stores can take seconds); target missing AND no tmp → the
+    // catalog genuinely doesn't exist, return immediately (a cold
+    // store must not stall every existence probe).
+    def publishInFlight(): Boolean =
+      try fs.exists(new HPath(p.toString + ".tmp")) catch { case _: Exception => false }
+    @annotation.tailrec
+    def retry(attemptsLeft: Int, delayMs: Long): Option[String] =
+      attempt() match {
+        case some @ Some(_) => some
+        case None if attemptsLeft > 0 && publishInFlight() =>
+          Thread.sleep(delayMs)
+          retry(attemptsLeft - 1, math.min(delayMs * 2, 1000))
+        case None => None
+      }
+    val content = retry(attemptsLeft = 6, delayMs = 50)
     content match {
       case None => Nil
       case Some(text) => JsonMethods.parse(text) match {

@@ -30,6 +30,31 @@ class SegmentStoreSpec extends SparkSpec {
     queryGranularity = Granularity.Calendar("hour"),
     segmentGranularity = Granularity.Calendar("day"))
 
+  test("catalog reader bridges a publisher's delayed rename window") {
+    val base = freshBase()
+    val seg = SegmentDescriptor("ev", 0L, 1000L, "v1", 0, 1, s"$base/seg")
+    SegmentCatalog.publish(base, "ev", Seq(seg))
+    // simulate mid-publish on a copy+delete store: target momentarily
+    // gone, publisher's .tmp present; rename lands ~400 ms later
+    val target = new java.io.File(SegmentCatalog.catalogPath(base, "ev"))
+    val tmp = new java.io.File(target.getPath + ".tmp")
+    assert(target.renameTo(tmp))
+    val renamer = new Thread(() => { Thread.sleep(400); tmp.renameTo(target); () })
+    renamer.start()
+    try {
+      val got = SegmentCatalog.read(base, "ev")
+      assert(got == Seq(seg)) // reader waited out the window
+    } finally renamer.join()
+  }
+
+  test("reading a never-published catalog returns Nil without stalling") {
+    val base = freshBase()
+    val t0 = System.nanoTime()
+    assert(SegmentCatalog.read(base, "no_such_ds").isEmpty)
+    // no .tmp in sight → no retry loop; generous bound for CI noise
+    assert((System.nanoTime() - t0) < 2e9, "cold read must not back off")
+  }
+
   test("ingest + scan roundtrip preserves rolled-up totals") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
