@@ -1,10 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark — one JSON line on stdout.
+  *
+  * Noise protocol (SURVEY §6): queries run in FIXED sorted order,
+  * INTERLEAVED round-robin (A,B,C,A,B,C — not A,A,A,B,B,B), ≥5 rounds,
+  * reporting each query's min across rounds. Back-to-back reps let one
+  * query's JIT/GC/page-cache state leak into its own later reps while
+  * a single cold round poisons a neighbor permanently; interleaving
+  * spreads transient interference across all queries so the per-query
+  * min converges on steady state. Round-over-round comparison showed
+  * >2× per-query swings on byte-identical code under the old
+  * back-to-back min-of-3; only interleaved minima are trustworthy as a
+  * regression signal (and totals remain the most stable headline).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,19 +32,18 @@ object Bench {
     // per-query timings reflect steady state rather than JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // min-of-N in one JVM: the first rep pays JIT/pageload noise, the
-    // min reflects steady state, so round-over-round deltas are signal
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+
+    val names = SparkEntry.queries.keys.toSeq.sorted // fixed order every round
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = names.map(k => s"\"" + k + "\":" + best(k)).mkString("{", ",", "}")
+    val total = names.map(best).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
