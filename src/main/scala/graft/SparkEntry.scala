@@ -40,6 +40,7 @@ object SparkEntry {
     "q_druid_deepstore" -> (SegmentQueries.druidDeepStore _),
     // I. Streaming (AvailableNow micro-batches → segment store)
     "q_stream_rollup" -> (SegmentQueries.streamRollup _),
+    "q_stream_dedup" -> (PipelineQueries.streamDedup _),
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
     "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_segment_compact" -> SegmentQueries.segmentCompactSql,
     "q_druid_deepstore" -> SegmentQueries.druidDeepStoreSql,
     "q_stream_rollup" -> SegmentQueries.streamRollupSql,
+    "q_stream_dedup" -> PipelineQueries.streamDedupSql,
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,

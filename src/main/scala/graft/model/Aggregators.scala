@@ -35,7 +35,7 @@ object Aggregators {
   final case class AggSpec(
       name: String, tpe: String, fieldName: String,
       fields: Seq[String], filter: Option[DimFilter], sub: Option[AggSpec],
-      lgK: Int = 12, size: Int = 4096, k: Int = 128)
+      lgK: Int = 12, size: Int = 4096, k: Int = 128, byRow: Boolean = true)
 
   def parseAggs(json: String): Seq[AggSpec] =
     JsonMethods.parse(json) match {
@@ -78,7 +78,8 @@ object Aggregators {
         name = str("name").getOrElse(sub.map(_.name).getOrElse("agg")),
         tpe = tpe,
         fieldName = str("fieldName").getOrElse(""),
-        fields = fields, filter = filter, sub = sub, lgK = lgK, size = size, k = k)
+        fields = fields, filter = filter, sub = sub, lgK = lgK, size = size, k = k,
+        byRow = (obj \ "byRow") match { case JBool(b) => b; case _ => true })
     case x => throw new IllegalArgumentException(s"bad aggregator $x")
   }
 
@@ -140,14 +141,22 @@ object Aggregators {
         val sketch = if (isSketchCol) hll_union_agg(f) else hll_sketch_agg(f, lit(spec.lgK))
         if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
       case "cardinality" =>
-        // byRow=false semantics over the value union is rare; implement
-        // Druid's default byRow=true (distinct dim tuples). The tuple
+        // byRow=true (Druid default): distinct dim TUPLES. The tuple
         // key is length-prefixed per field so ("ab","c") ≠ ("a","bc")
         // and no separator-in-value collision is possible; NULL encodes
         // as a sentinel that cannot collide with a length prefix
         // (non-null fields always start with a digit). concat (not
         // concat_ws) so NULL fields are never silently skipped.
-        val sketch = hll_sketch_agg(guard(tupleKey(spec.fields)), lit(spec.lgK))
+        // byRow=false: distinct VALUES across the union of the listed
+        // dims — one HLL per field, merged with hll_union, which is
+        // exactly the value-union semantics and stays one-pass and
+        // mergeable (partial agg + re-agg both work). Non-null scalar
+        // values only, matching Druid's SQL-compatible null handling.
+        val sketch =
+          if (spec.byRow) hll_sketch_agg(guard(tupleKey(spec.fields)), lit(spec.lgK))
+          else spec.fields
+            .map(fn => hll_sketch_agg(guard(col(fn).cast("string")), lit(spec.lgK)))
+            .reduceLeft(hll_union(_, _))
         if (finalize) hll_sketch_estimate(sketch).cast("double") else sketch
       case "thetaSketch" =>
         val sketch = graft.functions.Sketches.theta_sketch_agg(f, spec.size)

@@ -28,6 +28,44 @@ object PipelineQueries {
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY 1""".stripMargin
 
+  /** Streaming exact dedup under the correctness gate: documents
+    * staged as 4 parquet files, consumed one file per AvailableNow
+    * micro-batch through `StreamingDedup.dropDuplicateTexts` (append
+    * mode, parquet sink), then the sink is read back. Synthetic event
+    * times span one minute — far inside the 1 h watermark horizon —
+    * so no state is ever evicted and the stream must emit each
+    * distinct text EXACTLY once across batches; any double-emit or
+    * drop breaks the rowcount/hash match vs `SELECT DISTINCT`. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_streamdedup_v1_$sfKey"
+    val outDir = s"$base/out"
+    val done = new java.io.File(s"$outDir/_SUCCESS")
+    if (!done.isFile) {
+      val stage = s"$base/stage"
+      docs(s, d)
+        .select(
+          timestamp_millis(lit(1700000000000L) + (col("doc_id") % 60) * 1000).as("ts"),
+          col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingDedup.dropDuplicateTexts(src, "ts", "text")
+        .select(col("text"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    s.read.parquet(outDir).orderBy("text")
+  }
+
+  val streamDedupSql: String =
+    "SELECT DISTINCT text FROM documents ORDER BY text"
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(docs(s, d), "doc_id", "text",
       shingleN = 3, numHashes = 64, bandRows = 2, threshold = 0.8)

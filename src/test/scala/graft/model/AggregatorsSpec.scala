@@ -135,6 +135,25 @@ class AggregatorsSpec extends SparkSpec {
     assert(math.round(got) == 4L, s"expected 4 distinct tuples, got $got")
   }
 
+  test("cardinality byRow=false counts the value union across dims") {
+    // values: d1 {ab, a, abc}, d2 {c, bc, abc} → union {ab, a, abc, c, bc} = 5
+    val df = Seq(
+      ("ab", "c"), ("a", "bc"), ("abc", null), (null, "abc")
+    ).toDF("d1", "d2")
+    val spec = Aggregators.parseAggs(
+      """{"type":"cardinality","name":"c","fields":["d1","d2"],"byRow":false}""").head
+    assert(!spec.byRow)
+    val got = df.agg(Aggregators.compile(spec, df.schema)).collect()(0).getDouble(0)
+    assert(math.round(got) == 5L, s"expected 5 distinct values in the union, got $got")
+    // mergeable partials: group halves, union the sketch bytes, same answer
+    import org.apache.spark.sql.functions._
+    val halves = df.withColumn("g", monotonically_increasing_id() % 2)
+      .groupBy("g").agg(Aggregators.compile(spec, df.schema, finalize = false).as("sk"))
+    val merged = halves.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.round(merged) == 5L, s"merged partials gave $merged")
+  }
+
   test("doubleSum raises on overflow instead of silent 0.0") {
     val df = Seq(1.0, 1e33, 2.0).toDF("v")
     val spec = Aggregators.parseAggs(
