@@ -33,6 +33,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == bruteRef(5, 3))
   }
 
+  test("bruteTopK plans as WindowGroupLimit, not a full window sort") {
+    // rank<=k over a window must optimize to WindowGroupLimit (per-
+    // partition top-k heap, no full sort/materialization of all
+    // corpus×query scores) — the property that makes brute-force ANN
+    // viable as the small-query-set baseline at scale
+    val q = embs.filter($"vec_id" < 3)
+    val plan = Similarity.bruteTopK(embs, q, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+  }
+
   test("ivf top-k achieves high recall vs brute force") {
     val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
     val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", k = 10, cells = 16, nprobe = 8)
