@@ -122,9 +122,15 @@ object SparkEntry {
     "q_scan_paged" -> EventQueries.scanPagedSql,
     "q_json_extract" -> EventQueries.jsonExtractSql,
     "q_dedup_clusters" -> PipelineQueries.dedupClustersSql,
-    // q_dedup_simhash, q_dedup_embed, q_doc_fingerprint, q_hll,
-    // q_druid_segment: rows-only (bit-ops / LSH recall / rolling hash /
-    // HLL algorithm / binary-segment decode not SQL-expressible);
-    // exactness asserted in ScalaTest instead.
+    "q_sample_split" -> PipelineQueries.sampleSplitSql,
+    "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "q_dedup_embed" -> PipelineQueries.dedupEmbedSql,
+    "q_doc_fingerprint" -> PipelineQueries.docFingerprintSql,
+    "q_contamination" -> PipelineQueries.contaminationSql,
+    "q_druid_segment" -> SegmentQueries.druidSegmentReadSql,
+    // q_hll, q_quantiles_sketch: rows-only — the outputs are estimates
+    // of the engine's own HLL/KLL sketches; no SQL engine computes the
+    // same estimator, so there is no honest SQL mirror. Estimate
+    // accuracy and merge laws are spec-tested (AggregatorsSpec).
   )
 }

@@ -116,11 +116,36 @@ object PipelineQueries {
       |SELECT v AS doc_id, min(lbl) AS cluster_id
       |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin
 
-  /** SimHash hamming ≤ 3 pairs — not SQL-expressible; exactness (vs
-    * brute-force hamming) is asserted in DedupSpec. */
+  /** SimHash hamming ≤ 3 pairs. The chunk-combination bucketing is
+    * lossless for numChunks > maxHamming, so the engine's output must
+    * EQUAL brute force — which the oracle recomputes in DuckDB from
+    * scratch: per-token FNV-1a (HUGEINT mod-2^64), per-bit sign sums,
+    * then all-pairs hamming via xor + bit_count. Any bucketing recall
+    * loss breaks the hash match. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy("a_id", "b_id")
+
+  val dedupSimhashSql: String = {
+    val fnvTok = SqlHash.fnv1aSql(
+      "list_transform(range(1, length(t)+1), j -> unicode(t[j])::HUGEINT)")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |th AS (SELECT doc_id, $fnvTok AS hu FROM tok),
+       |bitsum AS (SELECT doc_id, rb.range AS b,
+       |    sum(CASE WHEN (hu // (1::HUGEINT << rb.range)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM th, range(64) rb GROUP BY 1, 2),
+       |shu AS (SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS hu
+       |  FROM bitsum GROUP BY doc_id),
+       |sh AS (SELECT doc_id, ${SqlHash.toSigned("hu")} AS sh FROM shu)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
@@ -163,14 +188,63 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** Deterministic train/val/test split sizes over documents —
-    * rows-only (hash-based membership is not oracle-expressible);
-    * determinism, disjointness, and nesting pinned in SamplingSpec. */
+  /** Brute-force cosine ≥ 0.99 over base ∪ planted. Hash-matching the
+    * LSH route against this proves ZERO recall loss at the fixed seed
+    * (miss probability per planted pair ≈ 5e-10 at 8 tables × 16
+    * planes). The planting arithmetic mirrors bit-for-bit: DuckDB
+    * FLOAT ops stay float32 like Spark's, and its index lambda is
+    * 1-based (hence `(i-1) % 7` vs Spark's 0-based `i % 7`). */
+  val dedupEmbedSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |planted AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(embedding,
+      |      (x, i) -> x + CAST((i-1) % 7 AS FLOAT) * 0.001::FLOAT) AS embedding
+      |  FROM base WHERE vec_id < 100),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM allv),
+      |d AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+      |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+      |      / (a.nrm * b.nrm) AS cosine
+      |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.99
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Deterministic train/val/test split sizes over documents. The
+    * oracle recomputes the engine's exact bucket function — Spark's
+    * xxhash64 (XXH64 of the 8-byte long, seed-chained) mod 2^20 — in
+    * DuckDB HUGEINT arithmetic, so split membership itself is
+    * value-checked, not just determinism (SamplingSpec pins
+    * disjointness and nesting). */
   def sampleSplit(s: SparkSession, d: String): DataFrame = {
     val parts = graft.operators.Sampling.split(docs(s, d), "doc_id", Seq(0.8, 0.1, 0.1))
     parts.zipWithIndex.map { case (p, i) =>
       p.agg(count(lit(1)).as("n")).select(lit(i).as("part"), col("n"))
     }.reduce(_ unionByName _).orderBy("part")
+  }
+
+  val sampleSplitSql: String = {
+    // the engine buckets by xxhash64(lit(seed=0), doc_id): the first
+    // (constant) column folds to a fixed inner hash, computed here via
+    // Spark's own implementation so the oracle can never drift
+    val inner = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(0L, org.apache.spark.sql.types.LongType, 42L)
+    val weights = Seq(0.8, 0.1, 0.1)
+    val cum = weights.map(_ / weights.sum).scanLeft(0.0)(_ + _)
+    val cuts = cum.map(c => (c * (1L << 20)).toLong) // same arithmetic as Sampling.split
+    val steps = SqlHash.xxh64LongSteps("hx", "documents", "doc_id",
+      keep = Seq.empty, seed = inner, out = "h")
+    s"""WITH $steps,
+       |parts AS (SELECT CASE WHEN h % 1048576::HUGEINT < ${cuts(1)} THEN 0
+       |                      WHEN h % 1048576::HUGEINT < ${cuts(2)} THEN 1
+       |                      ELSE 2 END AS part FROM hx)
+       |SELECT CAST(r.range AS INT) AS part, coalesce(c.n, 0) AS n
+       |FROM range(3) r LEFT JOIN
+       |  (SELECT part, count(*) AS n FROM parts GROUP BY part) c
+       |  ON r.range = c.part
+       |ORDER BY part""".stripMargin
   }
 
   // ---- similarity search ----
@@ -300,21 +374,57 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Benchmark decontamination — every probe contaminates at least its
-    * own source document, so rows > 0 deterministically; exact overlap
-    * semantics pinned in TextAnalysis/DedupSpec coverage. */
+  /** Shared oracle CTE: per-doc winnowing fingerprint SETS, computed
+    * in DuckDB with the engine's exact arithmetic — FNV-1a (mod-2^64
+    * HUGEINT wraparound) over char k-grams, SIGNED per-window minima
+    * (the engine compares Longs), distinct values. The engine's
+    * rightmost-tie rule and consecutive-duplicate collapse don't
+    * change the value SET, so the mirror needs neither. Ends in a CTE
+    * `fps(doc_id, fp)`. */
+  private def winnowFpsCte(k: Int, w: Int): String = {
+    val fnv = SqlHash.fnv1aSql(
+      s"list_transform(range(i, i+$k), j -> unicode(text[j])::HUGEINT)")
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |       WHERE length(text) >= $k),
+       |pos AS (SELECT doc_id, text, n, unnest(range(1, n - $k + 2)) AS i FROM d),
+       |g AS (SELECT doc_id, n, i, ${SqlHash.toSigned(fnv)} AS h FROM pos),
+       |wmins AS (SELECT doc_id, n, i,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+       |      FROM g),
+       |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wmins
+       |        WHERE i <= greatest(n - $k + 1 - ${w - 1}, 1))""".stripMargin
+  }
+
+  /** Benchmark decontamination — probe docs are doc_id < 5; a corpus
+    * doc is contaminated when it shares >= 2 winnowing fingerprints
+    * with a probe. Value-level oracle via the DuckDB fingerprint
+    * mirror ([[winnowFpsCte]]). */
   def contaminationQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.contamination(
       docs(s, d), "doc_id", "text",
       docs(s, d).filter(col("doc_id") < 5), "doc_id", "text")
       .orderBy("doc_id", "probe_id")
 
-  /** Winnowing fingerprints — rolling-hash arithmetic is not
-    * SQL-expressible (64-bit wraparound); exactness in TextSpec. */
+  val contaminationSql: String =
+    s"""WITH ${winnowFpsCte(k = 8, w = 4)}
+       |SELECT c.doc_id AS doc_id, p.probe_id, count(*) AS n_shared_fp
+       |FROM fps c JOIN
+       |  (SELECT doc_id AS probe_id, fp FROM fps WHERE doc_id < 5) p USING (fp)
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_id, probe_id""".stripMargin
+
+  /** Winnowing fingerprint counts per document, value-checked against
+    * the DuckDB mirror of the FNV k-gram + window-min arithmetic. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""WITH ${winnowFpsCte(k = 8, w = 4)}
+       |SELECT doc_id, count(*) AS n_fp FROM fps
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- multimodal ----
 

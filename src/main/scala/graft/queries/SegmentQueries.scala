@@ -156,9 +156,11 @@ object SegmentQueries {
   /** Decode a REAL Apache Druid v9 binary segment (the reference
     * repo's test fixture) — dictionary strings, LZ4 longs, and the
     * hyperUnique complex metric finalized via the Druid HLL estimator.
-    * Rows-only (the fixture is not derivable from the parquet tables);
-    * bit-exactness is pinned in DruidSegmentReaderSpec against the
-    * fixture's documented contents. */
+    * Oracle: the fixture's known contents as a VALUES table (same
+    * pattern as [[druidDeepStoreSql]]) — the reference's own test
+    * asserts these rows (druid-pig DruidStorageTest over the same
+    * test-segment), so every decoded cell is value-checked; byte-level
+    * decode details are additionally pinned in DruidSegmentReaderSpec. */
   def druidSegmentRead(spark: SparkSession, sfDir: String): DataFrame = {
     val fixture = "/root/reference/druid-mr/src/test/resources/test-segment"
     graft.sources.DruidSegmentReader.read(spark, Seq(fixture))
@@ -166,6 +168,20 @@ object SegmentQueries {
         graft.functions.DruidHll.druid_hll_estimate(col("unique_hosts")))
       .drop("unique_hosts")
       .orderBy("__time")
+  }
+
+  /** 2014-10-22T00/01/02Z hourly rows; the hyperUnique estimate of a
+    * single-host sketch is Druid HLLC's documented 1-element value. */
+  val druidSegmentReadSql: String = {
+    val oneHostEst = "1.0002442201269182"
+    val rows = Seq(
+      (1413936000000L, "a.example.com", 100),
+      (1413939600000L, "b.example.com", 150),
+      (1413943200000L, "c.example.com", 200))
+    rows.map { case (t, h, v) =>
+      s"(CAST($t AS BIGINT), '$h', CAST($v AS BIGINT), CAST($oneHostEst AS DOUBLE))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n", s""")
+      | AS t(__time, host, visited_sum, unique_hosts_est)""".stripMargin)
   }
 
   /** Streaming rollup end to end under the correctness gate: the
