@@ -61,6 +61,8 @@ object SparkEntry {
     "q_theta" -> (AggQueries.aggTheta _),
     "q_theta_setops" -> (AggQueries.aggThetaSetops _),
     "q_hll" -> (AggQueries.aggHll _),
+    "q_hll_exact" -> (AggQueries.hllExact _),
+    "q_filtered_agg" -> (AggQueries.filteredAgg _),
     "q_multivalue" -> (AggQueries.multiValue _),
     "q_quantiles" -> (AggQueries.aggQuantiles _),
     "q_quantiles_sketch" -> (AggQueries.aggQuantilesSketch _),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q_agg_firstlast" -> AggQueries.aggFirstLastSql,
     "q_theta" -> AggQueries.aggThetaSql,
     "q_theta_setops" -> AggQueries.aggThetaSetopsSql,
+    "q_hll_exact" -> AggQueries.hllExactSql,
+    "q_filtered_agg" -> AggQueries.filteredAggSql,
     "q_multivalue" -> AggQueries.multiValueSql,
     "q_subtotals" -> AggQueries.subtotalsSql,
     "q_quantiles" -> AggQueries.aggQuantilesSql,

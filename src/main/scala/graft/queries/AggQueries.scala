@@ -210,4 +210,82 @@ object AggQueries {
         |    {"dimension": "event_type", "direction": "ascending"}]}
         |}""".stripMargin)
       .drop("sk")
+
+  // -- filtered aggregator (Druid `filtered` wrapping ANY agg spec) --
+
+  /** Per-day filtered aggregations through the Druid JSON dialect: a
+    * selector-guarded doubleSum, a bound-guarded count, and a NESTED
+    * filtered spec (conditions AND) wrapping a longMax — the
+    * reference's "adapt any AggregatorFactory" contract
+    * (druid-pig/udfs/AggregatorFactoryAdapter.java:43-119) realized as
+    * guard weaving: non-matching rows contribute NULL inputs, so every
+    * sub-aggregator stays one-pass, codegen'd, and partial-agg
+    * friendly (no per-row branch duplication, no second scan). */
+  def filteredAgg(s: SparkSession, d: String): DataFrame =
+    DruidQueries.run(ev(s, d), "ts",
+      """{
+        |  "queryType": "timeseries",
+        |  "granularity": "day",
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "filtered", "name": "click_value",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        |     "aggregator": {"type": "doubleSum", "name": "x", "fieldName": "value"}},
+        |    {"type": "filtered", "name": "heavy_cnt",
+        |     "filter": {"type": "bound", "dimension": "user_id", "lower": "500", "ordering": "numeric"},
+        |     "aggregator": {"type": "count", "name": "x"}},
+        |    {"type": "filtered", "name": "click_heavy_max",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        |     "aggregator": {"type": "filtered", "name": "x",
+        |       "filter": {"type": "bound", "dimension": "user_id", "lower": "500", "ordering": "numeric"},
+        |       "aggregator": {"type": "longMax", "name": "y", "fieldName": "user_id"}}}
+        |  ]
+        |}""".stripMargin)
+
+  val filteredAggSql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       |  count(*) AS cnt,
+       |  CAST(coalesce(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click_value,
+       |  count(*) FILTER (WHERE user_id >= 500) AS heavy_cnt,
+       |  max(user_id) FILTER (WHERE event_type = 'click' AND user_id >= 500) AS click_heavy_max
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- HLL / cardinality in the coupon-exact regime (oracle-able) --
+
+  /** hyperUnique + cardinality (both byRow modes) over NDV-BOUNDED
+    * derivations, so the DataSketches HLL stays in its coupon
+    * (LIST/SET) phase where the rounded estimate equals the true
+    * distinct count: `user_id % 200` has ≤200 values per group at ANY
+    * scale factor, and `props` draws from a fixed 100-value domain.
+    * This pins the full plumbing — tuple-key injectivity (byRow),
+    * hll_union value-union (byValue), estimate finalization — against
+    * a DuckDB COUNT(DISTINCT) oracle, and the bound makes the oracle
+    * scale-robust rather than an sf0.01 accident. The estimator at
+    * UNBOUNDED cardinality stays covered by q_hll (rows-only) and
+    * AggregatorsSpec's error-band tests. */
+  def hllExact(s: SparkSession, d: String): DataFrame =
+    DruidQueries.run(ev(s, d), "ts",
+      """{
+        |  "queryType": "groupBy",
+        |  "virtualColumns": [
+        |    {"name": "u_bucket", "expression": "user_id % 200"}],
+        |  "dimensions": ["event_type"],
+        |  "granularity": "all",
+        |  "aggregations": [
+        |    {"type": "hyperUnique", "name": "n_buckets", "fieldName": "u_bucket"},
+        |    {"type": "cardinality", "name": "n_pairs", "fields": ["event_type", "props"], "byRow": true},
+        |    {"type": "cardinality", "name": "n_values", "fields": ["event_type", "props"], "byRow": false}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+
+  val hllExactSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id % 200) AS DOUBLE) AS n_buckets,
+      |  CAST(count(DISTINCT (event_type, props)) AS DOUBLE) AS n_pairs,
+      |  (SELECT CAST(count(DISTINCT v) AS DOUBLE)
+      |   FROM (SELECT unnest([e2.event_type, e2.props]) AS v
+      |         FROM events e2 WHERE e2.event_type = e.event_type)) AS n_values
+      |FROM events e GROUP BY event_type ORDER BY event_type""".stripMargin
 }
