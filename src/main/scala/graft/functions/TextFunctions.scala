@@ -55,6 +55,17 @@ object TextFunctions {
   def minhashSigText(text: Column, shingleN: Int, numHashes: Int = 128): Column =
     toColumn(MinHashSigText(toExpr(text), shingleN, numHashes))
 
+  /** LSH band bucket keys straight from text — signature computed once
+    * per row (see [[MinHashBands]] for why composing this from lambdas
+    * over minhashSigText recomputes the signature per band). */
+  def minhashBands(text: Column, shingleN: Int, numHashes: Int, bandRows: Int): Column =
+    toColumn(MinHashBands(toExpr(text), shingleN, numHashes, bandRows))
+
+  /** SimHash combination-bucket keys straight from a token array —
+    * simhash computed once per row (see [[SimHashKeys]]). */
+  def simhashKeys(tokens: Column, numChunks: Int, maxHamming: Int): Column =
+    toColumn(SimHashKeys(toExpr(tokens), numChunks, maxHamming))
+
   /** 64-bit SimHash over a token array → long. */
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
 
@@ -129,8 +140,14 @@ object MinHashSig {
 case class MinHashSigText(child: Expression, shingleN: Int, numHashes: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(MinHashSigText.sigOf(
+      v.asInstanceOf[UTF8String].toString, shingleN, numHashes))
+  override protected def withNewChildInternal(c: Expression): MinHashSigText = copy(child = c)
+}
+
+object MinHashSigText {
+  private[functions] def sigOf(s: String, shingleN: Int, numHashes: Int): Array[Long] = {
     val words = s.split(" ", -1)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (words.length >= shingleN) {
@@ -165,17 +182,55 @@ case class MinHashSigText(child: Expression, shingleN: Int, numHashes: Int)
         i += 1
       }
     }
-    new GenericArrayData(sig)
+    sig
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSigText = copy(child = c)
+}
+
+/** Fused text → LSH band bucket keys: the MinHash signature is computed
+  * ONCE per row and hashed into one domain-separated key per band, all
+  * inside a single expression evaluation. Composing this from
+  * `explode(transform(sequence(...), b => hash(slice(sig, ...))))` is a
+  * trap: CollapseProject inlines the signature expression into every
+  * band lambda and higher-order lambdas run interpreted with no
+  * subexpression elimination, so the signature gets recomputed once per
+  * band (measured 8× the cost of the signature itself at 32 bands). */
+case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int, bandRows: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = MinHashSigText.sigOf(
+      v.asInstanceOf[UTF8String].toString, shingleN, numHashes)
+    val numBands = numHashes / bandRows
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      // domain-separated per band: equal slices in DIFFERENT bands must
+      // not land in the same bucket
+      var h = TextFunctions.mix64(b.toLong + 0x9e3779b97f4a7c15L)
+      var r = 0
+      while (r < bandRows) {
+        h = TextFunctions.mix64(h ^ sig(b * bandRows + r))
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
 
 /** SimHash-64: sign-sum of token-hash bits. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.simhashOf(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+object SimHash64 {
+  private[functions] def simhashOf(arr: ArrayData): Long = {
     val n = arr.numElements()
     val w = new Array[Int](64)
     var i = 0
@@ -196,7 +251,49 @@ case class SimHash64(child: Expression)
     }
     out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Fused tokens → SimHash combination-bucket keys: the simhash is
+  * computed ONCE per row, chunked, and every C(numChunks, numChunks −
+  * maxHamming) chunk combination is hashed to a domain-separated key —
+  * one expression evaluation per row. Same CollapseProject trap as
+  * [[MinHashBands]]: composing this from an `explode(array(...))` of 20
+  * key expressions recomputes the simhash 20× per row. */
+case class SimHashKeys(child: Expression, numChunks: Int, maxHamming: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(numChunks > maxHamming,
+    "chunk bucketing is lossless only when numChunks > maxHamming")
+  require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // chunk i covers widths(i) bits starting at offsets(i); first
+  // (64 % numChunks) chunks take the extra bit
+  private val base = 64 / numChunks
+  private val widths = Array.tabulate(numChunks)(i => if (i < 64 % numChunks) base + 1 else base)
+  private val offsets = widths.scanLeft(0)(_ + _)
+  private val combos: Array[Array[Int]] =
+    (0 until numChunks).combinations(numChunks - maxHamming).map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val sh = SimHash64.simhashOf(v.asInstanceOf[ArrayData])
+    val keys = new Array[Long](combos.length)
+    var ci = 0
+    while (ci < combos.length) {
+      var h = TextFunctions.mix64(ci.toLong + 0x9e3779b97f4a7c15L)
+      val combo = combos(ci)
+      var j = 0
+      while (j < combo.length) {
+        val i = combo(j)
+        val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+        h = TextFunctions.mix64(h ^ ((sh >>> offsets(i)) & mask))
+        j += 1
+      }
+      keys(ci) = h
+      ci += 1
+    }
+    new GenericArrayData(keys)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashKeys = copy(child = c)
 }
 
 /** Winnowing: rolling FNV over char k-grams, per-window minimum

@@ -60,24 +60,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val numBands = numHashes / bandRows
-    // fused text→signature expression: no shingle arrays materialize on
-    // the banding path (they are recomputed only for candidate pairs)
-    val docs = df.select(
+    // (id, bucket) — bucket keys from the FUSED text→bands expression:
+    // one signature computation per row (MinHashBands documents the
+    // lambda-inlining trap the fusion avoids). Only (id, bucket) flows
+    // through the self-join: shingle arrays are joined back per-id
+    // AFTER pair dedup, so the wide payload never crosses the bucket
+    // shuffle (at 100 TB the bands shuffle is O(docs × bands × 16
+    // bytes), not O(docs × bands × doc size)).
+    val bands = df.select(
       col(idCol).as("id"),
-      TextFunctions.minhashSigText(col(textCol), shingleN, numHashes).as("sig"))
+      explode(TextFunctions.minhashBands(
+        col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
 
-    // (id, bucket) — bucket key hashes (band index, band slice of sig).
-    // Only (id, bucket) flows through the self-join: shingle arrays are
-    // joined back per-id AFTER pair dedup, so the wide payload never
-    // crosses the bucket shuffle (at 100 TB the bands shuffle is
-    // O(docs × bands × 16 bytes), not O(docs × bands × doc size)).
-    val bands = docs.select(
-      col("id"),
-      explode(transform(
-        sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows))))).as("bucket"))
-
+    // bucketPairs materializes its result: candidates are O(pairs),
+    // tiny vs the corpus, and are consumed THREE times downstream (the
+    // candidate-id semi-join feeding shingleSets + each pair-side
+    // join), so the LSH pipeline runs exactly once.
     val candidates = bucketPairs(bands, maxBucketSize)
 
     // shingle only the docs that appear in candidate pairs (broadcast
@@ -237,20 +235,13 @@ object Dedup {
       col(idCol).as("id"),
       TextFunctions.simhash64(split(col(textCol), " ")).as("sh"))
 
-    // chunk i covers widths(i) bits starting at offsets(i); first
-    // (64 % numChunks) chunks take the extra bit
-    val base = 64 / numChunks
-    val widths = (0 until numChunks).map(i => if (i < 64 % numChunks) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    def chunk(i: Int): Column =
-      shiftrightunsigned(col("sh"), offsets(i))
-        .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
-
-    val k = numChunks - maxHamming
-    val keyCols = (0 until numChunks).combinations(k).toSeq.zipWithIndex.map {
-      case (combo, ci) => xxhash64(lit(ci) +: combo.map(chunk): _*)
-    }
-    val chunks = docs.select(col("id"), explode(array(keyCols: _*)).as("bucket"))
+    // fused tokens→combination-keys expression: the simhash is computed
+    // once per row (SimHashKeys documents the inlining trap a composed
+    // explode(array(20 key exprs)) hits)
+    val chunks = df.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.simhashKeys(
+        split(col(textCol), " "), numChunks, maxHamming)).as("bucket"))
 
     bucketPairs(chunks, maxBucketSize)
       .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))

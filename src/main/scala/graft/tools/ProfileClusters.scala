@@ -43,6 +43,37 @@ object ProfileClusters {
       time(s"full clusters run$i")(
         graft.queries.PipelineQueries.dedupClusters(spark, sfDir).count())
     }
+    // post-pollution: does session state accumulated above slow a
+    // previously-fast query down (bench-order effect)?
+    (1 to 3).foreach { i =>
+      time(s"minhash query late run$i")(
+        graft.queries.PipelineQueries.dedupMinhash(spark, sfDir).count())
+    }
+    // construction (eager Materialize jobs) vs execution split
+    (1 to 3).foreach { i =>
+      val p = time(s"construct minhashPairs run$i")(
+        graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+      time(s"  count after construct run$i")(p.count())
+      time(s"  orderBy count run$i")(p.orderBy("a_id", "b_id").count())
+    }
+    // stage-by-stage: where does construction time go?
+    import graft.functions.TextFunctions
+    (1 to 2).foreach { i =>
+      val bands = docs.select(col("doc_id").as("id"),
+        explode(TextFunctions.minhashBands(col("text"), 3, 64, 2)).as("bucket"))
+      time(s"bands.count run$i")(bands.count())
+      val sizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val sized = bands.join(sizes.filter(col("bn") <= 1000), Seq("bucket"))
+        .select("id", "bucket")
+      val a = sized.select(col("id").as("a_id"), col("bucket"))
+      val b = sized.select(col("id").as("b_id"), col("bucket"))
+      val cand = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      time(s"candidates.count run$i")(cand.count())
+      time(s"Materialize(candidates) run$i")(graft.operators.Materialize(cand))
+    }
+    println("[prof] storage " + spark.sparkContext.getRDDStorageInfo.length + " rdds, " +
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1024 / 1024 + " MiB cached")
     spark.stop()
   }
 }
