@@ -36,16 +36,34 @@ object Dedup {
     * recomputes the banding pipeline per consumer); the result is
     * materialized (reliable checkpoint on clusters, localCheckpoint
     * otherwise) because every caller consumes it several times. */
-  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
-    Materialize(bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .withColumn("ids", array_sort(col("ids")))
+  /** Test hook: bucketPairs over an explicit (id, bucket) band set. */
+  private[graft] def pairsForTest(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketPairs(bands, maxBucketSize)
+
+  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame = {
+    // long ids take the hard-capped aggregate: buffer memory is O(cap)
+    // even for a degenerate bucket holding most of the corpus (see
+    // BoundedCollect — collect_list materializes the whole bucket
+    // before the size filter can drop it). Non-long ids keep the
+    // collect_list path (same cap semantics, unbounded buffer).
+    val idIsLong = bands.schema("id").dataType == org.apache.spark.sql.types.LongType
+    val grouped =
+      if (idIsLong)
+        bands.groupBy("bucket")
+          .agg(graft.functions.BoundedCollect.bounded_long_list(col("id"), maxBucketSize).as("ids"))
+          .filter(col("ids").isNotNull && size(col("ids")) >= 2) // already sorted
+      else
+        bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucketSize))
+          .withColumn("ids", array_sort(col("ids")))
+    Materialize(grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
+  }
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
     *
