@@ -74,6 +74,9 @@ object SparkEntry {
     "q_json_extract" -> (EventQueries.jsonExtract _),
     "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "q_sample_split" -> (PipelineQueries.sampleSplit _),
+    "q_asof_join" -> (PipelineQueries.asofQ _),
+    "q_vocab" -> (PipelineQueries.vocabQ _),
+    "q_doc_chunks" -> (PipelineQueries.docChunks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +130,9 @@ object SparkEntry {
     "q_json_extract" -> EventQueries.jsonExtractSql,
     "q_dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "q_sample_split" -> PipelineQueries.sampleSplitSql,
+    "q_asof_join" -> PipelineQueries.asofSql,
+    "q_vocab" -> PipelineQueries.vocabSql,
+    "q_doc_chunks" -> PipelineQueries.docChunksSql,
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "q_dedup_embed" -> PipelineQueries.dedupEmbedSql,
     "q_doc_fingerprint" -> PipelineQueries.docFingerprintSql,

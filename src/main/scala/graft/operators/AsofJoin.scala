@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for every left row, attach the single
+  * most recent right row at or before the left row's time, per key —
+  * the lookup a training pipeline needs for feature/metadata joins
+  * with point-in-time correctness (no future leakage).
+  *
+  * Spark-first shape: UNION-TAG + ONE WINDOW PASS, not a range join.
+  * Left probes and right states are unioned into one stream tagged by
+  * side, hash-partitioned by key, sorted by (time, side), and each
+  * payload column is carried forward with `last(_, ignoreNulls)` over
+  * an unbounded-preceding window. Cost: ONE shuffle on the key + one
+  * sort — no key×key range cross-product (a naive `l.ts >= r.ts` theta
+  * join is O(|L|·|R|) per key and unusable at 100 TB), no per-key
+  * broadcast, and AQE-compatible. Right rows sort BEFORE left rows at
+  * equal times, so a state timestamped exactly at the probe time IS
+  * visible (inclusive semantics, matching DuckDB's `ASOF JOIN ON
+  * l.t >= r.t`).
+  *
+  * Scale note: the shuffle partitions by `keys` alone, so a single
+  * mega-key concentrates in one task — same skew surface as any
+  * window function. For bounded-history keys that's the right trade;
+  * for adversarial skew, pre-aggregate the right side per (key, time)
+  * (q_asof does) and/or time-bucket the key.
+  *
+  * Right-side rows must be unique per (keys, timeCol) — equal-time
+  * duplicates would make "the" most recent row ambiguous (and any
+  * engine's pick nondeterministic). Callers aggregate duplicates away
+  * first; `backward` asserts nothing and simply takes the last in sort
+  * order, which equal-time duplicates make undefined.
+  */
+object AsofJoin {
+
+  /** Backward as-of join.
+    *
+    * @param left      probe side; all its columns are kept
+    * @param right     state side; only `keys`, `rightTime`, `payload` used
+    * @param keys      equi-join key columns (same names both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param payload   right columns to attach (null when no prior state)
+    * @param toleranceMillis if set, a matched state older than this is
+    *                  nulled out (DuckDB mirror: an extra time bound)
+    * @return left rows + payload columns + `__asof_time` (the matched
+    *         right timestamp, null when unmatched)
+    */
+  def backward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      toleranceMillis: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__asof_time"), "__asof_time is reserved")
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns must not clash with left columns: " +
+        payload.filter(leftCols.contains).mkString(", "))
+
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast(right.schema(rightTime).dataType))
+      .select(
+        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__rt")) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__rt", col(rightTime))
+      .select(
+        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__rt")) ++
+          leftCols.filterNot(keys.contains)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(p => col(p).as(s"__p_$p")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("__asof_time", last(col("__rt"), ignoreNulls = true).over(w))
+    val attached = payload.foldLeft(carried) { (d, p) =>
+      d.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+
+    val withTolerance = toleranceMillis match {
+      case None => attached
+      case Some(tol) =>
+        val stale = col("__asof_time").isNull ||
+          unix_millis(col("__t")) - unix_millis(col("__asof_time")) > tol
+        payload.foldLeft(
+          attached.withColumn("__asof_time",
+            when(stale, lit(null)).otherwise(col("__asof_time")))) { (d, p) =>
+          d.withColumn(p, when(stale, lit(null)).otherwise(col(p)))
+        }
+    }
+
+    withTolerance
+      .filter(col("__side") === 1)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        payload :+ "__asof_time").map(col): _*)
+  }
+}

@@ -129,4 +129,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= minMatches)
   }
+
+  /** Corpus vocabulary (the tokenizer-training precursor): token →
+    * total occurrences + document frequency, min-count filtered, top-k
+    * by (count desc, token asc — the deterministic tiebreak). ONE
+    * shuffle: explode is map-side, the token groupBy partially
+    * aggregates before shuffling, and the top-k plans as
+    * TakeOrderedAndProject (never a global sort). Empty tokens (from
+    * consecutive separators / empty docs) are dropped. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L, topK: Int = 1000): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(topK)
+
+  /** Overlapping token-window chunks for training-sequence prep:
+    * window `window` tokens, stride `stride` (< window ⇒ overlap of
+    * window − stride). Chunk grid = ceil((n − window)/stride) + 1, so
+    * every token is covered and a short doc yields exactly one chunk.
+    * The token array materializes ONCE per doc as Generate (explode)
+    * INPUT and is sliced per chunk downstream — keeping the split out
+    * of the generator expression avoids re-splitting per chunk, and
+    * chunking is pure per-row projection: NO shuffle at any scale. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val n = size(col("__words"))
+    val nChunks = (lit(1) +
+      floor(greatest(n - window + stride - 1, lit(0)) / stride)).cast("int")
+    df.select(col(idCol), words(col(textCol)).as("__words"))
+      .select(col(idCol), col("__words"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("__words"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), n - col("chunk_id") * stride).cast("int").as("chunk_tokens"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -447,4 +447,76 @@ object PipelineQueries {
       |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
       |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS frames
       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- point-in-time (as-of) join ----
+
+  /** Each click event annotated with the user's most recent purchase
+    * value at or before the click — the point-in-time feature join
+    * (AsofJoin: union-tag + one window pass, one shuffle). The right
+    * side is pre-aggregated to one row per (user, ts) because equal-
+    * time duplicates make "the most recent row" ambiguous in any
+    * engine. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", payload = Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"),
+        (unix_millis(col("ts")) - unix_millis(col("__asof_time"))).as("millis_since"))
+      .orderBy("event_id")
+  }
+
+  val asofSql: String =
+    """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click'),
+      |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, l.ts, r.purchase_value,
+      |  CAST(epoch_ms(l.ts) - epoch_ms(r.ts) AS BIGINT) AS millis_since
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---- vocabulary construction ----
+
+  /** Corpus vocabulary: token → document frequency + total count,
+    * min-count filtered, top-k by (count desc, token asc) — the BPE /
+    * tokenizer-training precursor. One shuffle (token groupBy with
+    * map-side partial agg); top-k is TakeOrderedAndProject, never a
+    * global sort. */
+  def vocabQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabulary(docs(s, d), "doc_id", "text", minCount = 5, topK = 200)
+
+  val vocabSql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word HAVING count(*) >= 5
+      |ORDER BY n DESC, word ASC LIMIT 200""".stripMargin
+
+  // ---- document chunking ----
+
+  /** Overlapping token-window chunks (window 40, stride 30) — the
+    * long-document split for training-sequence prep. The token array
+    * materializes ONCE per doc in the Generate (explode) input and is
+    * sliced per chunk downstream; chunk grid = ceil((n−w)/s)+1 windows
+    * covering every token, short docs = one chunk. */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, d), "doc_id", "text", window = 40, stride = 30)
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g AS (SELECT doc_id, words,
+      |        1 + CAST(floor(greatest(len(words) - 40 + 30 - 1, 0) / 30) AS INT) AS n_chunks
+      |      FROM t)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |  array_to_string(words[(i*30 + 1):(i*30 + 40)], ' ') AS chunk_text,
+      |  CAST(least(40, len(words) - i*30) AS INT) AS chunk_tokens
+      |FROM g, LATERAL unnest(range(0, n_chunks)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
 }

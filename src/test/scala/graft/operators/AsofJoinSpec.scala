@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("backward: most recent state at or before the probe, per key") {
+    val left = Seq(
+      (1L, ts(100), "p1"), (1L, ts(250), "p2"), (1L, ts(50), "p0"),
+      (2L, ts(100), "p3")).toDF("k", "t", "probe")
+    val right = Seq(
+      (1L, ts(100), 10.0), (1L, ts(200), 20.0),
+      (3L, ts(50), 99.0)).toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("probe", "v", "__asof_time")
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(out("p0") == ((None, None)), "probe before any state → null")
+    assert(out("p1") == ((Some(10.0), Some(ts(100)))), "equal-time state IS visible (inclusive)")
+    assert(out("p2") == ((Some(20.0), Some(ts(200)))), "latest prior state wins")
+    assert(out("p3") == ((None, None)), "key with no states → null")
+  }
+
+  test("backward: tolerance nulls out stale matches") {
+    val left = Seq((1L, ts(1000), "near"), (1L, ts(5000), "far")).toDF("k", "t", "probe")
+    val right = Seq((1L, ts(900), 1.0)).toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+        toleranceMillis = Some(500L))
+      .select("probe", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("near") == Some(1.0), "100ms-old state within 500ms tolerance")
+    assert(out("far").isEmpty, "4100ms-old state beyond tolerance → null")
+  }
+
+  test("backward plans exactly one shuffle (union-tag, not a range join)") {
+    val left = Seq((1L, ts(100), "p")).toDF("k", "t", "probe")
+    val right = Seq((1L, ts(50), 1.0)).toDF("k", "t", "v")
+    val plan = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "must not plan a range/theta join")
+  }
+}
