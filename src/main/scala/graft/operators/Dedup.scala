@@ -144,7 +144,8 @@ object Dedup {
     * Without one (tests, single node) it falls back to localCheckpoint.
     * Lineage is truncated either way, so per-round plans stay O(1). */
   def clustersFromPairs(df: DataFrame, idCol: String, pairsDf: DataFrame,
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 20,
+                        driverEdgeLimit: Long = 200000L): DataFrame = {
     def materialize(d: DataFrame): DataFrame = Materialize(d)
     // (count, order-independent hash xor) of the DISTINCT edge set —
     // equal fingerprints across a round ⇒ fixed point reached (xor is
@@ -184,27 +185,66 @@ object Dedup {
       pairsDf.select(col("a_id").as("src"), col("b_id").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
     var fp = fingerprint(edges)
-    var converged = fp._1 == 0L
-    var i = 0
-    while (!converged && i < maxIter) {
-      val next = materialize(smallStar(largeStar(edges)))
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      edges = next
-      fp = nfp
-      i += 1
-    }
-    // a silent partial contraction would return WRONG labels — fail
-    // loudly instead (maxIter=20 covers component diameters ~2^20;
-    // non-convergence means something pathological, not "close enough")
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter rounds; raise maxIter")
 
-    // at the fixed point every edge is (node, component-min root);
+    // ADAPTIVE: a near-dup edge set is orders smaller than the corpus
+    // (it is O(duplicate pairs), already deduped and skew-capped). When
+    // it fits the same size budget that justifies collecting a
+    // broadcast-join side, a driver union-find replaces ~log(n) star
+    // rounds × ~6 shuffles each with ONE collect + ONE broadcast join —
+    // the exact runtime size-based strategy choice AQE makes for joins.
+    // Past the bound (or for non-long ids) the distributed star rounds
+    // run unchanged, so the operator never depends on the edges
+    // fitting anywhere.
+    val idIsLong = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val labels: DataFrame =
+      if (fp._1 == 0L) edges.select(col("src").as(idCol), col("dst").as("cluster_id"))
+      else if (idIsLong && fp._1 <= driverEdgeLimit) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != r) {
+            val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+          }
+          r
+        }
+        edges.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        // root chains collapse to the min id per component because
+        // unions always attach the larger root under the smaller
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet().forEach { n => val r = find(n); if (n != r) out += ((n, r)) }
+        val s = df.sparkSession
+        import s.implicits._
+        broadcast(out.toSeq.toDF(idCol, "cluster_id"))
+      } else {
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIter) {
+          val next = materialize(smallStar(largeStar(edges)))
+          val nfp = fingerprint(next)
+          converged = nfp == fp
+          edges = next
+          fp = nfp
+          i += 1
+        }
+        // a silent partial contraction would return WRONG labels — fail
+        // loudly instead (maxIter=20 covers component diameters ~2^20;
+        // non-convergence means something pathological, not "close enough")
+        if (!converged) throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds; raise maxIter")
+        // at the fixed point every edge is (node, component-min root)
+        edges.select(col("src").as(idCol), col("dst").as("cluster_id"))
+      }
+
     // roots and singletons label themselves via the left join
     df.select(col(idCol))
-      .join(edges.select(col("src").as(idCol), col("dst").as("cluster_id")),
-        Seq(idCol), "left")
+      .join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 

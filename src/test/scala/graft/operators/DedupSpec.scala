@@ -136,12 +136,33 @@ class DedupSpec extends SparkSpec {
 
   test("connected components fails loudly if maxIter is too small") {
     // a path graph 1-2-3-4-5 needs >1 round; maxIter=1 must throw,
-    // never return partially-contracted labels
+    // never return partially-contracted labels (driverEdgeLimit=0
+    // forces the distributed star rounds this test is about)
     val df = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      Dedup.clustersFromPairs(df, "doc_id", pairs, maxIter = 1).collect()
+      Dedup.clustersFromPairs(df, "doc_id", pairs, maxIter = 1,
+        driverEdgeLimit = 0L).collect()
     }
+  }
+
+  test("driver union-find and distributed star rounds label identically") {
+    // chain + triangle + separate pair + singleton, edges in adversarial
+    // order (large ids first) — both paths must produce min-id labels
+    val df = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (11L, 12L), (9L, 10L), (8L, 9L), // chain 8-9-10 + pair 11-12
+      (5L, 6L), (4L, 6L), (4L, 5L),    // triangle 4-5-6
+      (2L, 7L), (1L, 7L)               // star at 7 → min 1
+    ).toDF("a_id", "b_id")
+    val viaDriver = Dedup.clustersFromPairs(df, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaStars = Dedup.clustersFromPairs(df, "doc_id", pairs, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDriver == viaStars)
+    assert(viaDriver == Map(
+      1L -> 1L, 2L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 4L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 11L))
   }
 
   test("embedding LSH finds planted near-duplicate vectors") {
