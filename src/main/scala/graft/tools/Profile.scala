@@ -29,28 +29,21 @@ object Profile {
 
     val docsRaw = Tables.documents(spark, sfDir)
     time("docs count")(docsRaw.count())
-    val docs = docsRaw.select(col("doc_id").as("id"),
-      TextFunctions.minhashSigText(col("text"), 3, 128).as("sig"))
-    time("fused sig")(docs.agg(count(lit(1))).collect())
-    time("fused sig again")(docs.agg(count(lit(1))).collect())
-    val bands = docs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(63)),
-        b => xxhash64(b, slice(col("sig"), b * 2 + 1, lit(2))))).as("bucket"))
-    time("bands count")(bands.count())
-    val bucketSizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    time("bucketSizes")(bucketSizes.count())
-    val sized = bands.join(bucketSizes.filter(col("bn") <= 1000), Seq("bucket"))
-      .select("id", "bucket")
-    time("sized")(sized.count())
-    val a = sized.select(col("id").as("a_id"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("bucket"))
-    val cand0 = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    time("cand0")(println("  cand0=" + cand0.count()))
-    val candidates = cand0.dropDuplicates("a_id", "b_id")
-    time("candidates dedup")(println("  candidates=" + candidates.count()))
-    (1 to 3).foreach(i =>
-      time(s"full op run$i")(graft.operators.Dedup.minhashPairs(docsRaw, "doc_id", "text").count()))
+    // signature alone vs fused banding (one-expression band keys —
+    // composing bands from lambdas over a sig column recomputes the
+    // signature per band, see MinHashBands)
+    val sig = docsRaw.select(col("doc_id").as("id"),
+      TextFunctions.minhashSigText(col("text"), 3, 64).as("sig"))
+    time("fused sig")(sig.agg(count(lit(1))).collect())
+    time("fused sig again")(sig.agg(count(lit(1))).collect())
+    val bands = docsRaw.select(col("doc_id").as("id"),
+      explode(TextFunctions.minhashBands(col("text"), 3, 64, 2)).as("bucket"))
+    time("bands count (fused keys)")(bands.count())
+    (1 to 3).foreach { i =>
+      val p = time(s"construct minhashPairs run$i")(
+        graft.operators.Dedup.minhashPairs(docsRaw, "doc_id", "text"))
+      time(s"  count after construct run$i")(println("  pairs=" + p.count()))
+    }
     spark.stop()
   }
 }

@@ -56,21 +56,12 @@ object ProfileClusters {
       time(s"  count after construct run$i")(p.count())
       time(s"  orderBy count run$i")(p.orderBy("a_id", "b_id").count())
     }
-    // stage-by-stage: where does construction time go?
+    // banding alone (the corpus-wide pass; fused MinHashBands)
     import graft.functions.TextFunctions
     (1 to 2).foreach { i =>
       val bands = docs.select(col("doc_id").as("id"),
         explode(TextFunctions.minhashBands(col("text"), 3, 64, 2)).as("bucket"))
       time(s"bands.count run$i")(bands.count())
-      val sizes = bands.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      val sized = bands.join(sizes.filter(col("bn") <= 1000), Seq("bucket"))
-        .select("id", "bucket")
-      val a = sized.select(col("id").as("a_id"), col("bucket"))
-      val b = sized.select(col("id").as("b_id"), col("bucket"))
-      val cand = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-      time(s"candidates.count run$i")(cand.count())
-      time(s"Materialize(candidates) run$i")(graft.operators.Materialize(cand))
     }
     println("[prof] storage " + spark.sparkContext.getRDDStorageInfo.length + " rdds, " +
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1024 / 1024 + " MiB cached")
