@@ -49,6 +49,7 @@ object SparkEntry {
     "q_dedup_embed" -> (PipelineQueries.dedupEmbed _),
     "q_ann_brute" -> (PipelineQueries.annBrute _),
     "q_ann_ivf" -> (PipelineQueries.annIvf _),
+    "q_ann_ivf_indexed" -> (PipelineQueries.annIvfIndexed _),
     "q_lang_id" -> (PipelineQueries.langIdQ _),
     "q_text_quality" -> (PipelineQueries.textQuality _),
     "q_token_count" -> (PipelineQueries.tokenCount _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,
     "q_ann_brute" -> PipelineQueries.annBruteSql,
     "q_ann_ivf" -> PipelineQueries.annIvfSql,
+    "q_ann_ivf_indexed" -> PipelineQueries.annIvfIndexedSql,
     "q_lang_id" -> PipelineQueries.langIdSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_token_count" -> PipelineQueries.tokenCountSql,

@@ -127,4 +127,70 @@ object Similarity {
   /** Normalize queries input for ivfTopK. */
   def prepareQueries(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+
+  /** Build and PERSIST an IVF index: every corpus vector assigned to
+    * its nearest centroid cell, written `partitionBy(cell)`, plus the
+    * (tiny) centroid table — the 100 TB ANN path: the assignment pass
+    * runs ONCE, and every later query batch scans only its probed
+    * cells via partition pruning instead of re-deriving centroids and
+    * re-assigning the corpus per query (what `ivfTopK` does inline).
+    *
+    * Layout: `$path/cells/cell=<c_id>/…` (n_id, n_v) and
+    * `$path/centroids` (c_id, c_v). Deterministic for a given corpus
+    * and centroid choice, so rebuilding is idempotent. */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 16, centroids0: Option[DataFrame] = None): Unit = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val centroids = centroids0.getOrElse(
+      c.orderBy(col("n_id")).limit(cells)
+        .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
+      .groupBy(col("n_id"))
+      .agg(
+        first(col("n_v")).as("n_v"),
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("cell"))
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index: nearest `nprobe` cells per query
+    * (against the broadcast centroid table), then brute-force cosine
+    * only inside those cells. The cell join is on the PARTITION column
+    * of the index, so the scan prunes to the probed cells — at most
+    * queries×nprobe of `cells` directories, independent of corpus
+    * size (spec-asserted on the plan's partition count). */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val index = spark.read.parquet(s"$path/cells")
+
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = queries.select(col("q_id"), col("q_v"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", cosine(col("q_v"), col("c_v")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+
+    // static pruning: the probed cell set is at most queries×nprobe
+    // values (tiny by construction — queries are a probe batch, not a
+    // corpus), collected into an IN-list literal so the parquet scan
+    // plans with a static PartitionFilter. This mirrors how AQE-era
+    // engines turn a small dim side into partition pruning; at 100 TB
+    // it is the difference between scanning nprobe cells and all of
+    // them.
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    index.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
 }

@@ -309,6 +309,26 @@ object PipelineQueries {
       |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** ANN against a PERSISTED IVF index (build-once, probe-many — the
+    * 100 TB serving path): the corpus assignment is written
+    * partitionBy(cell) on first run and reused after (deterministic
+    * ⇒ idempotent); the probe scans only the probed cell partitions.
+    * Same centroid/probe semantics as q_ann_ivf, so the same SQL
+    * oracle applies verbatim. */
+  def annIvfIndexed(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfindex_v1_$sfKey"
+    val done = new java.io.File(s"$base/cells/_SUCCESS")
+    if (!done.isFile)
+      Similarity.writeIvfIndex(embs(s, d), "vec_id", "embedding", base, cells = 16)
+    Similarity.queryIvfIndex(s, base,
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfIndexedSql: String = annIvfSql
+
   // ---- text analysis ----
 
   def langIdQ(s: SparkSession, d: String): DataFrame =

@@ -90,4 +90,51 @@ class SimilaritySpec extends SparkSpec {
     val want = (4.0 + 10.0 + 18.0) / (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
     assert(c == want)
   }
+
+  test("persisted IVF index returns identical neighbors to inline ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", dir, cells = 16)
+      val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
+      val fromIndex = Similarity.queryIvfIndex(spark, dir, q, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val inline = Similarity.ivfTopK(embs, q, "vec_id", "embedding",
+          k = 10, cells = 16, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fromIndex == inline && fromIndex.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("IVF index probe scans ONLY the probed cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    try {
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", dir, cells = 16)
+      val q = Similarity.prepareQueries(embs.filter($"vec_id" === 0), "vec_id", "embedding")
+      // sparkPlan (pre-adaptive): AdaptiveSparkPlanExec hides children
+      // from collect; the static IN-list partition filter is present
+      // before execution either way
+      val plan = Similarity.queryIvfIndex(spark, dir, q, k = 10, nprobe = 4)
+        .queryExecution.sparkPlan
+      // one query × nprobe=4 → the index scan must read ≤4 of the 16
+      // cell partitions (static IN-list partition filter)
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+      }
+      assert(scans.nonEmpty, s"no index scan found:\n$plan")
+      // the scan carries BOTH the static IN-list filter and a
+      // dynamicpruning filter from the broadcast cell join; only the
+      // static one is evaluable before execution
+      val static = scans.head.partitionFilters
+        .filterNot(_.toString.contains("dynamicpruning"))
+      assert(static.nonEmpty, "expected a static cell IN-list partition filter")
+      val parts = scans.head.relation.location.listFiles(
+        static, scans.head.dataFilters).length
+      assert(parts <= 4, s"expected ≤4 pruned cell partitions, scanned $parts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
