@@ -22,6 +22,30 @@ import org.json4s.jackson.JsonMethods
   */
 sealed trait DimFilter {
   def compile(schema: StructType): Column
+
+  /** Column names this filter reads, or None when statically unknown
+    * (the free-form `expression` filter) — lets scan-time column
+    * pruning keep projection ∪ filter columns instead of giving up
+    * whenever a filter is present. */
+  def referencedDims: Option[Set[String]] = this match {
+    case DimFilter.Selector(d, _) => Some(Set(d))
+    case DimFilter.In(d, _) => Some(Set(d))
+    case DimFilter.Bound(d, _, _, _, _, _) => Some(Set(d))
+    case DimFilter.Like(d, _) => Some(Set(d))
+    case DimFilter.Regex(d, _) => Some(Set(d))
+    case DimFilter.Search(d, _, _) => Some(Set(d))
+    case DimFilter.Intervals(d, _) => Some(Set(d))
+    case DimFilter.ColumnComparison(ds) => Some(ds.toSet)
+    case DimFilter.And(fs) =>
+      fs.foldLeft(Option(Set.empty[String])) {
+        case (Some(a), f) => f.referencedDims.map(a ++ _)
+        case (None, _) => None
+      }
+    case DimFilter.Or(fs) => DimFilter.And(fs).referencedDims
+    case DimFilter.Not(f) => f.referencedDims
+    case DimFilter.True => Some(Set.empty)
+    case DimFilter.Expr(_) => None
+  }
 }
 
 object DimFilter {

@@ -58,32 +58,47 @@ object AsofJoin {
       s"payload columns must not clash with left columns: " +
         payload.filter(leftCols.contains).mkString(", "))
 
+    // the matched right row travels as ONE struct: `last(_, ignoreNulls)`
+    // then skips only non-state rows, never a state whose payload FIELD
+    // is null — carrying payload columns individually would slide a
+    // null-valued field past its own row to an older state's value,
+    // producing a payload inconsistent with __asof_time (and with SQL
+    // ASOF semantics).
+    val stateType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("t", right.schema(rightTime).dataType) +:
+        payload.map(p => org.apache.spark.sql.types.StructField(
+          p, right.schema(p).dataType)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__rt", lit(null).cast(right.schema(rightTime).dataType))
+      .withColumn("__state", lit(null).cast(stateType))
       .select(
-        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__rt")) ++
-          leftCols.filterNot(keys.contains).map(col) ++
-          payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__state")) ++
+          leftCols.filterNot(keys.contains).map(col): _*)
+    // SQL equality never matches NULL keys: null-key states must not be
+    // visible to anyone (window partitioning WOULD group them with
+    // null-key probes) — drop them at the source; null-key probes then
+    // sit in a state-free partition and get nulls, as the oracle does
     val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__rt", col(rightTime))
+      .withColumn("__state",
+        struct(col(rightTime).as("t") +: payload.map(col): _*))
       .select(
-        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__rt")) ++
+        (keys.map(col) :+ col("__t") :+ col("__side") :+ col("__state")) ++
           leftCols.filterNot(keys.contains)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(p => col(p).as(s"__p_$p")): _*)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn("__asof_time", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__state"), ignoreNulls = true).over(w))
+      .withColumn("__asof_time", col("__match.t"))
     val attached = payload.foldLeft(carried) { (d, p) =>
-      d.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+      d.withColumn(p, col(s"__match.$p"))
     }
 
     val withTolerance = toleranceMillis match {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -86,26 +87,32 @@ object Similarity {
     * At 100 TB the assignment is one broadcast-join pass and the probe
     * scans corpus/cells × nprobe vectors per query.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 4,
-      centroids0: Option[DataFrame] = None): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+  /** Deterministic default centroids: the `cells` lowest-id vectors. */
+  private def defaultCentroids(c: DataFrame, cells: Int): DataFrame =
+    c.orderBy(col("n_id")).limit(cells)
+      .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
 
-    // deterministic centroids: the `cells` lowest-id corpus vectors
-    val centroids = centroids0.getOrElse(
-      c.orderBy(col("n_id")).limit(cells)
-        .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
-
-    // argmax assignment via max_by over (cosine, -c_id) — one partial-
-    // aggregable pass, no per-vector window sort (ties break to the
-    // lowest c_id, matching the oracle's "cos DESC, c_id ASC")
-    val assigned = c.join(broadcast(centroids), lit(true))
+  /** Nearest-cell argmax assignment via max_by over (cosine, -c_id) —
+    * one partial-aggregable pass, no per-vector window sort (ties
+    * break to the lowest c_id, matching the oracle's "cos DESC, c_id
+    * ASC"). Shared by the inline path and the index writer: the
+    * persisted index is only correct if its assignment is
+    * bit-identical to inline ivfTopK's. */
+  private def assignToCells(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids), lit(true))
       .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
       .groupBy(col("n_id"))
       .agg(
         first(col("n_v")).as("n_v"), // constant within the group
         max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("cell"))
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, cells: Int = 16, nprobe: Int = 4,
+      centroids0: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val centroids = centroids0.getOrElse(defaultCentroids(c, cells))
+    val assigned = assignToCells(c, centroids)
 
     val q = queries.select(col("q_id"), col("q_v"))
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
@@ -142,17 +149,10 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       cells: Int = 16, centroids0: Option[DataFrame] = None): Unit = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val centroids = centroids0.getOrElse(
-      c.orderBy(col("n_id")).limit(cells)
-        .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
-    val assigned = c.join(broadcast(centroids), lit(true))
-      .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
-      .groupBy(col("n_id"))
-      .agg(
-        first(col("n_v")).as("n_v"),
-        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("cell"))
+    val centroids = centroids0.getOrElse(defaultCentroids(c, cells))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    assignToCells(c, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Probe a persisted IVF index: nearest `nprobe` cells per query
@@ -168,22 +168,27 @@ object Similarity {
     val index = spark.read.parquet(s"$path/cells")
 
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val probes = queries.select(col("q_id"), col("q_v"))
+    // computed ONCE and collected: probe rows are at most queries ×
+    // nprobe (tiny by construction — queries are a probe batch, not a
+    // corpus). The collected rows give (a) the static IN-list literal
+    // so the index scan plans with a PartitionFilter — at 100 TB the
+    // difference between scanning nprobe cells and all of them — and
+    // (b) a local relation to broadcast-join, instead of re-running
+    // the centroid-cosine window a second time as the join side.
+    val probeRows = queries.select(col("q_id"), col("q_v"))
       .join(broadcast(centroids), lit(true))
       .withColumn("c_cos", cosine(col("q_v"), col("c_v")))
       .withColumn("r", row_number().over(probeW))
       .filter(col("r") <= nprobe)
       .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
-
-    // static pruning: the probed cell set is at most queries×nprobe
-    // values (tiny by construction — queries are a probe batch, not a
-    // corpus), collected into an IN-list literal so the parquet scan
-    // plans with a static PartitionFilter. This mirrors how AQE-era
-    // engines turn a small dim side into partition pruning; at 100 TB
-    // it is the difference between scanning nprobe cells and all of
-    // them.
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0))
+      .collect()
+    val probeSchema = StructType(Seq(
+      StructField("q_id", queries.schema("q_id").dataType),
+      StructField("q_v", queries.schema("q_v").dataType),
+      StructField("cell", centroids.schema("c_id").dataType)))
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val probedCells = probeRows.map(_.getLong(2)).distinct.toSeq
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     index.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))

@@ -40,8 +40,11 @@ object PipelineQueries {
     val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"${sys.props("java.io.tmpdir")}/graft_streamdedup_v1_$sfKey"
     val outDir = s"$base/out"
-    val done = new java.io.File(s"$outDir/_SUCCESS")
-    if (!done.isFile) {
+    // the streaming parquet sink commits through _spark_metadata (it
+    // never writes a batch-style _SUCCESS marker) — guard on that, or
+    // the build-once path re-stages and re-runs the stream every call
+    val done = new java.io.File(s"$outDir/_spark_metadata")
+    if (!done.isDirectory) {
       val stage = s"$base/stage"
       docs(s, d)
         .select(

@@ -251,12 +251,18 @@ object SegmentQueries {
     * the multi-value dim. Covers the DOUBLE metric and array<string>
     * decode paths under the driver's hash gate; the oracle is the
     * fixture's known contents as a VALUES table. */
-  def druidDeepStore(spark: SparkSession, sfDir: String): DataFrame = {
+  def druidDeepStore(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     import graft.sources.{DruidDeepStorage, DruidSegmentWriter => W}
     val day = 24 * 3600 * 1000L
     val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    // versioned root (bump on any layout change — an unversioned dir
+    // would keep discovering stale descriptors from older revisions)
+    // + completion sentinel + build-in-staging-then-rename, so a
+    // concurrent JVM (Bench ∥ Verify) never reads a half-written
+    // index.zip and a finished tree is never rebuilt
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_druid_deepstore")
+      sys.props("java.io.tmpdir"), "graft_druid_deepstore_v2")
+    val sentinel = new java.io.File(root, "_COMPLETE")
     def seg(dir: java.io.File, version: String, hosts: Seq[String],
             tags: Seq[Seq[String]], lo: Long, hi: Long): Unit = {
       val n = hosts.size
@@ -267,12 +273,29 @@ object SegmentQueries {
           W.DoubleMet("revenue", (1 to n).map(_ * 1.25))),
         lo, hi, version = version)
     }
-    // idempotent rebuild: content is a pure function of these literals
-    seg(new java.io.File(root, "fixture/day/v1/0"), "v1",
-      Seq("a", "b", "c", "d", "e"),
-      Seq(Seq("x", "y"), Seq(), Seq("y"), Seq("x", "z"), Seq("z")), t0, t0 + day)
-    seg(new java.io.File(root, "fixture/half2/v2/0"), "v2",
-      Seq("n1", "n2"), Seq(Seq("x"), Seq()), t0 + day / 2, t0 + day)
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_druid_deepstore_v2_build_${java.util.UUID.randomUUID}")
+      seg(new java.io.File(staging, "fixture/day/v1/0"), "v1",
+        Seq("a", "b", "c", "d", "e"),
+        Seq(Seq("x", "y"), Seq(), Seq("y"), Seq("x", "z"), Seq("z")), t0, t0 + day)
+      seg(new java.io.File(staging, "fixture/half2/v2/0"), "v2",
+        Seq("n1", "n2"), Seq(Seq("x"), Seq()), t0 + day / 2, t0 + day)
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        // another JVM finished while we built — use theirs
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        // clear a stale/unfinished root (old process died mid-build),
+        // then promote atomically; losing the rename race is fine iff
+        // the winner's tree is complete
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"deep-store fixture promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
     DruidDeepStorage.scan(spark, root.getAbsolutePath, "fixture", t0, t0 + day)
       .select(col("__time"), col("host"), col("hits"), col("revenue"),
         explode_outer(col("tags")).as("tag"))

@@ -79,15 +79,28 @@ object DruidDeepStorage {
     val segments = discover(spark, root).filter(_.dataSource == dataSource)
     require(segments.nonEmpty, s"no segments for dataSource '$dataSource' under $root")
     val windows = VersionedTimeline.resolve(segments, intervalStartMs, intervalEndMs)
-    // a DimFilter may reference unprojected dims → prune only when none
-    val pruned = if (filterJson.isEmpty) columns else Nil
+    // decode-time pruning: projection ∪ the filter's referenced dims.
+    // Only a free-form `expression` filter (referencedDims = None)
+    // forces a full decode — every structured DimFilter names its
+    // columns, so a filtered 2-column scan still skips the other
+    // columns' decompression.
+    val parsedFilter = filterJson.map(graft.model.DimFilter.parse)
+    val pruned =
+      if (columns.isEmpty) Nil
+      else parsedFilter match {
+        case None => columns
+        case Some(f) => f.referencedDims match {
+          case Some(dims) => (columns ++ dims).distinct
+          case None => Nil // unknown references: decode everything
+        }
+      }
     val df0 =
       if (windows.isEmpty) // interval misses every segment: empty, correct schema
         DruidSegmentReader.read(spark, Seq(segments.head.path), pruned).limit(0)
       else DruidSegmentReader.readWindowed(spark,
         windows.map(w => (w.segment.path, w.windowStartMs, w.windowEndMs)), pruned)
-    val df1 = filterJson match {
-      case Some(j) => df0.filter(graft.model.DimFilter.parse(j).compile(df0.schema))
+    val df1 = parsedFilter match {
+      case Some(f) => df0.filter(f.compile(df0.schema))
       case None => df0
     }
     if (columns.isEmpty) df1

@@ -109,9 +109,12 @@ object SegmentCatalog {
     // .tmp is present — on copy+delete object stores the new target
     // object appears before the tmp is deleted. So: target missing AND
     // tmp present → publisher mid-rename, retry with backoff (object
-    // stores can take seconds); target missing AND no tmp → the
-    // catalog genuinely doesn't exist, return immediately (a cold
-    // store must not stall every existence probe).
+    // stores can take seconds); target missing AND no tmp → ONE final
+    // re-read before concluding the catalog doesn't exist: the rename
+    // can complete (target appears, tmp gone) between attempt() and
+    // the tmp probe, and giving up there would hand a concurrent
+    // publisher an empty merge base — silent segment loss. A cold
+    // store pays one extra metadata call, never a sleep.
     def publishInFlight(): Boolean =
       try fs.exists(new HPath(p.toString + ".tmp")) catch { case _: Exception => false }
     @annotation.tailrec
@@ -121,7 +124,7 @@ object SegmentCatalog {
         case None if attemptsLeft > 0 && publishInFlight() =>
           Thread.sleep(delayMs)
           retry(attemptsLeft - 1, math.min(delayMs * 2, 1000))
-        case None => None
+        case None => attempt()
       }
     val content = retry(attemptsLeft = 6, delayMs = 50)
     content match {

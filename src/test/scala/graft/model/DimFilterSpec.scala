@@ -89,4 +89,24 @@ class DimFilterSpec extends SparkSpec {
     val got = df2.filter(f.compile(df2.schema)).select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("referencedDims: structured filters name their columns; expression is unknown") {
+    assert(DimFilter.parse(
+      """{"type":"and","fields":[
+        |{"type":"selector","dimension":"a","value":"x"},
+        |{"type":"not","field":{"type":"bound","dimension":"b","lower":"1"}},
+        |{"type":"or","fields":[
+        |  {"type":"columnComparison","dimensions":["c","d"]},
+        |  {"type":"search","dimension":"e","query":{"type":"contains","value":"q"}}]}
+        |]}""".stripMargin).referencedDims == Some(Set("a", "b", "c", "d", "e")))
+    assert(DimFilter.parse(
+      """{"type":"expression","expression":"a > 1"}""").referencedDims.isEmpty)
+    // unknown anywhere in the tree poisons the whole answer — a partial
+    // set would under-prune-proof nothing and over-prune the decode
+    assert(DimFilter.parse(
+      """{"type":"and","fields":[
+        |{"type":"selector","dimension":"a","value":"x"},
+        |{"type":"expression","expression":"b > 1"}]}""".stripMargin)
+      .referencedDims.isEmpty)
+  }
 }

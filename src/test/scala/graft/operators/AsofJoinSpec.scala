@@ -36,6 +36,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("far").isEmpty, "4100ms-old state beyond tolerance → null")
   }
 
+  test("backward: a matched state with a NULL payload field stays NULL (not slid to an older state)") {
+    val left = Seq((1L, ts(300), "p")).toDF("k", "t", "probe")
+    val right = Seq(
+      (1L, ts(100), Some(10.0)),
+      (1L, ts(200), None: Option[Double])).toDF("k", "t", "v")
+    val row = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("v", "__asof_time").collect()(0)
+    assert(row.isNullAt(0), "the t=200 state's null v must win, not t=100's 10.0")
+    assert(row.getTimestamp(1) == ts(200), "__asof_time must be the matched state's time")
+  }
+
+  test("backward: NULL keys never match (SQL equality semantics)") {
+    val left = Seq((None: Option[Long], ts(200), "pnull"), (Some(1L), ts(200), "p1"))
+      .toDF("k", "t", "probe")
+    val right = Seq((None: Option[Long], ts(100), 1.0), (Some(1L), ts(100), 2.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("probe", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("pnull").isEmpty, "null-key probe must not see null-key states")
+    assert(out("p1") == Some(2.0))
+  }
+
   test("backward plans exactly one shuffle (union-tag, not a range join)") {
     val left = Seq((1L, ts(100), "p")).toDF("k", "t", "probe")
     val right = Seq((1L, ts(50), 1.0)).toDF("k", "t", "v")

@@ -121,6 +121,20 @@ class DruidDeepStorageSpec extends SparkSpec {
     assert(out(0).length == 3)
   }
 
+  test("filtered scan prunes decode to projection ∪ filter dims (filter dim unprojected)") {
+    val root = tmpDir()
+    writeSegment(new File(root, "fixture/v1/0"))
+    // filter on an UNPROJECTED metric: pruning must still decode it for
+    // evaluation, and the final projection must drop it
+    val out = DruidDeepStorage.scan(spark, root.getAbsolutePath, "fixture",
+      t0, t0 + day, columns = Seq("host"),
+      filterJson = Some("""{"type":"bound","dimension":"hits","lower":"25","ordering":"numeric"}"""))
+      .orderBy("__time").collect()
+    assert(out.map(_.getAs[String]("host")).toSeq.nonEmpty)
+    assert(out.head.schema.fieldNames.toSeq == Seq("__time", "host"),
+      "filter column must not leak into the projected output")
+  }
+
   test("interval missing every segment yields empty with the right schema") {
     val root = tmpDir()
     writeSegment(new File(root, "fixture/v1/0"))
