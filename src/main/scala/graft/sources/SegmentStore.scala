@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *  - each chunk is written independently and re-ingesting publishes a
   *    new version that overshadows atomically — idempotent backfills;
   *  - within a chunk, data is repartitioned by dims so same-key rows
-  *    co-locate (numShards files per chunk ≙ shard chunks).
+  *    co-locate (numShards files per chunk ≙ shard chunks), and each
+  *    shard is written sorted by (__time, dims) — Druid's segment sort
+  *    order — so parquet row-group min/max stats prune sub-chunk
+  *    interval bounds and selective dim filters at scan time.
   */
 object SegmentStore {
 
@@ -86,6 +89,12 @@ object SegmentStore {
     val versionDir = s"$base/${spec.dataSource}/version=$version"
     rolledUp
       .repartition(col("__chunk"), col("__shard"))
+      // Druid's segment sort order (__time, then dims): parquet row
+      // groups get tight min/max stats, so sub-chunk interval bounds
+      // AND selective dim filters skip row groups at scan time, and
+      // sorted dims dictionary/RLE-compress. Per-partition sort only —
+      // the shuffle above already co-located (chunk, shard).
+      .sortWithinPartitions(col("__time") +: spec.dimensions.map(col): _*)
       .write.mode("overwrite").partitionBy("__chunk", "__shard").parquet(versionDir)
 
     // descriptors: one per written (chunk, shard)

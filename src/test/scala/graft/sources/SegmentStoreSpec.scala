@@ -70,6 +70,24 @@ class SegmentStoreSpec extends SparkSpec {
     assert(got.getLong(1) == want.getLong(1))
   }
 
+  test("segment files are written in Druid sort order (__time, dims)") {
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    // read ONE physical file with no sort in the plan: its rows must
+    // already be (__time, event_type)-ordered (row-group pruning +
+    // RLE depend on it)
+    val files = new java.io.File(s"$base/ev/version=v1")
+      .listFiles().filter(_.getName.startsWith("__chunk="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("__shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val rows = spark.read.parquet(files.head.getAbsolutePath)
+      .select("__time", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length > 1)
+    assert(rows.sameElements(rows.sortBy(identity)), "file not in (__time, dim) order")
+  }
+
   test("multi-shard ingest publishes per-shard descriptors; scan unions all shards") {
     val base = freshBase()
     val descs = SegmentStore.ingest(spark, eventsDf,
