@@ -39,6 +39,43 @@ class TpchQueriesSpec extends SparkSpec {
     assert(r.length == 1)
   }
 
+  test("q3/q10 carry NO static broadcast hint on fact-scaled sides (customer)") {
+    // customer scales with SF (billions of rows at 100 TB): a forced
+    // broadcast is a driver-OOM scale-killer hiding behind small test
+    // SFs. Only constant-size dims (nation/region/part) may be hinted;
+    // AQE decides for everything fact-derived at runtime.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def broadcastHintedTables(df: DataFrame): Set[String] = {
+      def tables(p: LogicalPlan): Seq[String] = p.collect {
+        case l: LogicalRelation => l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.mkString(",")
+          case r => r.toString
+        }
+      }
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join =>
+          Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right)).flatMap {
+            case (h, side) if h.exists(_.strategy.isDefined) => tables(side)
+            case _ => Nil
+          }
+      }.flatten.toSet
+    }
+    for (q <- Seq(TpchQueries.q3Shipping _, TpchQueries.q10TopCustomers _)) {
+      val hinted = broadcastHintedTables(q(spark, sf()))
+      assert(!hinted.exists(_.contains("customer")),
+        s"customer must not be statically broadcast, hinted: $hinted")
+      assert(!hinted.exists(_.contains("orders")) && !hinted.exists(_.contains("lineitem")),
+        s"fact tables must not be statically broadcast, hinted: $hinted")
+    }
+    // positive control: the constant-size dim chain IS hinted in q5
+    val q5Hinted = broadcastHintedTables(TpchQueries.q5LocalSupplier(spark, sf()))
+    assert(q5Hinted.exists(t => t.contains("nation") || t.contains("region")),
+      s"expected nation/region broadcast hints in q5, got: $q5Hinted")
+  }
+
   test("entry smoke: rows > 0") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
