@@ -84,7 +84,7 @@ object SegmentCatalog {
   def catalogPath(base: String, dataSource: String): String =
     s"$base/$dataSource/catalog.json"
 
-  private def fsFor(path: HPath): FileSystem = {
+  private[sources] def fsFor(path: HPath): FileSystem = {
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
@@ -147,6 +147,13 @@ object SegmentCatalog {
     def key(s: SegmentDescriptor) = (s.version, s.startMs, s.shardNum)
     val newKeys = newSegments.map(key).toSet
     val all = read(base, dataSource).filterNot(s => newKeys.contains(key(s))) ++ newSegments
+    replace(base, dataSource, all)
+  }
+
+  /** Overwrite the catalog with exactly `all` (vacuum's path — publish
+    * merges; this replaces). Same atomic write-tmp-rename publish. */
+  private[sources] def replace(base: String, dataSource: String,
+                               all: Seq[SegmentDescriptor]): Unit = {
     val json = JArray(all.map(s => JObject(
       "dataSource" -> JString(s.dataSource),
       "startMs" -> JLong(s.startMs),

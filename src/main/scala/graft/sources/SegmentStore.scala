@@ -159,6 +159,32 @@ object SegmentStore {
       segmentGranularity = segmentGranularity), base, version)
   }
 
+  /** Druid "kill task": drop segments that contribute NO visible
+    * window to the current timeline (fully overshadowed by newer
+    * versions) — the storage-reclaim counterpart of version-on-ingest.
+    * Partially-overshadowed segments still serve their visible rows
+    * and are kept. Ordering is crash-safe: the catalog is rewritten
+    * WITHOUT the killed descriptors first, files are deleted second —
+    * an interruption leaves orphaned files (harmless, re-vacuumable),
+    * never a descriptor pointing at deleted data.
+    * @return the killed descriptors */
+  def vacuum(base: String, dataSource: String): Seq[SegmentDescriptor] = {
+    val all = SegmentCatalog.read(base, dataSource)
+    if (all.isEmpty) return Nil
+    val lo = all.map(_.startMs).min
+    val hi = all.map(_.endMs).max
+    def key(s: SegmentDescriptor) = (s.version, s.startMs, s.shardNum)
+    val visible = VersionedTimeline.resolve(all, lo, hi).map(w => key(w.segment)).toSet
+    val (keep, kill) = all.partition(s => visible.contains(key(s)))
+    if (kill.isEmpty) return Nil
+    SegmentCatalog.replace(base, dataSource, keep)
+    kill.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s.path)
+      SegmentCatalog.fsFor(p).delete(p, true)
+    }
+    kill
+  }
+
   /** Timeline-resolved read. Only the winning (segment × window)
     * parquet paths are opened; each is clipped to its window, so
     * partially-overshadowed old segments contribute only their

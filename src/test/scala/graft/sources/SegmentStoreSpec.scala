@@ -70,6 +70,49 @@ class SegmentStoreSpec extends SparkSpec {
     assert(got.getLong(1) == want.getLong(1))
   }
 
+  test("vacuum kills fully-overshadowed versions, keeps partially-visible ones") {
+    import org.apache.spark.sql.functions._
+    val base = freshBase()
+    SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
+    val before = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", 0L, Long.MaxValue, Seq("event_type"), Seq("cnt", "su")))
+      .agg(sum("cnt"), sum("su")).collect()(0)
+
+    // v2 re-ingests ONE full day → exactly that v1 day-chunk is fully
+    // overshadowed; v3 covers 6 hours of another day at HOUR chunks →
+    // that v1 day-chunk is only PARTIALLY overshadowed and must survive
+    val day1 = eventsDf.filter(col("ts") >= lit("2024-01-03") && col("ts") < lit("2024-01-04"))
+    SegmentStore.ingest(spark, day1, specOf, base, version = "v2")
+    val sixHours = eventsDf.filter(
+      col("ts") >= lit("2024-01-05 06:00:00") && col("ts") < lit("2024-01-05 12:00:00"))
+    SegmentStore.ingest(spark, sixHours,
+      specOf.copy(segmentGranularity = Granularity.Calendar("hour")), base, version = "v3")
+
+    val killed = SegmentStore.vacuum(base, "ev")
+    assert(killed.map(_.version).distinct == Seq("v1"), s"killed: $killed")
+    assert(killed.size == 1, "only the fully-overshadowed Jan-3 day chunk dies")
+    assert(!new java.io.File(killed.head.path.stripPrefix("file:")).exists,
+      "killed segment files must be deleted")
+
+    // catalog no longer lists the killed segment; Jan-5's v1 chunk
+    // (partially overshadowed by v3) survives
+    val after = SegmentCatalog.read(base, "ev")
+    assert(!after.exists(s => s.version == "v1" &&
+      java.time.Instant.ofEpochMilli(s.startMs).toString.startsWith("2024-01-03")))
+    assert(after.exists(s => s.version == "v1" &&
+      java.time.Instant.ofEpochMilli(s.startMs).toString.startsWith("2024-01-05")))
+
+    // the visible data is unchanged: v2 re-ingested the same day-3 rows
+    // and v3 the same 6 h, so totals equal the pre-vacuum scan
+    val got = SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+      "ev", 0L, Long.MaxValue, Seq("event_type"), Seq("cnt", "su")))
+      .agg(sum("cnt"), sum("su")).collect()(0)
+    assert(got == before)
+
+    // idempotent: nothing left to kill
+    assert(SegmentStore.vacuum(base, "ev").isEmpty)
+  }
+
   test("segment files are written in Druid sort order (__time, dims)") {
     val base = freshBase()
     SegmentStore.ingest(spark, eventsDf, specOf, base, version = "v1")
