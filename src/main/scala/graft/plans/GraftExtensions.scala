@@ -22,7 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo("graft", null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         builder))
     }
     ext.injectOptimizerRule(ApproxCountDistinctRewrite)
