@@ -67,6 +67,7 @@ object SparkEntry {
     "q_multivalue" -> (AggQueries.multiValue _),
     "q_quantiles" -> (AggQueries.aggQuantiles _),
     "q_quantiles_sketch" -> (AggQueries.aggQuantilesSketch _),
+    "q_quantiles_kll_exact" -> (AggQueries.kllExact _),
     "q_subtotals" -> (AggQueries.subtotals _),
     "q_extraction" -> (EventQueries.extraction _),
     "q_lookup" -> (EventQueries.lookup _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_theta" -> AggQueries.aggThetaSql,
     "q_theta_setops" -> AggQueries.aggThetaSetopsSql,
     "q_hll_exact" -> AggQueries.hllExactSql,
+    "q_quantiles_kll_exact" -> AggQueries.kllExactSql,
     "q_filtered_agg" -> AggQueries.filteredAggSql,
     "q_multivalue" -> AggQueries.multiValueSql,
     "q_subtotals" -> AggQueries.subtotalsSql,

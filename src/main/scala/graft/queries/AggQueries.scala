@@ -280,6 +280,33 @@ object AggQueries {
         |    {"dimension": "event_type", "direction": "ascending"}]}
         |}""".stripMargin)
 
+  /** KLL sketch quantiles in the EXACT regime: per (event_type, user)
+    * groups hold ~13 values at ANY scale factor (users scale with SF,
+    * events-per-user don't), far below k=128, so the sketch never
+    * compacts and getQuantile returns exact order statistics by the
+    * inclusive-rank rule — mirrored in SQL as min(value) over
+    * cume_dist ≥ q. Pins build/merge/query of the sketch end-to-end;
+    * the estimator ABOVE capacity stays covered by q_quantiles_sketch
+    * (rows-only) + KllSketchSpec's rank-error bounds. */
+  def kllExact(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllSketch._
+    val df = ev(s, d)
+    df.groupBy(col("event_type"), col("user_id"))
+      .agg(
+        kll_quantile(kll_sketch_agg(col("value"), 128), lit(0.5)).as("p50"),
+        kll_quantile(kll_sketch_agg(col("value"), 128), lit(0.9)).as("p90"))
+      .orderBy("event_type", "user_id")
+  }
+
+  val kllExactSql: String =
+    """WITH c AS (SELECT event_type, user_id, value,
+      |  cume_dist() OVER (PARTITION BY event_type, user_id ORDER BY value) cd
+      |  FROM events)
+      |SELECT event_type, user_id,
+      |  min(value) FILTER (WHERE cd >= 0.5) AS p50,
+      |  min(value) FILTER (WHERE cd >= 0.9) AS p90
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val hllExactSql: String =
     """SELECT event_type,
       |  CAST(count(DISTINCT user_id % 200) AS DOUBLE) AS n_buckets,
