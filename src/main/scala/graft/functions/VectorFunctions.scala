@@ -26,6 +26,92 @@ object VectorFunctions {
   def hyperplaneBuckets(vec: Column, seed: Long,
                         numTables: Int, numPlanes: Int): Column =
     toColumn(HyperplaneBuckets(toExpr(vec), seed, numTables, numPlanes))
+
+  /** Nearest-centroid cell id for a vector — the IVF assignment as ONE
+    * fused per-row argmax over the (bounded, driver-collected) centroid
+    * table. Replaces the broadcast-NLJ × centroids + `groupBy(n_id)`
+    * argmax form, whose Exchange re-shuffled the ENTIRE corpus
+    * (vectors included) to merge groups of size one — at 100 TB a
+    * full-corpus shuffle per assignment pass. This form is a pure
+    * projection: no join, no Exchange. Tie-break matches the old
+    * `max_by(c_id, struct(cos, -c_id))`: cosine desc, then c_id asc.
+    * `cellIds` must be sorted ascending. */
+  def nearestCell(vec: Column, cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): Column =
+    toColumn(NearestCell(toExpr(vec), cellIds, cellVecs))
+}
+
+case class NearestCell(
+    child: Expression,
+    cellIds: Seq[Long],
+    cellVecs: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  require(cellIds.nonEmpty && cellIds.length == cellVecs.length,
+    s"need matching non-empty centroid ids/vectors, got ${cellIds.length}/${cellVecs.length}")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell needs array<double>, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val ids: Array[Long] = cellIds.toArray
+  @transient private lazy val vecs: Array[Array[Double]] = cellVecs.map(_.toArray).toArray
+
+  /** Same double ordering Spark's max_by used on the struct key:
+    * -0.0 == 0.0, NaN greater than everything (SQL total order). */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a > b) 1 else if (a < b) -1
+    else {
+      val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
+      if (an == bn) 0 else if (an) 1 else -1
+    }
+
+  /** Public so generated code can call it via a reference object —
+    * the centroid loop stays one virtual call inside whole-stage
+    * codegen; its cells × dim multiply-adds dominate the call cost. */
+  def assign(v: ArrayData): Long = {
+    var bestId = 0L
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var first = true
+    var cIdx = 0
+    while (cIdx < vecs.length) {
+      val cv = vecs(cIdx)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = cv(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+      // ids ascend, so strict > keeps the LOWEST id on ties
+      if (first || cmpDouble(cos, bestCos) > 0) {
+        bestCos = cos; bestId = ids(cIdx); first = false
+      }
+      cIdx += 1
+    }
+    bestId
+  }
+
+  override def nullSafeEval(v: Any): Any = assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this, classOf[NearestCell].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.assign($x);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCell = copy(child = c)
 }
 
 case class HyperplaneBuckets(

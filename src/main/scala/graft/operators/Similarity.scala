@@ -59,11 +59,13 @@ object Similarity {
     var centroids = Materialize(c.orderBy(col("n_id")).limit(cells)
       .select(col("n_id").as("c_id"), col("n_v").as("c_v")))
     for (_ <- 1 to iters) {
-      val assigned = c.join(broadcast(centroids), lit(true))
-        .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
-        .groupBy(col("n_id"))
-        .agg(first(col("n_v")).as("n_v"),
-          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"))
+      // fused per-row argmax (no join, no groupBy(n_id) corpus
+      // shuffle); the only exchange per round is the (cell, pos)
+      // partial-mean aggregation — cells × dim rows, not data
+      val cents = collectCentroids(centroids)
+      val assigned = c.withColumn("c_id",
+        graft.functions.VectorFunctions.nearestCell(
+          col("n_v"), cents.map(_._1).toSeq, cents.map(_._2).toSeq))
       val means = assigned
         .select(col("c_id"), posexplode(col("n_v")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("m"))
@@ -84,35 +86,55 @@ object Similarity {
     * assigned to its nearest cell; queries probe the `nprobe` nearest
     * cells and brute-force only within them.
     *
-    * At 100 TB the assignment is one broadcast-join pass and the probe
-    * scans corpus/cells × nprobe vectors per query.
+    * At 100 TB the assignment is a pure projection (fused per-row
+    * argmax over the collected centroid table — no join, no shuffle)
+    * and the probe scans corpus/cells × nprobe vectors per query.
     */
   /** Deterministic default centroids: the `cells` lowest-id vectors. */
   private def defaultCentroids(c: DataFrame, cells: Int): DataFrame =
     c.orderBy(col("n_id")).limit(cells)
       .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
 
-  /** Nearest-cell argmax assignment via max_by over (cosine, -c_id) —
-    * one partial-aggregable pass, no per-vector window sort (ties
-    * break to the lowest c_id, matching the oracle's "cos DESC, c_id
-    * ASC"). Shared by the inline path and the index writer: the
-    * persisted index is only correct if its assignment is
-    * bit-identical to inline ivfTopK's. */
-  private def assignToCells(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.join(broadcast(centroids), lit(true))
-      .withColumn("c_cos", cosine(col("n_v"), col("c_v")))
-      .groupBy(col("n_id"))
-      .agg(
-        first(col("n_v")).as("n_v"), // constant within the group
-        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg"))).as("cell"))
+  /** Collect the (bounded-by-construction: `cells` rows) centroid
+    * table to the driver, sorted by c_id ascending. */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
+    centroids.select(col("c_id").cast("long"), col("c_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Nearest-cell assignment as ONE fused per-row argmax expression
+    * over the driver-collected centroid table (ties break to the
+    * lowest c_id, matching the oracle's "cos DESC, c_id ASC") — a pure
+    * projection with NO join and NO Exchange. The previous
+    * broadcast-NLJ × centroids + `groupBy(n_id)` argmax form shuffled
+    * the entire corpus (vectors included) to merge groups of size one:
+    * a full-corpus shuffle per assignment pass at 100 TB. Shared by
+    * the inline path and the index writer: the persisted index is only
+    * correct if its assignment is bit-identical to inline ivfTopK's. */
+  private[graft] def assignToCells(
+      c: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame =
+    c.withColumn("cell", graft.functions.VectorFunctions.nearestCell(
+      col("n_v"), cents.map(_._1).toSeq, cents.map(_._2).toSeq))
+
+  /** Local DataFrame of a collected centroid table (for the tiny
+    * probe-side broadcast join — avoids re-running the centroid
+    * derivation as a second job). */
+  private def centroidDf(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("c_id", "c_v")
+  }
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, cells: Int = 16, nprobe: Int = 4,
       centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val centroids = centroids0.getOrElse(defaultCentroids(c, cells))
-    val assigned = assignToCells(c, centroids)
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    val assigned = assignToCells(c, cents)
+    val centroids = centroidDf(corpus.sparkSession, cents)
 
     val q = queries.select(col("q_id"), col("q_v"))
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
@@ -149,9 +171,10 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       cells: Int = 16, centroids0: Option[DataFrame] = None): Unit = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val centroids = centroids0.getOrElse(defaultCentroids(c, cells))
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCells(c, centroids)
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    centroidDf(corpus.sparkSession, cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCells(c, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 

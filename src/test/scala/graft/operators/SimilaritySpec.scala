@@ -91,6 +91,39 @@ class SimilaritySpec extends SparkSpec {
     assert(c == want)
   }
 
+  test("IVF cell assignment is a pure projection — no Exchange, no join") {
+    // the round-5 weak plan: broadcast-NLJ × centroids + groupBy(n_id)
+    // argmax shuffled the ENTIRE corpus to merge singleton groups; the
+    // fused argmax expression must plan with zero exchanges between
+    // the corpus scan and the cell column
+    val c = embs.select($"vec_id".as("n_id"),
+      transform($"embedding", x => x.cast("double")).as("n_v"))
+    val cents = c.orderBy($"n_id").limit(16)
+      .select($"n_id".as("c_id"), $"n_v".as("c_v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val assigned = Similarity.assignToCells(c, cents)
+    val plan = assigned.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty, s"assignment must not shuffle:\n$plan")
+    val joins = plan.toString
+    assert(!joins.contains("Join"), s"assignment must not join:\n$plan")
+    // and it still computes the same cells as a per-row brute force
+    val got = assigned.select("n_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = c.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv.toArray)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    }
+    assert(got == want)
+  }
+
   test("persisted IVF index returns identical neighbors to inline ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     try {
