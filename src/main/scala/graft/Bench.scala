@@ -35,16 +35,31 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted // fixed order every round
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // a throwing query must NOT hide as a fast time-to-fail number: its
+    // error is carried into the JSON and fails the run (non-zero exit)
+    val errs = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
     }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = names.map(k => s"\"" + k + "\":" + best(k)).mkString("{", ",", "}")
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = names.map(best).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
+    if (errs.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errs.size} queries threw: ${errs.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
