@@ -38,14 +38,22 @@ object PipelineQueries {
     * drop breaks the rowcount/hash match vs `SELECT DISTINCT`. */
   def streamDedup(s: SparkSession, d: String): DataFrame = synchronized {
     val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_streamdedup_v1_$sfKey"
-    val outDir = s"$base/out"
-    // the streaming parquet sink commits through _spark_metadata (it
-    // never writes a batch-style _SUCCESS marker) — guard on that, or
-    // the build-once path re-stages and re-runs the stream every call
-    val done = new java.io.File(s"$outDir/_spark_metadata")
-    if (!done.isDirectory) {
-      val stage = s"$base/stage"
+    // The streaming parquet sink creates _spark_metadata at the FIRST
+    // batch commit, not at stream completion — guarding on it (the old
+    // build-once check) would read a crashed run's partial output as
+    // complete forever. Instead the whole run (staged input, checkpoint,
+    // sink) builds in a fresh staging dir, a _COMPLETE sentinel is
+    // written only after awaitTermination() returns, and the staging
+    // dir is promoted by atomic rename — same protocol as the
+    // deep-store fixture, so a concurrent JVM (Bench ∥ Verify) never
+    // consumes or extends a half-finished stream.
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamdedup_v3_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamdedup_v3_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
       docs(s, d)
         .select(
           timestamp_millis(lit(1700000000000L) + (col("doc_id") % 60) * 1000).as("ts"),
@@ -58,12 +66,28 @@ object PipelineQueries {
       graft.streaming.StreamingDedup.dropDuplicateTexts(src, "ts", "text")
         .select(col("text"))
         .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$staging/out")
+        .option("checkpointLocation", s"$staging/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      // the sink's _spark_metadata log records ABSOLUTE staging paths;
+      // after promotion it would point at deleted files. The stream is
+      // complete, so drop the log and read the dir as plain parquet.
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$staging/out/_spark_metadata"))
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        // another JVM finished while we built — use theirs
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-dedup promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
     }
-    s.read.parquet(outDir).orderBy("text")
+    s.read.parquet(s"$root/out").orderBy("text")
   }
 
   val streamDedupSql: String =
@@ -130,8 +154,9 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
 
   val dedupSimhashSql: String = {
-    val fnvTok = SqlHash.fnv1aSql(
-      "list_transform(range(1, length(t)+1), j -> unicode(t[j])::HUGEINT)")
+    // the engine's fnv64 hashes UTF-8 BYTES — expand each token to its
+    // byte values so the mirror is exact for non-ASCII text too
+    val fnvTok = SqlHash.fnv1aSql(SqlHash.utf8Codes("t"))
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |             FROM documents),
        |th AS (SELECT doc_id, $fnvTok AS hu FROM tok),
@@ -399,8 +424,10 @@ object PipelineQueries {
 
   /** Shared oracle CTE: per-doc winnowing fingerprint SETS, computed
     * in DuckDB with the engine's exact arithmetic — FNV-1a (mod-2^64
-    * HUGEINT wraparound) over char k-grams, SIGNED per-window minima
-    * (the engine compares Longs), distinct values. The engine's
+    * HUGEINT wraparound) over CODEPOINT k-grams (the engine hashes
+    * codepoints, DuckDB's unicode() + character indexing walks the
+    * same sequence — exact for all Unicode, not just ASCII), SIGNED
+    * per-window minima (the engine compares Longs), distinct values. The engine's
     * rightmost-tie rule and consecutive-duplicate collapse don't
     * change the value SET, so the mirror needs neither. Ends in a CTE
     * `fps(doc_id, fp)`. */

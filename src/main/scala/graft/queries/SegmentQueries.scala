@@ -153,6 +153,73 @@ object SegmentQueries {
        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Vacuum (Druid kill task) under the correctness gate: ingest v1
+    * over the full range, overwrite 2024-01-10..20 with v2 carrying
+    * DIFFERENT data (value × 3 — so serving any killed v1 chunk would
+    * break the value hash), vacuum, then scan the full range. Build
+    * asserts the storage invariants: only fully-overshadowed v1 chunks
+    * are killed, their files are gone, the catalog no longer
+    * references them, and the scan result is IDENTICAL before and
+    * after the vacuum (reclaim must never change query results). The
+    * oracle recomputes from raw events with the v2 transform applied
+    * inside the overwritten window. */
+  def segmentVacuum(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_segvac_v$StoreFormatVersion" +
+      s"_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val full0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val full1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    def scanDaily(): DataFrame =
+      SegmentStore.scan(spark, base, SegmentStore.ScanSpec(
+          "events_rollup", full0, full1, Seq("event_type"),
+          Seq("cnt", "sum_users", "sum_value")))
+        .groupBy(
+          timestamp_millis(col("__time") - pmod(col("__time"), lit(86400000L))).as("day"),
+          col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_users")).as("sum_users"),
+          graft.queries.Exact.dsum(col("sum_value")).as("sum_value"))
+        .orderBy("day", "event_type")
+    if (SegmentCatalog.read(base, "events_rollup").isEmpty) {
+      val ev = Tables.events(spark, sfDir)
+      val numericSpec = ingestSpec.copy(metricsJson =
+        """[
+          |{"type":"count","name":"cnt"},
+          |{"type":"longSum","name":"sum_users","fieldName":"user_id"},
+          |{"type":"doubleSum","name":"sum_value","fieldName":"value"}
+          |]""".stripMargin)
+      SegmentStore.ingest(spark, ev, numericSpec, base, version = "v1")
+      val d0 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+      val d1 = java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli
+      val win = ev.filter(unix_millis(col("ts")) >= d0 && unix_millis(col("ts")) < d1)
+        .withColumn("value", col("value") * 3)
+      SegmentStore.ingest(spark, win, numericSpec, base, version = "v2")
+      val pre = scanDaily().collect().toSeq
+      val killed = SegmentStore.vacuum(base, "events_rollup")
+      require(killed.nonEmpty, "vacuum must reclaim the overshadowed v1 chunks")
+      require(killed.forall(s => s.version == "v1" && s.startMs >= d0 && s.endMs <= d1),
+        s"only fully-overshadowed v1 chunks may die, got: $killed")
+      killed.foreach { s =>
+        require(!new java.io.File(s.path).exists(), s"killed files must be deleted: ${s.path}")
+      }
+      val cat = SegmentCatalog.read(base, "events_rollup")
+      val killedPaths = killed.map(_.path).toSet
+      require(cat.forall(s => !killedPaths.contains(s.path)),
+        "catalog must not reference killed segments")
+      val post = scanDaily().collect().toSeq
+      require(pre == post, "vacuum changed scan results")
+    }
+    scanDaily()
+  }
+
+  val segmentVacuumSql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |  count(*) AS cnt,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+       |  CAST(sum(CAST(
+       |    CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       |         THEN value * 3 ELSE value END AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Decode a REAL Apache Druid v9 binary segment (the reference
     * repo's test fixture) — dictionary strings, LZ4 longs, and the
     * hyperUnique complex metric finalized via the Druid HLL estimator.
@@ -197,9 +264,20 @@ object SegmentQueries {
   def streamRollup(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     import graft.streaming.StreamingRollup
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_streamroll_v${StoreFormatVersion}_$sfKey"
-    if (SegmentCatalog.read(base, "events_stream").isEmpty) {
-      val stage = s"${base}_stage"
+    // A non-empty catalog appears after the FIRST of several
+    // micro-batch publications, so guarding on it (the old build-once
+    // check) reads a crashed run's partial rollup as complete. Build
+    // the whole store (staged input, checkpoint, segments) in a fresh
+    // staging dir, sentinel only after awaitTermination(), promote by
+    // atomic rename — the deep-store fixture protocol.
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_streamroll2_v${StoreFormatVersion}_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamroll2_v${StoreFormatVersion}_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val store = s"$staging/store"
+      val stage = s"$staging/stage"
       Tables.events(spark, sfDir)
         .select(col("ts"), col("event_type"), col("user_id"), col("value"))
         .repartition(4)
@@ -221,10 +299,27 @@ object SegmentQueries {
         segmentGranularity = Granularity.Calendar("day"),
         lateness = "40 days")
       StreamingRollup.toSegmentStore(spark,
-          StreamingRollup.rollup(src, spec), spec, base,
-          checkpoint = Some(s"${base}_ckpt"))
+          StreamingRollup.rollup(src, spec), spec, store,
+          checkpoint = Some(s"$staging/ckpt"))
         .start().awaitTermination()
+      // descriptor paths are absolute and point into the staging dir;
+      // retarget them at the promoted location before the sentinel
+      SegmentCatalog.mutate(store, "events_stream") { all =>
+        all.map(s0 => s0.copy(path =
+          s0.path.replace(staging.getAbsolutePath, root.getAbsolutePath)))
+      }
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-rollup promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
     }
+    val base = s"$root/store"
     val all0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     val all1 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
     SegmentStore.scan(spark, base, SegmentStore.ScanSpec(

@@ -139,15 +139,77 @@ object SegmentCatalog {
     }
   }
 
-  /** Append descriptors and publish atomically (write temp + rename).
-    * Idempotent per (version, chunk, shard): re-publishing the same
-    * segment identity REPLACES its descriptor instead of appending a
-    * duplicate — a retried ingest must not double-count at scan time. */
+  /** Serialize catalog writers per datasource with an exclusive lock
+    * file (`catalog.lock`, created with overwrite=false — atomic on
+    * local FS and HDFS; object stores without atomic create keep the
+    * documented single-writer-per-datasource deployment rule, the role
+    * Druid gives the overlord's transactional metadata store). Without
+    * this, a vacuum racing a publish is a lost-update: both
+    * read-modify-write the same file, so the later rename either
+    * resurrects killed descriptors (pointing at deleted files) or
+    * drops the just-published ones. A crashed writer's stale lock is
+    * broken after `staleMs`. */
+  private def withWriteLock[T](base: String, dataSource: String)(body: => T): T = {
+    val lock = new HPath(s"$base/$dataSource/catalog.lock")
+    val fs = fsFor(lock)
+    fs.mkdirs(lock.getParent)
+    val timeoutMs = 30000L
+    val staleMs = 60000L
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // create-exclusive
+        try out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+            .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val mtime =
+            try Some(fs.getFileStatus(lock).getModificationTime)
+            catch { case _: Exception => None }
+          mtime match {
+            case Some(t) if System.currentTimeMillis() - t > staleMs =>
+              fs.delete(lock, false) // crashed holder; next loop re-races create
+            case _ if System.currentTimeMillis() > deadline =>
+              throw new java.io.IOException(
+                s"timed out acquiring catalog lock $lock after ${timeoutMs}ms")
+            case _ => Thread.sleep(100)
+          }
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Locked read-modify-write of the full descriptor list: every
+    * catalog mutation (publish, vacuum) goes through here so
+    * concurrent writers serialize instead of losing updates.
+    * Skips the write when `f` is an identity on the current content.
+    * @return (before, after) descriptor lists */
+  def mutate(base: String, dataSource: String)(
+      f: Seq[SegmentDescriptor] => Seq[SegmentDescriptor])
+      : (Seq[SegmentDescriptor], Seq[SegmentDescriptor]) =
+    withWriteLock(base, dataSource) {
+      val before = read(base, dataSource)
+      val after = f(before)
+      if (after != before) replace(base, dataSource, after)
+      (before, after)
+    }
+
+  /** Append descriptors and publish atomically (write temp + rename,
+    * under the per-datasource write lock). Idempotent per
+    * (version, chunk, shard): re-publishing the same segment identity
+    * REPLACES its descriptor instead of appending a duplicate — a
+    * retried ingest must not double-count at scan time. */
   def publish(base: String, dataSource: String, newSegments: Seq[SegmentDescriptor]): Unit = {
     def key(s: SegmentDescriptor) = (s.version, s.startMs, s.shardNum)
     val newKeys = newSegments.map(key).toSet
-    val all = read(base, dataSource).filterNot(s => newKeys.contains(key(s))) ++ newSegments
-    replace(base, dataSource, all)
+    mutate(base, dataSource) { all =>
+      all.filterNot(s => newKeys.contains(key(s))) ++ newSegments
+    }
+    ()
   }
 
   /** Overwrite the catalog with exactly `all` (vacuum's path — publish

@@ -166,18 +166,29 @@ object SegmentStore {
     * and are kept. Ordering is crash-safe: the catalog is rewritten
     * WITHOUT the killed descriptors first, files are deleted second —
     * an interruption leaves orphaned files (harmless, re-vacuumable),
-    * never a descriptor pointing at deleted data.
+    * never a descriptor pointing at deleted data. The read-modify-write
+    * runs under the catalog's per-datasource write lock, so a vacuum
+    * racing a concurrent publish can neither drop the publish nor
+    * resurrect killed descriptors (the lost-update pair of an
+    * unsynchronized RMW; Druid serializes this through the overlord's
+    * transactional metadata store).
     * @return the killed descriptors */
   def vacuum(base: String, dataSource: String): Seq[SegmentDescriptor] = {
-    val all = SegmentCatalog.read(base, dataSource)
-    if (all.isEmpty) return Nil
-    val lo = all.map(_.startMs).min
-    val hi = all.map(_.endMs).max
     def key(s: SegmentDescriptor) = (s.version, s.startMs, s.shardNum)
-    val visible = VersionedTimeline.resolve(all, lo, hi).map(w => key(w.segment)).toSet
-    val (keep, kill) = all.partition(s => visible.contains(key(s)))
-    if (kill.isEmpty) return Nil
-    SegmentCatalog.replace(base, dataSource, keep)
+    var kill: Seq[SegmentDescriptor] = Nil
+    SegmentCatalog.mutate(base, dataSource) { all =>
+      if (all.isEmpty) { kill = Nil; all }
+      else {
+        val lo = all.map(_.startMs).min
+        val hi = all.map(_.endMs).max
+        val visible = VersionedTimeline.resolve(all, lo, hi).map(w => key(w.segment)).toSet
+        val (keep, k) = all.partition(s => visible.contains(key(s)))
+        kill = k
+        keep
+      }
+    }
+    // files go second, outside the lock: the catalog no longer
+    // references them, so a concurrent reader/publisher can't see them
     kill.foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s.path)
       SegmentCatalog.fsFor(p).delete(p, true)
