@@ -45,15 +45,42 @@ object AsofJoin {
     * @param payload   right columns to attach (null when no prior state)
     * @param toleranceMillis if set, a matched state older than this is
     *                  nulled out (DuckDB mirror: an extra time bound)
+    * @param dedupRight when true, equal-(keys, time) right rows are
+    *                  first reduced to ONE deterministic representative
+    *                  (the lexicographically greatest payload tuple) —
+    *                  otherwise duplicates make "the" most recent state
+    *                  ambiguous and the result partition-order-
+    *                  dependent. Doubles as the documented skew
+    *                  mitigation: the pre-aggregate shrinks a hot key's
+    *                  state stream before the window sort sees it.
     * @return left rows + payload columns + `__asof_time` (the matched
     *         right timestamp, null when unmatched)
     */
   def backward(
-      left: DataFrame, right: DataFrame, keys: Seq[String],
+      left: DataFrame, right0: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      toleranceMillis: Option[Long] = None): DataFrame = {
+      toleranceMillis: Option[Long] = None,
+      dedupRight: Boolean = false): DataFrame = {
+    val right = if (!dedupRight) right0 else
+      right0.groupBy((keys :+ rightTime).map(col): _*)
+        .agg(max(struct(payload.map(col): _*)).as("__p"))
+        .select((keys.map(col) :+ col(rightTime)) ++
+          payload.map(p => col(s"__p.$p").as(p)): _*)
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof_time"), "__asof_time is reserved")
+    // every internal plumbing name: a left/payload column with one of
+    // these names would be silently clobbered by withColumn, corrupting
+    // the union/window bookkeeping rather than failing loudly
+    val reserved = Seq("__asof_time", "__t", "__side", "__state", "__match")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns collide with reserved internal names: " +
+        leftCols.intersect(reserved).mkString(", "))
+    require(payload.intersect(reserved).isEmpty,
+      s"payload columns collide with reserved internal names: " +
+        payload.intersect(reserved).mkString(", "))
+    // the matched-state struct carries the right time under field "t";
+    // a payload column of that name would duplicate the field
+    require(!payload.contains("t"),
+      "payload column name 't' collides with the state struct's time field")
     require(payload.forall(!leftCols.contains(_)),
       s"payload columns must not clash with left columns: " +
         payload.filter(leftCols.contains).mkString(", "))
@@ -101,11 +128,20 @@ object AsofJoin {
       d.withColumn(p, col(s"__match.$p"))
     }
 
+    // tolerance must work for TIMESTAMP time columns and for numeric
+    // epoch-millis columns alike — unix_millis on a LONG column is an
+    // analysis error, so numeric types pass through as millis directly
+    def asMillis(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => c.cast("long")
+      case _ => unix_millis(c)
+    }
     val withTolerance = toleranceMillis match {
       case None => attached
       case Some(tol) =>
         val stale = col("__asof_time").isNull ||
-          unix_millis(col("__t")) - unix_millis(col("__asof_time")) > tol
+          asMillis(col("__t"), left.schema(leftTime).dataType) -
+            asMillis(col("__asof_time"), right.schema(rightTime).dataType) > tol
         payload.foldLeft(
           attached.withColumn("__asof_time",
             when(stale, lit(null)).otherwise(col("__asof_time")))) { (d, p) =>

@@ -223,6 +223,19 @@ object DruidSegmentWriter {
       vsizeIntsSupplier(flat, numBytesFor(dict.size))
   }
 
-  private def numBytesFor(dictSize: Int): Int =
-    if (dictSize <= 0xff) 1 else if (dictSize <= 0xffff) 2 else 3
+  /** Bytes per dictionary id, sized off the MAX id (dict.size - 1), as
+    * Druid's VSizeColumnarInts.getNumBytesForMax does — a 256-entry
+    * dictionary has max id 255 and packs in ONE byte. Ids wider than 3
+    * bytes are refused loudly instead of silently truncating.
+    * (Validation caveat, documented: the MV/DOUBLE decode paths are
+    * round-trip-tested against this writer; numBytes is read back from
+    * the column header, so both sides stay consistent, but a segment
+    * written by real Druid with >3-byte ids or non-default chunk
+    * factors is outside what the fixtures cover.) */
+  private def numBytesFor(dictSize: Int): Int = {
+    require(dictSize <= 0x1000000,
+      s"dictionary of $dictSize entries needs >3-byte ids — unsupported by this writer")
+    val maxId = math.max(dictSize - 1, 0)
+    if (maxId <= 0xff) 1 else if (maxId <= 0xffff) 2 else 3
+  }
 }

@@ -36,6 +36,55 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("far").isEmpty, "4100ms-old state beyond tolerance → null")
   }
 
+  test("backward: dedupRight resolves duplicate (key, time) states deterministically") {
+    // two states at the identical (key, time): without dedup the pick
+    // is partition-order-dependent; dedupRight keeps the
+    // lexicographically greatest payload tuple — stable across runs
+    val left = Seq((1L, ts(200), "p")).toDF("k", "t", "probe")
+    val right = Seq(
+      (1L, ts(100), 5.0, "a"), (1L, ts(100), 7.0, "b"), (1L, ts(100), 7.0, "a"))
+      .toDF("k", "t", "v", "tag")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v", "tag"),
+        dedupRight = true)
+      .select("v", "tag").collect()
+    assert(out.length == 1 && out(0).getDouble(0) == 7.0 && out(0).getString(1) == "b")
+    // and repeated evaluation with shuffled input order agrees
+    val out2 = AsofJoin.backward(left, right.repartition(7), Seq("k"), "t", "t",
+        Seq("v", "tag"), dedupRight = true)
+      .select("v", "tag").collect()
+    assert(out2.length == 1 && out2(0).getDouble(0) == 7.0 && out2(0).getString(1) == "b")
+  }
+
+  test("backward: internal-name collisions are rejected loudly") {
+    val left = Seq((1L, ts(100), 1)).toDF("k", "t", "__side")
+    val right = Seq((1L, ts(50), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+    }
+    val left2 = Seq((1L, ts(100), "p")).toDF("k", "t", "probe")
+    val right2 = Seq((1L, ts(50), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      // payload named "t" collides with the state struct's time field
+      AsofJoin.backward(left2, right2, Seq("k"), "t", "t", Seq("t"))
+    }
+    intercept[IllegalArgumentException] {
+      // reserved payload name
+      AsofJoin.backward(left2, right2.withColumnRenamed("v", "__match"),
+        Seq("k"), "t", "t", Seq("__match"))
+    }
+  }
+
+  test("backward: tolerance works on epoch-long time columns") {
+    val left = Seq((1L, 1000L, "near"), (1L, 5000L, "far")).toDF("k", "t", "probe")
+    val right = Seq((1L, 900L, 1.0)).toDF("k", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+        toleranceMillis = Some(500L))
+      .select("probe", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("near") == Some(1.0))
+    assert(out("far").isEmpty)
+  }
+
   test("backward: a matched state with a NULL payload field stays NULL (not slid to an older state)") {
     val left = Seq((1L, ts(300), "p")).toDF("k", "t", "probe")
     val right = Seq(
