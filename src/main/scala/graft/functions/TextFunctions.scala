@@ -296,22 +296,28 @@ case class SimHashKeys(child: Expression, numChunks: Int, maxHamming: Int)
   override protected def withNewChildInternal(c: Expression): SimHashKeys = copy(child = c)
 }
 
-/** Winnowing: rolling FNV over char k-grams, per-window minimum
-  * (rightmost on ties), consecutive duplicates collapsed. */
+/** Winnowing: rolling FNV over CODEPOINT k-grams, per-window minimum
+  * (rightmost on ties), consecutive duplicates collapsed. Hashing
+  * Unicode codepoints (not UTF-16 code units, not UTF-8 bytes) makes
+  * the fingerprint encoding-canonical AND exactly mirrorable in SQL:
+  * DuckDB's character indexing + unicode() walk the same codepoint
+  * sequence for any text, including astral-plane characters where
+  * code-unit and codepoint positions diverge. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Long])
-    val nGrams = s.length - k + 1
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = cps.length - k + 1
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
       var h = 0xcbf29ce484222325L
       var j = 0
       while (j < k) {
-        h ^= s.charAt(i + j).toLong
+        h ^= cps(i + j).toLong
         h *= 0x100000001b3L
         j += 1
       }

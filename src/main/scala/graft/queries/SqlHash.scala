@@ -68,14 +68,34 @@ object SqlHash {
        |$stem AS (SELECT $ks${xor("h6", shr("h6", 32))} AS $out FROM ${stem}_e)""".stripMargin
   }
 
-  /** FNV-1a over a list of byte/char codes (codes < 2^16), starting
-    * from the FNV offset basis — one expression (the multiplier is
-    * only 2^40, so a plain wraparound multiply fits HUGEINT).
+  /** FNV-1a over a list of byte/codepoint codes (codes < 2^24 — covers
+    * UTF-8 bytes AND every Unicode codepoint, max 0x10FFFF < 2^21),
+    * starting from the FNV offset basis — one expression (the
+    * multiplier is only 2^40, so a plain wraparound multiply fits
+    * HUGEINT). The xor rewrites only the low 24 bits of the HUGEINT
+    * lane (xor of two sub-2^24 BIGINTs), which is exact because the
+    * code contributes no higher bits.
     * `codesList` must be a DuckDB list expression of integer codes. */
   def fnv1aSql(codesList: String): String =
     s"""list_reduce(
        |  list_prepend(14695981039346656037::HUGEINT, $codesList),
-       |  (h, c) -> ((h - h % 65536::HUGEINT +
-       |              xor((h % 65536::HUGEINT)::BIGINT, c::BIGINT)::HUGEINT)
+       |  (h, c) -> ((h - h % 16777216::HUGEINT +
+       |              xor((h % 16777216::HUGEINT)::BIGINT, c::BIGINT)::HUGEINT)
        |             * 1099511628211::HUGEINT) % $M)""".stripMargin
+
+  /** DuckDB list of the UTF-8 BYTE values of a VARCHAR expression —
+    * the engine's fnv64 hashes UTF-8 bytes, so mirrors that hash
+    * strings must feed bytes, not codepoints (they agree only on
+    * ASCII). Standard UTF-8 arithmetic per codepoint, flattened. */
+  def utf8Codes(str: String): String =
+    s"""flatten(list_transform(
+       |  list_transform(range(1, length($str)+1), j -> unicode(($str)[j])),
+       |  c -> CASE
+       |    WHEN c < 128 THEN [c]
+       |    WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+       |    WHEN c < 65536 THEN
+       |      [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+       |    ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+       |          128 + (c // 64) % 64, 128 + c % 64]
+       |  END))""".stripMargin
 }

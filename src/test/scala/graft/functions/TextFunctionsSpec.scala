@@ -61,6 +61,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert((m("a") & m("b")).size > (m("a") & m("c")).size)
   }
 
+  test("winnowing hashes CODEPOINT k-grams — non-ASCII and astral text") {
+    // the fingerprint must be encoding-canonical: FNV-1a over the
+    // codepoint sequence, so astral chars (1 codepoint, 2 UTF-16
+    // units, 4 UTF-8 bytes) count as ONE gram position — exactly what
+    // the DuckDB mirror's unicode()/character indexing computes
+    val text = "héllo 日本語 🎉 wörld padding here"
+    val k = 4; val w = 3
+    val got = Seq(text).toDF("t")
+      .select(TextFunctions.winnowFingerprints($"t", k, w).as("fp"))
+      .collect()(0).getSeq[Long](0).toSet
+    val cps = text.codePoints().toArray
+    val hashes = (0 to cps.length - k).map { i =>
+      var h = 0xcbf29ce484222325L
+      (0 until k).foreach { j => h ^= cps(i + j).toLong; h *= 0x100000001b3L }
+      h
+    }
+    val want = (0 to hashes.length - w).map(s => hashes.slice(s, s + w).min).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("winnowing of short text is empty, not an error") {
     val got = Seq("tiny").toDF("t")
       .select(TextFunctions.winnowFingerprints($"t", 8, 4).as("fp"))
