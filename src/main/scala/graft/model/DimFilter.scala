@@ -46,6 +46,29 @@ sealed trait DimFilter {
     case DimFilter.True => Some(Set.empty)
     case DimFilter.Expr(_) => None
   }
+
+  /** Conjunctive positive equality constraints: per dimension, a value
+    * set that must intersect the dim's actual values for ANY row to
+    * match. This is the dictionary-short-circuit surface for segment
+    * readers — Druid's native trick: a selector/in value absent from a
+    * dictionary-encoded column's dictionary proves the whole segment
+    * matches nothing, before any row decode. Null-matching selectors
+    * and non-equality filters contribute nothing; Or/Not subtrees
+    * contribute nothing (sound: constraints may only come from terms
+    * that are conjunctively required). An empty set for a dim means
+    * the conjunction is unsatisfiable. */
+  def requiredValues: Map[String, Set[String]] = this match {
+    case DimFilter.Selector(d, Some(v)) => Map(d -> Set(v))
+    case DimFilter.In(d, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      Map(d -> vs.toSet)
+    case DimFilter.And(fs) =>
+      fs.map(_.requiredValues).foldLeft(Map.empty[String, Set[String]]) {
+        (acc, m) => m.foldLeft(acc) { case (a, (d, vs)) =>
+          a.updated(d, a.get(d).map(_ intersect vs).getOrElse(vs))
+        }
+      }
+    case _ => Map.empty
+  }
 }
 
 object DimFilter {

@@ -78,7 +78,8 @@ object DruidSegmentReader {
     * task (one task per segment, one job, no union-of-plans), so a
     * partially-overshadowed segment only emits its visible rows. */
   def readWindowed(spark: SparkSession, windows: Seq[(String, Long, Long)],
-                   columns: Seq[String] = Nil): DataFrame = {
+                   columns: Seq[String] = Nil,
+                   requiredValues: Map[String, Set[String]] = Map.empty): DataFrame = {
     require(windows.nonEmpty, "no segment dirs")
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val full = segmentSchema(spark, windows.head._1)
@@ -92,9 +93,22 @@ object DruidSegmentReader {
     val rdd = spark.sparkContext
       .parallelize(windows, windows.size)
       .flatMap { case (dir, lo, hi) =>
-        // __time is always names.head (read() forces it first)
-        decodeRows(openSegment(confSer.value, dir), names)
-          .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+        val file = openSegment(confSer.value, dir)
+        // dictionary short-circuit (Druid-native): a conjunctively
+        // required selector/in value absent from a string dim's
+        // dictionary proves zero rows match — skip the row decode
+        // for this segment entirely. The dictionary is a prefix of
+        // the column's bytes, so the probe is cheap.
+        val skip = requiredValues.exists { case (d, vs) =>
+          dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
+        }
+        if (skip) Iterator.empty
+        else {
+          decodedSegments.incrementAndGet()
+          // __time is always names.head (read() forces it first)
+          decodeRows(file, names)
+            .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -110,15 +124,42 @@ object DruidSegmentReader {
     // decode-time column pruning only when the filter needs no extra
     // columns (a DimFilter may reference unprojected dims)
     val pruned = if (filterJson.isEmpty) columns else Nil
-    val df0 = read(spark, segmentDirs, pruned)
+    val parsed = filterJson.map(graft.model.DimFilter.parse)
+    val df0 = readWindowed(spark,
+        segmentDirs.map(d => (d, Long.MinValue, Long.MaxValue)), pruned,
+        parsed.map(_.requiredValues).getOrElse(Map.empty))
       .filter(col("__time") >= intervalStartMs && col("__time") < intervalEndMs)
-    val df1 = filterJson match {
-      case Some(j) => df0.filter(graft.model.DimFilter.parse(j).compile(df0.schema))
+    val df1 = parsed match {
+      case Some(f) => df0.filter(f.compile(df0.schema))
       case None => df0
     }
     if (columns.isEmpty) df1
     else df1.select(("__time" +: columns.filter(_ != "__time")).map(col): _*)
   }
+
+  /** Row-decode invocations per segment — a one-increment-per-SEGMENT
+    * test probe for the dictionary short-circuit (meaningful in
+    * local mode, where executors share the JVM). */
+  private[graft] val decodedSegments = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Dictionary of a STRING column, or None when the column is absent
+    * / non-string / unreadable (no short-circuit then). The dictionary
+    * is a prefix of the column's internal file — no row ids are
+    * decompressed. */
+  private def dictionaryOf(file: SegmentFile, name: String): Option[Set[String]] =
+    try {
+      val buf = ByteBuffer.wrap(file(name))
+      val json = readPrefixedJson(buf)
+      (json \ "valueType") match {
+        case JString("STRING") =>
+          val version = buf.get()
+          require(version == 2, s"dictionary column serde version $version")
+          buf.getInt() // flags
+          Some(readGenericIndexedBytes(buf)
+            .map(b => new String(b, StandardCharsets.UTF_8)).toSet)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 
   // ---- segment container ----
 

@@ -95,6 +95,36 @@ class DruidSegmentReaderSpec extends SparkSpec {
     assert(math.abs(uniques - 3.0) < 0.3)
   }
 
+  test("dictionary short-circuit: a no-match selector decodes ZERO segments") {
+    assume(available)
+    val t0 = java.time.Instant.parse("2014-10-22T00:00:00Z").toEpochMilli
+    val day = 24 * 3600 * 1000L
+    // value absent from the host dictionary → the per-segment task must
+    // skip row decode entirely (Druid's dictionary test), not decode
+    // and filter
+    DruidSegmentReader.decodedSegments.set(0)
+    val none = DruidSegmentReader.scan(spark, Seq(segDir), t0, t0 + day,
+      filterJson = Some("""{"type":"selector","dimension":"host","value":"zzz.nope"}"""))
+      .collect()
+    assert(none.isEmpty)
+    assert(DruidSegmentReader.decodedSegments.get() == 0,
+      "no-match selector must skip row decode")
+    // sanity: a matching selector still decodes (and the probe sees it)
+    DruidSegmentReader.decodedSegments.set(0)
+    val some = DruidSegmentReader.scan(spark, Seq(segDir), t0, t0 + day,
+      filterJson = Some("""{"type":"selector","dimension":"host","value":"b.example.com"}"""))
+      .collect()
+    assert(some.length == 1)
+    assert(DruidSegmentReader.decodedSegments.get() == 1)
+    // and an IN filter with one present value must NOT short-circuit
+    DruidSegmentReader.decodedSegments.set(0)
+    val in = DruidSegmentReader.scan(spark, Seq(segDir), t0, t0 + day,
+      filterJson = Some(
+        """{"type":"in","dimension":"host","values":["zzz.nope","a.example.com"]}"""))
+      .collect()
+    assert(in.length == 1 && DruidSegmentReader.decodedSegments.get() == 1)
+  }
+
   test("scan clips interval, projects, and applies DimFilter JSON") {
     assume(available)
     val t0 = java.time.Instant.parse("2014-10-22T00:00:00Z").toEpochMilli
