@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs, batch decode /
   * feature-extract over partitions.
   *
-  * The actual codecs are STUBBED (`StubCodec` — this environment has no
-  * image/audio libraries): the stub derives deterministic "decoded"
-  * properties from the byte content alone, so the Spark-side plumbing
-  * (schema, per-partition batching, partition sizing) is real and
-  * testable end-to-end while the codec is swappable.
+  * Codecs are pluggable behind `MediaCodec`/`MediaResizer`. The IMAGE
+  * path is REAL — `ImageIoCodec`/`ImageIoResizer` decode and resize
+  * actual JPEG/PNG/GIF/BMP bytes via the JDK's dependency-free
+  * javax.imageio. Audio/video remain stubbed (`StubCodec` — no codec
+  * libraries exist in the JDK): the stub derives deterministic
+  * "decoded" properties from byte content alone, so the Spark-side
+  * plumbing (schema, per-partition batching, partition sizing) stays
+  * real and testable end-to-end while those codecs are swappable.
   *
   * Scale design: decode runs per-partition over an iterator (one codec
   * init per partition, not per row — the moral equivalent of
@@ -37,6 +40,23 @@ object Multimodal {
       blobs.map { b =>
         val n = b.length.toLong
         MediaMeta(n, (n % 640 + 16).toInt, (n % 480 + 16).toInt, (n % 30 + 1).toInt)
+      }
+  }
+
+  /** REAL image codec on the JDK's dependency-free `javax.imageio`:
+    * parses actual JPEG/PNG/GIF/BMP headers and pixels. Images are
+    * single-frame. Unreadable/non-image blobs decode to (-1, -1, 0)
+    * instead of failing the batch — at 100 TB corrupt rows are data to
+    * route, not task-killing errors. Audio/video stay stubbed (no
+    * codec libraries in the JDK). */
+  object ImageIoCodec extends MediaCodec {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[MediaMeta] =
+      blobs.map { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) MediaMeta(b.length.toLong, -1, -1, 0)
+          else MediaMeta(b.length.toLong, img.getWidth, img.getHeight, 1)
+        } catch { case _: Exception => MediaMeta(b.length.toLong, -1, -1, 0) }
       }
   }
 
@@ -100,6 +120,34 @@ object Multimodal {
         // bounded by the original (stands in for pixel re-encoding)
         val target = math.min(b.length.toLong, math.max(1L, w.toLong * h / 64)).toInt
         java.util.Arrays.copyOf(b, target)
+      }
+  }
+
+  /** REAL image resizer (javax.imageio + BufferedImage): decode,
+    * area-interpolated scale to (w, h), re-encode as PNG. Unreadable
+    * blobs pass through unchanged. Headless-safe: BufferedImage
+    * rendering needs no display. */
+  object ImageIoResizer extends MediaResizer {
+    def resizeBatch(blobs: Iterator[Array[Byte]], w: Int, h: Int): Iterator[Array[Byte]] =
+      blobs.map { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) b
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            baos.toByteArray
+          }
+        } catch { case _: Exception => b }
       }
   }
 

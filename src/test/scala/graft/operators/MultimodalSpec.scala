@@ -42,6 +42,53 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getLong(1).toInt).toSeq == expect)
   }
 
+  test("ImageIoCodec decodes REAL PNG/JPEG bytes; corrupt blobs don't fail the batch") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val imgs = Seq(
+      (1L, png(20, 12, 0xff0000)),
+      (2L, jpeg(33, 7)),
+      (3L, Array.fill[Byte](50)(42)) // not an image
+    ).toDF("media_id", "blob")
+    val out = Multimodal.decode(imgs, "media_id", "blob", Multimodal.ImageIoCodec)
+      .orderBy("media_id").collect()
+    assert(out(0).getInt(2) == 20 && out(0).getInt(3) == 12 && out(0).getInt(4) == 1)
+    assert(out(1).getInt(2) == 33 && out(1).getInt(3) == 7)
+    assert(out(2).getInt(2) == -1 && out(2).getInt(4) == 0, "corrupt blob → sentinel, not crash")
+  }
+
+  test("ImageIoResizer re-encodes real pixels at the target size") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, 0x00ff00)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val imgs = Seq((1L, png(64, 48))).toDF("media_id", "blob")
+    val resized = Multimodal.resize(imgs, "media_id", "blob", 8, 6,
+      Multimodal.ImageIoResizer).collect()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).getAs[Array[Byte]]("blob")))
+    assert(back.getWidth == 8 && back.getHeight == 6)
+    // solid-green source stays green after bilinear resampling
+    assert((back.getRGB(4, 3) & 0xffffff) == 0x00ff00)
+  }
+
   test("repartitionForMedia sizes from plan statistics without a data pass") {
     val repart = Multimodal.repartitionForMedia(media, "blob", targetBytesPerPartition = 512)
     assert(repart.rdd.getNumPartitions >= 1)
