@@ -37,6 +37,7 @@ object SparkEntry {
     "q_rollup_reagg" -> (SegmentQueries.rollupReagg _),
     "q_segment_compact" -> (SegmentQueries.segmentCompact _),
     "q_segment_vacuum" -> (SegmentQueries.segmentVacuum _),
+    "q_ingestion_spec" -> (SegmentQueries.ingestionSpecScan _),
     "q_druid_segment" -> (SegmentQueries.druidSegmentRead _),
     "q_druid_deepstore" -> (SegmentQueries.druidDeepStore _),
     // I. Streaming (AvailableNow micro-batches → segment store)
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_rollup_reagg" -> SegmentQueries.rollupReaggSql,
     "q_segment_compact" -> SegmentQueries.segmentCompactSql,
     "q_segment_vacuum" -> SegmentQueries.segmentVacuumSql,
+    "q_ingestion_spec" -> SegmentQueries.ingestionSpecScanSql,
     "q_druid_deepstore" -> SegmentQueries.druidDeepStoreSql,
     "q_stream_rollup" -> SegmentQueries.streamRollupSql,
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,

@@ -153,6 +153,46 @@ object SegmentQueries {
        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The reference's DatasourceIngestionSpec JSON driving a read END
+    * TO END under the correctness gate: the spec string (dataSource /
+    * interval / granularity / dimensions / metrics / DimFilter JSON —
+    * the exact dialect of druid.datasource.schema,
+    * DruidInputFormat.java:44-57) is parsed and executed against the
+    * shared rolled-up store, then aggregated per dim. The oracle
+    * recomputes from raw events with the same interval clip and
+    * filter — proving the JSON surface drives the same scan a typed
+    * ScanSpec does. */
+  def ingestionSpecScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ensureIngested(spark, sfDir)
+    val specJson =
+      """{
+        |  "dataSource": "events_rollup",
+        |  "interval": "2024-01-05T00:00:00Z/2024-01-25T00:00:00Z",
+        |  "granularity": "hour",
+        |  "dimensions": ["event_type"],
+        |  "metrics": ["cnt", "sum_users", "sum_value"],
+        |  "filter": {"type": "not", "field":
+        |    {"type": "selector", "dimension": "event_type", "value": "error"}}
+        |}""".stripMargin
+    val spec = graft.model.IngestionSpec.parse(specJson)
+    graft.model.IngestionSpec.scan(spark, base, spec)
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_users")).as("sum_users"),
+        graft.queries.Exact.dsum(col("sum_value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val ingestionSpecScanSql: String =
+    s"""SELECT event_type,
+       |  count(*) AS cnt,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+       |  AND event_type <> 'error'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Vacuum (Druid kill task) under the correctness gate: ingest v1
     * over the full range, overwrite 2024-01-10..20 with v2 carrying
     * DIFFERENT data (value × 3 — so serving any killed v1 chunk would

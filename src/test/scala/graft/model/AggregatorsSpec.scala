@@ -55,6 +55,22 @@ class AggregatorsSpec extends SparkSpec {
       s"hll ${row.getDouble(0)} vs exact $exact")
   }
 
+  test("hyperUnique estimate stays within 3σ at estimate-regime NDV") {
+    // q_hll is rows-only at unbounded NDV (no honest SQL mirror); this
+    // pins the estimator quantitatively in the regime the coupon-exact
+    // oracle (q_hll_exact) can't reach: HLL with 2^lgK registers has
+    // relative standard error ≈ 1.04/√(2^lgK) (Flajolet et al. 2007),
+    // so a correct implementation at NDV ≫ 2^12 must land within 3σ
+    val n = 200000L
+    val df = spark.range(n).toDF("user_id")
+    val spec = Aggregators.parseAggs(
+      """[{"type":"hyperUnique","name":"hu","fieldName":"user_id"}]""").head
+    val est = df.agg(Aggregators.compile(spec, df.schema)).collect()(0).getDouble(0)
+    val sigma = 1.04 / math.sqrt((1 << 12).toDouble) // default lgK = 12
+    val rel = math.abs(est - n) / n
+    assert(rel <= 3 * sigma, s"estimate $est vs exact $n: rel err $rel > 3σ (${3 * sigma})")
+  }
+
   test("thetaSketch estimate tracks exact cardinality") {
     val row = runAggs("""{"type":"thetaSketch","name":"th","fieldName":"event_id"}""")
     val exact = ev.select($"event_id").distinct().count().toDouble
