@@ -413,15 +413,22 @@ object DruidSegmentReader {
     }
   }
 
-  /** CompressedVSizeIntsIndexedSupplier v2. */
-  private def decodeCompressedVSizeInts(buf: ByteBuffer): IndexedSeq[Int] = {
+  /** CompressedVSizeIntsIndexedSupplier v2. The decompress buffer
+    * carries (4 - numBytes) bytes of slack: real Druid pads each vsize
+    * chunk so its 4-byte-window value reads can't run off the end
+    * (CompressedVSizeColumnarIntsSupplier.bufferPadding), so a FULL
+    * chunk of a real segment decompresses LARGER than sizePer×numBytes
+    * — without the slack the safe decompressor would throw on it.
+    * Unpadded chunks (this repo's writer) decompress smaller and are
+    * trimmed, so both layouts decode. */
+  private[sources] def decodeCompressedVSizeInts(buf: ByteBuffer): IndexedSeq[Int] = {
     val version = buf.get()
     require(version == 2, s"compressed vsize ints version $version")
     val numBytes = buf.get() & 0xff
     val totalSize = buf.getInt()
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
-    val chunks = decompressChunks(buf, compression, sizePer * numBytes)
+    val chunks = decompressChunks(buf, compression, sizePer * numBytes + (4 - numBytes))
     (0 until totalSize).map { i =>
       val chunk = chunks(i / sizePer)
       val off = (i % sizePer) * numBytes

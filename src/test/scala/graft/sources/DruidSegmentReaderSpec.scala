@@ -95,6 +95,41 @@ class DruidSegmentReaderSpec extends SparkSpec {
     assert(math.abs(uniques - 3.0) < 0.3)
   }
 
+  test("vsize ints decode tolerates real Druid's end-of-chunk padding") {
+    // CompressedVSizeColumnarInts pads each chunk buffer by
+    // (4 - numBytes) bytes so value reads through a 4-byte window
+    // can't run off the end — a FULL padded chunk decompresses LARGER
+    // than sizePer×numBytes. Build one by hand (numBytes=1, sizePer=4,
+    // 8 values → two full chunks, each padded with 3 zero bytes) and
+    // decode it; an intolerant reader throws on decompress overflow.
+    import java.nio.ByteBuffer
+    val values = Array(7, 1, 255, 0, 42, 9, 128, 3)
+    val sizePer = 4
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val chunks = values.grouped(sizePer).map { g =>
+      comp.compress(g.map(_.toByte) ++ Array[Byte](0, 0, 0)) // + padding
+    }.toSeq
+    // GenericIndexed v1 of the chunks
+    val offsets = chunks.scanLeft(0)(_ + _.length + 4).tail
+    val giBody = ByteBuffer.allocate(4 + offsets.size * 4 + chunks.map(_.length + 4).sum)
+    giBody.putInt(chunks.size)
+    offsets.foreach(giBody.putInt)
+    chunks.foreach { c => giBody.putInt(c.length); giBody.put(c) }
+    val gi = ByteBuffer.allocate(2 + 4 + giBody.position())
+      .put(1.toByte).put(0.toByte).putInt(giBody.position())
+      .put(giBody.array(), 0, giBody.position())
+    val col = ByteBuffer.allocate(1 + 1 + 4 + 4 + 1 + gi.position())
+      .put(2.toByte)            // version
+      .put(1.toByte)            // numBytes
+      .putInt(values.length)    // totalSize
+      .putInt(sizePer)          // sizePer
+      .put(0x1.toByte)          // LZ4
+      .put(gi.array(), 0, gi.position())
+    col.flip()
+    val got = DruidSegmentReader.decodeCompressedVSizeInts(col)
+    assert(got == values.toIndexedSeq)
+  }
+
   test("dictionary short-circuit: a no-match selector decodes ZERO segments") {
     assume(available)
     val t0 = java.time.Instant.parse("2014-10-22T00:00:00Z").toEpochMilli
