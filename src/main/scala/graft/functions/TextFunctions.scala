@@ -29,18 +29,18 @@ object TextFunctions {
 
   /** Word n-gram shingles (distinct), matching
     * `list_distinct(list_transform(...))` over `string_split` tokens in
-    * the DuckDB oracle: split on single spaces, join n-grams with ' '. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val cnt = size(words) - lit(n - 1)
-    // NB: Spark sequence(1, 0) is DESCENDING [1,0], not empty like
-    // DuckDB range(1, 1) — short texts need the explicit guard.
-    when(cnt < 1, array().cast(ArrayType(StringType, containsNull = false)))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(1), cnt),
-          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))))
-  }
+    * the DuckDB oracle: split on single spaces, join n-grams with ' '.
+    *
+    * Fused into ONE expression ([[WordShingles]]): the composed form
+    * (`transform(sequence(1, cnt), i -> concat_ws(..., element_at(
+    * split(text), i+j)...))`) hits the lambda-inlining trap (§4) —
+    * CollapseProject inlines `split(text)` into the lambda body and
+    * interpreted HOFs do no subexpression elimination, so the text was
+    * re-split per shingle position × n refs = O(tokens²·n) per doc
+    * (caught live at sf1: one task pinned in StringSplit.nullSafeEval
+    * through ConcatWs for minutes). The fused form splits once. */
+  def wordShingles(text: Column, n: Int): Column =
+    toColumn(WordShingles(toExpr(text), n))
 
   /** k-permutation MinHash signature of a string array → array<long>. */
   def minhashSig(shingles: Column, numHashes: Int = 128): Column =
@@ -102,6 +102,42 @@ object TextFunctions {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+}
+
+/** Fused word-shingle expression: split ONCE on single spaces (Spark
+  * `split` semantics — trailing empty tokens kept), emit the distinct
+  * n-gram strings joined with ' ' in first-occurrence order — exactly
+  * what the previous `array_distinct(transform(...))` composition
+  * produced, without its per-element re-split. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    // limit -1 ≙ Spark's split(text, " "): trailing empties preserved
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val cnt = toks.length - n + 1
+    if (cnt < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](cnt * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
 /** MinHash: for permutation i, min over shingles of mix64(fnv64(s) ^

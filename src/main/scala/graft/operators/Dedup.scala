@@ -101,11 +101,20 @@ object Dedup {
     val candIds = candidates.select(col("a_id").as("id"))
       .union(candidates.select(col("b_id").as("id"))).distinct()
     // materialized: consumed by BOTH pair-side joins below — without
-    // it the semi-join + shingling of candidate docs runs twice
+    // it the semi-join + shingling of candidate docs runs twice.
+    // Repartitioned by id BEFORE the shingle projection: the semi-join
+    // inherits the corpus scan's few input partitions, so computing +
+    // checkpointing the shingle payload there pins 1-2 threads while
+    // the rest of the cluster idles (measured at sf1: tens of seconds
+    // serial vs ~1 s parallel) — the narrow (id, text) shuffle spreads
+    // both the shingle compute and the checkpoint write across all
+    // cores, and costs one small pass over O(candidates) rows
     val shingleSets = Materialize(df
       .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
-      .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("sh")))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        TextFunctions.wordShingles(col("__text"), shingleN).as("sh")))
     candidates
       .join(shingleSets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(shingleSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
