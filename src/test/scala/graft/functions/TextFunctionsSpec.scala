@@ -22,6 +22,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("fused WordShingles ≡ composed split/transform form (incl. empty tokens, unicode)") {
+    // the fusion (one split per row) must be OBSERVATIONALLY identical
+    // to the composed Catalyst form it replaced — same order, same
+    // first-occurrence distinct, same empty-token and short-text edges
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def composed(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(text, " ")
+      val cnt = size(words) - lit(n - 1)
+      when(cnt < 1, array().cast(ArrayType(StringType, containsNull = false)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))))
+    }
+    val rng = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "", "日本語", "x🎉", "c")
+    val texts = Seq("", " ", "  ", "a", "a b", "a  b ", " a b c a b c") ++
+      (1 to 40).map(_ => (0 until rng.nextInt(12)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+    for (n <- 1 to 4) {
+      val rows = texts.toDF("t")
+        .select($"t", TextFunctions.wordShingles($"t", n).as("fused"), composed($"t", n).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n text='${r.getString(0)}': fused=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("minhash signature: equal sets → equal sigs; sim ≈ jaccard") {
     val df = Seq(
       ("x", "a b c d e f g h i j k l m n o p"),
