@@ -66,6 +66,13 @@ object TextFunctions {
   def simhashKeys(tokens: Column, numChunks: Int, maxHamming: Int): Column =
     toColumn(SimHashKeys(toExpr(tokens), numChunks, maxHamming))
 
+  /** Combination-bucket keys from an ALREADY-COMPUTED 64-bit simhash —
+    * pure bit ops, no text hashing. Lets a pipeline hash each document
+    * once, store the narrow (id, sh) pair, and derive both the bucket
+    * keys and the hamming verify from it (see Dedup.simhashPairs). */
+  def simhashKeysFromHash(sh: Column, numChunks: Int, maxHamming: Int): Column =
+    toColumn(SimHashKeysFromHash(toExpr(sh), numChunks, maxHamming))
+
   /** 64-bit SimHash over a token array → long. */
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
 
@@ -297,10 +304,35 @@ object SimHash64 {
   * key expressions recomputes the simhash 20× per row. */
 case class SimHashKeys(child: Expression, numChunks: Int, maxHamming: Int)
   extends UnaryExpression with CodegenFallback {
+  private val keyGen = new SimHashKeyGen(numChunks, maxHamming)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(keyGen.keysOf(SimHash64.simhashOf(v.asInstanceOf[ArrayData])))
+  override protected def withNewChildInternal(c: Expression): SimHashKeys = copy(child = c)
+}
+
+/** Combination-bucket keys from a stored 64-bit simhash (LongType
+  * input) — identical keys to [[SimHashKeys]] on the same signature,
+  * without re-hashing the token array. */
+case class SimHashKeysFromHash(child: Expression, numChunks: Int, maxHamming: Int)
+  extends UnaryExpression with CodegenFallback {
+  private val keyGen = new SimHashKeyGen(numChunks, maxHamming)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(keyGen.keysOf(v.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): SimHashKeysFromHash = copy(child = c)
+}
+
+/** Shared signature → combination-key logic for [[SimHashKeys]] /
+  * [[SimHashKeysFromHash]]: chunk the 64 bits into numChunks pieces,
+  * hash every (numChunks − maxHamming)-subset of chunks to a
+  * domain-separated key (pigeonhole: hamming ≤ h ⇒ some subset of
+  * chunks is equal, so bucketing on all subsets is lossless). */
+private[functions] final class SimHashKeyGen(numChunks: Int, maxHamming: Int)
+  extends Serializable {
   require(numChunks > maxHamming,
     "chunk bucketing is lossless only when numChunks > maxHamming")
   require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // chunk i covers widths(i) bits starting at offsets(i); first
   // (64 % numChunks) chunks take the extra bit
@@ -310,8 +342,7 @@ case class SimHashKeys(child: Expression, numChunks: Int, maxHamming: Int)
   private val combos: Array[Array[Int]] =
     (0 until numChunks).combinations(numChunks - maxHamming).map(_.toArray).toArray
 
-  override def nullSafeEval(v: Any): Any = {
-    val sh = SimHash64.simhashOf(v.asInstanceOf[ArrayData])
+  def keysOf(sh: Long): Array[Long] = {
     val keys = new Array[Long](combos.length)
     var ci = 0
     while (ci < combos.length) {
@@ -327,9 +358,8 @@ case class SimHashKeys(child: Expression, numChunks: Int, maxHamming: Int)
       keys(ci) = h
       ci += 1
     }
-    new GenericArrayData(keys)
+    keys
   }
-  override protected def withNewChildInternal(c: Expression): SimHashKeys = copy(child = c)
 }
 
 /** Winnowing: rolling FNV over CODEPOINT k-grams, per-window minimum

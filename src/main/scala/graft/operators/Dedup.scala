@@ -298,17 +298,26 @@ object Dedup {
     require(numChunks > maxHamming,
       "chunk bucketing is lossless only when numChunks > maxHamming")
     require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
-    val docs = df.select(
-      col(idCol).as("id"),
-      TextFunctions.simhash64(split(col(textCol), " ")).as("sh"))
+    // hash each document ONCE: the narrow (id, sh) pair — 16 bytes/doc
+    // — is materialized and feeds BOTH the bucket keys (pure bit ops
+    // via SimHashKeysFromHash) and the hamming verify joins. The
+    // signature (token split + per-token fnv64 × 64 counters) is the
+    // operator's dominant cost; deriving buckets from the stored hash
+    // instead of re-hashing the text halves it, at the price of one
+    // O(docs × 16B) checkpoint — the same trade minhashPairs makes for
+    // its candidate shingle sets. Repartitioned first so the compute
+    // and the checkpoint write spread across the cluster instead of
+    // pinning the corpus scan's input partitions.
+    val docs = Materialize(df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        TextFunctions.simhash64(split(col("__text"), " ")).as("sh")))
 
-    // fused tokens→combination-keys expression: the simhash is computed
-    // once per row (SimHashKeys documents the inlining trap a composed
-    // explode(array(20 key exprs)) hits)
-    val chunks = df.select(
-      col(idCol).as("id"),
-      explode(TextFunctions.simhashKeys(
-        split(col(textCol), " "), numChunks, maxHamming)).as("bucket"))
+    val chunks = docs.select(
+      col("id"),
+      explode(TextFunctions.simhashKeysFromHash(
+        col("sh"), numChunks, maxHamming)).as("bucket"))
 
     bucketPairs(chunks, maxBucketSize)
       .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))

@@ -76,6 +76,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhashKeysFromHash(simhash64(tokens)) ≡ simhashKeys(tokens)") {
+    // the stored-hash key path must bucket identically to the fused
+    // text path for every (numChunks, maxHamming) shape in use
+    val texts = Seq("a b c d e f g h", "the quick brown fox", "x", "")
+    for ((nc, mh) <- Seq((6, 3), (4, 3), (5, 2), (16, 1))) {
+      val rows = texts.toDF("t")
+        .select(
+          TextFunctions.simhashKeys(split($"t", " "), nc, mh).as("direct"),
+          TextFunctions.simhashKeysFromHash(
+            TextFunctions.simhash64(split($"t", " ")), nc, mh).as("stored"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"nc=$nc mh=$mh"))
+    }
+  }
+
   test("winnowing: substring sharing implies shared fingerprints") {
     val common = "the common substring shared by both documents here"
     val df = Seq(
