@@ -177,6 +177,14 @@ object MinHashSig {
   // fixed seeds: mix64 of the permutation index
   private[functions] val seeds: Array[Long] =
     Array.tabulate(1024)(i => TextFunctions.mix64(i.toLong * 0x9e3779b97f4a7c15L + 1))
+  // multiply-shift permutation family for the text fast path: h_k(x) =
+  // a_k·x + b_k over Z/2^64 with a_k odd (a bijection). 3 ops per
+  // (shingle, k) vs mix64's ~10 — the k-loop is the signature's hot
+  // loop (numHashes iterations per distinct shingle).
+  private[functions] val permA: Array[Long] =
+    seeds.map(s => TextFunctions.mix64(s) | 1L)
+  private[functions] val permB: Array[Long] =
+    seeds.map(s => TextFunctions.mix64(s ^ 0x5851f42d4c957f2dL))
 }
 
 /** Fused split+shingle+hash+minhash (see minhashSigText). */
@@ -195,29 +203,38 @@ object MinHashSigText {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (words.length >= shingleN) {
       val seen = new java.util.HashSet[Long](words.length * 2)
-      val sb = new java.lang.StringBuilder(64)
+      // encode each word's UTF-8 bytes ONCE — the old StringBuilder +
+      // toString.getBytes per shingle re-encoded every word shingleN
+      // times and allocated two objects per position
+      val wb = new Array[Array[Byte]](words.length)
+      var wi = 0
+      while (wi < words.length) {
+        wb(wi) = words(wi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        wi += 1
+      }
+      val permA = MinHashSig.permA
+      val permB = MinHashSig.permB
       var i = 0
       val last = words.length - shingleN
       while (i <= last) {
-        sb.setLength(0)
+        // fnv64 over the UTF-8 bytes of the space-joined shingle,
+        // streamed word-by-word — identical to hashing the joined
+        // string (shingle identity unchanged)
+        var h = 0xcbf29ce484222325L
         var j = 0
         while (j < shingleN) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
+          if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+          val bytes = wb(i + j)
+          var bi = 0
+          while (bi < bytes.length) {
+            h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
+          }
           j += 1
-        }
-        // fnv64 over UTF-8 bytes of the shingle — identical to
-        // fnv64(UTF8String) for the same content
-        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var h = 0xcbf29ce484222325L
-        var bi = 0
-        while (bi < bytes.length) {
-          h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
         }
         if (seen.add(h)) { // distinct shingles only
           var k = 0
           while (k < numHashes) {
-            val hk = TextFunctions.mix64(h ^ MinHashSig.seeds(k))
+            val hk = permA(k) * h + permB(k)
             if (hk < sig(k)) sig(k) = hk
             k += 1
           }
