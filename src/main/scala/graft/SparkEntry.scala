@@ -54,6 +54,8 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> (PipelineQueries.annIvfIndexed _),
     "q_lang_id" -> (PipelineQueries.langIdQ _),
     "q_text_quality" -> (PipelineQueries.textQuality _),
+    "q_repetition" -> (PipelineQueries.repetition _),
+    "q_quality_filter" -> (PipelineQueries.qualityFilter _),
     "q_token_count" -> (PipelineQueries.tokenCount _),
     "q_doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "q_redact" -> (PipelineQueries.redactQ _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> PipelineQueries.annIvfIndexedSql,
     "q_lang_id" -> PipelineQueries.langIdSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
+    "q_repetition" -> PipelineQueries.repetitionSql,
+    "q_quality_filter" -> PipelineQueries.qualityFilterSql,
     "q_token_count" -> PipelineQueries.tokenCountSql,
     "q_redact" -> PipelineQueries.redactSql,
     "q_multimodal" -> PipelineQueries.multimodalSql,

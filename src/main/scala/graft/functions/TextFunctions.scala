@@ -81,6 +81,11 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     toColumn(WinnowFingerprints(toExpr(text), k, w))
 
+  /** Gopher-style repetition stats in one pass: struct<top_gram,
+    * top_gram_frac, dup_gram_frac> (see [[RepetitionStats]]). */
+  def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
+    toColumn(RepetitionStats(toExpr(text), topN, dupN))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -428,4 +433,93 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     new GenericArrayData(out.distinct.toArray)
   }
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}
+
+/** Gopher-style repetition statistics (Rae et al. 2021, appendix A1)
+  * in ONE pass per row — no per-document shuffle. Word n-grams over
+  * the single-space token stream:
+  *  - top_gram / top_gram_frac: the most frequent `topN`-gram
+  *    (ties: smallest gram in codepoint order — UTF-8 byte order,
+  *    matching the DuckDB oracle's string collation) and the fraction
+  *    of characters its occurrences cover, counted WITH overlap
+  *    (count × gram chars / text chars) as Gopher does;
+  *  - dup_gram_frac: fraction of characters covered by `dupN`-grams
+  *    occurring ≥ 2 times (sum of count × gram chars / text chars).
+  * Short texts (< n tokens) yield ('', 0.0, 0.0); char counts are
+  * codepoints (Spark length() / DuckDB length() semantics). Each
+  * fraction is a single int-derived double division — bit-identical
+  * across engines. */
+case class RepetitionStats(child: Expression, topN: Int, dupN: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_gram_frac", DoubleType, nullable = false),
+    StructField("dup_gram_frac", DoubleType, nullable = false)))
+
+  // codepoint-order comparison = UTF-8 byte order (UTF-16 compareTo
+  // misorders astral planes vs U+E000..U+FFFF)
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def gramCounts(toks: Array[String], n: Int): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    val last = toks.length - n
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      m.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val textChars = text.codePointCount(0, text.length)
+    val toks = text.split(" ", -1)
+
+    var topGram = ""
+    var topFrac = 0.0
+    if (toks.length >= topN && textChars > 0) {
+      val m = gramCounts(toks, topN)
+      var bestCnt = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestCnt ||
+            (e.getValue == bestCnt && cpCompare(e.getKey, topGram) < 0)) {
+          bestCnt = e.getValue; topGram = e.getKey
+        }
+      }
+      topFrac = (bestCnt.toLong * topGram.codePointCount(0, topGram.length)).toDouble / textChars
+    }
+
+    var dupFrac = 0.0
+    if (toks.length >= dupN && textChars > 0) {
+      val m = gramCounts(toks, dupN)
+      var covered = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue >= 2)
+          covered += e.getValue.toLong * e.getKey.codePointCount(0, e.getKey.length)
+      }
+      dupFrac = covered.toDouble / textChars
+    }
+
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(topGram), topFrac, dupFrac)
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
 }

@@ -85,6 +85,47 @@ object TextAnalysis {
       TextFunctions.tokenCount(col(textCol)).as("ws_tokens"),
       TextFunctions.regexTokenCount(col(textCol)).as("re_tokens"))
 
+  /** Gopher-style repetition metrics (Rae et al. 2021): the most
+    * frequent word `topN`-gram with the character fraction its
+    * occurrences cover, and the character fraction covered by
+    * duplicated `dupN`-grams. ONE pass per row inside a single
+    * expression — no per-document shuffle, so at 100 TB this is a pure
+    * map over the corpus scan. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 2, dupN: Int = 3): DataFrame =
+    df.select(col(idCol),
+        TextFunctions.repetitionStats(col(textCol), topN, dupN).as("r"))
+      .select(col(idCol), col("r.top_gram").as("top_gram"),
+        col("r.top_gram_frac").as("top_gram_frac"),
+        col("r.dup_gram_frac").as("dup_gram_frac"))
+
+  /** Composed training-data quality filter — the standard cleaning
+    * pass (token-count bounds, English stopword floor, repetition
+    * ceilings) as ONE scan: every predicate is a column expression
+    * over the same projection, so the whole filter is a single map
+    * stage with no shuffle and full pushdown below it. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 10, maxWords: Int = 100000,
+                    minStopRatio: Double = 0.01,
+                    maxTopGramFrac: Double = 0.20,
+                    maxDupGramFrac: Double = 0.40): DataFrame = {
+    val t = col(textCol)
+    val n = nWords(t).cast("double")
+    val nSafe = greatest(n, lit(1.0))
+    val stopRatio = hits(t, stopwords("en")).cast("double") / nSafe
+    df.select(col(idCol),
+        n.cast("long").as("n_words"),
+        stopRatio.as("stopword_ratio"),
+        TextFunctions.repetitionStats(t).as("r"))
+      .select(col(idCol), col("n_words"), col("stopword_ratio"),
+        col("r.top_gram_frac").as("top_gram_frac"),
+        col("r.dup_gram_frac").as("dup_gram_frac"))
+      .filter(col("n_words").between(minWords, maxWords) &&
+        col("stopword_ratio") >= minStopRatio &&
+        col("top_gram_frac") <= maxTopGramFrac &&
+        col("dup_gram_frac") <= maxDupGramFrac)
+  }
+
   /** Winnowing fingerprints, exploded to (id, fingerprint) for
     * index-style joins (shared fingerprint ⇒ shared k-gram). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,

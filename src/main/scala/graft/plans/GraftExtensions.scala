@@ -91,6 +91,12 @@ object GraftExtensions {
       case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))
       case args => throw new IllegalArgumentException(s"winnow_fingerprints takes 1 or 3 args, got ${args.size}")
     }
+    reg("repetition_stats",
+        "repetition_stats(text, topN, dupN) - Gopher repetition struct") {
+      case Seq(t) => RepetitionStats(t, 2, 3)
+      case Seq(t, n1, n2) => RepetitionStats(t, intArg(n1, "topN"), intArg(n2, "dupN"))
+      case args => throw new IllegalArgumentException(s"repetition_stats takes 1 or 3 args, got ${args.size}")
+    }
     out.result()
   }
 }

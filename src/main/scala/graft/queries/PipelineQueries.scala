@@ -397,6 +397,88 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  /** Gopher repetition stats mirror. Gram generation, the (count DESC,
+    * gram ASC) tie-break (binary collation = the engine's codepoint
+    * compare), overlap-counted coverage, and the single double
+    * division all match the RepetitionStats expression exactly. */
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |            length(text) AS nc FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(
+      |         range(1, greatest(len(w), 1)),
+      |         i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+      |top2 AS (SELECT doc_id, gram, count(*) AS cnt,
+      |           row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY count(*) DESC, gram ASC) AS rn
+      |         FROM g2 GROUP BY doc_id, gram),
+      |g3 AS (SELECT doc_id, unnest(list_transform(
+      |         range(1, greatest(len(w) - 1, 1)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t),
+      |dup3 AS (SELECT doc_id, sum(cnt * length(gram)) AS covered FROM (
+      |           SELECT doc_id, gram, count(*) AS cnt FROM g3
+      |           GROUP BY doc_id, gram HAVING count(*) >= 2)
+      |         GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(b.gram, '') AS top_gram,
+      |  CASE WHEN t.nc = 0 THEN 0.0
+      |       ELSE coalesce(b.cnt * length(b.gram), 0)::DOUBLE / t.nc
+      |  END AS top_gram_frac,
+      |  CASE WHEN t.nc = 0 THEN 0.0
+      |       ELSE coalesce(d.covered, 0)::DOUBLE / t.nc
+      |  END AS dup_gram_frac
+      |FROM t
+      |LEFT JOIN (SELECT * FROM top2 WHERE rn = 1) b USING (doc_id)
+      |LEFT JOIN dup3 d USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFilter(docs(s, d), "doc_id", "text",
+      minWords = 20, maxWords = 1000, minStopRatio = 0.02,
+      maxTopGramFrac = 0.10, maxDupGramFrac = 0.55).orderBy("doc_id")
+
+  val qualityFilterSql: String = {
+    val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |            length(text) AS nc FROM documents),
+       |g2 AS (SELECT doc_id, unnest(list_transform(
+       |         range(1, greatest(len(w), 1)),
+       |         i -> w[i] || ' ' || w[i+1])) AS gram FROM t),
+       |top2 AS (SELECT doc_id, gram, count(*) AS cnt,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY count(*) DESC, gram ASC) AS rn
+       |         FROM g2 GROUP BY doc_id, gram),
+       |g3 AS (SELECT doc_id, unnest(list_transform(
+       |         range(1, greatest(len(w) - 1, 1)),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t),
+       |dup3 AS (SELECT doc_id, sum(cnt * length(gram)) AS covered FROM (
+       |           SELECT doc_id, gram, count(*) AS cnt FROM g3
+       |           GROUP BY doc_id, gram HAVING count(*) >= 2)
+       |         GROUP BY doc_id),
+       |m AS (SELECT t.doc_id,
+       |  len(t.w) AS n_words,
+       |  len(list_filter(t.w, x -> x IN ($stop)))::DOUBLE
+       |    / greatest(len(t.w), 1) AS stopword_ratio,
+       |  CASE WHEN t.nc = 0 THEN 0.0
+       |       ELSE coalesce(b.cnt * length(b.gram), 0)::DOUBLE / t.nc
+       |  END AS top_gram_frac,
+       |  CASE WHEN t.nc = 0 THEN 0.0
+       |       ELSE coalesce(d.covered, 0)::DOUBLE / t.nc
+       |  END AS dup_gram_frac
+       |FROM t
+       |LEFT JOIN (SELECT * FROM top2 WHERE rn = 1) b USING (doc_id)
+       |LEFT JOIN dup3 d USING (doc_id))
+       |SELECT doc_id, n_words, stopword_ratio, top_gram_frac, dup_gram_frac
+       |FROM m
+       |WHERE n_words BETWEEN 20 AND 1000
+       |  AND stopword_ratio >= 0.02
+       |  AND top_gram_frac <= 0.10
+       |  AND dup_gram_frac <= 0.55
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
 

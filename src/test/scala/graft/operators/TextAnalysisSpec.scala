@@ -20,6 +20,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == "nothing sensitive here")
   }
 
+  test("repetition: hand-computed Gopher stats, edges, tie-break") {
+    // "a b a b a b": 2-grams = {a b:3, b a:2} → top "a b" covers
+    // 3×3=9 of 11 chars; 3-grams = {a b a:2, b a b:2} → dup covers
+    // (2+2)×5=20/11 (> 1: Gopher counts overlap, no coverage dedup)
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x"),          // < n tokens → ('', 0, 0)
+      (3L, ""),           // empty text → ('', 0, 0)
+      (4L, "c c d d")     // tie: "c c","c d","d d" all cnt=1 → smallest gram
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == (("a b", 9.0 / 11, 20.0 / 11)))
+    assert(m(2L) == (("", 0.0, 0.0)))
+    assert(m(3L) == (("", 0.0, 0.0)))
+    assert(m(4L)._1 == "c c" && m(4L)._2 == 3.0 / 7 && m(4L)._3 == 0.0)
+  }
+
+  test("qualityFilter drops repetitive / stopword-free / short docs") {
+    val good = "the quick brown fox jumps over a lazy dog and then the " +
+      "fox runs far away into the hills before any dog can follow it"
+    val df = Seq(
+      (1L, good),
+      (2L, Seq.fill(30)("spam").mkString(" ")),          // top_gram_frac ≈ 1
+      (3L, "too short"),                                 // n_words < 20
+      (4L, Seq.fill(15)("alpha beta").mkString(" "))     // no stopwords
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(df, "doc_id", "text",
+      minWords = 20, maxWords = 1000, minStopRatio = 0.02,
+      maxTopGramFrac = 0.20, maxDupGramFrac = 0.55)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
   test("contamination flags corpus docs sharing fingerprints with probes") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -19,7 +19,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "theta_sketch_agg", "theta_estimate", "theta_union",
       "theta_intersect", "theta_anotb", "minhash_sig", "simhash64",
-      "winnow_fingerprints"))
+      "winnow_fingerprints", "repetition_stats"))
+  }
+
+  test("repetition_stats works from SQL") {
+    val r = spark.sql(
+      "SELECT repetition_stats('a b a b a b').top_gram AS g")
+      .collect()(0).getString(0)
+    assert(r == "a b")
   }
 
   test("theta functions work from SQL") {
