@@ -31,9 +31,19 @@ object Bench {
     // warmup: initialize codegen, parquet reader, shuffle machinery so
     // per-query timings reflect steady state rather than JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // partial data dirs (focused scale series) may lack region
+    val warmTable =
+      if (new java.io.File(s"$sfDir/region.parquet").exists()) "region"
+      else "documents"
+    spark.read.parquet(s"$sfDir/$warmTable.parquet").count()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted // fixed order every round
+    // optional subset (comma-separated names) for focused scale series
+    // over partial data dirs (e.g. the documents-only sf10 run)
+    val onlyFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+        .map(s => s.contains(_: String)).getOrElse(_ => true)
+    val names = SparkEntry.queries.keys.toSeq.filter(onlyFilter).sorted // fixed order every round
     val best = scala.collection.mutable.Map.empty[String, Double]
     // a throwing query must NOT hide as a fast time-to-fail number: its
     // error is carried into the JSON and fails the run (non-zero exit)

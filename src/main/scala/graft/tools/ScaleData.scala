@@ -29,6 +29,17 @@ object ScaleData {
     val src = args(0)
     val dst = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (e.g. a
+    // documents-only dir for the doc-operator scale series — the
+    // embedding shift wraps at 64 copies, so embeddings only scale
+    // cleanly to copies <= 64)
+    val only: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("region", "nation", "customer", "orders", "supplier",
+        "part", "lineitem", "events", "documents", "embeddings"))
+    require(!(only.contains("embeddings") && copies > 64),
+      "embedding per-copy shift wraps at 64 copies (pmod dim collision " +
+        "creates cross-copy identical vectors) - scale embeddings <= 64x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,59 +65,67 @@ object ScaleData {
     def shift(c: String, s: Long) = col(c) + col("__copy") * s
 
     // fixed-size dims: as-is
-    Seq("region", "nation").foreach(n => write(n, read(n)))
+    Seq("region", "nation").filter(only).foreach(n => write(n, read(n)))
 
-    val customer = read("customer")
-    val orders = read("orders")
-    val supplier = read("supplier")
-    val part = read("part")
-    val lineitem = read("lineitem")
-    val custS = stride(customer, "c_custkey")
-    val ordS = stride(orders, "o_orderkey")
-    val suppS = stride(supplier, "s_suppkey")
-    val partS = stride(part, "p_partkey")
+    if (Seq("customer", "orders", "supplier", "part", "lineitem").exists(only)) {
+      val customer = read("customer")
+      val orders = read("orders")
+      val supplier = read("supplier")
+      val part = read("part")
+      val lineitem = read("lineitem")
+      val custS = stride(customer, "c_custkey")
+      val ordS = stride(orders, "o_orderkey")
+      val suppS = stride(supplier, "s_suppkey")
+      val partS = stride(part, "p_partkey")
 
-    write("customer", customer.crossJoin(cp)
-      .withColumn("c_custkey", shift("c_custkey", custS)).drop("__copy"))
-    write("orders", orders.crossJoin(cp)
-      .withColumn("o_orderkey", shift("o_orderkey", ordS))
-      .withColumn("o_custkey", shift("o_custkey", custS)).drop("__copy"))
-    write("supplier", supplier.crossJoin(cp)
-      .withColumn("s_suppkey", shift("s_suppkey", suppS)).drop("__copy"))
-    write("part", part.crossJoin(cp)
-      .withColumn("p_partkey", shift("p_partkey", partS)).drop("__copy"))
-    write("lineitem", lineitem.crossJoin(cp)
-      .withColumn("l_orderkey", shift("l_orderkey", ordS))
-      .withColumn("l_partkey", shift("l_partkey", partS))
-      .withColumn("l_suppkey", shift("l_suppkey", suppS)).drop("__copy"))
+      if (only("customer")) write("customer", customer.crossJoin(cp)
+        .withColumn("c_custkey", shift("c_custkey", custS)).drop("__copy"))
+      if (only("orders")) write("orders", orders.crossJoin(cp)
+        .withColumn("o_orderkey", shift("o_orderkey", ordS))
+        .withColumn("o_custkey", shift("o_custkey", custS)).drop("__copy"))
+      if (only("supplier")) write("supplier", supplier.crossJoin(cp)
+        .withColumn("s_suppkey", shift("s_suppkey", suppS)).drop("__copy"))
+      if (only("part")) write("part", part.crossJoin(cp)
+        .withColumn("p_partkey", shift("p_partkey", partS)).drop("__copy"))
+      if (only("lineitem")) write("lineitem", lineitem.crossJoin(cp)
+        .withColumn("l_orderkey", shift("l_orderkey", ordS))
+        .withColumn("l_partkey", shift("l_partkey", partS))
+        .withColumn("l_suppkey", shift("l_suppkey", suppS)).drop("__copy"))
+    }
 
-    val events = read("events")
-    val userS = stride(events, "user_id")
-    val evS = stride(events, "event_id")
-    write("events", events.crossJoin(cp)
-      .withColumn("event_id", shift("event_id", evS))
-      .withColumn("user_id", shift("user_id", userS)).drop("__copy"))
+    if (only("events")) {
+      val events = read("events")
+      val userS = stride(events, "user_id")
+      val evS = stride(events, "event_id")
+      write("events", events.crossJoin(cp)
+        .withColumn("event_id", shift("event_id", evS))
+        .withColumn("user_id", shift("user_id", userS)).drop("__copy"))
+    }
 
-    val docs = read("documents")
-    val docS = stride(docs, "doc_id")
-    write("documents", docs.crossJoin(cp)
-      .withColumn("doc_id", shift("doc_id", docS))
-      .withColumn("text",
-        when(col("__copy") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_c"), col("__copy")))))
-      .withColumn("n_chars", length(col("text")))
-      .drop("__copy"))
+    if (only("documents")) {
+      val docs = read("documents")
+      val docS = stride(docs, "doc_id")
+      write("documents", docs.crossJoin(cp)
+        .withColumn("doc_id", shift("doc_id", docS))
+        .withColumn("text",
+          when(col("__copy") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_c"), col("__copy")))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("__copy"))
+    }
 
-    val embs = read("embeddings")
-    val vecS = stride(embs, "vec_id")
-    write("embeddings", embs.crossJoin(cp)
-      .withColumn("vec_id", shift("vec_id", vecS))
-      .withColumn("embedding",
-        transform(col("embedding"), (x, i) =>
-          when(col("__copy") > 0 && i === pmod(col("__copy"), lit(64)),
-            (x + lit(0.8f)).cast("float")).otherwise(x)))
-      .drop("__copy"))
+    if (only("embeddings")) {
+      val embs = read("embeddings")
+      val vecS = stride(embs, "vec_id")
+      write("embeddings", embs.crossJoin(cp)
+        .withColumn("vec_id", shift("vec_id", vecS))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(col("__copy") > 0 && i === pmod(col("__copy"), lit(64)),
+              (x + lit(0.8f)).cast("float")).otherwise(x)))
+        .drop("__copy"))
+    }
 
     spark.stop()
   }
