@@ -46,6 +46,7 @@ object SparkEntry {
     // H. LLM-pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact _),
     "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
+    "q_dedup_cross" -> (PipelineQueries.dedupCross _),
     "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "q_dedup_embed" -> (PipelineQueries.dedupEmbed _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
+    "q_dedup_cross" -> PipelineQueries.dedupCrossSql,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardSql,
     "q_ann_brute" -> PipelineQueries.annBruteSql,
     "q_ann_ivf" -> PipelineQueries.annIvfSql,

@@ -125,6 +125,66 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** CROSS-CORPUS MinHash dedup: near-duplicate pairs BETWEEN two
+    * datasets — the "dedup the new crawl against the existing training
+    * set" operation. Same banding as [[minhashPairs]] (so the same
+    * ~7e-15 miss probability at J=0.8 applies to cross pairs), but the
+    * bucket join is BIPARTITE: each side groups to per-bucket bounded
+    * id lists (O(cap) buffer under any skew, per side), buckets join
+    * on the key, and only cross-side pairs are generated — never
+    * in-corpus pairs, never an O(|corpus|×|ref|) product. Candidates
+    * are exact-Jaccard verified per side against their own source.
+    * Output: (corpus_id, ref_id, jaccard) at jaccard ≥ threshold. */
+  def minhashPairsAgainst(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      reference: DataFrame, refId: String, refText: String,
+      shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    def bands(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).as("id"),
+        explode(TextFunctions.minhashBands(
+          col(text), shingleN, numHashes, bandRows)).as("bucket"))
+    def bucketed(b: DataFrame, out: String): DataFrame = {
+      val idIsLong = b.schema("id").dataType == org.apache.spark.sql.types.LongType
+      if (idIsLong)
+        b.groupBy("bucket")
+          .agg(graft.functions.BoundedCollect.bounded_long_list(col("id"), maxBucketSize).as(out))
+          .filter(col(out).isNotNull)
+      else
+        b.groupBy("bucket").agg(collect_list(col("id")).as(out))
+          .filter(size(col(out)).between(1, maxBucketSize))
+    }
+    val ga = bucketed(bands(corpus, corpusId, corpusText), "a_ids")
+    val gb = bucketed(bands(reference, refId, refText), "b_ids")
+    // materialized: the candidate set is O(cross pairs) and is consumed
+    // by the semi-joins AND both verify joins below
+    val candidates = Materialize(ga.join(gb, "bucket")
+      .select(explode(expr(
+        """flatten(transform(a_ids, x ->
+          |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .dropDuplicates("a_id", "b_id"))
+
+    def shingleSide(df: DataFrame, id: String, text: String,
+                    keyCol: String, shCol: String): DataFrame = {
+      val ids = candidates.select(col(keyCol).as("id")).distinct()
+      Materialize(df
+        .join(broadcast(ids), col(id) === ids("id"), "left_semi")
+        .select(col(id).as(keyCol), col(text).as("__text"))
+        .repartition(col(keyCol))
+        .select(col(keyCol),
+          TextFunctions.wordShingles(col("__text"), shingleN).as(shCol)))
+    }
+    candidates
+      .join(shingleSide(corpus, corpusId, corpusText, "a_id", "a_sh"), Seq("a_id"))
+      .join(shingleSide(reference, refId, refText, "b_id", "b_sh"), Seq("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("corpus_id"), col("b_id").as("ref_id"), col("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the LSH pair
     * graph. Output: (id, cluster_id) where cluster_id = min id in the
     * component (singletons keep their id); "keep one per cluster"

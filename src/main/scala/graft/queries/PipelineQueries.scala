@@ -116,6 +116,36 @@ object PipelineQueries {
       |WHERE jaccard >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Cross-corpus dedup: even-doc_id docs are the "new crawl", odd
+    * doc_ids the "existing training set" — near-dup pairs BETWEEN the
+    * two (12 of the 25 sf0.01 near-dup pairs cross the split). */
+  def dedupCross(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.minhashPairsAgainst(
+      all.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      all.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      threshold = 0.8)
+      .orderBy("corpus_id", "ref_id")
+  }
+
+  /** All cross-split pairs at exact Jaccard ≥ 0.8 — equals the
+    * bipartite LSH+verify output for the same miss-probability reason
+    * as [[dedupMinhashSql]]. */
+  val dedupCrossSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t)
+      |SELECT corpus_id, ref_id, jaccard FROM (
+      |  SELECT a.doc_id corpus_id, b.doc_id ref_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+      |  FROM s a, s b
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      |WHERE jaccard >= 0.8
+      |ORDER BY corpus_id, ref_id""".stripMargin
+
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.clusters(docs(s, d), "doc_id", "text", threshold = 0.8)
       .orderBy("doc_id")

@@ -43,6 +43,37 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "test data contains planted near-duplicates")
   }
 
+  test("cross-corpus pairs = brute pairs crossing the split, nothing in-corpus") {
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val got = Dedup.minhashPairsAgainst(
+      even, "doc_id", "text", odd, "doc_id", "text", threshold = 0.8)
+      .select("corpus_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brutePairs(0.8)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // either orientation
+      .filter { case (a, b) => a % 2 == 0 && b % 2 == 1 }
+    assert(got == want)
+    assert(got.nonEmpty, "split must cross some planted near-dup pairs")
+    assert(got.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 },
+      "bipartite output must never contain in-corpus pairs")
+  }
+
+  test("cross-corpus bucket cap drops degenerate mass-duplicate buckets") {
+    // 60 identical docs per side: every cross pair lives ONLY in
+    // oversized buckets, so a cap of 50 must drop them all
+    val left = (0L until 60L).map(i => (i * 2, "x y z x y z x y z")).toDF("doc_id", "text")
+    val right = (0L until 60L).map(i => (i * 2 + 1, "x y z x y z x y z")).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsAgainst(
+      left, "doc_id", "text", right, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 50)
+    assert(out.count() == 0L)
+    val out2 = Dedup.minhashPairsAgainst(
+      left, "doc_id", "text", right, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 100)
+    assert(out2.count() == 3600L, "under the cap all cross pairs emit")
+  }
+
   test("simhash pairs equal brute-force hamming pairs") {
     val rows = docs.select($"doc_id", $"text").collect()
     val hashes = rows.map { r =>
