@@ -55,6 +55,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L), s"got $kept")
   }
 
+  test("repetition and qualityFilter plan with zero exchanges") {
+    // both are claimed pure map stages over the corpus scan — pin it:
+    // any groupBy/explode-based reformulation would show an Exchange
+    val df = Seq((1L, "the quick brown fox and the lazy dog")).toDF("doc_id", "text")
+    for (q <- Seq(
+        TextAnalysis.repetition(df, "doc_id", "text"),
+        TextAnalysis.qualityFilter(df, "doc_id", "text"))) {
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+      assert(exchanges.isEmpty,
+        s"must be a pure map stage:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("contamination flags corpus docs sharing fingerprints with probes") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
