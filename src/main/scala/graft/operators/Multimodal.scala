@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs, batch decode /
   * feature-extract over partitions.
   *
-  * Codecs are pluggable behind `MediaCodec`/`MediaResizer`. The IMAGE
-  * path is REAL — `ImageIoCodec`/`ImageIoResizer` decode and resize
-  * actual JPEG/PNG/GIF/BMP bytes via the JDK's dependency-free
-  * javax.imageio. Audio/video remain stubbed (`StubCodec` — no codec
-  * libraries exist in the JDK): the stub derives deterministic
-  * "decoded" properties from byte content alone, so the Spark-side
-  * plumbing (schema, per-partition batching, partition sizing) stays
-  * real and testable end-to-end while those codecs are swappable.
+  * Codecs are pluggable behind `MediaCodec`/`AudioCodec`/
+  * `MediaResizer`. The IMAGE path is REAL — `ImageIoCodec`/
+  * `ImageIoResizer` decode and resize actual JPEG/PNG/GIF/BMP bytes
+  * via the JDK's dependency-free javax.imageio — and so is AUDIO:
+  * `JavaSoundCodec` parses actual WAV/AIFF/AU (PCM) headers via
+  * javax.sound.sampled. Video remains the one stubbed modality
+  * (`StubCodec` — the JDK ships no video codec): the stub derives
+  * deterministic "decoded" properties from byte content alone, so the
+  * Spark-side plumbing (schema, per-partition batching, partition
+  * sizing) stays real and testable end-to-end while that codec is
+  * swappable.
   *
   * Scale design: decode runs per-partition over an iterator (one codec
   * init per partition, not per row — the moral equivalent of
@@ -47,8 +50,7 @@ object Multimodal {
     * parses actual JPEG/PNG/GIF/BMP headers and pixels. Images are
     * single-frame. Unreadable/non-image blobs decode to (-1, -1, 0)
     * instead of failing the batch — at 100 TB corrupt rows are data to
-    * route, not task-killing errors. Audio/video stay stubbed (no
-    * codec libraries in the JDK). */
+    * route, not task-killing errors. */
   object ImageIoCodec extends MediaCodec {
     def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[MediaMeta] =
       blobs.map { b =>
@@ -79,6 +81,58 @@ object Multimodal {
       val (ids, blobs) = buffered.duplicate
       ids.map(_._1).zip(codec.decodeBatch(blobs.map(_._2))).map {
         case (id, m) => Row(id, m.nBytes, m.width, m.height, m.frames)
+      }
+    }(rowEnc)
+  }
+
+  /** Pluggable audio codec boundary — audio metadata has its own
+    * natural shape (rate/channels/frames), not the image struct. */
+  trait AudioCodec extends Serializable {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[AudioMeta]
+  }
+
+  final case class AudioMeta(nBytes: Long, sampleRate: Int, channels: Int, frames: Long)
+
+  /** REAL audio codec on the JDK's dependency-free
+    * `javax.sound.sampled`: parses actual WAV/AIFF/AU headers (PCM).
+    * Unreadable/non-audio blobs decode to (-1, -1, 0) instead of
+    * failing the batch — corrupt rows are data to route. Video remains
+    * the one stubbed modality (the JDK genuinely ships no video
+    * codec). */
+  object JavaSoundCodec extends AudioCodec {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[AudioMeta] =
+      blobs.map { b =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val f = ais.getFormat
+            AudioMeta(b.length.toLong, f.getSampleRate.toInt, f.getChannels,
+              ais.getFrameLength)
+          } finally ais.close()
+        } catch { case _: Exception => AudioMeta(b.length.toLong, -1, -1, 0L) }
+      }
+  }
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType)))
+
+  /** Per-partition batch audio decode: (idCol, blobCol) → audio
+    * metadata — same one-codec-session-per-partition shape as
+    * [[decode]]. */
+  def decodeAudio(df: DataFrame, idCol: String, blobCol: String,
+                  codec: AudioCodec = JavaSoundCodec): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val rowEnc = ExpressionEncoder(decodedAudioSchema)
+    input.mapPartitions { rows =>
+      val buffered = rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      val (ids, blobs) = buffered.duplicate
+      ids.map(_._1).zip(codec.decodeBatch(blobs.map(_._2))).map {
+        case (id, m) => Row(id, m.nBytes, m.sampleRate, m.channels, m.frames)
       }
     }(rowEnc)
   }

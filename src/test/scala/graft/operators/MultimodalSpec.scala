@@ -70,6 +70,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getInt(2) == -1 && out(2).getInt(4) == 0, "corrupt blob → sentinel, not crash")
   }
 
+  test("JavaSoundCodec decodes REAL WAV bytes; corrupt blobs don't fail the batch") {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
+    def wav(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = (i % 251).toByte; i += 1 }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val audio = Seq(
+      (1L, wav(16000f, 1, 1600)),   // 0.1 s of 16 kHz mono
+      (2L, wav(44100f, 2, 4410)),   // 0.1 s of 44.1 kHz stereo
+      (3L, Array.fill[Byte](64)(7)) // not audio
+    ).toDF("media_id", "blob")
+    val out = Multimodal.decodeAudio(audio, "media_id", "blob")
+      .orderBy("media_id").collect()
+    assert(out(0).getInt(2) == 16000 && out(0).getInt(3) == 1 && out(0).getLong(4) == 1600L)
+    assert(out(1).getInt(2) == 44100 && out(1).getInt(3) == 2 && out(1).getLong(4) == 4410L)
+    assert(out(2).getInt(2) == -1 && out(2).getLong(4) == 0L, "corrupt blob → sentinel, not crash")
+  }
+
   test("ImageIoResizer re-encodes real pixels at the target size") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
