@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "q_dedup_embed" -> (PipelineQueries.dedupEmbed _),
+    "q_semdedup" -> (PipelineQueries.semdedup _),
     "q_ann_brute" -> (PipelineQueries.annBrute _),
     "q_ann_ivf" -> (PipelineQueries.annIvf _),
     "q_ann_ivf_indexed" -> (PipelineQueries.annIvfIndexed _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_doc_chunks" -> PipelineQueries.docChunksSql,
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "q_dedup_embed" -> PipelineQueries.dedupEmbedSql,
+    "q_semdedup" -> PipelineQueries.semdedupSql,
     "q_doc_fingerprint" -> PipelineQueries.docFingerprintSql,
     "q_contamination" -> PipelineQueries.contaminationSql,
     "q_druid_segment" -> SegmentQueries.druidSegmentReadSql,

@@ -221,4 +221,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then
+    * drop documents that are near-duplicates *within their cluster*.
+    * Returns every input row as `(<idCol>, cell, keep)`.
+    *
+    * Keep policy (declarative, single-pass): a row is kept iff it has
+    * NO lower-id neighbor in the same cell with cosine ≥ `tau`. On a
+    * clique of mutual near-dups (the typical shape for near-identical
+    * embeddings) this is exactly the paper's keep-one-representative;
+    * on a non-clique *chain* (a~b, b~c, a≁c) it drops both b and c
+    * where a sequential greedy pass would keep c — a deliberate trade:
+    * greedy keep-if-no-KEPT-witness is an inherently sequential
+    * dependency chain (not expressible as one declarative pass), while
+    * this rule is one self-join + one aggregation and is mirrored
+    * verbatim by the SQL oracle.
+    *
+    * Scale shape: cell assignment is the same fused per-row argmax
+    * projection as IVF (no join, no exchange); the within-cell
+    * self-join shuffles (id, vector) on `cell` once per side, and the
+    * quadratic work is Σ|cell|² — bounded by keeping expected cell
+    * size fixed and letting `cells` grow with the corpus, which is
+    * SemDeDup's own design point (the paper runs ~100k clusters over
+    * LAION). Witnesses aggregate to at most one row per dropped id
+    * before the final keep-flag join. A hot cell (embedding skew) is
+    * the residual risk — raise `cells` or pre-split dense cells.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, cells: Int = 16,
+      centroids0: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    val assigned = assignToCells(c, cents)
+    val a = assigned.select(col("cell"), col("n_id").as("a_id"), col("n_v").as("a_v"))
+    val b = assigned.select(col("cell"), col("n_id").as("b_id"), col("n_v").as("b_v"))
+    // each dropped id appears once: aggregate witnesses before joining back
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_v"), col("b_v")) >= tau)
+      .select(col("b_id").as("n_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("n_id"), "left")
+      .select(col("n_id").as(idCol), col("cell"),
+        not(coalesce(col("is_dup"), lit(false))).as("keep"))
+  }
 }

@@ -270,6 +270,52 @@ object PipelineQueries {
       |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.99
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup over base ∪ planted near-dups:
+    * 16 deterministic cells (lowest-id centroids, the q_ann_ivf
+    * assignment), keep = no lower-id same-cell neighbor with
+    * cosine ≥ 0.99. The planted rows (ids +1e6, per-dim float shift)
+    * must come back keep=false, every base row keep=true (base max
+    * pairwise cosine ≈ 0.51). */
+  def semdedup(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + pmod(i, lit(7)).cast("float") * lit(0.001f)).as("embedding"))
+    Similarity.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+        tau = 0.99, cells = 16)
+      .orderBy("vec_id")
+  }
+
+  /** Same planting arithmetic as dedupEmbedSql, same cell-assignment
+    * CTE as annIvfSql (over base ∪ planted), keep = NOT EXISTS a
+    * lower-id same-cell neighbor with cosine ≥ τ — the declaratively
+    * mirrored form of `Similarity.semanticDedup`'s keep policy. */
+  val semdedupSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |planted AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(embedding,
+      |      (x, i) -> x + CAST((i-1) % 7 AS FLOAT) * 0.001::FLOAT) AS embedding
+      |  FROM base WHERE vec_id < 100),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |      FROM allv),
+      |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, v, nrm, cell FROM (
+      |  SELECT d.vec_id, d.v, d.nrm, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c) WHERE r = 1),
+      |dup AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+      |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+      |          / (a.nrm * b.nrm) >= 0.99)
+      |SELECT g.vec_id, g.cell, (dup.vec_id IS NULL) AS keep
+      |FROM asg g LEFT JOIN dup ON g.vec_id = dup.vec_id
+      |ORDER BY g.vec_id""".stripMargin
+
   /** Deterministic train/val/test split sizes over documents. The
     * oracle recomputes the engine's exact bucket function — Spark's
     * xxhash64 (XXH64 of the 8-byte long, seed-chained) mod 2^20 — in

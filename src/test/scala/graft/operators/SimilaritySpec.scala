@@ -46,6 +46,51 @@ class SimilaritySpec extends SparkSpec {
       s"query side must broadcast:\n$plan")
   }
 
+  test("semanticDedup matches an in-memory brute force of the same policy") {
+    // ref: same deterministic pipeline — 16 lowest-id centroids,
+    // nearest-cell by (cos desc, c_id asc), keep = no lower-id
+    // same-cell neighbor with cosine >= tau
+    val tau = 0.9
+    val all = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = all.keys.toSeq.sorted.take(16).map(id => id -> all(id))
+    val cellOf = all.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }
+    val want = all.keys.map { id =>
+      id -> !all.keys.exists(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(all(o), all(id)) >= tau)
+    }.toMap
+    val got = Similarity.semanticDedup(embs, "vec_id", "embedding", tau = tau, cells = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == want)
+  }
+
+  test("semanticDedup drops planted near-identical vectors, keeps all base rows") {
+    val base = embs.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val out = Similarity.semanticDedup(base.unionByName(planted),
+      "vec_id", "embedding", tau = 0.99, cells = 16).collect()
+    val (p, b) = out.partition(_.getLong(0) >= 1000000L)
+    assert(p.length == 50 && p.forall(!_.getBoolean(2)),
+      "every planted copy must be dropped")
+    assert(b.forall(_.getBoolean(2)),
+      "base rows (max pairwise cosine ~0.51) must all be kept")
+  }
+
+  test("semanticDedup joins on cell — never a corpus×corpus cartesian") {
+    val plan = Similarity.semanticDedup(embs, "vec_id", "embedding", tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("ivf top-k achieves high recall vs brute force") {
     val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
     val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", k = 10, cells = 16, nprobe = 8)
