@@ -93,24 +93,46 @@ object DruidSegmentReader {
     val rdd = spark.sparkContext
       .parallelize(windows, windows.size)
       .flatMap { case (dir, lo, hi) =>
-        val file = openSegment(confSer.value, dir)
-        // dictionary short-circuit (Druid-native): a conjunctively
-        // required selector/in value absent from a string dim's
-        // dictionary proves zero rows match — skip the row decode
-        // for this segment entirely. The dictionary is a prefix of
-        // the column's bytes, so the probe is cheap.
-        val skip = requiredValues.exists { case (d, vs) =>
-          dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
-        }
-        if (skip) Iterator.empty
-        else {
-          decodedSegments.incrementAndGet()
-          // __time is always names.head (read() forces it first)
-          decodeRows(file, names)
-            .filter { r => val t = r.getLong(0); t >= lo && t < hi }
-        }
+        decodeWindow(confSer.value, dir, lo, hi, names, requiredValues)
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode one windowed segment on an executor: dictionary
+    * short-circuit, then columnar decode of `names` (in the caller's
+    * order; `__time` need not be first or present — it is decoded
+    * internally for the window clip and projected away if unwanted),
+    * then the `[lo, hi)` row clip. The single executor-side entry
+    * point shared by [[readWindowed]] and the DataSource V2 connector
+    * ([[DruidSegmentsDataSource]]).
+    *
+    * The dictionary short-circuit is Druid-native: a conjunctively
+    * required selector/in value absent from a string dim's dictionary
+    * proves zero rows match — the row decode is skipped for the whole
+    * segment. The dictionary is a prefix of the column's bytes, so
+    * the probe never decompresses row ids. */
+  private[sources] def decodeWindow(
+      conf: Configuration, dir: String, lo: Long, hi: Long,
+      names: Seq[String],
+      requiredValues: Map[String, Set[String]]): Iterator[Row] = {
+    val file = openSegment(conf, dir)
+    val skip = requiredValues.exists { case (d, vs) =>
+      dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
+    }
+    if (skip) Iterator.empty
+    else {
+      decodedSegments.incrementAndGet()
+      val withTime =
+        if (names.headOption.contains("__time")) names
+        else "__time" +: names.filter(_ != "__time")
+      val rows = decodeRows(file, withTime)
+        .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+      if (withTime == names) rows
+      else {
+        val idx = names.map(withTime.indexOf(_)).toArray
+        rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+      }
+    }
   }
 
   /** Timeline-style scan over segment dirs: interval clip on __time +
@@ -163,7 +185,7 @@ object DruidSegmentReader {
 
   // ---- segment container ----
 
-  private class SerializableConfiguration(@transient var conf: Configuration)
+  private[sources] class SerializableConfiguration(@transient var conf: Configuration)
       extends Serializable {
     def value: Configuration = conf
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Druid deep storage as a first-class Spark DataSource V2 table —
+  * the Spark-native re-expression of the reference's Hadoop
+  * InputFormat entry point (druid-mr/DruidInputFormat.java:44-120,
+  * which exposes a (dataSource, interval) segment list as MapReduce
+  * splits):
+  *
+  * {{{
+  * spark.read.format("druid-segments")
+  *   .option("dataSource", "events")        // optional when the tree has one
+  *   .load("/deep/storage/root")
+  *   .where($"__time" >= t0 && $"host" === "a")   // pushed down
+  *   .select("__time", "hits")                    // pruned at decode
+  * }}}
+  *
+  * Where the hand-rolled [[DruidDeepStorage.scan]] needs projection
+  * and filter passed as arguments, here Catalyst drives them through
+  * the V2 pushdown hooks, so the same pruning happens for plain SQL
+  * over the table:
+  *
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`) reaches
+  *    the binary decoder: unprojected columns' bytes are never
+  *    decompressed (DruidSegmentReader decodes only the requested
+  *    internal smoosh files).
+  *  - '''Filter pushdown''' (`SupportsPushDownFilters`): `__time`
+  *    bounds tighten the scan interval BEFORE timeline resolution, so
+  *    out-of-interval segments are never planned as partitions (the
+  *    reference's interval argument, now inferred from the WHERE
+  *    clause); string-dimension equality/IN conjuncts feed the
+  *    Druid-native dictionary short-circuit — a segment whose
+  *    dictionary provably contains no matching value skips row decode
+  *    entirely. All filters are also left for Spark to re-evaluate
+  *    above the scan (same contract as the built-in file sources):
+  *    the source prunes work, Spark owns exactness.
+  *  - '''Statistics''' (`SupportsReportStatistics`): sizeInBytes =
+  *    Σ index.zip bytes of the planned (post-pushdown) windows, so AQE
+  *    and the broadcast-join threshold see a real, filter-aware size
+  *    instead of defaulting to "huge".
+  *
+  * One InputPartition per timeline-visible segment window (Druid
+  * builds ~500 MB segments — the natural split, exactly the
+  * reference's WindowedDataSegment granularity), so a 100 TB
+  * datasource plans ~200k independent decode tasks with no driver
+  * bottleneck beyond the descriptor listing the reference also does.
+  */
+class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "druid-segments"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val segs = DruidSegmentsDataSource.discover(spark, options)
+    // schema from one segment descriptor — all segments of a Druid
+    // datasource share it (enforced by Druid's ingestion)
+    DruidSegmentReader.segmentSchema(spark, segs.head.path)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DruidSegmentsTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object DruidSegmentsDataSource {
+
+  /** Driver-side descriptor discovery + dataSource filter (one
+    * recursive listing — the same O(#segments) planning cost as the
+    * reference's overlord segment-list action). */
+  def discover(spark: SparkSession, options: CaseInsensitiveStringMap): Seq[SegmentDescriptor] = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "druid-segments: option 'path' (deep-storage root) is required — " +
+          "spark.read.format(\"druid-segments\").load(<root>)"))
+    val all = DruidDeepStorage.discover(spark, root)
+    val segs = Option(options.get("dataSource")) match {
+      case Some(ds) => all.filter(_.dataSource == ds)
+      case None =>
+        val names = all.map(_.dataSource).distinct
+        require(names.size <= 1,
+          s"druid-segments: tree at $root holds dataSources ${names.mkString(", ")} — " +
+            "pass .option(\"dataSource\", ...) to pick one")
+        all
+    }
+    require(segs.nonEmpty, s"druid-segments: no segments under $root" +
+      Option(options.get("dataSource")).map(ds => s" for dataSource '$ds'").getOrElse(""))
+    segs
+  }
+}
+
+private[sources] class DruidSegmentsTable(tableSchema: StructType,
+                                          options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = {
+    val ds = Option(options.get("dataSource")).map(d => s"/$d").getOrElse("")
+    s"druid-segments:${options.get("path")}$ds"
+  }
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new DruidScanBuilder(tableSchema, options)
+}
+
+/** Accumulates Catalyst's pushdown into (interval ∩ __time bounds,
+  * dictionary-required values, pruned columns) — the exact inputs of
+  * [[DruidSegmentReader.decodeWindow]]. */
+private[sources] class DruidScanBuilder(fullSchema: StructType,
+                                        options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var timeLo: Long = Long.MinValue
+  private var timeHi: Long = Long.MaxValue
+  // dim -> values the conjunction still allows (intersection across
+  // conjuncts — same law as DimFilter.requiredValues; an empty set
+  // means the conjunction is unsatisfiable and every segment skips)
+  private var required: Map[String, Set[String]] = Map.empty
+
+  private def isScalarString(dim: String): Boolean =
+    fullSchema.fields.exists(f => f.name == dim && f.dataType == StringType)
+
+  private def intersect(dim: String, vs: Set[String]): Unit =
+    required = required.updated(dim, required.get(dim).map(_ intersect vs).getOrElse(vs))
+
+  private def longBound(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None // non-integral __time comparisons stay Spark-side
+  }
+
+  /** True when the conjunct tightens the scan (and is therefore worth
+    * REPORTING as pushed); side-effects accumulate the bounds. */
+  private def push(f: Filter): Boolean = f match {
+    case EqualTo("__time", v) => longBound(v).exists { t =>
+      timeLo = math.max(timeLo, t); timeHi = math.min(timeHi, t + 1); true
+    }
+    case GreaterThan("__time", v) => longBound(v).exists { t =>
+      timeLo = math.max(timeLo, t + 1); true
+    }
+    case GreaterThanOrEqual("__time", v) => longBound(v).exists { t =>
+      timeLo = math.max(timeLo, t); true
+    }
+    case LessThan("__time", v) => longBound(v).exists { t =>
+      timeHi = math.min(timeHi, t); true
+    }
+    case LessThanOrEqual("__time", v) => longBound(v).exists { t =>
+      timeHi = math.min(timeHi, t + 1); true
+    }
+    case EqualTo(d, v: String) if isScalarString(d) =>
+      intersect(d, Set(v)); true
+    case In(d, vs) if isScalarString(d) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      intersect(d, vs.map(_.asInstanceOf[String]).toSet); true
+    case _ => false
+  }
+
+  /** Best-effort contract (the built-in file sources' one): every
+    * filter is returned as residual for Spark to evaluate exactly;
+    * the accepted subset additionally prunes segments/windows at the
+    * source. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(push)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
+
+  override def build(): Scan =
+    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, required)
+}
+
+private[sources] class DruidScan(options: CaseInsensitiveStringMap,
+                                 prunedSchema: StructType,
+                                 pushed: Array[Filter],
+                                 timeLo: Long, timeHi: Long,
+                                 required: Map[String, Set[String]])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def description(): String =
+    s"DruidSegments PushedFilters: [${pushed.mkString(", ")}], " +
+      s"interval: [$timeLo, $timeHi), ReadColumns: ${readSchema.fieldNames.mkString(", ")}"
+
+  override def toBatch: Batch = this
+
+  /** Timeline resolution under the pushed interval — overshadowed
+    * versions and out-of-interval segments never become partitions. */
+  private lazy val windows: Seq[WindowedSegment] = {
+    val spark = SparkSession.active
+    val segs = DruidSegmentsDataSource.discover(spark, options)
+    VersionedTimeline.resolve(segs, timeLo, timeHi)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // Σ index.zip bytes of the PLANNED windows: filter-aware, and the
+    // same on-disk convention the parquet source reports, so the
+    // broadcast threshold compares like with like.
+    private lazy val bytes: Long = {
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      windows.map(_.segment.path).distinct.map { dir =>
+        val p = new HPath(s"$dir/index.zip")
+        try p.getFileSystem(conf).getFileStatus(p).getLen catch { case _: Exception => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    windows.map { w =>
+      DruidInputPartition(w.segment.path,
+        math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
+        readSchema.fieldNames.toSeq, required)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new DruidSegmentReader.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    DruidPartitionReaderFactory(conf, readSchema)
+  }
+}
+
+private[sources] final case class DruidInputPartition(
+    segmentDir: String, windowLo: Long, windowHi: Long,
+    columns: Seq[String], required: Map[String, Set[String]]) extends InputPartition
+
+private[sources] final case class DruidPartitionReaderFactory(
+    conf: DruidSegmentReader.SerializableConfiguration,
+    schema: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DruidInputPartition]
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+    val rows = DruidSegmentReader.decodeWindow(
+      conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.required)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = rows.hasNext
+      override def get(): InternalRow = toCatalyst(rows.next()).asInstanceOf[InternalRow]
+      override def close(): Unit = ()
+    }
+  }
+}
