@@ -132,7 +132,8 @@ object Similarity {
       k: Int = 10, cells: Int = 16, nprobe: Int = 4,
       centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    val nCells = if (cells > 0) cells else autoCells(c.count())
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
     val assigned = assignToCells(c, cents)
     val centroids = centroidDf(corpus.sparkSession, cents)
 
@@ -242,23 +243,65 @@ object Similarity {
     * projection as IVF (no join, no exchange); the within-cell
     * self-join shuffles (id, vector) on `cell` once per side, and the
     * quadratic work is Σ|cell|² — bounded by keeping expected cell
-    * size fixed and letting `cells` grow with the corpus, which is
-    * SemDeDup's own design point (the paper runs ~100k clusters over
-    * LAION). Witnesses aggregate to at most one row per dropped id
-    * before the final keep-flag join. A hot cell (embedding skew) is
-    * the residual risk — raise `cells` or pre-split dense cells.
+    * size fixed and letting `cells` grow with the corpus (use
+    * `autoCells` or pass `cells = 0`), which is SemDeDup's own design
+    * point (the paper runs ~100k clusters over LAION). Witnesses
+    * aggregate to at most one row per dropped id before the final
+    * keep-flag join.
+    *
+    * Hot-cell guard: a degenerate embedding mass (e.g. all-zero
+    * vectors from empty docs) can swallow the corpus into ONE cell no
+    * matter how many centroids exist — a hyperplane split can't
+    * separate identical vectors either, so the guard is an id-hash
+    * salt. Cells whose population exceeds `maxCellSize` are split into
+    * `ceil(|cell| / maxCellSize)` salt buckets by `xxhash64(id)`, and
+    * near-dup pairs are only generated *within* a salt bucket. That
+    * bounds the join work per task at ~`maxCellSize`² regardless of
+    * skew (total work ≤ |cell| × maxCellSize, linear in the hot cell).
+    * Recall semantics, documented and deterministic: inside a salted
+    * cell only same-salt pairs are compared, so a mass of N identical
+    * vectors keeps `nsplit` representatives (one per salt bucket, the
+    * bucket-minimum id) instead of exactly 1 — the guard trades a few
+    * extra survivors for bounded work, never correctness of the keep
+    * rule within a bucket. Salting is loudly logged; normal cells
+    * (≤ `maxCellSize`) are bit-identical to the unguarded plan.
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, cells: Int = 16,
-      centroids0: Option[DataFrame] = None): DataFrame = {
+      centroids0: Option[DataFrame] = None,
+      maxCellSize: Long = 65536L): DataFrame = {
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    val nCells = if (cells > 0) cells else autoCells(c.count())
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
     val assigned = assignToCells(c, cents)
-    val a = assigned.select(col("cell"), col("n_id").as("a_id"), col("n_v").as("a_v"))
-    val b = assigned.select(col("cell"), col("n_id").as("b_id"), col("n_v").as("b_v"))
+    // hot-cell census: a tiny map-side-combined aggregate (≤ `cells`
+    // rows cross the wire — cell ids only, never vectors)
+    val hot: Map[Long, Int] = assigned.groupBy("cell").count()
+      .filter(col("count") > maxCellSize)
+      .collect()
+      .map(r => r.getLong(0) ->
+        math.ceil(r.getLong(1).toDouble / maxCellSize).toInt)
+      .toMap
+    val salted =
+      if (hot.isEmpty) assigned.withColumn("salt", lit(0))
+      else {
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"semanticDedup: ${hot.size} hot cell(s) over maxCellSize=" +
+            s"$maxCellSize salted (cell -> nsplit): $hot — near-dup pairs " +
+            "crossing salt buckets inside these cells are NOT compared " +
+            "(bounded-work guard; up to nsplit representatives survive per " +
+            "duplicate mass). Raise `cells` to shrink cells instead.")
+        val nsplit = hot.foldLeft(lit(1)) { case (acc, (cellId, n)) =>
+          when(col("cell") === cellId, lit(n)).otherwise(acc)
+        }
+        assigned.withColumn("salt", pmod(xxhash64(col("n_id")), nsplit).cast("int"))
+      }
+    val a = salted.select(col("cell"), col("salt"), col("n_id").as("a_id"), col("n_v").as("a_v"))
+    val b = salted.select(col("cell"), col("salt"), col("n_id").as("b_id"), col("n_v").as("b_v"))
     // each dropped id appears once: aggregate witnesses before joining back
-    val dropped = a.join(b, Seq("cell"))
+    val dropped = a.join(b, Seq("cell", "salt"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosine(col("a_v"), col("b_v")) >= tau)
       .select(col("b_id").as("n_id")).distinct()
@@ -266,5 +309,16 @@ object Similarity {
     assigned.join(dropped, Seq("n_id"), "left")
       .select(col("n_id").as(idCol), col("cell"),
         not(coalesce(col("is_dup"), lit(false))).as("keep"))
+  }
+
+  /** Corpus-adaptive cell count: fixed expected cell size (SemDeDup's
+    * design point — cluster count grows with the corpus, per-cell
+    * work stays constant), floored at 16 so tiny corpora still get
+    * the multi-cell shape. `ivfTopK`/`semanticDedup` take `cells = 0`
+    * to use this with a driver-side corpus count. */
+  def autoCells(rows: Long, targetCellSize: Long = 8192L): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive")
+    math.max(16L, (rows + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
   }
 }

@@ -91,6 +91,56 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("semanticDedup hot-cell guard bounds a degenerate identical-vector mass") {
+    // 2000 IDENTICAL vectors: every centroid assignment lands in one
+    // cell, and no hyperplane can split them — the adversarial shape
+    // for the within-cell self-join. With maxCellSize=100 the guard
+    // salts the cell into ceil(2000/100)=20 id-hash buckets, so the
+    // join compares ~size×cap pairs (linear in the mass, not size²),
+    // and exactly one representative (the bucket-min id) survives per
+    // salt bucket.
+    val mass = spark.range(0, 2000).toDF("vec_id")
+      .withColumn("embedding", array((0 until 8).map(i => lit(1.0f + i)): _*))
+    val out = Similarity.semanticDedup(mass, "vec_id", "embedding",
+      tau = 0.99, cells = 16, maxCellSize = 100L).collect()
+    assert(out.length == 2000)
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // each survivor must be the minimum id of its xxhash64 salt bucket
+    // (≤ 20 buckets → ≤ 20 survivors out of a 2000-row duplicate mass)
+    val salts = spark.range(0, 2000)
+      .select($"id", pmod(xxhash64($"id"), lit(20)).cast("int").as("salt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wantKept = salts.groupBy(_._2).values.map(_.keys.min).toSet
+    assert(kept.size <= 20, s"at most 20 salt-bucket representatives, got ${kept.size}")
+    assert(wantKept == kept,
+      "survivors must be exactly the per-salt-bucket minimum ids")
+  }
+
+  test("semanticDedup guard is a no-op when no cell exceeds maxCellSize") {
+    val unguarded = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      tau = 0.9, cells = 16, maxCellSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val guarded = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      tau = 0.9, cells = 16, maxCellSize = 65536L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(guarded == unguarded)
+  }
+
+  test("autoCells grows with corpus size at fixed expected cell population") {
+    assert(Similarity.autoCells(0) == 16)
+    assert(Similarity.autoCells(100000) == 16)          // ceil(100000/8192)=13, floored at 16
+    assert(Similarity.autoCells(1000000) == 123)        // ceil(1e6/8192)
+    assert(Similarity.autoCells(1000000000L) == 122071) // 1e9 rows -> ~122k cells (SemDeDup scale)
+    // cells=0 routes through autoCells without changing tiny-corpus results
+    val auto = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      tau = 0.9, cells = 0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val fixed = Similarity.semanticDedup(embs, "vec_id", "embedding",
+      tau = 0.9, cells = 16)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(auto == fixed)
+  }
+
   test("ivf top-k achieves high recall vs brute force") {
     val q = Similarity.prepareQueries(embs.filter($"vec_id" < 5), "vec_id", "embedding")
     val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", k = 10, cells = 16, nprobe = 8)
