@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "q_sample_split" -> (PipelineQueries.sampleSplit _),
     "q_asof_join" -> (PipelineQueries.asofQ _),
+    "q_salted_join" -> (PipelineQueries.saltedJoinQ _),
     "q_vocab" -> (PipelineQueries.vocabQ _),
     "q_doc_chunks" -> (PipelineQueries.docChunks _),
   )
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "q_sample_split" -> PipelineQueries.sampleSplitSql,
     "q_asof_join" -> PipelineQueries.asofSql,
+    "q_salted_join" -> PipelineQueries.saltedJoinSql,
     "q_vocab" -> PipelineQueries.vocabSql,
     "q_doc_chunks" -> PipelineQueries.docChunksSql,
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,

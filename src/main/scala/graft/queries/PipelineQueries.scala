@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, SaltedJoin, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -688,6 +688,36 @@ object PipelineQueries {
       |  CAST(epoch_ms(l.ts) - epoch_ms(r.ts) AS BIGINT) AS millis_since
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
+
+  // ---- salted skew join ----
+
+  /** Skew-robust salted equi-join under the oracle gate: lineitem
+    * (the big shuffle side) salted across 8 sub-partitions, part
+    * replicated once per salt, then brand-level totals. The salted
+    * plan's result is identical to the plain inner join —
+    * SaltedJoinSpec pins row-level equality and SkewBench pins the
+    * hot-key win; this query hash-matches the plain-join DuckDB
+    * oracle, closing the §2 row. Decimal-exact sums (order-
+    * independent) make the aggregate bit-comparable cross-engine. */
+  def saltedJoinQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    SaltedJoin.inner(li, pt, "l_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT p_brand, count(*) AS n,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  ${Exact.sqlSum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ---- vocabulary construction ----
 
