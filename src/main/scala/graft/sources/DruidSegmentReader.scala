@@ -55,9 +55,56 @@ object DruidSegmentReader {
   final case class DruidColumn(name: String, valueType: String, hasMultipleValues: Boolean)
 
   /** Schema of a segment (driver-side: reads descriptors only). */
-  def segmentSchema(spark: SparkSession, segmentDir: String): StructType = {
-    val file = openSegment(spark.sparkContext.hadoopConfiguration, segmentDir)
+  def segmentSchema(spark: SparkSession, segmentDir: String): StructType =
+    segmentSchema(spark.sparkContext.hadoopConfiguration, segmentDir)
+
+  private[sources] def segmentSchema(conf: Configuration, segmentDir: String): StructType = {
+    val file = openSegment(conf, segmentDir)
     StructType(columnsOf(file).map(sparkField))
+  }
+
+  /** Union schema across segments — real Druid datasources EVOLVE
+    * their dimension set over time (new dims appear, old ones are
+    * dropped per-interval), so one arbitrary segment's schema is not
+    * the datasource's. Fields keep first-seen order; a column absent
+    * from a segment decodes as null there (the same semantics Druid's
+    * own readers and parquet's mergeSchema give). Same-name columns
+    * with CONFLICTING Spark types fail loudly — silent coercion would
+    * corrupt sketch bytes vs strings.
+    *
+    * Probing cost is one index.zip open per segment; beyond
+    * `distributedProbeThreshold` segments the probes run as a Spark
+    * job (the driver only merges the collected StructTypes) so a
+    * 200k-segment datasource doesn't serialize schema discovery on
+    * the driver. */
+  private[sources] def unionSchema(spark: SparkSession, segmentDirs: Seq[String]): StructType = {
+    val distributedProbeThreshold = 16
+    val schemas: Seq[StructType] =
+      if (segmentDirs.size <= distributedProbeThreshold)
+        segmentDirs.map(segmentSchema(spark, _))
+      else {
+        val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(segmentDirs, math.min(segmentDirs.size, 64))
+          .map(d => segmentSchema(confSer.value, d))
+          .collect().toSeq
+      }
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    for (sch <- schemas; f <- sch.fields) out.get(f.name) match {
+      case None => out(f.name) = f
+      case Some(prev) =>
+        require(prev.dataType == f.dataType,
+          s"druid segments disagree on column '${f.name}' type: " +
+            s"${prev.dataType.simpleString} vs ${f.dataType.simpleString} — " +
+            "the datasource tree mixes incompatible schemas")
+        // a column nullable anywhere (or absent anywhere) is nullable
+        if (f.nullable && !prev.nullable) out(f.name) = prev.copy(nullable = true)
+    }
+    // any column missing from ≥1 segment must be nullable in the union
+    val everywhere = schemas.map(_.fieldNames.toSet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty)
+    StructType(out.values.toSeq.map(f =>
+      if (everywhere.contains(f.name)) f else f.copy(nullable = true)))
   }
 
   /** Read one or more segment dirs as a DataFrame. Rows carry __time
@@ -82,7 +129,7 @@ object DruidSegmentReader {
                    requiredValues: Map[String, Set[String]] = Map.empty): DataFrame = {
     require(windows.nonEmpty, "no segment dirs")
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val full = segmentSchema(spark, windows.head._1)
+    val full = unionSchema(spark, windows.map(_._1).distinct)
     val schema =
       if (columns.isEmpty) full
       else {
@@ -116,8 +163,12 @@ object DruidSegmentReader {
       names: Seq[String],
       requiredValues: Map[String, Set[String]]): Iterator[Row] = {
     val file = openSegment(conf, dir)
+    // a segment that LACKS a conjunctively-required column is all-null
+    // for it — no non-null value can match, so the segment skips (the
+    // schema-evolution analogue of the dictionary short-circuit)
     val skip = requiredValues.exists { case (d, vs) =>
-      dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
+      !file.has(d) ||
+        dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
     }
     if (skip) Iterator.empty
     else {
@@ -204,6 +255,7 @@ object DruidSegmentReader {
         throw new IllegalArgumentException(s"smoosh missing internal file $name"))
       java.util.Arrays.copyOfRange(chunks(chunk), start, end)
     }
+    def has(name: String): Boolean = entries.contains(name)
     def names: Seq[String] = entries.keys.toSeq
   }
 
@@ -266,22 +318,31 @@ object DruidSegmentReader {
   }
 
   private def decodeRows(file: SegmentFile, names: Seq[String]): Iterator[Row] = {
+    // a union-schema column absent from THIS segment decodes as null
+    // (schema evolution across a datasource's segments); `null` marks
+    // the missing column so no per-segment null array materializes
     val cols: Seq[IndexedSeq[Any]] = names.map { n =>
-      val buf = ByteBuffer.wrap(file(n))
-      val json = readPrefixedJson(buf)
-      val vt = (json \ "valueType") match { case JString(s) => s; case _ => "COMPLEX" }
-      vt match {
-        case "LONG" => decodeCompressedLongs(buf).asInstanceOf[IndexedSeq[Any]]
-        case "FLOAT" => decodeCompressedFloats(buf).asInstanceOf[IndexedSeq[Any]]
-        case "DOUBLE" => decodeCompressedDoubles(buf).asInstanceOf[IndexedSeq[Any]]
-        case "STRING" => decodeStringColumn(buf, json)
-        case _ => decodeComplex(buf).asInstanceOf[IndexedSeq[Any]]
+      if (!file.has(n)) null
+      else {
+        val buf = ByteBuffer.wrap(file(n))
+        val json = readPrefixedJson(buf)
+        val vt = (json \ "valueType") match { case JString(s) => s; case _ => "COMPLEX" }
+        vt match {
+          case "LONG" => decodeCompressedLongs(buf).asInstanceOf[IndexedSeq[Any]]
+          case "FLOAT" => decodeCompressedFloats(buf).asInstanceOf[IndexedSeq[Any]]
+          case "DOUBLE" => decodeCompressedDoubles(buf).asInstanceOf[IndexedSeq[Any]]
+          case "STRING" => decodeStringColumn(buf, json)
+          case _ => decodeComplex(buf).asInstanceOf[IndexedSeq[Any]]
+        }
       }
     }
-    val n = cols.map(_.size).min
+    val present = cols.filter(_ ne null)
+    require(present.nonEmpty, s"segment has none of the requested columns $names")
+    val n = present.map(_.size).min
     // iterator, not a materialized Seq — columns are necessarily
     // in memory (columnar decode) but row objects stream out
-    (0 until n).iterator.map(i => Row.fromSeq(cols.map(_(i))))
+    (0 until n).iterator.map(i =>
+      Row.fromSeq(cols.map(c => if (c eq null) null else c(i))))
   }
 
   // GenericIndexed v1 of UTF-8 strings

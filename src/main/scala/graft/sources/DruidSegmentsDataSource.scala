@@ -65,9 +65,11 @@ class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val segs = DruidSegmentsDataSource.discover(spark, options)
-    // schema from one segment descriptor — all segments of a Druid
-    // datasource share it (enforced by Druid's ingestion)
-    DruidSegmentReader.segmentSchema(spark, segs.head.path)
+    // UNION schema across segments: Druid datasources evolve their
+    // dimension set per-interval, so no single segment is
+    // authoritative. Columns a segment lacks decode as null there;
+    // conflicting types fail loudly (DruidSegmentReader.unionSchema).
+    DruidSegmentReader.unionSchema(spark, segs.map(_.path).distinct)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -148,13 +150,23 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   }
 
   /** True when the conjunct tightens the scan (and is therefore worth
-    * REPORTING as pushed); side-effects accumulate the bounds. */
+    * REPORTING as pushed); side-effects accumulate the bounds.
+    *
+    * `timeHi` is EXCLUSIVE, so `=`/`<=` bounds need `t + 1` — which
+    * overflows at Long.MaxValue, wrapping the bound to MinValue and
+    * planning an incorrectly EMPTY scan. Those conjuncts simply don't
+    * push at MaxValue (they tighten nothing real there; Spark still
+    * evaluates them exactly above the scan). `>` saturates instead of
+    * wrapping: [MaxValue, hi) over-approximates `> MaxValue` by at
+    * most the one t==MaxValue row, which the residual filter drops. */
   private def push(f: Filter): Boolean = f match {
     case EqualTo("__time", v) => longBound(v).exists { t =>
-      timeLo = math.max(timeLo, t); timeHi = math.min(timeHi, t + 1); true
+      t != Long.MaxValue && {
+        timeLo = math.max(timeLo, t); timeHi = math.min(timeHi, t + 1); true
+      }
     }
     case GreaterThan("__time", v) => longBound(v).exists { t =>
-      timeLo = math.max(timeLo, t + 1); true
+      timeLo = math.max(timeLo, if (t == Long.MaxValue) t else t + 1); true
     }
     case GreaterThanOrEqual("__time", v) => longBound(v).exists { t =>
       timeLo = math.max(timeLo, t); true
@@ -163,7 +175,7 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
       timeHi = math.min(timeHi, t); true
     }
     case LessThanOrEqual("__time", v) => longBound(v).exists { t =>
-      timeHi = math.min(timeHi, t + 1); true
+      t != Long.MaxValue && { timeHi = math.min(timeHi, t + 1); true }
     }
     case EqualTo(d, v: String) if isScalarString(d) =>
       intersect(d, Set(v)); true
@@ -212,19 +224,26 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
     VersionedTimeline.resolve(segs, timeLo, timeHi)
   }
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    // Σ index.zip bytes of the PLANNED windows: filter-aware, and the
-    // same on-disk convention the parquet source reports, so the
-    // broadcast threshold compares like with like.
-    private lazy val bytes: Long = {
-      val spark = SparkSession.active
-      val conf = spark.sparkContext.hadoopConfiguration
-      windows.map(_.segment.path).distinct.map { dir =>
+  // Σ index.zip bytes of the PLANNED windows: filter-aware, and the
+  // same on-disk convention the parquet source reports, so the
+  // broadcast threshold compares like with like. Cached on the Scan
+  // (not recomputed per estimateStatistics() call — Spark may ask
+  // several times during planning), and None when ANY file status
+  // fails: reporting a failed stat as 0 bytes would steer AQE into
+  // broadcasting an arbitrarily large table, while "unknown" falls
+  // back to Spark's conservative default.
+  private lazy val plannedBytes: Option[Long] =
+    try {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      Some(windows.map(_.segment.path).distinct.map { dir =>
         val p = new HPath(s"$dir/index.zip")
-        try p.getFileSystem(conf).getFileStatus(p).getLen catch { case _: Exception => 0L }
-      }.sum
-    }
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum)
+    } catch { case _: Exception => None }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      plannedBytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 

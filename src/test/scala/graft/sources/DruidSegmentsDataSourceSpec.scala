@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.SparkSpec
 import DruidSegmentWriter._
 
-class TmpReviewDsv2Spec extends SparkSpec {
+class DruidSegmentsDataSourceSpec extends SparkSpec {
 
   private def tmpDir(): File = Files.createTempDirectory("druid-dsv2").toFile
 
@@ -63,5 +63,57 @@ class TmpReviewDsv2Spec extends SparkSpec {
     val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
     val hosts = df.select("host").collect().map(_.getString(0)).toSet
     assert(hosts == Set("x", "y", "z", "w", "v"))
+  }
+
+  test("dsv2: schema evolution — union schema, null-fill for absent columns") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    // day 1: (host, hits); day 2 adds a `country` dim and drops `hits`
+    writeSegment(new File(root, "seg1"))
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      (0 until 3).map(i => t0 + day + i * 1000L),
+      Seq(StrDim("host", Seq("f", "g", "h")),
+        StrDim("country", Seq("US", "DE", "JP")),
+        LongMet("clicks", Seq(7L, 8L, 9L))),
+      t0 + day, t0 + 2 * day, version = "v1")
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val names = df.schema.fieldNames.toSet
+    assert(names == Set("__time", "host", "country", "hits", "clicks"),
+      s"union schema must cover both segments, got $names")
+    // seg1 rows null-fill country/clicks; seg2 rows null-fill hits
+    val rows = df.select("host", "country", "hits", "clicks").collect()
+    assert(rows.length == 8)
+    val d1 = rows.filter(r => Set("a", "b", "c", "d", "e")(r.getString(0)))
+    assert(d1.forall(r => r.isNullAt(1) && !r.isNullAt(2) && r.isNullAt(3)))
+    val d2 = rows.filter(r => Set("f", "g", "h")(r.getString(0)))
+    assert(d2.length == 3 && d2.forall(r => !r.isNullAt(1) && r.isNullAt(2) && !r.isNullAt(3)))
+    // equality on the evolved dim: a segment LACKING the column is
+    // all-null for it and must skip decode entirely
+    DruidSegmentReader.decodedSegments.set(0)
+    val us = df.where(col("country") === "US").select("host").collect().map(_.getString(0))
+    assert(us.toSeq == Seq("f"))
+    assert(DruidSegmentReader.decodedSegments.get() == 1,
+      "segment without the filtered column must short-circuit")
+  }
+
+  test("dsv2: __time bounds at Long.MaxValue don't wrap to an empty scan") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    assert(df.where(col("__time") <= Long.MaxValue).count() == 5)
+    assert(df.where(col("__time") === Long.MaxValue).count() == 0)
+    assert(df.where(col("__time") > Long.MaxValue).count() == 0)
+    assert(df.where(col("__time") >= Long.MinValue).count() == 5)
+  }
+
+  test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val zipLen = new File(new File(root, "seg1"), "index.zip").length()
+    assert(stats.sizeInBytes == BigInt(zipLen),
+      s"sizeInBytes ${stats.sizeInBytes} must equal index.zip bytes $zipLen")
   }
 }
