@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
+import org.roaringbitmap.buffer.{ImmutableRoaringBitmap, MutableRoaringBitmap}
 
 /** Reader for ACTUAL Apache Druid binary segments (binaryVersion 9) —
   * the reference's core capability re-expressed for Spark: where
@@ -41,8 +42,9 @@ import org.json4s.jackson.JsonMethods
   *  - String dim column: serde version(1)=2, flags(4), dictionary
   *    GenericIndexed<utf8>, then compressed int row ids: version(1)=2,
   *    numBytes(1), totalSize(4BE), sizePer(4BE), compression(1),
-  *    GenericIndexed of LZ4 chunks. Bitmap indexes follow; scans skip
-  *    them.
+  *    GenericIndexed of LZ4 chunks. A roaring bitmap index follows
+  *    (GenericIndexed of portable-format bitmaps, one per dictionary
+  *    entry); filtered scans intersect these to prune row decode.
   *  - long/float metric: version(1)=2, totalSize(4BE), sizePer(4BE),
   *    compression(1), GenericIndexed of LZ4 chunks of little-endian
   *    values.
@@ -172,16 +174,31 @@ object DruidSegmentReader {
     }
     if (skip) Iterator.empty
     else {
-      decodedSegments.incrementAndGet()
-      val withTime =
-        if (names.headOption.contains("__time")) names
-        else "__time" +: names.filter(_ != "__time")
-      val rows = decodeRows(file, withTime)
-        .filter { r => val t = r.getLong(0); t >= lo && t < hi }
-      if (withTime == names) rows
+      // bitmap row pruning: intersect each filtered dim's roaring
+      // index (union over its allowed values) — only matching rows
+      // are decoded, and LazyChunks means non-matching rows' chunks
+      // are never even decompressed. A dim without a readable bitmap
+      // region contributes no constraint (None ≠ empty).
+      val pruned: Option[ImmutableRoaringBitmap] =
+        requiredValues.foldLeft(Option.empty[ImmutableRoaringBitmap]) {
+          case (acc, (d, vs)) => bitmapRowSet(file, d, vs) match {
+            case None => acc
+            case Some(b) => Some(acc.fold(b)(a => ImmutableRoaringBitmap.and(a, b)))
+          }
+        }
+      if (pruned.exists(_.isEmpty)) Iterator.empty
       else {
-        val idx = names.map(withTime.indexOf(_)).toArray
-        rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+        decodedSegments.incrementAndGet()
+        val withTime =
+          if (names.headOption.contains("__time")) names
+          else "__time" +: names.filter(_ != "__time")
+        val rows = decodeRows(file, withTime, pruned)
+          .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+        if (withTime == names) rows
+        else {
+          val idx = names.map(withTime.indexOf(_)).toArray
+          rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+        }
       }
     }
   }
@@ -214,6 +231,83 @@ object DruidSegmentReader {
     * test probe for the dictionary short-circuit (meaningful in
     * local mode, where executors share the JVM). */
   private[graft] val decodedSegments = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** LZ4 chunks actually decompressed — the test probe proving decode
+    * work tracks bitmap/window selectivity (chunks no selected row
+    * touches stay compressed). */
+  private[graft] val decompressedChunks = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ---- bitmap index ----
+
+  /** Row ids matching `dim ∈ values` from the column's roaring bitmap
+    * index (union over values), or None when the column has no
+    * readable bitmap region (absent column, non-string, legacy
+    * layout, parse failure) — callers must treat None as "no pruning",
+    * never "no rows". Reads dictionary + bitmap entries only: the row
+    * ids supplier is SKIPPED by its length header, never decompressed.
+    *
+    * Bitmap entries are standard portable-format RoaringBitmaps (what
+    * Druid's `{"type":"roaring"}` serde writes), one per dictionary
+    * entry, in a GenericIndexed after the row ids — the index the
+    * reference's reader prunes with (DruidInputFormat.java:66-120
+    * delegates to Druid's QueryableIndex bitmap path). */
+  private def bitmapRowSet(file: SegmentFile, dim: String,
+                           values: Set[String]): Option[ImmutableRoaringBitmap] =
+    try {
+      if (!file.has(dim)) return None
+      val buf = ByteBuffer.wrap(file(dim))
+      val json = readPrefixedJson(buf)
+      (json \ "valueType") match {
+        case JString("STRING") => ()
+        case _ => return None
+      }
+      val mv = (json \ "hasMultipleValues") match { case JBool(b) => b; case _ => false }
+      val version = buf.get()
+      require(version == 2, s"dictionary column serde version $version")
+      val flags = buf.getInt()
+      val dict = readGenericIndexedBytes(buf).map(b => new String(b, StandardCharsets.UTF_8))
+      if (!mv) skipSupplier(buf, vsize = true)
+      else {
+        require((flags & 0x2) != 0, "legacy V2 multi-value layout")
+        require(buf.get() == 3, "V3 ColumnarMultiInts version")
+        skipSupplier(buf, vsize = false) // offsets
+        skipSupplier(buf, vsize = true)  // values
+      }
+      if (!buf.hasRemaining) return None // no bitmap region (legacy fixture)
+      val bitmaps = readGenericIndexedBytes(buf)
+      require(bitmaps.size == dict.size,
+        s"bitmap index has ${bitmaps.size} entries for ${dict.size} dictionary values")
+      val out = new MutableRoaringBitmap()
+      // dictionary is sorted: binary search each wanted value
+      values.foreach { v =>
+        dict.search(v) match {
+          case scala.collection.Searching.Found(id) if bitmaps(id).nonEmpty =>
+            out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
+          case _ => ()
+        }
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Skip a compressed supplier (v2 header + GenericIndexed of chunks)
+    * without decompressing anything. */
+  private def skipSupplier(buf: ByteBuffer, vsize: Boolean): Unit = {
+    val version = buf.get()
+    require(version == 2, s"compressed supplier version $version")
+    if (vsize) buf.get() // numBytes
+    buf.getInt() // totalSize
+    buf.getInt() // sizePer
+    buf.get()    // compression
+    skipGenericIndexed(buf)
+  }
+
+  private def skipGenericIndexed(buf: ByteBuffer): Unit = {
+    val version = buf.get()
+    require(version == 1, s"GenericIndexed version $version (want 1)")
+    buf.get() // allowReverseLookup
+    val totalBytes = buf.getInt()
+    buf.position(buf.position() + totalBytes)
+  }
 
   /** Dictionary of a STRING column, or None when the column is absent
     * / non-string / unreadable (no short-circuit then). The dictionary
@@ -317,7 +411,8 @@ object DruidSegmentReader {
     case _ => StructField(c.name, BinaryType, nullable = true) // complex → sketch bytes
   }
 
-  private def decodeRows(file: SegmentFile, names: Seq[String]): Iterator[Row] = {
+  private def decodeRows(file: SegmentFile, names: Seq[String],
+                         rowIds: Option[ImmutableRoaringBitmap] = None): Iterator[Row] = {
     // a union-schema column absent from THIS segment decodes as null
     // (schema evolution across a datasource's segments); `null` marks
     // the missing column so no per-segment null array materializes
@@ -339,10 +434,17 @@ object DruidSegmentReader {
     val present = cols.filter(_ ne null)
     require(present.nonEmpty, s"segment has none of the requested columns $names")
     val n = present.map(_.size).min
-    // iterator, not a materialized Seq — columns are necessarily
-    // in memory (columnar decode) but row objects stream out
-    (0 until n).iterator.map(i =>
-      Row.fromSeq(cols.map(c => if (c eq null) null else c(i))))
+    // iterator, not a materialized Seq — row objects stream out, and
+    // column values decode lazily per access (LazyChunks), so a
+    // bitmap-pruned walk touches only the selected rows' chunks
+    val walk: Iterator[Int] = rowIds match {
+      case Some(b) =>
+        val it = b.getIntIterator
+        Iterator.continually(()).takeWhile(_ => it.hasNext).map(_ => it.next())
+          .takeWhile(_ < n)
+      case None => (0 until n).iterator
+    }
+    walk.map(i => Row.fromSeq(cols.map(c => if (c eq null) null else c(i))))
   }
 
   // GenericIndexed v1 of UTF-8 strings
@@ -379,22 +481,48 @@ object DruidSegmentReader {
     JsonMethods.parse(new String(arr, StandardCharsets.UTF_8))
   }
 
-  private def decompressChunks(buf: ByteBuffer, compression: Int,
-                               chunkByteSize: Int): IndexedSeq[Array[Byte]] = {
-    val chunks = readGenericIndexedBytes(buf)
+  /** LZ4 chunks decompressed LAZILY, one-per-first-access, memoized —
+    * the enabler of bitmap-index row pruning: a chunk none of the
+    * selected rows touch is never decompressed, so decode work tracks
+    * filter selectivity instead of segment size. The compressed chunk
+    * bytes are sliced eagerly (cheap — no decompression). */
+  private final class LazyChunks(chunks: IndexedSeq[Array[Byte]],
+                                 compression: Int, chunkByteSize: Int) {
+    private val cache = new Array[Array[Byte]](chunks.size)
     compression match {
-      case 0x1 => // LZ4 block
-        val d = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
-        chunks.map { c =>
-          val out = new Array[Byte](chunkByteSize)
-          val n = d.decompress(c, 0, c.length, out, 0)
-          if (n == chunkByteSize) out else java.util.Arrays.copyOf(out, n)
-        }
-      case 0xFF => chunks // uncompressed
+      case 0x1 | 0xFF => ()
       case other => throw new IllegalArgumentException(
         f"unsupported segment compression id 0x$other%02x (LZ4 and uncompressed only)")
     }
+    def apply(i: Int): Array[Byte] = {
+      var c = cache(i)
+      if (c == null) {
+        c = compression match {
+          case 0xFF => chunks(i)
+          case 0x1 =>
+            val d = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+            val out = new Array[Byte](chunkByteSize)
+            val n = d.decompress(chunks(i), 0, chunks(i).length, out, 0)
+            if (n == chunkByteSize) out else java.util.Arrays.copyOf(out, n)
+        }
+        cache(i) = c
+        decompressedChunks.incrementAndGet()
+      }
+      c
+    }
   }
+
+  private def decompressChunks(buf: ByteBuffer, compression: Int,
+                               chunkByteSize: Int): LazyChunks =
+    new LazyChunks(readGenericIndexedBytes(buf), compression, chunkByteSize)
+
+  /** Lazy row-indexed view over a chunked supplier: values decode on
+    * access, so row pruning (bitmaps, window clip) skips whole chunks. */
+  private def lazyView[T](totalSize: Int, f: Int => T): IndexedSeq[T] =
+    new IndexedSeq[T] {
+      override def length: Int = totalSize
+      override def apply(i: Int): T = f(i)
+    }
 
   /** CompressedLongsIndexedSupplier v2 (little-endian longs). */
   private def decodeCompressedLongs(buf: ByteBuffer): IndexedSeq[Long] = {
@@ -404,11 +532,8 @@ object DruidSegmentReader {
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
     val chunks = decompressChunks(buf, compression, sizePer * 8)
-    (0 until totalSize).map { i =>
-      val chunk = chunks(i / sizePer)
-      val off = (i % sizePer) * 8
-      ByteBuffer.wrap(chunk, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
-    }
+    lazyView(totalSize, i => ByteBuffer.wrap(chunks(i / sizePer), (i % sizePer) * 8, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getLong)
   }
 
   /** CompressedFloatsIndexedSupplier v2 (little-endian floats). */
@@ -419,11 +544,8 @@ object DruidSegmentReader {
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
     val chunks = decompressChunks(buf, compression, sizePer * 4)
-    (0 until totalSize).map { i =>
-      val chunk = chunks(i / sizePer)
-      val off = (i % sizePer) * 4
-      ByteBuffer.wrap(chunk, off, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
-    }
+    lazyView(totalSize, i => ByteBuffer.wrap(chunks(i / sizePer), (i % sizePer) * 4, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getFloat)
   }
 
   /** CompressedColumnarDoublesSupplier v2 (little-endian doubles) —
@@ -437,11 +559,8 @@ object DruidSegmentReader {
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
     val chunks = decompressChunks(buf, compression, sizePer * 8)
-    (0 until totalSize).map { i =>
-      val chunk = chunks(i / sizePer)
-      val off = (i % sizePer) * 8
-      ByteBuffer.wrap(chunk, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
-    }
+    lazyView(totalSize, i => ByteBuffer.wrap(chunks(i / sizePer), (i % sizePer) * 8, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getDouble)
   }
 
   /** Dictionary-encoded string column (bitmap indexes after the row
@@ -464,7 +583,8 @@ object DruidSegmentReader {
     val dict = readGenericIndexedBytes(buf).map(b => new String(b, StandardCharsets.UTF_8))
     def lookup(id: Int): String = if (id >= 0 && id < dict.size) dict(id) else null
     if (!mv) {
-      decodeCompressedVSizeInts(buf).map(lookup)
+      val ids = decodeCompressedVSizeInts(buf)
+      lazyView(ids.length, i => lookup(ids(i)))
     } else {
       // flags bit 0x1 = legacy V2 multi-value, bit 0x2 = V3 (the
       // layout every Druid ≥ 0.9.2 writes)
@@ -474,9 +594,8 @@ object DruidSegmentReader {
       require(v3 == 3, s"V3 ColumnarMultiInts version $v3 (want 3)")
       val offsets = decodeCompressedInts(buf) // n+1 end-offsets, offsets(0)=0
       val ids = decodeCompressedVSizeInts(buf)
-      (0 until offsets.size - 1).map { row =>
-        ids.slice(offsets(row), offsets(row + 1)).map(lookup)
-      }
+      lazyView(offsets.size - 1,
+        row => (offsets(row) until offsets(row + 1)).map(j => lookup(ids(j))))
     }
   }
 
@@ -489,11 +608,8 @@ object DruidSegmentReader {
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
     val chunks = decompressChunks(buf, compression, sizePer * 4)
-    (0 until totalSize).map { i =>
-      val chunk = chunks(i / sizePer)
-      val off = (i % sizePer) * 4
-      ByteBuffer.wrap(chunk, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    }
+    lazyView(totalSize, i => ByteBuffer.wrap(chunks(i / sizePer), (i % sizePer) * 4, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt)
   }
 
   /** CompressedVSizeIntsIndexedSupplier v2. The decompress buffer
@@ -512,7 +628,7 @@ object DruidSegmentReader {
     val sizePer = buf.getInt()
     val compression = buf.get() & 0xff
     val chunks = decompressChunks(buf, compression, sizePer * numBytes + (4 - numBytes))
-    (0 until totalSize).map { i =>
+    lazyView(totalSize, { i =>
       val chunk = chunks(i / sizePer)
       val off = (i % sizePer) * numBytes
       var v = 0
@@ -520,7 +636,7 @@ object DruidSegmentReader {
       // little-endian packed ints of numBytes bytes
       while (b < numBytes) { v |= (chunk(off + b) & 0xff) << (8 * b); b += 1 }
       v
-    }
+    })
   }
 
   /** Complex column (ComplexColumnPartSerde): GenericIndexed of the

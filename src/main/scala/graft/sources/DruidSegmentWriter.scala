@@ -6,7 +6,8 @@ import java.nio.charset.StandardCharsets
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
 /** Writer of Apache Druid v9 binary segments — the scan-relevant
-  * subset of the format (no bitmap indexes), used to generate
+  * subset of the format (including roaring bitmap indexes on string
+  * dimension columns), used to generate
   * ground-truth fixtures for column shapes the checked-in reference
   * segment (druid-mr/src/test/resources/test-segment) does not
   * contain: DOUBLE metric columns and multi-value string dims. The
@@ -199,19 +200,28 @@ object DruidSegmentWriter {
     values.distinct.sorted.toIndexedSeq
 
   /** Single-value dictionary column: serde version 2, flags 0,
-    * dictionary, compressed vsize row ids. */
+    * dictionary, compressed vsize row ids, then the roaring bitmap
+    * index — a GenericIndexed with one serialized bitmap per
+    * dictionary entry (the rows holding that value), exactly what
+    * Druid's DictionaryEncodedColumnPartSerde emits and what the
+    * reference's reader prunes rows with. */
   private def svStringColumn(rows: Seq[String]): Array[Byte] = {
     val dict = dictOf(rows)
     val ids = rows.map(dict.indexOf)
     ByteBuffer.allocate(5).put(2.toByte).putInt(0).array() ++
       genericIndexed(dict.map(_.getBytes(StandardCharsets.UTF_8))) ++
-      vsizeIntsSupplier(ids, numBytesFor(dict.size))
+      vsizeIntsSupplier(ids, numBytesFor(dict.size)) ++
+      bitmapRegion(dict.indices.map(e => ids.zipWithIndex.collect {
+        case (id, row) if id == e => row
+      }))
   }
 
   /** Multi-value dictionary column: serde version 2, flags 0x2
     * (MULTI_VALUE_V3), dictionary, then V3 ColumnarMultiInts =
     * version 3 + compressed int end-offsets (n+1) + one compressed
-    * vsize ints column of all row values concatenated. */
+    * vsize ints column of all row values concatenated, then the
+    * roaring bitmap index (a row is in a value's bitmap when ANY of
+    * its values matches). */
   private def mvStringColumn(rows: Seq[Seq[String]]): Array[Byte] = {
     val dict = dictOf(rows.flatten)
     val flat = rows.flatten.map(dict.indexOf)
@@ -220,8 +230,25 @@ object DruidSegmentWriter {
       genericIndexed(dict.map(_.getBytes(StandardCharsets.UTF_8))) ++
       Array(3.toByte) ++
       intsSupplier(offsets) ++
-      vsizeIntsSupplier(flat, numBytesFor(dict.size))
+      vsizeIntsSupplier(flat, numBytesFor(dict.size)) ++
+      bitmapRegion(dict.indices.map(e => rows.zipWithIndex.collect {
+        case (vs, row) if vs.exists(v => dict.indexOf(v) == e) => row
+      }))
   }
+
+  /** GenericIndexed of standard-portable-format serialized
+    * RoaringBitmaps, one per dictionary entry — Druid's roaring
+    * bitmapSerdeFactory layout (the `{"type":"roaring"}` declared in
+    * index.drd). */
+  private def bitmapRegion(rowsPerEntry: Seq[Seq[Int]]): Array[Byte] =
+    genericIndexed(rowsPerEntry.map { rows =>
+      val b = new org.roaringbitmap.RoaringBitmap()
+      rows.foreach(b.add)
+      b.runOptimize()
+      val buf = ByteBuffer.allocate(b.serializedSizeInBytes())
+      b.serialize(buf)
+      buf.array()
+    })
 
   /** Bytes per dictionary id, sized off the MAX id (dict.size - 1), as
     * Druid's VSizeColumnarInts.getNumBytesForMax does — a 256-entry

@@ -107,6 +107,45 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(df.where(col("__time") >= Long.MinValue).count() == 5)
   }
 
+  test("bitmap index prunes row decode to filter selectivity") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    val n = 200
+    // 199 distinct hosts + one "rare" on the last row; SizePer=2 means
+    // ~100 LZ4 chunks per column, so chunk decompressions measure how
+    // much of the segment a filtered read actually decodes
+    val hosts = (0 until n - 1).map(i => f"h$i%03d") :+ "rare"
+    DruidSegmentWriter.write(new File(root, "seg1"), "fixture",
+      (0 until n).map(i => t0 + i * 1000L),
+      Seq(StrDim("host", hosts), LongMet("hits", (0 until n).map(_.toLong))),
+      t0, t0 + day)
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    DruidSegmentReader.decompressedChunks.set(0)
+    assert(df.collect().length == n)
+    val fullChunks = DruidSegmentReader.decompressedChunks.get()
+    DruidSegmentReader.decompressedChunks.set(0)
+    val rare = df.where(col("host") === "rare").collect()
+    assert(rare.length == 1)
+    assert(rare.head.getAs[Long]("hits") == (n - 1).toLong)
+    val prunedChunks = DruidSegmentReader.decompressedChunks.get()
+    assert(prunedChunks > 0, "the one matching row still decodes")
+    assert(prunedChunks * 10 <= fullChunks,
+      s"bitmap-pruned decode must track selectivity: $prunedChunks chunks " +
+        s"for 1/$n rows vs $fullChunks for the full scan")
+    // multi-value dims: a row is in a value's bitmap when ANY of its
+    // values matches (Druid's MV selector semantics)
+    val mvDir = tmpDir()
+    DruidSegmentWriter.write(new File(mvDir, "seg1"), "mv",
+      Seq(t0, t0 + 1000L, t0 + 2000L),
+      Seq(MvDim("tags", Seq(Seq("a", "b"), Seq("c"), Seq("b", "d")))),
+      t0, t0 + day)
+    val got = DruidSegmentReader.readWindowed(spark,
+        Seq((new File(mvDir, "seg1").getAbsolutePath, Long.MinValue, Long.MaxValue)),
+        Seq("tags"), Map("tags" -> Set("b")))
+      .collect().map(_.getSeq[String](1).toSeq)
+    assert(got.toSet == Set(Seq("a", "b"), Seq("b", "d")))
+  }
+
   test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
     val root = tmpDir()
     writeSegment(new File(root, "seg1"))
