@@ -19,11 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingles) runs inside a single Catalyst expression evaluation —
   * one pass over the shingle array, no UDF serialization overhead.
   *
-  * Codegen note: the custom expressions here are CodegenFallback —
+  * Codegen note: most custom expressions here are CodegenFallback —
   * each row pays one interpreted dispatch, then the tight primitive
   * loop inside nullSafeEval does the real work. The loop dominates
   * (thousands of hash ops per row), so a doGenCode would shave only
   * the per-row dispatch; measured cost is in the loop, not the glue.
+  * The exception is [[RepetitionStats]] — the quality-filter path runs
+  * it over the entire corpus, so it has a real doGenCode that keeps
+  * the surrounding WholeStageCodegen stage intact.
   */
 object TextFunctions {
 
@@ -450,12 +453,27 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * fraction is a single int-derived double division — bit-identical
   * across engines. */
 case class RepetitionStats(child: Expression, topN: Int, dupN: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
   override def dataType: DataType = StructType(Seq(
     StructField("top_gram", StringType, nullable = false),
     StructField("top_gram_frac", DoubleType, nullable = false),
     StructField("dup_gram_frac", DoubleType, nullable = false)))
+
+  /** Real codegen (not CodegenFallback): this is the hottest custom
+    * expression in the quality-filter path — the one run over ALL the
+    * data — so it must not break the surrounding WholeStageCodegen
+    * stage or pay per-row InternalRow boxing. The generated code calls
+    * [[compute]] directly on the unboxed UTF8String; the n-gram
+    * hashmap passes themselves are already tight JVM loops. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("repStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.compute($c);")
+  }
 
   // codepoint-order comparison = UTF-8 byte order (UTF-16 compareTo
   // misorders astral planes vs U+E000..U+FFFF)
@@ -484,8 +502,12 @@ case class RepetitionStats(child: Expression, topN: Int, dupN: Int)
     m
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  /** Shared by interpreted eval and generated code (monomorphic,
+    * UTF8String in — no row boxing). */
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = u.toString
     val textChars = text.codePointCount(0, text.length)
     val toks = text.split(" ", -1)
 

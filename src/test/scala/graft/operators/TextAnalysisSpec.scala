@@ -55,6 +55,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L), s"got $kept")
   }
 
+  test("RepetitionStats codegen path is equivalent to interpreted eval") {
+    import graft.functions.{RepetitionStats, TextFunctions}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.functions.col
+    // it must be REAL codegen — the quality-filter path runs this over
+    // the whole corpus and must stay inside WholeStageCodegen
+    assert(!RepetitionStats(Literal("x"), 2, 3).isInstanceOf[CodegenFallback])
+    val texts = Seq(
+      "a b a b a b", "", "x", "c c d d",
+      "😀 y 😀 y 😀 y",   // astral-plane codepoints
+      Seq.fill(40)("the quick brown fox").mkString(" "))
+    val viaCodegen = texts.toDF("text")
+      .select(TextFunctions.repetitionStats(col("text"), 2, 3).as("r"))
+      .collect().map { row =>
+        val s = row.getStruct(0)
+        (s.getString(0), s.getDouble(1), s.getDouble(2))
+      }.toSeq
+    val viaInterp = texts.map { t =>
+      val r = RepetitionStats(Literal(t), 2, 3).eval(InternalRow.empty)
+        .asInstanceOf[InternalRow]
+      (r.getUTF8String(0).toString, r.getDouble(1), r.getDouble(2))
+    }
+    assert(viaCodegen == viaInterp)
+  }
+
   test("repetition and qualityFilter plan with zero exchanges") {
     // both are claimed pure map stages over the corpus scan — pin it:
     // any groupBy/explode-based reformulation would show an Exchange
