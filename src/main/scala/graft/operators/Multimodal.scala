@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * `ImageIoResizer` decode and resize actual JPEG/PNG/GIF/BMP bytes
   * via the JDK's dependency-free javax.imageio — and so is AUDIO:
   * `JavaSoundCodec` parses actual WAV/AIFF/AU (PCM) headers via
-  * javax.sound.sampled. Video remains the one stubbed modality
-  * (`StubCodec` — the JDK ships no video codec): the stub derives
+  * javax.sound.sampled. VIDEO container metadata is real too:
+  * `VideoContainerCodec` walks MP4/ISO-BMFF boxes and Matroska/WebM
+  * EBML elements for dimensions and frame counts (both public binary
+  * formats, pure JDK). Only video PIXEL decode stays stubbed
+  * (`StubCodec` — the JDK ships no video codec); the stub derives
   * deterministic "decoded" properties from byte content alone, so the
   * Spark-side plumbing (schema, per-partition batching, partition
   * sizing) stays real and testable end-to-end while that codec is
@@ -60,6 +63,159 @@ object Multimodal {
           else MediaMeta(b.length.toLong, img.getWidth, img.getHeight, 1)
         } catch { case _: Exception => MediaMeta(b.length.toLong, -1, -1, 0) }
       }
+  }
+
+  /** REAL video CONTAINER metadata codec — pure-JDK parsing of the
+    * two public container formats' headers (no pixel decode; the JDK
+    * ships no video codec, but the container metadata a pipeline
+    * filters/routes on — dimensions, frame counts — lives in plain
+    * binary structures):
+    *
+    *  - '''MP4 / ISO BMFF''' (ISO 14496-12): box walk
+    *    `moov → trak → {tkhd, mdia/hdlr, mdia/minf/stbl/stsz}` —
+    *    width/height from the video (`hdlr = 'vide'`) track's `tkhd`
+    *    16.16 fixed-point fields, frame count from its `stsz`
+    *    sample_count.
+    *  - '''Matroska / WebM''' (public EBML spec): vint-ID element walk
+    *    `Segment → Tracks → TrackEntry(TrackType=1) → Video →
+    *    {PixelWidth, PixelHeight}`. Frame count is not in the
+    *    container header (it would need a cluster scan), so frames=0.
+    *
+    * Unreadable/non-video blobs decode to (-1, -1, 0) like the other
+    * real codecs — corrupt rows are data to route, not task killers. */
+  object VideoContainerCodec extends MediaCodec {
+    def decodeBatch(blobs: Iterator[Array[Byte]]): Iterator[MediaMeta] =
+      blobs.map { b =>
+        try {
+          if (isMp4(b)) parseMp4(b)
+          else if (isEbml(b)) parseMkv(b)
+          else MediaMeta(b.length.toLong, -1, -1, 0)
+        } catch { case _: Exception => MediaMeta(b.length.toLong, -1, -1, 0) }
+      }
+
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def isEbml(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    /** (type, payloadStart, payloadEnd) for each box in [s, e). */
+    private def mp4Boxes(b: Array[Byte], s: Int, e: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = s
+      while (p + 8 <= e) {
+        var size = be32(b, p)
+        val tpe = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var hdr = 8
+        if (size == 1 && p + 16 <= e) { // 64-bit largesize
+          size = (be32(b, p + 8) << 32) | be32(b, p + 12); hdr = 16
+        } else if (size == 0) size = (e - p).toLong // box runs to end
+        if (size < hdr || p + size > e) return out.result() // malformed tail
+        out += ((tpe, p + hdr, p + size.toInt))
+        p += size.toInt
+      }
+      out.result()
+    }
+
+    private def mp4Find(b: Array[Byte], s: Int, e: Int, path: List[String]): Option[(Int, Int)] =
+      path match {
+        case Nil => Some((s, e))
+        case head :: tail =>
+          mp4Boxes(b, s, e).collectFirst { case (t, cs, ce) if t == head => (cs, ce) }
+            .flatMap { case (cs, ce) => mp4Find(b, cs, ce, tail) }
+      }
+
+    private def parseMp4(b: Array[Byte]): MediaMeta = {
+      val sentinel = MediaMeta(b.length.toLong, -1, -1, 0)
+      mp4Find(b, 0, b.length, List("moov")).map { case (ms, me) =>
+        val traks = mp4Boxes(b, ms, me).filter(_._1 == "trak")
+        val video = traks.find { case (_, ts, te) =>
+          mp4Find(b, ts, te, List("mdia", "hdlr")).exists { case (hs, he) =>
+            he - hs >= 12 && new String(b, hs + 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+          }
+        }.orElse(traks.headOption)
+        video.flatMap { case (_, ts, te) =>
+          mp4Find(b, ts, te, List("tkhd")).map { case (ks, ke) =>
+            val v = b(ks) & 0xff
+            val off = ks + 4 + (if (v == 1) 32 else 20) + 52
+            val (w, h) =
+              if (off + 8 <= ke) ((be32(b, off) >> 16).toInt, (be32(b, off + 4) >> 16).toInt)
+              else (-1, -1)
+            val frames = mp4Find(b, ts, te, List("mdia", "minf", "stbl", "stsz"))
+              .collect { case (zs, ze) if ze - zs >= 12 => be32(b, zs + 8).toInt }
+              .getOrElse(0)
+            MediaMeta(b.length.toLong, w, h, frames)
+          }
+        }.getOrElse(sentinel)
+      }.getOrElse(sentinel)
+    }
+
+    /** EBML vint at `p`: (value, widthBytes). `keepMarker` keeps the
+      * length-marker bit (element IDs) or masks it (sizes). */
+    private def vint(b: Array[Byte], p: Int, keepMarker: Boolean): (Long, Int) = {
+      val first = b(p) & 0xff
+      require(first != 0, "invalid EBML vint")
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+      var v = (if (keepMarker) first else first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
+      (v, len)
+    }
+
+    /** (id, payloadStart, payloadEnd) for each EBML element in [s, e). */
+    private def ebmlChildren(b: Array[Byte], s: Int, e: Int): Seq[(Long, Int, Int)] = {
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var p = s
+      while (p < e) {
+        val (id, idw) = vint(b, p, keepMarker = true)
+        val (sz, szw) = vint(b, p + idw, keepMarker = false)
+        val ps = p + idw + szw
+        // unknown-size element (all value bits set) runs to region end
+        val unknownSize = sz == (1L << (7 * szw)) - 1
+        val pe = if (unknownSize) e else ps + sz.toInt
+        if (pe > e) return out.result()
+        out += ((id, ps, pe))
+        p = pe
+      }
+      out.result()
+    }
+
+    private def ebmlUint(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      while (i < e) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+
+    private def parseMkv(b: Array[Byte]): MediaMeta = {
+      val sentinel = MediaMeta(b.length.toLong, -1, -1, 0)
+      val segment = ebmlChildren(b, 0, b.length)
+        .collectFirst { case (0x18538067L, s, e) => (s, e) }
+      segment.flatMap { case (ss, se) =>
+        ebmlChildren(b, ss, se).collectFirst { case (0x1654AE6BL, s, e) => (s, e) }
+      }.flatMap { case (ts, te) =>
+        val entries = ebmlChildren(b, ts, te).filter(_._1 == 0xAEL)
+        val video = entries.find { case (_, s, e) =>
+          ebmlChildren(b, s, e).exists { case (id, vs, ve) =>
+            id == 0x83L && ebmlUint(b, vs, ve) == 1L // TrackType video
+          }
+        }.orElse(entries.headOption)
+        video.flatMap { case (_, s, e) =>
+          ebmlChildren(b, s, e).collectFirst { case (0xE0L, vs, ve) =>
+            val kids = ebmlChildren(b, vs, ve)
+            val w = kids.collectFirst { case (0xB0L, a, z) => ebmlUint(b, a, z).toInt }
+            val h = kids.collectFirst { case (0xBAL, a, z) => ebmlUint(b, a, z).toInt }
+            MediaMeta(b.length.toLong, w.getOrElse(-1), h.getOrElse(-1), 0)
+          }
+        }
+      }.getOrElse(sentinel)
+    }
   }
 
   val decodedSchema: StructType = StructType(Seq(

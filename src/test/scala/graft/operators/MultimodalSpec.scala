@@ -114,6 +114,55 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(4, 3) & 0xffffff) == 0x00ff00)
   }
 
+  test("VideoContainerCodec parses REAL MP4 box and Matroska EBML structures") {
+    import java.nio.ByteBuffer
+    def be32(v: Long): Array[Byte] = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    }
+    // minimal ISO-BMFF: ftyp + moov(trak(tkhd + mdia(hdlr'vide' +
+    // minf(stbl(stsz sample_count=42)))))
+    val tkhd = box("tkhd",
+      new Array[Byte](4 + 20 + 52),              // v0 + times/ids + layout
+      be32(640L << 16), be32(360L << 16))        // 16.16 fixed width/height
+    val hdlr = box("hdlr", new Array[Byte](8), "vide".getBytes("US-ASCII"),
+      new Array[Byte](13))
+    val stsz = box("stsz", new Array[Byte](4), be32(0), be32(42))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), new Array[Byte](4)) ++
+      box("moov", box("trak", tkhd, box("mdia", hdlr, box("minf", box("stbl", stsz)))))
+
+    // minimal Matroska: EBML header + Segment(Tracks(TrackEntry(
+    // TrackType=1, Video(PixelWidth=1280, PixelHeight=720))))
+    def el(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      require(body.length < 127)
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    val id1 = (b: Int) => Array(b.toByte)
+    val id4 = (v: Long) => be32(v)
+    val video = el(id1(0xE0),
+      el(id1(0xB0), Array(0x05.toByte, 0x00.toByte)),  // 1280
+      el(id1(0xBA), Array(0x02.toByte, 0xD0.toByte)))  // 720
+    val entry = el(id1(0xAE), el(id1(0x83), Array(1.toByte)), video)
+    val mkv = el(id4(0x1A45DFA3L)) ++
+      el(id4(0x18538067L), el(id4(0x1654AE6BL), entry))
+
+    val out = Multimodal.VideoContainerCodec.decodeBatch(
+      Iterator(mp4, mkv, Array[Byte](1, 2, 3), Array.emptyByteArray)).toSeq
+    assert(out(0) == Multimodal.MediaMeta(mp4.length.toLong, 640, 360, 42))
+    assert(out(1) == Multimodal.MediaMeta(mkv.length.toLong, 1280, 720, 0))
+    assert(out(2) == Multimodal.MediaMeta(3L, -1, -1, 0))
+    assert(out(3) == Multimodal.MediaMeta(0L, -1, -1, 0))
+
+    // and through the Spark decode plumbing
+    val df = Seq((1L, mp4), (2L, mkv)).toDF("media_id", "blob")
+    val got = Multimodal.decode(df, "media_id", "blob", Multimodal.VideoContainerCodec)
+      .orderBy("media_id").collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got == Seq((640, 360, 42), (1280, 720, 0)))
+  }
+
   test("repartitionForMedia sizes from plan statistics without a data pass") {
     val repart = Multimodal.repartitionForMedia(media, "blob", targetBytesPerPartition = 512)
     assert(repart.rdd.getNumPartitions >= 1)
