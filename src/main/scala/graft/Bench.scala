@@ -65,7 +65,15 @@ object Bench {
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = names.map(best).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // the driver's stdout tail-capture has truncated the head of this
+    // line before (losing the total's leading digit); a whole-file copy
+    // is always parseable regardless of capture-window size
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errs.size} queries threw: ${errs.keys.toSeq.sorted.mkString(", ")}")
