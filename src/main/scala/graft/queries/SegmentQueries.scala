@@ -453,4 +453,73 @@ object SegmentQueries {
     }.mkString(
       "SELECT * FROM (VALUES\n", ",\n", ") AS t(__time, host, hits, revenue, tag)")
   }
+
+  /** Schema EVOLUTION across a datasource's segments, read through the
+    * DataSource V2 connector (`spark.read.format("druid-segments")`):
+    * day 1 carries (host, hits), day 2 adds `country`/`clicks` and
+    * drops `hits` — the union schema null-fills what each segment
+    * lacks, exactly how real Druid datasources evolve per interval.
+    * Also exercises the bitmap/dictionary prune machinery end-to-end
+    * because both segments carry roaring bitmap regions. */
+  def druidEvolved(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.sources.{DruidSegmentWriter => W}
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2021-03-01T00:00:00Z").toEpochMilli
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_druid_evolved_v1")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_druid_evolved_v1_build_${java.util.UUID.randomUUID}")
+      W.write(new java.io.File(staging, "evolved/day1/v1/0"), "evolved",
+        (0 until 5).map(i => t0 + i * 3600000L),
+        Seq(W.StrDim("host", Seq("a", "b", "c", "d", "e")),
+          W.LongMet("hits", Seq(10L, 20L, 30L, 40L, 50L))),
+        t0, t0 + day, version = "v1")
+      W.write(new java.io.File(staging, "evolved/day2/v1/0"), "evolved",
+        (0 until 3).map(i => t0 + day + i * 3600000L),
+        Seq(W.StrDim("host", Seq("f", "g", "h")),
+          W.StrDim("country", Seq("US", "DE", "JP")),
+          W.LongMet("clicks", Seq(7L, 8L, 9L))),
+        t0 + day, t0 + 2 * day, version = "v1")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"evolved fixture promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "evolved")
+      .load(root.getAbsolutePath)
+      .select(col("__time"), col("host"), col("country"),
+        col("hits"), col("clicks"))
+      .orderBy("__time")
+  }
+
+  /** VALUES oracle: day-1 rows null-fill country/clicks, day-2 rows
+    * null-fill hits. */
+  val druidEvolvedSql: String = {
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2021-03-01T00:00:00Z").toEpochMilli
+    val rows = Seq(
+      (t0, "'a'", "NULL", "10", "NULL"),
+      (t0 + 3600000L, "'b'", "NULL", "20", "NULL"),
+      (t0 + 2 * 3600000L, "'c'", "NULL", "30", "NULL"),
+      (t0 + 3 * 3600000L, "'d'", "NULL", "40", "NULL"),
+      (t0 + 4 * 3600000L, "'e'", "NULL", "50", "NULL"),
+      (t0 + day, "'f'", "'US'", "NULL", "7"),
+      (t0 + day + 3600000L, "'g'", "'DE'", "NULL", "8"),
+      (t0 + day + 2 * 3600000L, "'h'", "'JP'", "NULL", "9"))
+    rows.map { case (t, h, c, hits, clicks) =>
+      s"(CAST($t AS BIGINT), $h, CAST($c AS VARCHAR), " +
+        s"CAST($hits AS BIGINT), CAST($clicks AS BIGINT))"
+    }.mkString(
+      "SELECT * FROM (VALUES\n", ",\n",
+      ") AS t(__time, host, country, hits, clicks)")
+  }
 }
