@@ -213,4 +213,44 @@ object TextAnalysis {
           .as("chunk_text"),
         least(lit(window), n - col("chunk_id") * stride).cast("int").as("chunk_tokens"))
   }
+
+  /** CCNet-style line-level dedup / boilerplate removal (Wenzek et al.
+    * 2020 §3.1 deduplicate paragraphs; every crawl pipeline's "drop
+    * the cookie banner" pass): a line whose CORPUS-WIDE occurrence
+    * count exceeds `maxOccurrences` is removed from every document it
+    * appears in; surviving lines reassemble in original order.
+    * Returns one row per input document:
+    * `(<idCol>, text_clean, n_kept, n_dropped)` — fully-boilerplate
+    * docs come back with `text_clean = ''`, never vanish.
+    *
+    * Scale shape: shuffle 1 is the line-frequency count (map-side
+    * partial agg — distinct lines per partition cross the wire, not
+    * occurrences); the hot-line set (count > k) is tiny by nature
+    * (it IS the boilerplate), so the anti-join broadcasts under AQE
+    * instead of re-shuffling the corpus on line text; shuffle 2
+    * reassembles on the document id. No step is quadratic and no
+    * per-line state outlives its aggregation. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n", maxOccurrences: Long = 1L): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
+    val d = java.util.regex.Pattern.quote(delim)
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      size(split(col(textCol), d)).cast("long").as("__total"))
+    val lines = base.select(col("__id"),
+      posexplode(split(col("__text"), d)).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy("__line").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxOccurrences)
+      .select("__line")
+    val kept = lines.join(hot, Seq("__line"), "left_anti")
+    val agg = kept.groupBy("__id").agg(
+      concat_ws(delim, transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s("__line"))).as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    base.join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -689,6 +689,40 @@ object PipelineQueries {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---- line-level dedup (boilerplate removal) ----
+
+  /** CCNet-style corpus-wide line dedup. The corpus has no newlines,
+    * so both engines first inject one after every 3rd token with the
+    * IDENTICAL regex (25-word vocabulary × 3-token lines → plenty of
+    * genuine cross-document duplicate lines); lines occurring > 2×
+    * corpus-wide are boilerplate and drop everywhere. */
+  def lineDedupQ(s: SparkSession, d: String): DataFrame = {
+    val withLines = docs(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    TextAnalysis.lineDedup(withLines, "doc_id", "text", maxOccurrences = 2L)
+      .orderBy("doc_id")
+  }
+
+  val lineDedupSql: String =
+    """WITH d2 AS (SELECT doc_id,
+      |    regexp_replace(text, '((\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+      |  FROM documents),
+      |lines AS (SELECT doc_id, ls[p] AS line, p AS pos
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2),
+      |    UNNEST(range(1, len(ls) + 1)) AS r(p)),
+      |hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
+      |kept AS (SELECT l.* FROM lines l ANTI JOIN hot h ON l.line = h.line),
+      |agg AS (SELECT doc_id,
+      |    string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d2.doc_id,
+      |  coalesce(a.text_clean, '') AS text_clean,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  len(string_split(d2.t, chr(10))) - coalesce(a.n_kept, 0) AS n_dropped
+      |FROM d2 LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d2.doc_id""".stripMargin
+
   // ---- salted skew join ----
 
   /** Skew-robust salted equi-join under the oracle gate: lineitem

@@ -55,6 +55,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L), s"got $kept")
   }
 
+  test("lineDedup drops corpus-hot lines, preserves order, keeps empty docs") {
+    val df = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),
+      (3L, "b\ne\na"),
+      (4L, "a\nb"),      // fully boilerplate → empty, not vanished
+      (5L, "z\na\ny")    // order preserved around a dropped middle line
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=4 (hot at k=1); c,d,e,y,z unique
+    val out = TextAnalysis.lineDedup(df, "doc_id", "text", maxOccurrences = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "c", 1L, 2L),
+      (2L, "d", 1L, 1L),
+      (3L, "e", 1L, 2L),
+      (4L, "", 0L, 2L),
+      (5L, "z\ny", 2L, 1L)))
+    // raising the threshold keeps everything
+    val all = TextAnalysis.lineDedup(df, "doc_id", "text", maxOccurrences = 10L)
+      .collect()
+    assert(all.forall(_.getLong(3) == 0L))
+  }
+
   test("RepetitionStats codegen path is equivalent to interpreted eval") {
     import graft.functions.{RepetitionStats, TextFunctions}
     import org.apache.spark.sql.catalyst.expressions.Literal
