@@ -99,7 +99,13 @@ object ScaleData {
       val evS = stride(events, "event_id")
       write("events", events.crossJoin(cp)
         .withColumn("event_id", shift("event_id", evS))
-        .withColumn("user_id", shift("user_id", userS)).drop("__copy"))
+        .withColumn("user_id", shift("user_id", userS))
+        // source ts is TIMESTAMP(NANOS) read as ns-longs; write a true
+        // µs timestamp so BOTH engines read the scaled copy natively
+        // (a raw ns BIGINT would break every DuckDB time oracle —
+        // Tables.events handles either representation on the Spark side)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .drop("__copy"))
     }
 
     if (only("documents")) {
