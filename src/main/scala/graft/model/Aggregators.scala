@@ -118,8 +118,16 @@ object Aggregators {
     def guard(c: Column): Column = cond.map(when(_, c)).getOrElse(c)
     def f: Column = guard(col(spec.fieldName))
     // first/last: guard the ORDERING key — min_by/max_by ignore rows
-    // whose ordering key is NULL, so non-matching rows never win
-    def t: Column = guard(col(timeCol))
+    // whose ordering key is NULL, so non-matching rows never win.
+    // The key is (time, value), NOT time alone: Druid leaves equal-time
+    // first/last unspecified (segment order), which breaks determinism
+    // the moment the data carries duplicate timestamps (observed on the
+    // scaled sf1 events table — every row has copies×identical ts).
+    // Struct ordering is lexicographic in both engines, so ties on time
+    // break on the value itself: first = smallest value at the earliest
+    // time, last = largest value at the latest time, total order, same
+    // answer under any partitioning.
+    def t(v: Column): Column = guard(struct(col(timeCol), v))
     val c: Column = spec.tpe match {
       case "count" => count(guard(lit(1)))
       case "longSum" => coalesce(sum(f.cast("long")), lit(0L))
@@ -128,12 +136,14 @@ object Aggregators {
       case "longMax" => max(f.cast("long"))
       case "doubleMin" | "floatMin" => min(f.cast("double"))
       case "doubleMax" | "floatMax" => max(f.cast("double"))
-      case "longFirst" => min_by(f.cast("long"), t)
-      case "longLast" => max_by(f.cast("long"), t)
-      case "doubleFirst" | "floatFirst" => min_by(f.cast("double"), t)
-      case "doubleLast" | "floatLast" => max_by(f.cast("double"), t)
-      case "stringFirst" => min_by(f.cast("string"), t)
-      case "stringLast" => max_by(f.cast("string"), t)
+      case "longFirst" => min_by(f.cast("long"), t(col(spec.fieldName).cast("long")))
+      case "longLast" => max_by(f.cast("long"), t(col(spec.fieldName).cast("long")))
+      case "doubleFirst" | "floatFirst" =>
+        min_by(f.cast("double"), t(col(spec.fieldName).cast("double")))
+      case "doubleLast" | "floatLast" =>
+        max_by(f.cast("double"), t(col(spec.fieldName).cast("double")))
+      case "stringFirst" => min_by(f.cast("string"), t(col(spec.fieldName).cast("string")))
+      case "stringLast" => max_by(f.cast("string"), t(col(spec.fieldName).cast("string")))
       case "hyperUnique" =>
         // over a sketch column (segment metric) → merge; over raw → build
         val isSketchCol = schema.fields.exists(x => x.name == spec.fieldName &&

@@ -32,13 +32,23 @@ object AggQueries {
       .orderBy("day")
   }
 
+  /** Tie-safe mirror of the (time, value) composite ordering the
+    * engine uses (DuckDB 1.0's arg_min/arg_max take no composite key):
+    * first = MIN value among earliest-ts rows, last = MAX value among
+    * latest-ts rows — identical semantics to min_by/max_by on
+    * struct(ts, value). arg_min(x, ts) alone is nondeterministic the
+    * moment ts has duplicates (it does at sf1: every row has
+    * copies × identical timestamps). */
   val aggFirstLastSql: String =
-    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-      |  arg_min(value, ts) AS first_value,
-      |  arg_max(value, ts) AS last_value,
-      |  arg_min(event_type, ts) AS first_type,
-      |  arg_max(user_id, ts) AS last_user
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH b AS (SELECT date_trunc('day', ts) AS day, min(ts) AS t0, max(ts) AS t1
+      |           FROM events GROUP BY 1)
+      |SELECT CAST(b.day AS TIMESTAMP) AS day,
+      |  min(e.value) FILTER (WHERE e.ts = b.t0) AS first_value,
+      |  max(e.value) FILTER (WHERE e.ts = b.t1) AS last_value,
+      |  min(e.event_type) FILTER (WHERE e.ts = b.t0) AS first_type,
+      |  max(e.user_id) FILTER (WHERE e.ts = b.t1) AS last_user
+      |FROM events e JOIN b ON date_trunc('day', e.ts) = b.day
+      |GROUP BY b.day ORDER BY 1""".stripMargin
 
   // -- theta sketch distinct per dimension (exact below k=4096) --
 

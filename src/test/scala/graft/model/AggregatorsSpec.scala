@@ -48,6 +48,30 @@ class AggregatorsSpec extends SparkSpec {
     assert(row.getString(2) == byTime.head.getString(1))
   }
 
+  test("first/last tie-break on duplicate timestamps is deterministic (time, value)") {
+    // replicated data (the sf1 shape: copies × identical ts) must give
+    // the same first/last under ANY partitioning: first = min value at
+    // the earliest ts, last = max value at the latest ts
+    val df = Seq(
+      (1000L, 5.0, "b", 13542L), (1000L, 3.0, "a", 42L),
+      (2000L, 9.0, "d", 7L), (2000L, 7.0, "c", 99L)
+    ).toDF("ts", "value", "event_type", "user_id")
+      .select(timestamp_micros($"ts").as("ts"), $"value", $"event_type", $"user_id")
+      .repartition(8)
+    val aggs = Aggregators.parseAggs(
+      """[
+        |{"type":"doubleFirst","name":"fv","fieldName":"value"},
+        |{"type":"doubleLast","name":"lv","fieldName":"value"},
+        |{"type":"stringFirst","name":"ft","fieldName":"event_type"},
+        |{"type":"longLast","name":"lu","fieldName":"user_id"}
+        |]""".stripMargin).map(a => Aggregators.compile(a, df.schema, "ts"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    assert(row.getDouble(0) == 3.0)   // min value at earliest ts
+    assert(row.getDouble(1) == 9.0)   // max value at latest ts
+    assert(row.getString(2) == "a")
+    assert(row.getLong(3) == 99L)
+  }
+
   test("hyperUnique estimate tracks exact cardinality") {
     val row = runAggs("""{"type":"hyperUnique","name":"hu","fieldName":"user_id"}""")
     val exact = ev.select($"user_id").distinct().count().toDouble
