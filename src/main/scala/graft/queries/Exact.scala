@@ -46,8 +46,13 @@ object Exact {
   /** Order-independent mean of a double expression, as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** The DuckDB cast routes through VARCHAR deliberately: DuckDB 1.0's
+    * direct DECIMAL(38,6)→DOUBLE cast double-rounds (int128→double,
+    * then scale division — 1 ulp off at ~1e10 magnitudes, observed at
+    * sf1), while string→double parsing is correctly rounded and agrees
+    * bit-for-bit with Spark's BigDecimal.doubleValue at any scale. */
   def sqlSum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / count(*))"

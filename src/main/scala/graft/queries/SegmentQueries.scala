@@ -255,9 +255,10 @@ object SegmentQueries {
     s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        |  count(*) AS cnt,
        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
-       |  CAST(sum(CAST(
+       |  CAST(CAST(sum(CAST(
        |    CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
-       |         THEN value * 3 ELSE value END AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |         THEN value * 3 ELSE value END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |    AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Decode a REAL Apache Druid v9 binary segment (the reference
