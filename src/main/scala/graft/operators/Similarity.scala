@@ -172,7 +172,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       cells: Int = 16, centroids0: Option[DataFrame] = None): Unit = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, cells)))
+    val nCells = if (cells > 0) cells else autoCells(c.count())
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
     centroidDf(corpus.sparkSession, cents)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCells(c, cents)
