@@ -41,15 +41,19 @@ def main(sf_dir, out_dir, per_query_timeout=600):
         q = mp.Queue()
         proc = mp.Process(target=run_oracle, args=(sf_dir, sql, q))
         proc.start()
-        proc.join(per_query_timeout)
-        dt = time.time() - t0
-        if proc.is_alive():
+        # q.get BEFORE join: a large result blocks the child's queue
+        # write until the parent reads — join-first deadlocks on any
+        # output bigger than the pipe buffer
+        try:
+            status, payload = q.get(timeout=per_query_timeout)
+        except Exception:
             proc.terminate()
             proc.join()
             print(f"SLOW {name}: oracle exceeded {per_query_timeout}s (spark side: {len(spark_df)} rows)", flush=True)
             slow.append(name)
             continue
-        status, payload = q.get()
+        proc.join(60)
+        dt = time.time() - t0
         if status == "err":
             print(f"FAIL {name}: oracle SQL error: {payload}", flush=True)
             failed.append(name)
