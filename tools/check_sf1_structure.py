@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Structural sf1 verification for queries whose DuckDB mirrors are
+quadratic at data scale (winnowing/recursive-CC CTEs).
+
+ScaleData's per-copy token bijection makes cross-copy near-duplication
+impossible (copies are token-disjoint, and q_contamination's probes are
+copy-0-only doc_id < 5), so text-derived pair/cluster outputs at sf1
+must decompose into `copies` stride-shifted images of the sf0.1 output
+— which IS DuckDB-verified (check_oracle_timed at sf0.1 runs the full
+mirrors at 1/10 cost). Checks here are value-exact, not statistical:
+
+  1. no output pair crosses a copy boundary;
+  2. every copy's image (ids mod stride) equals copy 0's image,
+     including float columns bit-for-bit;
+  3. copy 0's image equals the verified sf0.1 output.
+
+NOT covered here (different scaling law, verified by direct sf1
+mirrors instead): embedding-family ops (per-copy embedding shifts
+change geometry) and simhash (random 64-bit hamming collisions across
+token-disjoint copies are LEGITIMATE output, so pair counts grow
+superlinearly by design).
+
+    python3 tools/check_sf1_structure.py [/tmp/verify_sf1 /tmp/verify_sf01]
+"""
+import sys, glob
+import pandas as pd
+
+S_DOC = 5000   # sf0.1 documents stride (max doc_id + 1)
+COPIES = 10
+
+
+def load(out, q):
+    fs = sorted(glob.glob(f"{out}/{q}/*.parquet"))
+    if not fs:
+        raise SystemExit(f"missing spark output {out}/{q}")
+    return pd.concat([pd.read_parquet(f) for f in fs]).reset_index(drop=True)
+
+
+def canon(df):
+    return df[sorted(df.columns)].sort_values(by=sorted(df.columns)).reset_index(drop=True)
+
+
+results = []
+
+
+def report(name, ok, detail=""):
+    print(("OK   " if ok else "FAIL ") + name + (f" — {detail}" if detail and not ok else ""), flush=True)
+    results.append((name, ok))
+
+
+def copy_decompose(q, df, id_cols, shift_cols):
+    """Check 1+2: within-copy only, per-copy images identical. Returns
+    copy-0 image (or None on failure)."""
+    copies = df[id_cols[0]] // S_DOC
+    for c in id_cols[1:]:
+        if not (copies == df[c] // S_DOC).all():
+            report(f"{q}: pairs stay within one copy", False,
+                   f"{(copies != df[c] // S_DOC).sum()} cross-copy rows")
+            return None
+    report(f"{q}: pairs stay within one copy", True)
+    imgs = []
+    for c in range(COPIES):
+        img = df[copies == c].copy()
+        for col in shift_cols:
+            img[col] = img[col] - c * S_DOC
+        imgs.append(canon(img))
+    same = all(imgs[0].equals(img) for img in imgs[1:])
+    report(f"{q}: all {COPIES} copy images identical (values incl. floats)", same)
+    return imgs[0] if same else None
+
+
+def against_sf01(q, img0, sf01_df):
+    report(f"{q}: copy-0 image == verified sf0.1 output",
+           img0 is not None and img0.equals(canon(sf01_df)))
+
+
+def main(sf1, sf01):
+    # probes are copy-0-only → the whole sf1 output must equal sf0.1's
+    a, b = load(sf1, "q_contamination"), load(sf01, "q_contamination")
+    report("q_contamination: sf1 output == sf0.1 output (copy-0 probes, no cross-copy k-grams)",
+           canon(a).equals(canon(b)))
+
+    for q, ids, shifts in [
+        ("q_dedup_minhash", ["a_id", "b_id"], ["a_id", "b_id"]),
+        ("q_ngram_jaccard", ["a_id", "b_id"], ["a_id", "b_id"]),
+        ("q_dedup_cross", ["corpus_id", "ref_id"], ["corpus_id", "ref_id"]),
+        ("q_dedup_exact", ["doc_id"], ["doc_id"]),
+        ("q_dedup_clusters", ["doc_id", "cluster_id"], ["doc_id", "cluster_id"]),
+    ]:
+        img0 = copy_decompose(q, load(sf1, q), ids, shifts)
+        against_sf01(q, img0, load(sf01, q))
+
+    # line_dedup: per-copy counts must match copy 0 (token bijection
+    # preserves line multiplicities); copy-0 TEXT must equal sf0.1's
+    ld1, ld0 = load(sf1, "q_line_dedup"), load(sf01, "q_line_dedup")
+    img0 = copy_decompose("q_line_dedup(counts)",
+                          ld1[["doc_id", "n_kept", "n_dropped"]], ["doc_id"], ["doc_id"])
+    against_sf01("q_line_dedup(counts)", img0,
+                 ld0[["doc_id", "n_kept", "n_dropped"]])
+    c0 = ld1[ld1.doc_id < S_DOC]
+    report("q_line_dedup: copy-0 rows (incl. text) == sf0.1 output",
+           canon(c0).equals(canon(ld0)))
+
+    # doc_fingerprint: char-k-gram hashes are NOT copy-isomorphic
+    # (suffixed tokens change k-grams) — only copy 0 is comparable here;
+    # copies 1..9 are covered by the restricted direct mirror
+    # (check_sf1_slowmirrors.py)
+    fp1, fp0 = load(sf1, "q_doc_fingerprint"), load(sf01, "q_doc_fingerprint")
+    report("q_doc_fingerprint: copy-0 rows == sf0.1 output",
+           canon(fp1[fp1.doc_id < S_DOC]).equals(canon(fp0)))
+
+    bad = [n for n, ok in results if not ok]
+    print(f"== {len(results) - len(bad)}/{len(results)} structural checks passed"
+          + (f", FAILED: {bad}" if bad else ""), flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1",
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf01")
