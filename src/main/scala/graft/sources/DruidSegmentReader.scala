@@ -251,8 +251,8 @@ object DruidSegmentReader {
     * entry, in a GenericIndexed after the row ids — the index the
     * reference's reader prunes with (DruidInputFormat.java:66-120
     * delegates to Druid's QueryableIndex bitmap path). */
-  private def bitmapRowSet(file: SegmentFile, dim: String,
-                           values: Set[String]): Option[ImmutableRoaringBitmap] =
+  private[sources] def bitmapRowSet(file: SegmentFile, dim: String,
+                                    values: Set[String]): Option[ImmutableRoaringBitmap] =
     try {
       if (!file.has(dim)) return None
       val buf = ByteBuffer.wrap(file(dim))
@@ -277,17 +277,59 @@ object DruidSegmentReader {
       val bitmaps = readGenericIndexedBytes(buf)
       require(bitmaps.size == dict.size,
         s"bitmap index has ${bitmaps.size} entries for ${dict.size} dictionary values")
+      // serde declared in the column descriptor's parts (real Druid);
+      // absent → roaring (this repo's writer, and Druid's default
+      // since 0.18). Pre-0.18 datasources declare "concise".
+      val serde = (json \ "parts") match {
+        case JArray(parts) => parts.iterator
+          .map(p => p \ "bitmapSerdeFactory" \ "type")
+          .collectFirst { case JString(s) => s }.getOrElse("roaring")
+        case _ => "roaring"
+      }
       val out = new MutableRoaringBitmap()
       // dictionary is sorted: binary search each wanted value
       values.foreach { v =>
         dict.search(v) match {
           case scala.collection.Searching.Found(id) if bitmaps(id).nonEmpty =>
-            out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
+            serde match {
+              case "concise" => out.or(conciseToBitmap(bitmaps(id)))
+              case _ => out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
+            }
           case _ => ()
         }
       }
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** CONCISE bitmap → roaring (Colantonio & Di Pietro 2010; the
+    * extendedset encoding Druid's pre-0.18 default serde writes as
+    * big-endian words). Word types: MSB set = literal (31 positions);
+    * else a fill of (count+1) 31-bit blocks — bit 30 picks 0-fill vs
+    * 1-fill, bits 25-29 encode one flipped bit in the first block
+    * (0 = none, else position+1). */
+  private[sources] def conciseToBitmap(bytes: Array[Byte]): MutableRoaringBitmap = {
+    val out = new MutableRoaringBitmap()
+    val buf = ByteBuffer.wrap(bytes) // big-endian
+    var offset = 0
+    while (buf.remaining() >= 4) {
+      val w = buf.getInt()
+      if ((w & 0x80000000) != 0) {
+        var b = 0
+        while (b < 31) { if ((w & (1 << b)) != 0) out.add(offset + b); b += 1 }
+        offset += 31
+      } else {
+        val isOneFill = (w & 0x40000000) != 0
+        val blocks = (w & 0x01FFFFFF) + 1
+        val flipped = (w >>> 25) & 0x1F
+        if (isOneFill) {
+          out.add(offset.toLong, offset.toLong + blocks.toLong * 31)
+          if (flipped != 0) out.remove(offset + flipped - 1)
+        } else if (flipped != 0) out.add(offset + flipped - 1)
+        offset += blocks * 31
+      }
+    }
+    out
+  }
 
   /** Skip a compressed supplier (v2 header + GenericIndexed of chunks)
     * without decompressing anything. */
@@ -342,7 +384,7 @@ object DruidSegmentReader {
   }
 
   /** A decoded smoosh container: internal file name → bytes. */
-  private final class SegmentFile(entries: Map[String, (Int, Int, Int)],
+  private[sources] final class SegmentFile(entries: Map[String, (Int, Int, Int)],
                                   chunks: IndexedSeq[Array[Byte]]) {
     def apply(name: String): Array[Byte] = {
       val (chunk, start, end) = entries.getOrElse(name,
@@ -357,7 +399,7 @@ object DruidSegmentReader {
     * SegmentFile. Segments are bounded (~500 MB by Druid's build
     * defaults), so whole-file buffering per task is the simple,
     * correct choice. */
-  private def openSegment(conf: Configuration, segmentDir: String): SegmentFile = {
+  private[sources] def openSegment(conf: Configuration, segmentDir: String): SegmentFile = {
     val zipPath = new HPath(s"$segmentDir/index.zip")
     val fs = zipPath.getFileSystem(conf)
     val entries = scala.collection.mutable.Map[String, Array[Byte]]()

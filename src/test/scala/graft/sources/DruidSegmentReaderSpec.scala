@@ -160,6 +160,44 @@ class DruidSegmentReaderSpec extends SparkSpec {
     assert(in.length == 1 && DruidSegmentReader.decodedSegments.get() == 1)
   }
 
+  test("bitmap region of the REAL reference segment parses and prunes exactly") {
+    // the fixture was written by actual Druid with {"type":"roaring"}
+    // bitmaps after the row ids — parsing IT (not just this repo's
+    // writer output) is what proves the layout knowledge is right.
+    // Known contents: hourly rows 0/1/2 = host a/b/c.example.com.
+    assume(available)
+    val file = DruidSegmentReader.openSegment(
+      spark.sparkContext.hadoopConfiguration, segDir)
+    val b = DruidSegmentReader.bitmapRowSet(file, "host", Set("b.example.com"))
+    assert(b.isDefined, "real-Druid bitmap region must parse (not fall back)")
+    assert(b.get.toArray.toSeq == Seq(1), "b.example.com is exactly row 1")
+    val ac = DruidSegmentReader.bitmapRowSet(file, "host",
+      Set("a.example.com", "c.example.com"))
+    assert(ac.get.toArray.toSeq == Seq(0, 2))
+    assert(DruidSegmentReader.bitmapRowSet(file, "host", Set("zzz.nope"))
+      .get.isEmpty, "absent value → empty bitmap, not None")
+    assert(DruidSegmentReader.bitmapRowSet(file, "visited_sum", Set("100"))
+      .isEmpty, "non-string column → None (no pruning), never empty")
+  }
+
+  test("CONCISE decoder: literal, zero-fill and one-fill words with flipped bits") {
+    import java.nio.ByteBuffer
+    def words(ws: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * ws.size); ws.foreach(b.putInt); b.array()
+    }
+    // literal {0,2} · zero-fill 2 blocks flipped@3 → {31+2} · literal {93}
+    val a = DruidSegmentReader.conciseToBitmap(words(
+      0x80000005, (3 << 25) | 1, 0x80000001)).toArray.toSeq
+    assert(a == Seq(0, 2, 33, 93))
+    // one-fill 1 block flipped@2 → 0..30 minus 1
+    val b = DruidSegmentReader.conciseToBitmap(words(
+      0x40000000 | (2 << 25))).toArray.toSeq
+    assert(b == (0 to 30).filter(_ != 1))
+    // plain zero-fill contributes nothing but advances the offset
+    val c = DruidSegmentReader.conciseToBitmap(words(0x00000000, 0x80000001)).toArray.toSeq
+    assert(c == Seq(31))
+  }
+
   test("scan clips interval, projects, and applies DimFilter JSON") {
     assume(available)
     val t0 = java.time.Instant.parse("2014-10-22T00:00:00Z").toEpochMilli
