@@ -89,6 +89,10 @@ object TextFunctions {
   def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
     toColumn(RepetitionStats(toExpr(text), topN, dupN))
 
+  /** Accent stripping: NFD-decompose, drop combining marks — the same
+    * mapping DuckDB's `strip_accents` applies on Latin text. */
+  def stripAccents(text: Column): Column = toColumn(StripAccents(toExpr(text)))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -436,6 +440,43 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     new GenericArrayData(out.distinct.toArray)
   }
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}
+
+/** Accent removal via Unicode NFD decomposition + combining-mark
+  * strip (java.text.Normalizer — pure JDK). Real codegen like
+  * [[RepetitionStats]]: normalization runs over the entire corpus in
+  * the dedup pre-pass, so it must not break WholeStageCodegen. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("stripAccents", this, classOf[StripAccents].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $self.compute($c);")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString
+    // fast path: pure ASCII needs no decomposition
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) u
+    else UTF8String.fromString(
+      StripAccents.Marks.matcher(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD))
+        .replaceAll(""))
+  }
+  override protected def withNewChildInternal(c: Expression): StripAccents = copy(child = c)
+}
+
+object StripAccents {
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
 }
 
 /** Gopher-style repetition statistics (Rae et al. 2021, appendix A1)

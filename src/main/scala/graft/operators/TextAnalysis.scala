@@ -214,6 +214,20 @@ object TextAnalysis {
         least(lit(window), n - col("chunk_id") * stride).cast("int").as("chunk_tokens"))
   }
 
+  /** CCNet-style normalization for dedup hashing (Wenzek et al. 2020
+    * §3.1: lowercase, digits → 0, strip accents — so trivial variants
+    * of the same document hash identically). Pure single-scan
+    * projection, zero shuffle, all codegen'd; run it BEFORE
+    * exact/minhash dedup and hash `text_norm` instead of `text`.
+    * Order matters and is mirrored verbatim in SQL: lowercase →
+    * digit-fold → accent-strip → whitespace collapse + trim. */
+  def normalizeForDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      trim(regexp_replace(
+        TextFunctions.stripAccents(
+          regexp_replace(lower(col(textCol)), "[0-9]", "0")),
+        "\\s+", " ")).as("text_norm"))
+
   /** CCNet-style line-level dedup / boilerplate removal (Wenzek et al.
     * 2020 §3.1 deduplicate paragraphs; every crawl pipeline's "drop
     * the cookie banner" pass): a line whose CORPUS-WIDE occurrence

@@ -723,6 +723,23 @@ object PipelineQueries {
       |FROM d2 LEFT JOIN agg a USING (doc_id)
       |ORDER BY d2.doc_id""".stripMargin
 
+  // ---- dedup normalization ----
+
+  /** CCNet normalization pass over the corpus — identical operation
+    * chain in both engines (DuckDB's strip_accents = NFD +
+    * combining-mark removal on Latin text, same as the engine's
+    * StripAccents expression). */
+  def normalizeQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.normalizeForDedup(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    strip_accents(regexp_replace(lower(text), '[0-9]', '0', 'g')),
+      |    '\s+', ' ', 'g')) AS text_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- salted skew join ----
 
   /** Skew-robust salted equi-join under the oracle gate: lineitem

@@ -55,6 +55,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L), s"got $kept")
   }
 
+  test("normalizeForDedup: lowercase, digit-fold, accent-strip, whitespace collapse") {
+    val df = Seq(
+      (1L, "Café  NAÏVE\tÅngström 42"),
+      (2L, "  plain ascii 7 words  "),
+      (3L, ""),
+      (4L, "ümlaut Über straße")   // ß has no combining mark — must survive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeForDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "cafe naive angstrom 00")
+    assert(out(1) == "plain ascii 0 words")
+    assert(out(2) == "")
+    assert(out(3) == "umlaut uber straße")
+    // codegen == interpreted for the accent expression
+    import graft.functions.StripAccents
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    for (t <- Seq("café", "ascii", "", "ñandú ÈÉÊË x̂"))
+      assert(StripAccents(Literal(t)).eval(InternalRow.empty) ==
+        UTF8String.fromString(java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}+", "")))
+    // two trivially-variant docs normalize identically (the dedup point)
+    val variants = Seq((1L, "The Price is 42 Euros"), (2L, "the   price is 17 euros"))
+      .toDF("doc_id", "text")
+    val norm = TextAnalysis.normalizeForDedup(variants, "doc_id", "text")
+      .collect().map(_.getString(1)).distinct
+    assert(norm.length == 1)
+  }
+
   test("lineDedup drops corpus-hot lines, preserves order, keeps empty docs") {
     val df = Seq(
       (1L, "a\nb\nc"),
