@@ -52,4 +52,27 @@ object Sampling {
       hashSample(df, idCol, w, seed = seed ^ (i.toLong << 32))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-group quota: keep at most `maxPerGroup` rows per `groupCol`
+    * value — the crawl-pipeline domain cap ("no single site dominates
+    * the corpus"). Selection is a uniform-but-reproducible sample:
+    * rows rank by (xxhash64(id), id) inside their group, independent
+    * of partitioning and ingest order, so re-processing keeps the same
+    * rows and incremental runs see stable membership.
+    *
+    * Scale shape: ONE shuffle on the group key; rank<=k optimizes to
+    * WindowGroupLimit (per-partition top-k heaps before and after the
+    * exchange), so the shuffle carries at most maxPerGroup rows per
+    * group per map partition — a skewed giant group never materializes
+    * on one task beyond its k winners. */
+  def groupQuota(df: DataFrame, idCol: String, groupCol: String,
+                 maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"bad maxPerGroup $maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerGroup)
+      .drop("__rk")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, SaltedJoin, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -349,6 +349,33 @@ object PipelineQueries {
        |  (SELECT part, count(*) AS n FROM parts GROUP BY part) c
        |  ON r.range = c.part
        |ORDER BY part""".stripMargin
+  }
+
+  // ---- per-source quota ----
+
+  /** Domain/source quota: ≤10 docs per source, chosen by the
+    * deterministic (xxhash64(id), id) rank — 20 sources × 25 docs at
+    * sf0.01 → exactly 200 survivors. The oracle recomputes Spark's
+    * xxhash64 via SqlHash and converts the unsigned HUGEINT back to
+    * SIGNED order (Spark sorts the hash as a signed long). */
+  def sourceQuotaQ(s: SparkSession, d: String): DataFrame =
+    Sampling.groupQuota(docs(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", maxPerGroup = 10)
+      .orderBy("doc_id")
+
+  val sourceQuotaSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id", "source"), seed = 42L, out = "h")
+    s"""WITH d0 AS (SELECT doc_id, source FROM documents),
+       |$steps,
+       |signed AS (SELECT doc_id, source,
+       |    CASE WHEN h >= 9223372036854775808::HUGEINT
+       |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE h::BIGINT END AS hs FROM hx),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rk
+       |  FROM signed)
+       |SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   }
 
   // ---- similarity search ----

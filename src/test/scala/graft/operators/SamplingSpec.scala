@@ -41,4 +41,27 @@ class SamplingSpec extends SparkSpec {
     assert(n > 1000 && math.abs(n - 1250) < 120, s"got $n of expected ~1250")
     assert(mixed.count() == n) // stable across evaluations
   }
+
+  test("groupQuota caps each group deterministically, independent of partitioning") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("grp", (org.apache.spark.sql.functions.col("id") % 7).cast("string"))
+    val a = Sampling.groupQuota(df, "id", "grp", maxPerGroup = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.groupQuota(df.repartition(13), "id", "grp", maxPerGroup = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "membership must not depend on partitioning")
+    val perGroup = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == 20), s"every group capped at 20: $perGroup")
+    // a group smaller than the cap survives whole
+    val small = Sampling.groupQuota(df.filter($"id" < 10), "id", "grp", 20)
+    assert(small.count() == 10)
+  }
+
+  test("groupQuota plans as WindowGroupLimit (per-partition top-k, skew-safe)") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("grp", (org.apache.spark.sql.functions.col("id") % 7).cast("string"))
+    val plan = Sampling.groupQuota(df, "id", "grp", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+  }
 }
