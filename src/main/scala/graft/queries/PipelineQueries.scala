@@ -351,6 +351,40 @@ object PipelineQueries {
        |ORDER BY part""".stripMargin
   }
 
+  // ---- corpus mixture ----
+
+  /** Weighted per-language mixture — the training-data recipe step:
+    * en down-sampled to 0.5, es kept whole, de at 0.25, fr dropped
+    * (weight 0). Output = surviving doc_ids with their lang, so the
+    * oracle checks MEMBERSHIP, not just counts. The oracle recomputes
+    * each corpus's bucket hash (seed i<<32 folded through Spark's own
+    * XxHash64Function, same pattern as sampleSplitSql). */
+  def mixtureQ(s: SparkSession, d: String): DataFrame = {
+    val byLang = Seq("en" -> 0.5, "es" -> 1.0, "de" -> 0.25).map { case (l, w) =>
+      (docs(s, d).filter(col("lang") === l).select(col("doc_id"), col("lang")), w)
+    }
+    Sampling.mixture(byLang, "doc_id").orderBy("doc_id")
+  }
+
+  val mixtureSql: String = {
+    val weights = Seq("en" -> 0.5, "es" -> 1.0, "de" -> 0.25)
+    val buckets = 1L << 20
+    val arms = weights.zipWithIndex.map { case ((lang, w), i) =>
+      val seed = 0L ^ (i.toLong << 32)
+      val inner = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(seed, org.apache.spark.sql.types.LongType, 42L)
+      val cut = (w * buckets).toLong
+      val steps = SqlHash.xxh64LongSteps(s"hx$i", s"d$i", "doc_id",
+        keep = Seq("doc_id", "lang"), seed = inner, out = "h")
+      (s"""d$i AS (SELECT doc_id, lang FROM documents WHERE lang = '$lang'),
+          |$steps""".stripMargin,
+        s"SELECT doc_id, lang FROM hx$i WHERE h % ${buckets}::HUGEINT < $cut")
+    }
+    s"""WITH ${arms.map(_._1).mkString(",\n")}
+       |${arms.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- per-source quota ----
 
   /** Domain/source quota: ≤10 docs per source, chosen by the
