@@ -97,6 +97,11 @@ object GraftExtensions {
       case Seq(t, n1, n2) => RepetitionStats(t, intArg(n1, "topN"), intArg(n2, "dupN"))
       case args => throw new IllegalArgumentException(s"repetition_stats takes 1 or 3 args, got ${args.size}")
     }
+    reg("strip_accents",
+        "strip_accents(text) - NFD decompose + combining-mark removal (DuckDB-compatible)") {
+      case Seq(t) => StripAccents(t)
+      case args => throw new IllegalArgumentException(s"strip_accents takes 1 arg, got ${args.size}")
+    }
     out.result()
   }
 }

@@ -19,7 +19,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "theta_sketch_agg", "theta_estimate", "theta_union",
       "theta_intersect", "theta_anotb", "minhash_sig", "simhash64",
-      "winnow_fingerprints", "repetition_stats"))
+      "winnow_fingerprints", "repetition_stats", "strip_accents"))
+  }
+
+  test("strip_accents works from SQL") {
+    val r = spark.sql("SELECT strip_accents('Café Ångström') AS t")
+      .collect()(0).getString(0)
+    assert(r == "Cafe Angstrom")
   }
 
   test("repetition_stats works from SQL") {
