@@ -126,8 +126,11 @@ object Aggregators {
     // Struct ordering is lexicographic in both engines, so ties on time
     // break on the value itself: first = smallest value at the earliest
     // time, last = largest value at the latest time, total order, same
-    // answer under any partitioning.
-    def t(v: Column): Column = guard(struct(col(timeCol), v))
+    // answer under any partitioning. NULL-valued rows get a NULL key
+    // (not a (ts, null) struct, which would WIN first-ties under
+    // nulls-first struct ordering): they are skipped entirely, matching
+    // Druid's null handling and the SQL mirror's min/max FILTER.
+    def t(v: Column): Column = guard(when(v.isNotNull, struct(col(timeCol), v)))
     val c: Column = spec.tpe match {
       case "count" => count(guard(lit(1)))
       case "longSum" => coalesce(sum(f.cast("long")), lit(0L))

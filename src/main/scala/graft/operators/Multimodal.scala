@@ -134,12 +134,17 @@ object Multimodal {
       val sentinel = MediaMeta(b.length.toLong, -1, -1, 0)
       mp4Find(b, 0, b.length, List("moov")).map { case (ms, me) =>
         val traks = mp4Boxes(b, ms, me).filter(_._1 == "trak")
-        val video = traks.find { case (_, ts, te) =>
-          mp4Find(b, ts, te, List("mdia", "hdlr")).exists { case (hs, he) =>
-            he - hs >= 12 && new String(b, hs + 8, 4,
-              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+        def handlerOf(ts: Int, te: Int): Option[String] =
+          mp4Find(b, ts, te, List("mdia", "hdlr")).collect {
+            case (hs, he) if he - hs >= 12 =>
+              new String(b, hs + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
           }
-        }.orElse(traks.headOption)
+        // a 'vide' track, else a track that DECLARES no handler (some
+        // muxers omit hdlr) — but never a declared non-video track:
+        // an audio-only .m4a must sentinel, not report its sample
+        // count as video frames
+        val video = traks.find { case (_, ts, te) => handlerOf(ts, te).contains("vide") }
+          .orElse(traks.find { case (_, ts, te) => handlerOf(ts, te).isEmpty })
         video.flatMap { case (_, ts, te) =>
           mp4Find(b, ts, te, List("tkhd")).map { case (ks, ke) =>
             val v = b(ks) & 0xff

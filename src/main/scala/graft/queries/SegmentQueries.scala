@@ -397,7 +397,8 @@ object SegmentQueries {
     // concurrent JVM (Bench ∥ Verify) never reads a half-written
     // index.zip and a finished tree is never rebuilt
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_druid_deepstore_v2")
+      sys.props("java.io.tmpdir"),
+      s"graft_druid_deepstore_w${graft.sources.DruidSegmentWriter.FormatVersion}")
     val sentinel = new java.io.File(root, "_COMPLETE")
     def seg(dir: java.io.File, version: String, hosts: Seq[String],
             tags: Seq[Seq[String]], lo: Long, hi: Long): Unit = {
@@ -411,7 +412,7 @@ object SegmentQueries {
     }
     if (!sentinel.isFile) {
       val staging = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_druid_deepstore_v2_build_${java.util.UUID.randomUUID}")
+        s"graft_druid_deepstore_w${graft.sources.DruidSegmentWriter.FormatVersion}_build_${java.util.UUID.randomUUID}")
       seg(new java.io.File(staging, "fixture/day/v1/0"), "v1",
         Seq("a", "b", "c", "d", "e"),
         Seq(Seq("x", "y"), Seq(), Seq("y"), Seq("x", "z"), Seq("z")), t0, t0 + day)
@@ -467,11 +468,12 @@ object SegmentQueries {
     val day = 24 * 3600 * 1000L
     val t0 = java.time.Instant.parse("2021-03-01T00:00:00Z").toEpochMilli
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_druid_evolved_v1")
+      sys.props("java.io.tmpdir"),
+      s"graft_druid_evolved_w${graft.sources.DruidSegmentWriter.FormatVersion}")
     val sentinel = new java.io.File(root, "_COMPLETE")
     if (!sentinel.isFile) {
       val staging = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_druid_evolved_v1_build_${java.util.UUID.randomUUID}")
+        s"graft_druid_evolved_w${graft.sources.DruidSegmentWriter.FormatVersion}_build_${java.util.UUID.randomUUID}")
       W.write(new java.io.File(staging, "evolved/day1/v1/0"), "evolved",
         (0 until 5).map(i => t0 + i * 3600000L),
         Seq(W.StrDim("host", Seq("a", "b", "c", "d", "e")),

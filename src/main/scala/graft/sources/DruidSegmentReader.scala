@@ -60,10 +60,19 @@ object DruidSegmentReader {
   def segmentSchema(spark: SparkSession, segmentDir: String): StructType =
     segmentSchema(spark.sparkContext.hadoopConfiguration, segmentDir)
 
-  private[sources] def segmentSchema(conf: Configuration, segmentDir: String): StructType = {
-    val file = openSegment(conf, segmentDir)
-    StructType(columnsOf(file).map(sparkField))
-  }
+  /** Druid segments are immutable once written (a new version is a new
+    * directory), so per-path schema probes cache for the JVM's life —
+    * repeated reads of the same datasource stop re-opening index.zip
+    * for schema discovery (on the driver AND inside distributed probe
+    * tasks). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private[sources] def segmentSchema(conf: Configuration, segmentDir: String): StructType =
+    schemaCache.computeIfAbsent(segmentDir, { dir =>
+      val file = openSegment(conf, dir)
+      StructType(columnsOf(file).map(sparkField))
+    })
 
   /** Union schema across segments — real Druid datasources EVOLVE
     * their dimension set over time (new dims appear, old ones are

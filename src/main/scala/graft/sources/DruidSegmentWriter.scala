@@ -27,6 +27,13 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object DruidSegmentWriter {
 
+  /** Bump on ANY output-layout change (v2 = roaring bitmap regions on
+    * string dim columns, round 7). Cached fixture directories key on
+    * this so a sentinel-guarded fixture written by an older writer is
+    * rebuilt instead of silently reused — without it, the round that
+    * added bitmap regions would have kept testing bitmap-less bytes. */
+  val FormatVersion = 2
+
   sealed trait Col { def name: String }
   final case class StrDim(name: String, rows: Seq[String]) extends Col
   final case class MvDim(name: String, rows: Seq[Seq[String]]) extends Col

@@ -65,11 +65,17 @@ class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val segs = DruidSegmentsDataSource.discover(spark, options)
-    // UNION schema across segments: Druid datasources evolve their
-    // dimension set per-interval, so no single segment is
-    // authoritative. Columns a segment lacks decode as null there;
-    // conflicting types fail loudly (DruidSegmentReader.unionSchema).
-    DruidSegmentReader.unionSchema(spark, segs.map(_.path).distinct)
+    // UNION schema across TIMELINE-VISIBLE segments: Druid datasources
+    // evolve their dimension set per-interval, so no single segment is
+    // authoritative — but overshadowed generations can never be read,
+    // so they neither widen the schema nor get to fail the
+    // type-conflict check. Columns a segment lacks decode as null
+    // there; conflicting types fail loudly
+    // (DruidSegmentReader.unionSchema). Probes are cached per path
+    // (segments are immutable).
+    val visible = VersionedTimeline.resolve(segs, Long.MinValue, Long.MaxValue)
+      .map(_.segment.path).distinct
+    DruidSegmentReader.unionSchema(spark, visible)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -72,6 +72,30 @@ class AggregatorsSpec extends SparkSpec {
     assert(row.getLong(3) == 99L)
   }
 
+  test("first/last skip NULL-valued rows (never let a null win a time tie)") {
+    // (t0, null) ties (t0, 5.0): the null row must be ignored — struct
+    // ordering would otherwise sort the null field FIRST and hand
+    // first_value a null the SQL mirror's min(...) FILTER skips
+    val df = Seq(
+      (1000L, Option.empty[Double]), (1000L, Some(5.0)), (2000L, Some(2.0))
+    ).toDF("ts", "value")
+      .select(timestamp_micros($"ts").as("ts"), $"value")
+    val aggs = Aggregators.parseAggs(
+      """[{"type":"doubleFirst","name":"fv","fieldName":"value"},
+        |{"type":"doubleLast","name":"lv","fieldName":"value"}]""".stripMargin)
+      .map(a => Aggregators.compile(a, df.schema, "ts"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    assert(row.getDouble(0) == 5.0, "null at the earliest tie must not win")
+    assert(row.getDouble(1) == 2.0)
+    // all-null group → null result (matches SQL min/max over no rows)
+    val allNull = Seq((1000L, Option.empty[Double])).toDF("ts", "value")
+      .select(timestamp_micros($"ts").as("ts"), $"value")
+    val aggs2 = Aggregators.parseAggs(
+      """[{"type":"doubleFirst","name":"fv","fieldName":"value"}]""")
+      .map(a => Aggregators.compile(a, allNull.schema, "ts"))
+    assert(allNull.agg(aggs2.head).collect()(0).isNullAt(0))
+  }
+
   test("hyperUnique estimate tracks exact cardinality") {
     val row = runAggs("""{"type":"hyperUnique","name":"hu","fieldName":"user_id"}""")
     val exact = ev.select($"user_id").distinct().count().toDouble

@@ -148,12 +148,22 @@ class MultimodalSpec extends SparkSpec {
     val mkv = el(id4(0x1A45DFA3L)) ++
       el(id4(0x18538067L), el(id4(0x1654AE6BL), entry))
 
+    // audio-only MP4 (hdlr 'soun'): must sentinel, not report its
+    // audio sample count as video frames
+    val soun = box("hdlr", new Array[Byte](8), "soun".getBytes("US-ASCII"),
+      new Array[Byte](13))
+    val stszAudio = box("stsz", new Array[Byte](4), be32(0), be32(440000))
+    val m4a = box("ftyp", "M4A ".getBytes("US-ASCII"), new Array[Byte](4)) ++
+      box("moov", box("trak", tkhd, box("mdia", soun, box("minf", box("stbl", stszAudio)))))
+
     val out = Multimodal.VideoContainerCodec.decodeBatch(
-      Iterator(mp4, mkv, Array[Byte](1, 2, 3), Array.emptyByteArray)).toSeq
+      Iterator(mp4, mkv, Array[Byte](1, 2, 3), Array.emptyByteArray, m4a)).toSeq
     assert(out(0) == Multimodal.MediaMeta(mp4.length.toLong, 640, 360, 42))
     assert(out(1) == Multimodal.MediaMeta(mkv.length.toLong, 1280, 720, 0))
     assert(out(2) == Multimodal.MediaMeta(3L, -1, -1, 0))
     assert(out(3) == Multimodal.MediaMeta(0L, -1, -1, 0))
+    assert(out(4) == Multimodal.MediaMeta(m4a.length.toLong, -1, -1, 0),
+      "audio-only MP4 must decode to the non-video sentinel")
 
     // and through the Spark decode plumbing
     val df = Seq((1L, mp4), (2L, mkv)).toDF("media_id", "blob")

@@ -9,15 +9,11 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(__file__))
-from check_oracle import TABLES, compare
+from check_oracle import connect_views, compare
 
 
 def main(sf_dir, out_dir, name):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con = connect_views(sf_dir)
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
     spark_df = pd.concat(pd.read_parquet(f)
                          for f in glob.glob(f"{out_dir}/{name}/*.parquet"))

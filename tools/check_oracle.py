@@ -13,6 +13,18 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def connect_views(sf_dir):
+    """DuckDB connection with one view per test table. Handles both the
+    driver's single-file tables and Spark's directory output (scaled
+    data dirs)."""
+    import os
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     # normalize timestamps to naive UTC strings for robust compare
@@ -51,13 +63,7 @@ def compare(name, spark_df, duck_df, tol=1e-9):
     return None
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    import os
-    for t in TABLES:
-        # driver testdata = single file; ScaleData output = Spark dir
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con = connect_views(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):

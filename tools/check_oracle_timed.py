@@ -9,18 +9,14 @@ budget are reported SLOW and skipped, not silently lost.
 import json, sys, glob, os, time, multiprocessing as mp
 
 sys.path.insert(0, os.path.dirname(__file__))
-from check_oracle import TABLES, compare  # reuse the exact gate logic
+from check_oracle import connect_views, compare  # reuse the exact gate logic
 
 import duckdb
 import pandas as pd
 
 
 def run_oracle(sf_dir, sql, q):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con = connect_views(sf_dir)
     try:
         q.put(("ok", con.execute(sql).df()))
     except Exception as e:

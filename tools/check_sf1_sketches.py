@@ -16,7 +16,7 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(__file__))
-from check_oracle import TABLES, canon
+from check_oracle import connect_views, canon
 
 K = 4096
 RSE = 1.0 / K ** 0.5
@@ -24,11 +24,7 @@ QUERIES = ["q_theta", "q_theta_setops", "q_rollup_reagg", "q_segment_compact"]
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con = connect_views(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name in QUERIES:

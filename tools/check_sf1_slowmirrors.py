@@ -16,17 +16,13 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(__file__))
-from check_oracle import TABLES, compare
+from check_oracle import connect_views, compare
 
 SLICES = [(7000, 7500), (25000, 25500), (45500, 46000)]  # copies 1, 5, 9
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con = connect_views(sf_dir)
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_doc_fingerprint"]
     spark_df = pd.concat(pd.read_parquet(f)
                          for f in glob.glob(f"{out_dir}/q_doc_fingerprint/*.parquet"))
