@@ -69,6 +69,164 @@ sealed trait DimFilter {
       }
     case _ => Map.empty
   }
+
+  /** Conjunctive dictionary-evaluable predicates: per dimension, a
+    * list of [[DictPred]]s that every matching row's dim value (or,
+    * for a multi-value dim, SOME value) must satisfy — the bitmap-
+    * index pruning surface for segment readers. Strictly more general
+    * than [[requiredValues]]: bound / like / regex / search conjuncts
+    * contribute here too, so a bound-filtered read of a dictionary-
+    * encoded segment decodes ∝ selectivity instead of every row.
+    * Or/Not subtrees and null-matching selectors contribute nothing
+    * (sound: only conjunctively-required positive terms constrain). */
+  def dictPredicates: Map[String, Seq[DictPred]] = this match {
+    case DimFilter.Selector(d, Some(v)) => Map(d -> Seq(DictPred.Values(Set(v))))
+    case DimFilter.In(d, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      Map(d -> Seq(DictPred.Values(vs.toSet)))
+    case DimFilter.Bound(d, lo, hi, ls, us, numeric)
+        if lo.nonEmpty || hi.nonEmpty =>
+      val p =
+        if (!numeric) DictPred.LexBound(lo, ls, hi, us)
+        else {
+          def parseD(s: String): Option[Double] =
+            try Some(java.lang.Double.parseDouble(s.trim))
+            catch { case _: NumberFormatException => None }
+          val plo = lo.map(parseD); val phi = hi.map(parseD)
+          // an unparseable numeric bound casts to NULL in the compiled
+          // filter — no row can satisfy it → prune everything
+          if (plo.contains(None) || phi.contains(None))
+            DictPred.Values(Set.empty)
+          else DictPred.NumBound(plo.flatten, ls, phi.flatten, us)
+        }
+      Map(d -> Seq(p))
+    case DimFilter.Like(d, p) => Map(d -> Seq(DictPred.LikePat(p)))
+    case DimFilter.Regex(d, p) => Map(d -> Seq(DictPred.RegexPat(p)))
+    case DimFilter.Search(d, v, cs) => Map(d -> Seq(DictPred.Contains(v, cs)))
+    case DimFilter.And(fs) =>
+      fs.map(_.dictPredicates).foldLeft(Map.empty[String, Seq[DictPred]]) {
+        (acc, m) => m.foldLeft(acc) { case (a, (d, ps)) =>
+          a.updated(d, a.getOrElse(d, Nil) ++ ps)
+        }
+      }
+    case _ => Map.empty
+  }
+}
+
+/** A predicate over DICTIONARY values — the unit of bitmap-index row
+  * pruning in segment readers. Soundness contract: `matches(v)` must
+  * be true for every non-null string `v` the compiled Spark filter
+  * could accept on that dimension. OVER-matching is always safe (the
+  * extra rows decode and the residual filter drops them);
+  * UNDER-matching never is (a bitmap-pruned row is never decoded, so
+  * the residual filter cannot resurrect it). Where Scala-side and
+  * Spark-side semantics could diverge (numeric parses, invalid
+  * patterns), the implementations below err toward `true`. */
+sealed trait DictPred extends Serializable {
+  def matches(value: String): Boolean
+}
+
+object DictPred {
+  /** selector / in: exact membership. */
+  final case class Values(vs: Set[String]) extends DictPred {
+    def matches(v: String): Boolean = vs.contains(v)
+  }
+
+  /** Lexicographic bound over Spark's binary string order (UTF-8
+    * byte-wise — `UTF8String.binaryCompare`, what `col > lit` does),
+    * NOT Java's UTF-16 `String.compareTo` (they disagree on
+    * supplementary characters). */
+  final case class LexBound(lower: Option[String], lowerStrict: Boolean,
+                            upper: Option[String], upperStrict: Boolean)
+      extends DictPred {
+    private def cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    def matches(v: String): Boolean =
+      lower.forall(l => if (lowerStrict) cmp(v, l) > 0 else cmp(v, l) >= 0) &&
+        upper.forall(u => if (upperStrict) cmp(v, u) < 0 else cmp(v, u) <= 0)
+  }
+
+  /** Numeric bound. A dictionary value that fails the Scala parse
+    * CONSERVATIVELY matches: if Spark's string→double cast disagrees
+    * and accepts it, the row must still be decoded for the residual
+    * filter to judge (pruning on a parse disagreement would drop a
+    * kept row). */
+  final case class NumBound(lower: Option[Double], lowerStrict: Boolean,
+                            upper: Option[Double], upperStrict: Boolean)
+      extends DictPred {
+    def matches(v: String): Boolean =
+      try {
+        val d = java.lang.Double.parseDouble(v.trim)
+        lower.forall(l => if (lowerStrict) d > l else d >= l) &&
+          upper.forall(u => if (upperStrict) d < u else d <= u)
+      } catch { case _: NumberFormatException => true }
+  }
+
+  /** SQL LIKE, mirroring Spark's escape semantics (`\` escapes `_`,
+    * `%`, or itself; anything else is invalid → no pruning, the
+    * residual filter surfaces the error). Whole-string match with
+    * DOTALL, as Spark's `escapeLikeRegex` emits. */
+  final case class LikePat(pattern: String) extends DictPred {
+    @transient private lazy val re: Option[java.util.regex.Pattern] = {
+      val out = new StringBuilder("(?s)")
+      val it = pattern.iterator
+      var valid = true
+      while (it.hasNext && valid) it.next() match {
+        case '\\' if it.hasNext => it.next() match {
+          case c @ ('_' | '%' | '\\') =>
+            out ++= java.util.regex.Pattern.quote(c.toString)
+          case _ => valid = false
+        }
+        case '\\' => valid = false
+        case '_' => out += '.'
+        case '%' => out ++= ".*"
+        case c => out ++= java.util.regex.Pattern.quote(c.toString)
+      }
+      if (valid)
+        try Some(java.util.regex.Pattern.compile(out.result()))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    }
+    def matches(v: String): Boolean = re.fold(true)(_.matcher(v).matches())
+  }
+
+  /** Java regex with FIND semantics (unanchored), matching Spark's
+    * `rlike`. An uncompilable pattern → no pruning. */
+  final case class RegexPat(pattern: String) extends DictPred {
+    @transient private lazy val re: Option[java.util.regex.Pattern] =
+      try Some(java.util.regex.Pattern.compile(pattern))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def matches(v: String): Boolean = re.fold(true)(_.matcher(v).find())
+  }
+
+  /** search filter: substring containment, optionally case-folded
+    * (Locale.ROOT, as Spark's `lower` folds). */
+  final case class Contains(value: String, caseSensitive: Boolean)
+      extends DictPred {
+    def matches(v: String): Boolean =
+      if (caseSensitive) v.contains(value)
+      else v.toLowerCase(java.util.Locale.ROOT)
+        .contains(value.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** DSv2 StringStartsWith pushdown. */
+  final case class Prefix(value: String) extends DictPred {
+    def matches(v: String): Boolean = v.startsWith(value)
+  }
+
+  /** DSv2 StringEndsWith pushdown. */
+  final case class Suffix(value: String) extends DictPred {
+    def matches(v: String): Boolean = v.endsWith(value)
+  }
 }
 
 object DimFilter {

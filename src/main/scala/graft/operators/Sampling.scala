@@ -71,8 +71,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxPerGroup)
-      .drop("__rk")
+    // rank column name must not collide with any user column
+    val rk = Iterator.from(0).map(i => s"__graft_rk_$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= maxPerGroup)
+      .drop(rk)
   }
 }

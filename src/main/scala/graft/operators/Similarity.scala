@@ -129,7 +129,7 @@ object Similarity {
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 4,
+      k: Int = 10, cells: Int = 0, nprobe: Int = 4,
       centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val nCells = if (cells > 0) cells else autoCells(c.count())
@@ -170,7 +170,7 @@ object Similarity {
     * and centroid choice, so rebuilding is idempotent. */
   def writeIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      cells: Int = 16, centroids0: Option[DataFrame] = None): Unit = {
+      cells: Int = 0, centroids0: Option[DataFrame] = None): Unit = {
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val nCells = if (cells > 0) cells else autoCells(c.count())
     val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
@@ -244,8 +244,8 @@ object Similarity {
     * projection as IVF (no join, no exchange); the within-cell
     * self-join shuffles (id, vector) on `cell` once per side, and the
     * quadratic work is Σ|cell|² — bounded by keeping expected cell
-    * size fixed and letting `cells` grow with the corpus (use
-    * `autoCells` or pass `cells = 0`), which is SemDeDup's own design
+    * size fixed and letting `cells` grow with the corpus (the
+    * default `cells = 0` does this via `autoCells`), which is SemDeDup's own design
     * point (the paper runs ~100k clusters over LAION). Witnesses
     * aggregate to at most one row per dropped id before the final
     * keep-flag join.
@@ -269,14 +269,21 @@ object Similarity {
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, cells: Int = 16,
+      tau: Double, cells: Int = 0,
       centroids0: Option[DataFrame] = None,
       maxCellSize: Long = 65536L): DataFrame = {
     require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val nCells = if (cells > 0) cells else autoCells(c.count())
     val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
-    val assigned = assignToCells(c, cents)
+    // Materialized ONCE: the census (an action), BOTH self-join sides,
+    // and the final keep join all consume the assignment — without
+    // truncation Spark re-derives the argmax projection and the corpus
+    // scan under it for each consumer (~4 corpus scans; the measured
+    // cause of a 1.57× q_semdedup regression in round 7). One corpus
+    // pass writes (n_id, n_v, cell); the census read column-prunes to
+    // `cell` only.
+    val assigned = Materialize(assignToCells(c, cents))
     // hot-cell census: a tiny map-side-combined aggregate (≤ `cells`
     // rows cross the wire — cell ids only, never vectors)
     val hot: Map[Long, Int] = assigned.groupBy("cell").count()
@@ -315,8 +322,10 @@ object Similarity {
   /** Corpus-adaptive cell count: fixed expected cell size (SemDeDup's
     * design point — cluster count grows with the corpus, per-cell
     * work stays constant), floored at 16 so tiny corpora still get
-    * the multi-cell shape. `ivfTopK`/`semanticDedup` take `cells = 0`
-    * to use this with a driver-side corpus count. */
+    * the multi-cell shape. This is the DEFAULT (`cells = 0`) for
+    * `ivfTopK`/`writeIvfIndex`/`semanticDedup`, computed with a
+    * driver-side corpus count; pass an explicit `cells > 0` to pin a
+    * static cell count. */
   def autoCells(rows: Long, targetCellSize: Long = 8192L): Int = {
     require(targetCellSize > 0, s"targetCellSize must be positive")
     math.max(16L, (rows + targetCellSize - 1) / targetCellSize)

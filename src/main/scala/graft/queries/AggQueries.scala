@@ -38,15 +38,26 @@ object AggQueries {
     * latest-ts rows — identical semantics to min_by/max_by on
     * struct(ts, value). arg_min(x, ts) alone is nondeterministic the
     * moment ts has duplicates (it does at sf1: every row has
-    * copies × identical timestamps). */
+    * copies × identical timestamps).
+    *
+    * Boundary timestamps are PER COLUMN over non-null rows: the
+    * engine's min_by/max_by skips NULL-valued rows entirely (Druid's
+    * first/last null skipping), so first_value is taken at the
+    * earliest ts having a non-null `value` — a shared min(ts) over
+    * ALL rows would return NULL whenever every row at the global t0
+    * has a NULL in that column. */
   val aggFirstLastSql: String =
-    """WITH b AS (SELECT date_trunc('day', ts) AS day, min(ts) AS t0, max(ts) AS t1
-      |           FROM events GROUP BY 1)
+    """WITH b AS (SELECT date_trunc('day', ts) AS day,
+      |    min(ts) FILTER (WHERE value IS NOT NULL) AS t0_value,
+      |    max(ts) FILTER (WHERE value IS NOT NULL) AS t1_value,
+      |    min(ts) FILTER (WHERE event_type IS NOT NULL) AS t0_type,
+      |    max(ts) FILTER (WHERE user_id IS NOT NULL) AS t1_user
+      |  FROM events GROUP BY 1)
       |SELECT CAST(b.day AS TIMESTAMP) AS day,
-      |  min(e.value) FILTER (WHERE e.ts = b.t0) AS first_value,
-      |  max(e.value) FILTER (WHERE e.ts = b.t1) AS last_value,
-      |  min(e.event_type) FILTER (WHERE e.ts = b.t0) AS first_type,
-      |  max(e.user_id) FILTER (WHERE e.ts = b.t1) AS last_user
+      |  min(e.value) FILTER (WHERE e.ts = b.t0_value) AS first_value,
+      |  max(e.value) FILTER (WHERE e.ts = b.t1_value) AS last_value,
+      |  min(e.event_type) FILTER (WHERE e.ts = b.t0_type) AS first_type,
+      |  max(e.user_id) FILTER (WHERE e.ts = b.t1_user) AS last_user
       |FROM events e JOIN b ON date_trunc('day', e.ts) = b.day
       |GROUP BY b.day ORDER BY 1""".stripMargin
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.roaringbitmap.buffer.{ImmutableRoaringBitmap, MutableRoaringBitmap}
+import graft.model.DictPred
 
 /** Reader for ACTUAL Apache Druid binary segments (binaryVersion 9) —
   * the reference's core capability re-expressed for Spark: where
@@ -119,9 +120,11 @@ object DruidSegmentReader {
   }
 
   /** Read one or more segment dirs as a DataFrame. Rows carry __time
-    * (epoch millis), then dimensions, then metrics, per the segment's
-    * own column order. All segments must share a schema (one Druid
-    * datasource), which is derived from the first.
+    * (epoch millis), then dimensions, then metrics. The schema is the
+    * UNION over all segments (per-segment schema evolution is the norm
+    * for a long-lived datasource): same-named columns must agree on
+    * type; a column absent from (or nullable in) any segment is
+    * nullable, and segments missing it emit nulls for it.
     *
     * `columns` prunes at DECODE time: only the requested internal
     * files are parsed/decompressed — a 2-column projection of a wide
@@ -137,7 +140,7 @@ object DruidSegmentReader {
     * partially-overshadowed segment only emits its visible rows. */
   def readWindowed(spark: SparkSession, windows: Seq[(String, Long, Long)],
                    columns: Seq[String] = Nil,
-                   requiredValues: Map[String, Set[String]] = Map.empty): DataFrame = {
+                   preds: Map[String, Seq[DictPred]] = Map.empty): DataFrame = {
     require(windows.nonEmpty, "no segment dirs")
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val full = unionSchema(spark, windows.map(_._1).distinct)
@@ -151,7 +154,7 @@ object DruidSegmentReader {
     val rdd = spark.sparkContext
       .parallelize(windows, windows.size)
       .flatMap { case (dir, lo, hi) =>
-        decodeWindow(confSer.value, dir, lo, hi, names, requiredValues)
+        decodeWindow(confSer.value, dir, lo, hi, names, preds)
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -164,35 +167,43 @@ object DruidSegmentReader {
     * point shared by [[readWindowed]] and the DataSource V2 connector
     * ([[DruidSegmentsDataSource]]).
     *
-    * The dictionary short-circuit is Druid-native: a conjunctively
-    * required selector/in value absent from a string dim's dictionary
-    * proves zero rows match — the row decode is skipped for the whole
-    * segment. The dictionary is a prefix of the column's bytes, so
-    * the probe never decompresses row ids. */
+    * The dictionary short-circuit is Druid-native, generalized from
+    * selector/in to ANY dictionary predicate (bound/like/regex/
+    * search): a conjunct with NO matching value in a string dim's
+    * dictionary proves zero rows match — the row decode is skipped
+    * for the whole segment. The dictionary is a prefix of the
+    * column's bytes, so the probe never decompresses row ids. */
   private[sources] def decodeWindow(
       conf: Configuration, dir: String, lo: Long, hi: Long,
       names: Seq[String],
-      requiredValues: Map[String, Set[String]]): Iterator[Row] = {
+      preds: Map[String, Seq[DictPred]]): Iterator[Row] = {
     val file = openSegment(conf, dir)
-    // a segment that LACKS a conjunctively-required column is all-null
-    // for it — no non-null value can match, so the segment skips (the
-    // schema-evolution analogue of the dictionary short-circuit)
-    val skip = requiredValues.exists { case (d, vs) =>
+    // a segment that LACKS a conjunctively-constrained column is
+    // all-null for it — no non-null value can match, so the segment
+    // skips (the schema-evolution analogue of the dictionary
+    // short-circuit). Per-conjunct emptiness (not one-value-satisfies-
+    // all) keeps multi-value semantics: different values of one row
+    // may satisfy different conjuncts.
+    val skip = preds.exists { case (d, ps) =>
       !file.has(d) ||
-        dictionaryOf(file, d).exists(dict => vs.forall(v => !dict.contains(v)))
+        dictionaryOf(file, d).exists(dict =>
+          ps.exists(p => !dict.exists(p.matches)))
     }
     if (skip) Iterator.empty
     else {
-      // bitmap row pruning: intersect each filtered dim's roaring
-      // index (union over its allowed values) — only matching rows
-      // are decoded, and LazyChunks means non-matching rows' chunks
-      // are never even decompressed. A dim without a readable bitmap
-      // region contributes no constraint (None ≠ empty).
+      // bitmap row pruning: for each conjunct, the union of its
+      // matching dictionary values' bitmaps; conjuncts intersect —
+      // only matching rows are decoded, and LazyChunks means
+      // non-matching rows' chunks are never even decompressed. A dim
+      // without a readable bitmap region contributes no constraint
+      // (None ≠ empty).
       val pruned: Option[ImmutableRoaringBitmap] =
-        requiredValues.foldLeft(Option.empty[ImmutableRoaringBitmap]) {
-          case (acc, (d, vs)) => bitmapRowSet(file, d, vs) match {
-            case None => acc
-            case Some(b) => Some(acc.fold(b)(a => ImmutableRoaringBitmap.and(a, b)))
+        preds.foldLeft(Option.empty[ImmutableRoaringBitmap]) {
+          case (acc0, (d, ps)) => ps.foldLeft(acc0) { (acc, p) =>
+            bitmapRowSet(file, d, p) match {
+              case None => acc
+              case Some(b) => Some(acc.fold(b)(a => ImmutableRoaringBitmap.and(a, b)))
+            }
           }
         }
       if (pruned.exists(_.isEmpty)) Iterator.empty
@@ -226,7 +237,7 @@ object DruidSegmentReader {
     val parsed = filterJson.map(graft.model.DimFilter.parse)
     val df0 = readWindowed(spark,
         segmentDirs.map(d => (d, Long.MinValue, Long.MaxValue)), pruned,
-        parsed.map(_.requiredValues).getOrElse(Map.empty))
+        parsed.map(_.dictPredicates).getOrElse(Map.empty))
       .filter(col("__time") >= intervalStartMs && col("__time") < intervalEndMs)
     val df1 = parsed match {
       case Some(f) => df0.filter(f.compile(df0.schema))
@@ -248,20 +259,33 @@ object DruidSegmentReader {
 
   // ---- bitmap index ----
 
-  /** Row ids matching `dim ∈ values` from the column's roaring bitmap
-    * index (union over values), or None when the column has no
+  /** Spec/compat shorthand: row ids matching `dim ∈ values`. */
+  private[sources] def bitmapRowSet(file: SegmentFile, dim: String,
+                                    values: Set[String]): Option[ImmutableRoaringBitmap] =
+    bitmapRowSet(file, dim, DictPred.Values(values))
+
+  /** Row ids whose `dim` satisfies `pred` — the union over matching
+    * dictionary values' bitmaps — or None when the column has no
     * readable bitmap region (absent column, non-string, legacy
     * layout, parse failure) — callers must treat None as "no pruning",
     * never "no rows". Reads dictionary + bitmap entries only: the row
     * ids supplier is SKIPPED by its length header, never decompressed.
     *
+    * Selector/in predicates binary-search the sorted dictionary; any
+    * other predicate (bound/like/regex/search) scans it — the
+    * dictionary is per-segment value CARDINALITY (tiny next to row
+    * count), and a scan makes no assumption about which collation the
+    * writer sorted under, which a range binary search would.
+    *
     * Bitmap entries are standard portable-format RoaringBitmaps (what
-    * Druid's `{"type":"roaring"}` serde writes), one per dictionary
-    * entry, in a GenericIndexed after the row ids — the index the
-    * reference's reader prunes with (DruidInputFormat.java:66-120
-    * delegates to Druid's QueryableIndex bitmap path). */
+    * Druid's `{"type":"roaring"}` serde writes) or CONCISE word arrays
+    * (pre-0.18 `{"type":"concise"}`, per the descriptor's declared
+    * serde), one per dictionary entry, in a GenericIndexed after the
+    * row ids — the index the reference's reader prunes with
+    * (DruidInputFormat.java:66-120 delegates to Druid's QueryableIndex
+    * bitmap path). */
   private[sources] def bitmapRowSet(file: SegmentFile, dim: String,
-                                    values: Set[String]): Option[ImmutableRoaringBitmap] =
+                                    pred: DictPred): Option[ImmutableRoaringBitmap] =
     try {
       if (!file.has(dim)) return None
       val buf = ByteBuffer.wrap(file(dim))
@@ -296,16 +320,24 @@ object DruidSegmentReader {
         case _ => "roaring"
       }
       val out = new MutableRoaringBitmap()
-      // dictionary is sorted: binary search each wanted value
-      values.foreach { v =>
-        dict.search(v) match {
-          case scala.collection.Searching.Found(id) if bitmaps(id).nonEmpty =>
-            serde match {
-              case "concise" => out.or(conciseToBitmap(bitmaps(id)))
-              case _ => out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
-            }
-          case _ => ()
+      def orId(id: Int): Unit = if (bitmaps(id).nonEmpty) serde match {
+        case "concise" => out.or(conciseToBitmap(bitmaps(id)))
+        case _ => out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
+      }
+      pred match {
+        // dictionary is sorted: binary search each wanted value
+        case DictPred.Values(vs) => vs.foreach { v =>
+          dict.search(v) match {
+            case scala.collection.Searching.Found(id) => orId(id)
+            case _ => ()
+          }
         }
+        // anything else: scan the (cardinality-sized) dictionary
+        case p => var id = 0
+          while (id < dict.length) {
+            if (p.matches(dict(id))) orId(id)
+            id += 1
+          }
       }
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }

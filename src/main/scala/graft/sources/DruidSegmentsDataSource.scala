@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.model.DictPred
 
 /** Druid deep storage as a first-class Spark DataSource V2 table —
   * the Spark-native re-expression of the reference's Hadoop
@@ -138,16 +139,17 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   private var accepted: Array[Filter] = Array.empty
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
-  // dim -> values the conjunction still allows (intersection across
-  // conjuncts — same law as DimFilter.requiredValues; an empty set
-  // means the conjunction is unsatisfiable and every segment skips)
-  private var required: Map[String, Set[String]] = Map.empty
+  // dim -> conjunctive dictionary predicates (same law as
+  // DimFilter.dictPredicates: every conjunct must find a matching
+  // dictionary value, or the segment skips; each conjunct's bitmap
+  // union intersects into the decoded row set)
+  private var preds: Map[String, Seq[DictPred]] = Map.empty
 
   private def isScalarString(dim: String): Boolean =
     fullSchema.fields.exists(f => f.name == dim && f.dataType == StringType)
 
-  private def intersect(dim: String, vs: Set[String]): Unit =
-    required = required.updated(dim, required.get(dim).map(_ intersect vs).getOrElse(vs))
+  private def addPred(dim: String, p: DictPred): Unit =
+    preds = preds.updated(dim, preds.getOrElse(dim, Nil) :+ p)
 
   private def longBound(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -184,9 +186,26 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
       t != Long.MaxValue && { timeHi = math.min(timeHi, t + 1); true }
     }
     case EqualTo(d, v: String) if isScalarString(d) =>
-      intersect(d, Set(v)); true
+      addPred(d, DictPred.Values(Set(v))); true
     case In(d, vs) if isScalarString(d) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      intersect(d, vs.map(_.asInstanceOf[String]).toSet); true
+      addPred(d, DictPred.Values(vs.map(_.asInstanceOf[String]).toSet)); true
+    // string ranges/patterns prune via the dictionary: Spark compares
+    // strings in binary (UTF-8 byte) order, which DictPred.LexBound
+    // mirrors exactly
+    case GreaterThan(d, v: String) if isScalarString(d) =>
+      addPred(d, DictPred.LexBound(Some(v), lowerStrict = true, None, upperStrict = false)); true
+    case GreaterThanOrEqual(d, v: String) if isScalarString(d) =>
+      addPred(d, DictPred.LexBound(Some(v), lowerStrict = false, None, upperStrict = false)); true
+    case LessThan(d, v: String) if isScalarString(d) =>
+      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = true)); true
+    case LessThanOrEqual(d, v: String) if isScalarString(d) =>
+      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = false)); true
+    case StringStartsWith(d, v) if isScalarString(d) =>
+      addPred(d, DictPred.Prefix(v)); true
+    case StringEndsWith(d, v) if isScalarString(d) =>
+      addPred(d, DictPred.Suffix(v)); true
+    case StringContains(d, v) if isScalarString(d) =>
+      addPred(d, DictPred.Contains(v, caseSensitive = true)); true
     case _ => false
   }
 
@@ -204,14 +223,14 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
 
   override def build(): Scan =
-    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, required)
+    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds)
 }
 
 private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  prunedSchema: StructType,
                                  pushed: Array[Filter],
                                  timeLo: Long, timeHi: Long,
-                                 required: Map[String, Set[String]])
+                                 preds: Map[String, Seq[DictPred]])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -257,7 +276,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
     windows.map { w =>
       DruidInputPartition(w.segment.path,
         math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
-        readSchema.fieldNames.toSeq, required)
+        readSchema.fieldNames.toSeq, preds)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -269,7 +288,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 
 private[sources] final case class DruidInputPartition(
     segmentDir: String, windowLo: Long, windowHi: Long,
-    columns: Seq[String], required: Map[String, Set[String]]) extends InputPartition
+    columns: Seq[String], preds: Map[String, Seq[DictPred]]) extends InputPartition
 
 private[sources] final case class DruidPartitionReaderFactory(
     conf: DruidSegmentReader.SerializableConfiguration,
@@ -279,7 +298,7 @@ private[sources] final case class DruidPartitionReaderFactory(
     val p = partition.asInstanceOf[DruidInputPartition]
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val rows = DruidSegmentReader.decodeWindow(
-      conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.required)
+      conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.preds)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = rows.hasNext
       override def get(): InternalRow = toCatalyst(rows.next()).asInstanceOf[InternalRow]

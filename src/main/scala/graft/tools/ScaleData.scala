@@ -45,9 +45,10 @@ object ScaleData {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are TIMESTAMP(NANOS): read as ns-longs
-      // (same setting every graft session uses); the scaled copy then
-      // carries plain INT64, which Tables handles identically
+      // driver testdata timestamps are TIMESTAMP(NANOS): read as
+      // ns-longs (same setting every graft session uses); the scaled
+      // events copy is REWRITTEN as a true microsecond TIMESTAMP so
+      // both engines read it natively (see the events block below)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -103,8 +104,14 @@ object ScaleData {
         // source ts is TIMESTAMP(NANOS) read as ns-longs; write a true
         // µs timestamp so BOTH engines read the scaled copy natively
         // (a raw ns BIGINT would break every DuckDB time oracle —
-        // Tables.events handles either representation on the Spark side)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Tables.events handles either representation on the Spark
+        // side). Branch on the actual type so re-scaling an
+        // already-scaled dir (ts already TIMESTAMP) stays idempotent.
+        .withColumn("ts", events.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000"))
+          case _ => col("ts")
+        })
         .drop("__copy"))
     }
 

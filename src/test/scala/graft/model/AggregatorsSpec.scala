@@ -87,6 +87,19 @@ class AggregatorsSpec extends SparkSpec {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     assert(row.getDouble(0) == 5.0, "null at the earliest tie must not win")
     assert(row.getDouble(1) == 2.0)
+    // EVERY row at the global earliest ts is null → first is taken at
+    // the earliest ts having a non-null value (Druid null skipping; the
+    // SQL mirror computes its boundary ts per-column over non-null rows
+    // for exactly this case)
+    val nullBoundary = Seq(
+      (1000L, Option.empty[Double]), (2000L, Some(7.0)), (3000L, Some(1.0))
+    ).toDF("ts", "value")
+      .select(timestamp_micros($"ts").as("ts"), $"value")
+    val aggsNb = Aggregators.parseAggs(
+      """[{"type":"doubleFirst","name":"fv","fieldName":"value"}]""")
+      .map(a => Aggregators.compile(a, nullBoundary.schema, "ts"))
+    assert(nullBoundary.agg(aggsNb.head).collect()(0).getDouble(0) == 7.0,
+      "first must skip past an all-null boundary timestamp")
     // all-null group → null result (matches SQL min/max over no rows)
     val allNull = Seq((1000L, Option.empty[Double])).toDF("ts", "value")
       .select(timestamp_micros($"ts").as("ts"), $"value")

@@ -57,6 +57,19 @@ class SamplingSpec extends SparkSpec {
     assert(small.count() == 10)
   }
 
+  test("groupQuota survives user columns named like its rank temp column") {
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("grp", (org.apache.spark.sql.functions.col("id") % 5).cast("string"))
+      .withColumn("__rk", org.apache.spark.sql.functions.lit("user-data"))
+      .withColumn("__graft_rk_0", org.apache.spark.sql.functions.lit(42))
+    val out = Sampling.groupQuota(df, "id", "grp", maxPerGroup = 3)
+    assert(out.columns.toSeq == df.columns.toSeq,
+      s"user columns must survive untouched: ${out.columns.toSeq}")
+    assert(out.count() == 15)
+    assert(out.select("__rk").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("user-data"))
+  }
+
   test("groupQuota plans as WindowGroupLimit (per-partition top-k, skew-safe)") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("grp", (org.apache.spark.sql.functions.col("id") % 7).cast("string"))

@@ -161,13 +161,20 @@ class DruidSegmentReaderSpec extends SparkSpec {
   }
 
   test("bitmap region of the REAL reference segment parses and prunes exactly") {
-    // the fixture was written by actual Druid with {"type":"roaring"}
-    // bitmaps after the row ids — parsing IT (not just this repo's
-    // writer output) is what proves the layout knowledge is right.
+    // the fixture was written by actual Druid (2015) whose column
+    // descriptor declares {"bitmapSerdeFactory":{"type":"concise"}} —
+    // parsing IT (not just this repo's writer output) is what proves
+    // both the layout knowledge AND the CONCISE container assumption
+    // (raw big-endian word array, no length header) right against
+    // authentic ConciseBitmapSerdeFactory bytes.
     // Known contents: hourly rows 0/1/2 = host a/b/c.example.com.
     assume(available)
     val file = DruidSegmentReader.openSegment(
       spark.sparkContext.hadoopConfiguration, segDir)
+    val hostJson = new String(file("host"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(hostJson.contains("\"bitmapSerdeFactory\":{\"type\":\"concise\"}"),
+      "fixture must exercise the CONCISE serde path (it is a pre-0.18 segment)")
     val b = DruidSegmentReader.bitmapRowSet(file, "host", Set("b.example.com"))
     assert(b.isDefined, "real-Druid bitmap region must parse (not fall back)")
     assert(b.get.toArray.toSeq == Seq(1), "b.example.com is exactly row 1")

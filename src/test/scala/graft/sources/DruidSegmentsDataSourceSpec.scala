@@ -141,7 +141,7 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
       t0, t0 + day)
     val got = DruidSegmentReader.readWindowed(spark,
         Seq((new File(mvDir, "seg1").getAbsolutePath, Long.MinValue, Long.MaxValue)),
-        Seq("tags"), Map("tags" -> Set("b")))
+        Seq("tags"), Map("tags" -> Seq(graft.model.DictPred.Values(Set("b")))))
       .collect().map(_.getSeq[String](1).toSeq)
     assert(got.toSet == Set(Seq("a", "b"), Seq("b", "d")))
   }
