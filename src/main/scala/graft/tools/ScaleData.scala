@@ -50,6 +50,7 @@ object ScaleData {
       // events copy is REWRITTEN as a true microsecond TIMESTAMP so
       // both engines read it natively (see the events block below)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
