@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, MediaFixtures, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -716,6 +716,69 @@ object PipelineQueries {
       |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
       |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS frames
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** REAL-codec decode gate: the deterministic [[MediaFixtures]]
+    * corpus — actual PNG/JPEG/GIF/BMP, WAV/AIFF/AU, MP4/Matroska
+    * blobs plus corrupt rows — pushed through ALL four production
+    * decode paths (ImageIoCodec, JavaSoundCodec, VideoContainerCodec,
+    * and ImageIoResizer→re-decode), hash-matched against the
+    * fixtures' DECLARED metadata ([[multimodalRealSql]] is a VALUES
+    * literal compiled from the fixture specs, independent of any
+    * codec). Non-matching modalities must produce the corrupt-row
+    * sentinel (-1, -1, 0) — the routing behavior a mixed media table
+    * relies on. Output: (media_id, modality, meta1, meta2, meta3)
+    * where image/video rows carry (width, height, frames) and audio
+    * rows (sample_rate, channels, pcm_frames).
+    *
+    * The corpus is driver-built (18 rows) because the gate needs
+    * known bytes; the decode itself is the same per-partition
+    * mapPartitions plumbing a table-sourced 100 TB corpus runs. */
+  def multimodalReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = MediaFixtures.all.map(f => (f.id, f.blob))
+      .toDF("media_id", "blob")
+    def shape(df: DataFrame, modality: String): DataFrame =
+      df.select(col("media_id"), lit(modality).as("modality"),
+        col("width").cast("long").as("meta1"),
+        col("height").cast("long").as("meta2"),
+        col("frames").cast("long").as("meta3"))
+    val image = shape(
+      Multimodal.decode(media, "media_id", "blob", Multimodal.ImageIoCodec),
+      "image")
+    val audio = Multimodal.decodeAudio(media, "media_id", "blob")
+      .select(col("media_id"), lit("audio").as("modality"),
+        col("sample_rate").cast("long").as("meta1"),
+        col("channels").cast("long").as("meta2"),
+        col("n_frames").as("meta3"))
+    val video = shape(
+      Multimodal.decode(media, "media_id", "blob", Multimodal.VideoContainerCodec),
+      "video")
+    val rescaled = shape(
+      Multimodal.decode(
+        Multimodal.resize(media, "media_id", "blob", 8, 6, Multimodal.ImageIoResizer)
+          .select("media_id", "blob"),
+        "media_id", "blob", Multimodal.ImageIoCodec),
+      "image_resized")
+    image.union(audio).union(video).union(rescaled)
+      .orderBy("media_id", "modality")
+  }
+
+  /** VALUES oracle from the DECLARED fixture metadata (never from a
+    * codec run): 18 fixtures × 4 decode paths. */
+  val multimodalRealSql: String = {
+    val rows = MediaFixtures.all.flatMap { f =>
+      Seq(("audio", f.audio), ("image", f.image),
+        ("image_resized", f.imageResized), ("video", f.video)).map {
+        case (m, e) => s"(${f.id}, '$m', ${e.m1}, ${e.m2}, ${e.m3})"
+      }
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, modality,
+       |  CAST(meta1 AS BIGINT) AS meta1, CAST(meta2 AS BIGINT) AS meta2,
+       |  CAST(meta3 AS BIGINT) AS meta3
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS t(media_id, modality, meta1, meta2, meta3)
+       |ORDER BY media_id, modality""".stripMargin
+  }
 
   // ---- point-in-time (as-of) join ----
 

@@ -173,6 +173,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((640, 360, 42), (1280, 720, 0)))
   }
 
+  test("q_multimodal_real: the REAL-codec corpus decodes to its DECLARED metadata") {
+    val got = graft.queries.PipelineQueries.multimodalReal(spark, "")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val want = MediaFixtures.all.flatMap { f =>
+      Seq(("audio", f.audio), ("image", f.image),
+        ("image_resized", f.imageResized), ("video", f.video)).map {
+        case (m, e) => (f.id, m, e.m1, e.m2, e.m3)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
   test("repartitionForMedia sizes from plan statistics without a data pass") {
     val repart = Multimodal.repartitionForMedia(media, "blob", targetBytesPerPartition = 512)
     assert(repart.rdd.getNumPartitions >= 1)
