@@ -387,15 +387,18 @@ object SegmentQueries {
     * the multi-value dim. Covers the DOUBLE metric and array<string>
     * decode paths under the driver's hash gate; the oracle is the
     * fixture's known contents as a VALUES table. */
-  def druidDeepStore(spark: SparkSession, sfDir: String): DataFrame = synchronized {
-    import graft.sources.{DruidDeepStorage, DruidSegmentWriter => W}
+  /** Build-once deep-store fixture tree shared by q_druid_deepstore
+    * and q_druid_agg: a deterministic two-version Druid v9 layout
+    * (v2 half-day overshadows v1's tail). Versioned root (bump on any
+    * layout change — an unversioned dir would keep discovering stale
+    * descriptors from older revisions) + completion sentinel +
+    * build-in-staging-then-rename, so a concurrent JVM (Bench ∥
+    * Verify) never reads a half-written index.zip and a finished tree
+    * is never rebuilt. */
+  private def deepStoreFixture(): java.io.File = {
+    import graft.sources.{DruidSegmentWriter => W}
     val day = 24 * 3600 * 1000L
     val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
-    // versioned root (bump on any layout change — an unversioned dir
-    // would keep discovering stale descriptors from older revisions)
-    // + completion sentinel + build-in-staging-then-rename, so a
-    // concurrent JVM (Bench ∥ Verify) never reads a half-written
-    // index.zip and a finished tree is never rebuilt
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_druid_deepstore_w${graft.sources.DruidSegmentWriter.FormatVersion}")
@@ -433,6 +436,14 @@ object SegmentQueries {
         }
       }
     }
+    root
+  }
+
+  def druidDeepStore(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.sources.DruidDeepStorage
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    val root = deepStoreFixture()
     DruidDeepStorage.scan(spark, root.getAbsolutePath, "fixture", t0, t0 + day)
       .select(col("__time"), col("host"), col("hits"), col("revenue"),
         explode_outer(col("tags")).as("tag"))
@@ -454,6 +465,37 @@ object SegmentQueries {
       s"(CAST($t AS BIGINT), '$h', CAST($hits AS BIGINT), CAST($rev AS DOUBLE), $tag)"
     }.mkString(
       "SELECT * FROM (VALUES\n", ",\n", ") AS t(__time, host, hits, revenue, tag)")
+  }
+
+  /** DSv2 AGGREGATE pushdown under the driver gate: global
+    * count(*) / min(__time) / max(__time) over the deep-store fixture,
+    * answered from segment metadata + the `__time` column alone —
+    * Druid's timeBoundary + timeseries-count fast paths
+    * (DruidSegmentsDataSourceSpec pins the plan: PushedAggregates
+    * present, zero row decode; this query pins the VALUES under the
+    * driver's hash gate). The `__time` range is exactly consumed by
+    * the window clip, which is what keeps the Aggregate directly above
+    * the scan and pushdown-eligible. */
+  def druidAgg(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    val root = deepStoreFixture()
+    spark.read.format("druid-segments")
+      .option("dataSource", "fixture")
+      .load(root.getAbsolutePath)
+      .where(col("__time") >= t0 && col("__time") < t0 + day)
+      .agg(count("*").as("n"), min("__time").as("t_first"), max("__time").as("t_last"))
+  }
+
+  /** Oracle from the fixture's known timeline: v1 rows 0-2 survive the
+    * v2 half-day overshadow, v2 contributes 2 rows → 5 rows; first row
+    * at t0, last at v2's second row (t0 + 3·day/4). */
+  val druidAggSql: String = {
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    s"SELECT CAST(5 AS BIGINT) AS n, CAST($t0 AS BIGINT) AS t_first, " +
+      s"CAST(${t0 + 3 * day / 4} AS BIGINT) AS t_last"
   }
 
   /** Schema EVOLUTION across a datasource's segments, read through the

@@ -247,6 +247,54 @@ object DruidSegmentReader {
     else df1.select(("__time" +: columns.filter(_ != "__time")).map(col): _*)
   }
 
+  /** Row count of a segment from the `__time` supplier HEADER alone —
+    * the `totalSize` field of the compressed-longs supplier; zero
+    * chunks are decompressed. Druid's own segment metadata query
+    * answers numRows the same way (the reference surfaces it through
+    * Druid's QueryableIndex, DruidInputFormat.java:66-120). */
+  private[sources] def numRows(file: SegmentFile): Int = {
+    val buf = ByteBuffer.wrap(file("__time"))
+    readPrefixedJson(buf)
+    val version = buf.get()
+    require(version == 2, s"compressed longs version $version")
+    buf.getInt() // totalSize = row count
+  }
+
+  /** Partial (count, min __time, max __time) over `[lo, hi)`, decoding
+    * AT MOST the `__time` column — dimension and metric bytes are never
+    * touched. When the window is known to cover the segment's whole
+    * interval and only the count is wanted, even `__time` stays
+    * compressed: the supplier header alone answers it. The backing of
+    * DSv2 aggregate pushdown (count(*) / min/max(__time) over a
+    * migrated datasource — Druid's timeBoundary + timeseries-count
+    * fast paths). */
+  private[sources] def aggregateWindow(
+      conf: Configuration, dir: String, lo: Long, hi: Long,
+      fullCoverage: Boolean, needTimeBounds: Boolean): (Long, Option[Long], Option[Long]) = {
+    val file = openSegment(conf, dir)
+    if (fullCoverage && !needTimeBounds) (numRows(file).toLong, None, None)
+    else {
+      val buf = ByteBuffer.wrap(file("__time"))
+      readPrefixedJson(buf)
+      val times = decodeCompressedLongs(buf)
+      var count = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var i = 0
+      val n = times.length
+      while (i < n) {
+        val t = times(i)
+        if (t >= lo && t < hi) {
+          count += 1
+          if (t < mn) mn = t
+          if (t > mx) mx = t
+        }
+        i += 1
+      }
+      if (count == 0L) (0L, None, None) else (count, Some(mn), Some(mx))
+    }
+  }
+
   /** Row-decode invocations per segment — a one-increment-per-SEGMENT
     * test probe for the dictionary short-circuit (meaningful in
     * local mode, where executors share the JVM). */

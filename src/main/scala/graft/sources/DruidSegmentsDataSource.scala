@@ -7,11 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.model.DictPred
 
@@ -133,10 +135,12 @@ private[sources] class DruidSegmentsTable(tableSchema: StructType,
   * [[DruidSegmentReader.decodeWindow]]. */
 private[sources] class DruidScanBuilder(fullSchema: StructType,
                                         options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAggs: Seq[DruidAgg] = Nil
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
   // dim -> conjunctive dictionary predicates (same law as
@@ -157,87 +161,177 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
     case _ => None // non-integral __time comparisons stay Spark-side
   }
 
-  /** True when the conjunct tightens the scan (and is therefore worth
-    * REPORTING as pushed); side-effects accumulate the bounds.
+  /** How a conjunct pushes: `Exact` means the source ALONE enforces it
+    * (the per-row `__time` window clip in decodeWindow is exact, so the
+    * conjunct needs no residual re-evaluation — which is what lets
+    * Spark offer aggregate pushdown on time-bounded queries); `Approx`
+    * means the source only PRUNES with it (dictionary short-circuit +
+    * bitmap row sets are subset-safe, not exact — a column without a
+    * readable bitmap region decodes unfiltered) and Spark must
+    * re-evaluate it above the scan; `No` stays entirely Spark-side.
+    * Side-effects accumulate the interval/dictionary bounds.
     *
     * `timeHi` is EXCLUSIVE, so `=`/`<=` bounds need `t + 1` — which
     * overflows at Long.MaxValue, wrapping the bound to MinValue and
-    * planning an incorrectly EMPTY scan. Those conjuncts simply don't
-    * push at MaxValue (they tighten nothing real there; Spark still
-    * evaluates them exactly above the scan). `>` saturates instead of
-    * wrapping: [MaxValue, hi) over-approximates `> MaxValue` by at
-    * most the one t==MaxValue row, which the residual filter drops. */
-  private def push(f: Filter): Boolean = f match {
-    case EqualTo("__time", v) => longBound(v).exists { t =>
-      t != Long.MaxValue && {
-        timeLo = math.max(timeLo, t); timeHi = math.min(timeHi, t + 1); true
+    * planning an incorrectly EMPTY scan. `= MaxValue` therefore doesn't
+    * push; `<= MaxValue` is a tautology over longs (exact with no
+    * tightening) and `> MaxValue` a contradiction (exact: clamp to the
+    * empty window [MaxValue, MaxValue)). */
+  private def push(f: Filter): PushKind = f match {
+    // decoded rows always carry a non-null __time (rows are walked off
+    // the physical time column itself)
+    case IsNotNull("__time") => PushKind.Exact
+    case EqualTo("__time", v) => longBound(v).fold[PushKind](PushKind.No) { t =>
+      if (t == Long.MaxValue) PushKind.No
+      else {
+        timeLo = math.max(timeLo, t); timeHi = math.min(timeHi, t + 1); PushKind.Exact
       }
     }
-    case GreaterThan("__time", v) => longBound(v).exists { t =>
-      timeLo = math.max(timeLo, if (t == Long.MaxValue) t else t + 1); true
+    case GreaterThan("__time", v) => longBound(v).fold[PushKind](PushKind.No) { t =>
+      if (t == Long.MaxValue) { timeLo = t; timeHi = math.min(timeHi, t) }
+      else timeLo = math.max(timeLo, t + 1)
+      PushKind.Exact
     }
-    case GreaterThanOrEqual("__time", v) => longBound(v).exists { t =>
-      timeLo = math.max(timeLo, t); true
+    case GreaterThanOrEqual("__time", v) => longBound(v).fold[PushKind](PushKind.No) { t =>
+      timeLo = math.max(timeLo, t); PushKind.Exact
     }
-    case LessThan("__time", v) => longBound(v).exists { t =>
-      timeHi = math.min(timeHi, t); true
+    case LessThan("__time", v) => longBound(v).fold[PushKind](PushKind.No) { t =>
+      timeHi = math.min(timeHi, t); PushKind.Exact
     }
-    case LessThanOrEqual("__time", v) => longBound(v).exists { t =>
-      t != Long.MaxValue && { timeHi = math.min(timeHi, t + 1); true }
+    case LessThanOrEqual("__time", v) => longBound(v).fold[PushKind](PushKind.No) { t =>
+      if (t != Long.MaxValue) timeHi = math.min(timeHi, t + 1)
+      PushKind.Exact
     }
     case EqualTo(d, v: String) if isScalarString(d) =>
-      addPred(d, DictPred.Values(Set(v))); true
+      addPred(d, DictPred.Values(Set(v))); PushKind.Approx
     case In(d, vs) if isScalarString(d) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      addPred(d, DictPred.Values(vs.map(_.asInstanceOf[String]).toSet)); true
+      addPred(d, DictPred.Values(vs.map(_.asInstanceOf[String]).toSet)); PushKind.Approx
     // string ranges/patterns prune via the dictionary: Spark compares
     // strings in binary (UTF-8 byte) order, which DictPred.LexBound
     // mirrors exactly
     case GreaterThan(d, v: String) if isScalarString(d) =>
-      addPred(d, DictPred.LexBound(Some(v), lowerStrict = true, None, upperStrict = false)); true
+      addPred(d, DictPred.LexBound(Some(v), lowerStrict = true, None, upperStrict = false)); PushKind.Approx
     case GreaterThanOrEqual(d, v: String) if isScalarString(d) =>
-      addPred(d, DictPred.LexBound(Some(v), lowerStrict = false, None, upperStrict = false)); true
+      addPred(d, DictPred.LexBound(Some(v), lowerStrict = false, None, upperStrict = false)); PushKind.Approx
     case LessThan(d, v: String) if isScalarString(d) =>
-      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = true)); true
+      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = true)); PushKind.Approx
     case LessThanOrEqual(d, v: String) if isScalarString(d) =>
-      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = false)); true
+      addPred(d, DictPred.LexBound(None, lowerStrict = false, Some(v), upperStrict = false)); PushKind.Approx
     case StringStartsWith(d, v) if isScalarString(d) =>
-      addPred(d, DictPred.Prefix(v)); true
+      addPred(d, DictPred.Prefix(v)); PushKind.Approx
     case StringEndsWith(d, v) if isScalarString(d) =>
-      addPred(d, DictPred.Suffix(v)); true
+      addPred(d, DictPred.Suffix(v)); PushKind.Approx
     case StringContains(d, v) if isScalarString(d) =>
-      addPred(d, DictPred.Contains(v, caseSensitive = true)); true
-    case _ => false
+      addPred(d, DictPred.Contains(v, caseSensitive = true)); PushKind.Approx
+    case _ => PushKind.No
   }
 
-  /** Best-effort contract (the built-in file sources' one): every
-    * filter is returned as residual for Spark to evaluate exactly;
-    * the accepted subset additionally prunes segments/windows at the
-    * source. */
+  /** Returns the residual: Approx conjuncts (pruning-only — Spark owns
+    * exactness, the built-in file sources' contract) and unpushed
+    * conjuncts. Exact `__time` bounds are fully consumed by the window
+    * clip, so they DON'T come back — a purely time-bounded query keeps
+    * no Filter above the scan and stays eligible for aggregate
+    * pushdown. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(push)
-    filters
+    val acc = Array.newBuilder[Filter]
+    val residual = Array.newBuilder[Filter]
+    filters.foreach { f =>
+      push(f) match {
+        case PushKind.Exact => acc += f
+        case PushKind.Approx => acc += f; residual += f
+        case PushKind.No => residual += f
+      }
+    }
+    accepted = acc.result()
+    residual.result()
   }
 
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
 
+  private def isTimeRef(e: V2Expression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.toSeq == Seq("__time")
+    case _ => false
+  }
+
+  /** Partial pushdown only: each timeline window answers its own
+    * (count, min __time, max __time) from segment metadata / the
+    * `__time` column alone, and Spark merges the partials — correct
+    * for any number of windows, where complete pushdown would need a
+    * single-partition guarantee. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  /** Accept global count(*) / count(__time) / min(__time) /
+    * max(__time) — Druid's timeBoundary and timeseries-count shapes,
+    * the queries an aggregation-first datasource serves constantly.
+    * Spark only offers aggregation when no residual Filter remains
+    * above the scan, i.e. when every WHERE conjunct pushed Exact;
+    * dictionary predicates always leave a residual, so `preds` is
+    * empty here by construction (checked anyway — a wrongly-counted
+    * row is silent corruption). */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty || preds.nonEmpty) return false
+    val translated = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(DruidAgg.RowCount)
+      // __time is physically never null → count(__time) ≡ count(*)
+      case c: Count if !c.isDistinct && isTimeRef(c.column) => Some(DruidAgg.RowCount)
+      case m: Min if isTimeRef(m.column) => Some(DruidAgg.MinTime)
+      case m: Max if isTimeRef(m.column) => Some(DruidAgg.MaxTime)
+      case _ => None
+    }
+    if (translated.nonEmpty && translated.forall(_.isDefined)) {
+      pushedAggs = translated.flatten
+      true
+    } else false
+  }
+
   override def build(): Scan =
-    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds)
+    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds, pushedAggs)
+}
+
+private[sources] sealed abstract class PushKind
+private[sources] object PushKind {
+  case object Exact extends PushKind
+  case object Approx extends PushKind
+  case object No extends PushKind
+}
+
+/** The aggregate shapes the source can answer without row decode. */
+private[sources] sealed abstract class DruidAgg extends Serializable
+private[sources] object DruidAgg {
+  case object RowCount extends DruidAgg
+  case object MinTime extends DruidAgg
+  case object MaxTime extends DruidAgg
+
+  def schema(aggs: Seq[DruidAgg]): StructType = StructType(aggs.zipWithIndex.map {
+    case (RowCount, i) => StructField(s"count_$i", LongType, nullable = false)
+    case (MinTime, i) => StructField(s"min_time_$i", LongType, nullable = true)
+    case (MaxTime, i) => StructField(s"max_time_$i", LongType, nullable = true)
+  })
 }
 
 private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  prunedSchema: StructType,
                                  pushed: Array[Filter],
                                  timeLo: Long, timeHi: Long,
-                                 preds: Map[String, Seq[DictPred]])
+                                 preds: Map[String, Seq[DictPred]],
+                                 aggs: Seq[DruidAgg] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = prunedSchema
+  override def readSchema(): StructType =
+    if (aggs.nonEmpty) DruidAgg.schema(aggs) else prunedSchema
 
-  override def description(): String =
-    s"DruidSegments PushedFilters: [${pushed.mkString(", ")}], " +
+  override def description(): String = {
+    val aggPart = if (aggs.isEmpty) "" else
+      s"PushedAggregates: [${aggs.map {
+        case DruidAgg.RowCount => "COUNT(*)"
+        case DruidAgg.MinTime => "MIN(__time)"
+        case DruidAgg.MaxTime => "MAX(__time)"
+      }.mkString(", ")}], "
+    s"DruidSegments ${aggPart}PushedFilters: [${pushed.mkString(", ")}], " +
       s"interval: [$timeLo, $timeHi), ReadColumns: ${readSchema.fieldNames.mkString(", ")}"
+  }
 
   override def toBatch: Batch = this
 
@@ -268,12 +362,31 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      plannedBytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+      if (aggs.nonEmpty) // one partial row per window
+        util.OptionalLong.of(math.max(1, windows.size).toLong * 24)
+      else plannedBytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+    override def numRows(): util.OptionalLong =
+      if (aggs.nonEmpty) util.OptionalLong.of(math.max(1, windows.size).toLong)
+      else util.OptionalLong.empty()
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    windows.map { w =>
+    if (aggs.nonEmpty) {
+      val parts: Array[InputPartition] = windows.map { w =>
+        val lo = math.max(w.windowStartMs, timeLo)
+        val hi = math.min(w.windowEndMs, timeHi)
+        // the clipped window covers the segment's WHOLE declared
+        // interval → every row passes the time clip, so a count-only
+        // partial needs just the supplier-header row count
+        val full = lo <= w.segment.startMs && hi >= w.segment.endMs
+        DruidAggPartition(w.segment.path, lo, hi, full): InputPartition
+      }.toArray
+      // zero windows must still aggregate to count=0 (Spark's final
+      // merge is a SUM over partials — over an EMPTY scan it yields
+      // null, not 0): one synthetic partition emits the zero row
+      if (parts.nonEmpty) parts
+      else Array(DruidAggPartition("", 0L, 0L, fullCoverage = false))
+    } else windows.map { w =>
       DruidInputPartition(w.segment.path,
         math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
         readSchema.fieldNames.toSeq, preds)
@@ -282,13 +395,45 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new DruidSegmentReader.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    DruidPartitionReaderFactory(conf, readSchema)
+    if (aggs.nonEmpty) DruidAggReaderFactory(conf, aggs)
+    else DruidPartitionReaderFactory(conf, readSchema)
   }
 }
 
 private[sources] final case class DruidInputPartition(
     segmentDir: String, windowLo: Long, windowHi: Long,
     columns: Seq[String], preds: Map[String, Seq[DictPred]]) extends InputPartition
+
+/** One timeline window's partial-aggregate task; an empty `segmentDir`
+  * is the synthetic zero-row partition of an empty timeline. */
+private[sources] final case class DruidAggPartition(
+    segmentDir: String, windowLo: Long, windowHi: Long,
+    fullCoverage: Boolean) extends InputPartition
+
+private[sources] final case class DruidAggReaderFactory(
+    conf: DruidSegmentReader.SerializableConfiguration,
+    aggs: Seq[DruidAgg]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DruidAggPartition]
+    val needBounds = aggs.exists(a => a != DruidAgg.RowCount)
+    val (count, mn, mx) =
+      if (p.segmentDir.isEmpty) (0L, None, None)
+      else DruidSegmentReader.aggregateWindow(conf.value, p.segmentDir,
+        p.windowLo, p.windowHi, p.fullCoverage, needBounds)
+    val row = new GenericInternalRow(aggs.map[Any] {
+      case DruidAgg.RowCount => count
+      case DruidAgg.MinTime => mn.map(Long.box).orNull
+      case DruidAgg.MaxTime => mx.map(Long.box).orNull
+    }.toArray)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] final case class DruidPartitionReaderFactory(
     conf: DruidSegmentReader.SerializableConfiguration,

@@ -146,6 +146,98 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(got.toSet == Set(Seq("a", "b"), Seq("b", "d")))
   }
 
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.getOrElse("")
+
+  test("dsv2 aggregate pushdown: count(*) answers from segment metadata — zero chunks decompressed") {
+    import org.apache.spark.sql.functions.{count, col}
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    writeSegment(new File(root, "seg2"), intervalStart = t0 + day, intervalEnd = t0 + 2 * day,
+      hosts = Seq("f", "g", "h"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val q = df.agg(count("*").as("n"))
+    assert(scanDescription(q).contains("PushedAggregates: [COUNT(*)]"),
+      s"plan must push the aggregate, got: ${scanDescription(q)}")
+    DruidSegmentReader.decompressedChunks.set(0)
+    DruidSegmentReader.decodedSegments.set(0)
+    assert(q.collect().head.getLong(0) == 8L)
+    assert(DruidSegmentReader.decodedSegments.get() == 0, "count(*) must not row-decode")
+    assert(DruidSegmentReader.decompressedChunks.get() == 0,
+      "full-coverage count reads only the supplier header — no chunk may decompress")
+    // count over an exactly-pushed __time bound: clip path, still pushed
+    val q2 = df.where(col("__time") >= t0 + day).agg(count("*").as("n"))
+    assert(scanDescription(q2).contains("PushedAggregates: [COUNT(*)]"),
+      s"time-bounded count must still push: ${scanDescription(q2)}")
+    assert(q2.collect().head.getLong(0) == 3L)
+    // an empty interval still yields 0, not null/no-rows
+    val q3 = df.where(col("__time") >= t0 + 10 * day).agg(count("*"))
+    assert(q3.collect().head.getLong(0) == 0L)
+  }
+
+  test("dsv2 aggregate pushdown: min/max(__time) decode only the time column") {
+    import org.apache.spark.sql.functions.{max, min, count}
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    writeSegment(new File(root, "seg2"), intervalStart = t0 + day, intervalEnd = t0 + 2 * day,
+      hosts = Seq("f", "g", "h"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val q = df.agg(min("__time").as("lo"), max("__time").as("hi"), count("*").as("n"))
+    val d = scanDescription(q)
+    assert(d.contains("MIN(__time)") && d.contains("MAX(__time)") && d.contains("COUNT(*)"), d)
+    DruidSegmentReader.decodedSegments.set(0)
+    val r = q.collect().head
+    assert(r.getLong(0) == t0)                       // first row of seg1
+    assert(r.getLong(1) == t0 + day + 2 * (day / 3)) // last row of seg2
+    assert(r.getLong(2) == 8L)
+    assert(DruidSegmentReader.decodedSegments.get() == 0,
+      "min/max(__time) must not decode dims/metrics")
+  }
+
+  test("dsv2 aggregate pushdown: declined for grouped/dim-filtered/other aggs — results stay correct") {
+    import org.apache.spark.sql.functions.{count, sum, col}
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    // dictionary predicates prune approximately → residual Filter blocks pushdown
+    val filtered = df.where(col("host") === "a").agg(count("*"))
+    assert(!scanDescription(filtered).contains("PushedAggregates"), scanDescription(filtered))
+    assert(filtered.collect().head.getLong(0) == 1L)
+    // group-by: not pushed, correct via normal decode
+    val grouped = df.groupBy("host").agg(count("*").as("n"))
+    assert(!scanDescription(grouped).contains("PushedAggregates"), scanDescription(grouped))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toMap.values.forall(_ == 1L))
+    // an unsupported agg in the mix declines the whole pushdown
+    val mixed = df.agg(count("*"), sum("hits"))
+    assert(!scanDescription(mixed).contains("PushedAggregates"), scanDescription(mixed))
+    assert(mixed.collect().head.getLong(1) == 150L)
+  }
+
+  test("dsv2 aggregate pushdown: partial overshadow counts only timeline-visible rows") {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val root = tmpDir()
+    // v1 covers the whole day (5 rows, every day/5); v2 re-ingests only
+    // the second half-day with 2 rows — visible = v1's first-half rows
+    // (ts < t0+day/2: indices 0,1,2) + v2's 2 rows
+    writeSegment(new File(root, "seg1"), version = "v1")
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      Seq(t0 + day / 2, t0 + day / 2 + 1000L),
+      Seq(StrDim("host", Seq("x", "y")), LongMet("hits", Seq(1L, 2L))),
+      t0 + day / 2, t0 + day, version = "v2")
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val q = df.agg(count("*").as("n"), min("__time").as("lo"), max("__time").as("hi"))
+    assert(scanDescription(q).contains("PushedAggregates"), scanDescription(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 5L, "3 visible v1 rows + 2 v2 rows")
+    assert(r.getLong(1) == t0)
+    assert(r.getLong(2) == t0 + day / 2 + 1000L)
+    // cross-check against the non-agg (full row decode) path
+    assert(df.collect().length == 5)
+  }
+
   test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
     val root = tmpDir()
     writeSegment(new File(root, "seg1"))
