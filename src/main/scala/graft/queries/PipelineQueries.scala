@@ -616,6 +616,49 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- sequence packing ----
+
+  /** Corpus-level concat-then-split sequence packing: BPE-ish token
+    * counts, 512-token sequences, 4 shards. The oracle replays the
+    * exact layout — Spark's xxhash64 shard assignment (via SqlHash),
+    * the per-shard prefix sum, and the span explosion — in DuckDB
+    * integer arithmetic, so sequence membership, offsets, and span
+    * boundaries are all value-checked. */
+  def seqPackQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val withTok = docs(s, d).select(col("doc_id"),
+      TextFunctions.regexTokenCount(col("text")).as("ntok"))
+    graft.operators.SequencePacking.pack(withTok, "doc_id", "ntok",
+        seqLen = 512, shards = 4)
+      .orderBy("doc_id", "seq")
+  }
+
+  val seqPackSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id", "ntok"), seed = 42L, out = "h")
+    s"""WITH d0 AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS ntok
+       |  FROM documents),
+       |$steps,
+       |signed AS (SELECT doc_id, ntok,
+       |    CASE WHEN h >= 9223372036854775808::HUGEINT
+       |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE h::BIGINT END AS hs FROM hx),
+       |sh AS (SELECT doc_id, ntok, ((hs % 4) + 4) % 4 AS shard
+       |       FROM signed WHERE ntok > 0),
+       |c AS (SELECT doc_id, ntok, shard,
+       |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+       |      - ntok AS strt FROM sh),
+       |e AS (SELECT doc_id, ntok, shard, strt,
+       |    unnest(range(strt // 512, (strt + ntok - 1) // 512 + 1)) AS seq
+       |    FROM c)
+       |SELECT doc_id, shard, seq,
+       |  greatest(seq * 512 - strt, 0) AS tok_from,
+       |  least(ntok, (seq + 1) * 512 - strt) AS tok_to,
+       |  greatest(strt - seq * 512, 0) AS seq_off
+       |FROM e ORDER BY doc_id, seq""".stripMargin
+  }
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
