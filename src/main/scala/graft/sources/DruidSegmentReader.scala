@@ -212,8 +212,15 @@ object DruidSegmentReader {
         val withTime =
           if (names.headOption.contains("__time")) names
           else "__time" +: names.filter(_ != "__time")
-        val rows = decodeRows(file, withTime, pruned)
-          .filter { r => val t = r.getLong(0); t >= lo && t < hi }
+        // the time clip runs INSIDE the row walk, before any dim or
+        // metric value materializes (decodeRows checks __time first):
+        // out-of-window rows touch only the __time column's chunks, so
+        // a 1h window over a 24h segment decodes ~1h of dims, not 24h —
+        // and a downstream early stop (limit) never forces a full
+        // column pass
+        val clips = lo != Long.MinValue || hi != Long.MaxValue
+        val rows = decodeRows(file, withTime, pruned,
+          timeWindow = if (clips) Some((lo, hi)) else None)
         if (withTime == names) rows
         else {
           val idx = names.map(withTime.indexOf(_)).toArray
@@ -247,6 +254,14 @@ object DruidSegmentReader {
     else df1.select(("__time" +: columns.filter(_ != "__time")).map(col): _*)
   }
 
+  /** The `__time` column as a lazily-decoded long view (chunks
+    * decompress on first access). */
+  private def timeValues(file: SegmentFile): IndexedSeq[Long] = {
+    val buf = ByteBuffer.wrap(file("__time"))
+    readPrefixedJson(buf)
+    decodeCompressedLongs(buf)
+  }
+
   /** Row count of a segment from the `__time` supplier HEADER alone —
     * the `totalSize` field of the compressed-longs supplier; zero
     * chunks are decompressed. Druid's own segment metadata query
@@ -274,9 +289,7 @@ object DruidSegmentReader {
     val file = openSegment(conf, dir)
     if (fullCoverage && !needTimeBounds) (numRows(file).toLong, None, None)
     else {
-      val buf = ByteBuffer.wrap(file("__time"))
-      readPrefixedJson(buf)
-      val times = decodeCompressedLongs(buf)
+      val times = timeValues(file)
       var count = 0L
       var mn = Long.MaxValue
       var mx = Long.MinValue
@@ -542,8 +555,14 @@ object DruidSegmentReader {
     case _ => StructField(c.name, BinaryType, nullable = true) // complex → sketch bytes
   }
 
+  /** `timeWindow`: half-open `[lo, hi)` clip on the `__time` column,
+    * which the caller must have placed at `names` position 0. The
+    * check runs BEFORE the other columns' values materialize, so rows
+    * outside the window cost only their (sequentially-chunked)
+    * `__time` access — the enabler of window-proportional decode. */
   private def decodeRows(file: SegmentFile, names: Seq[String],
-                         rowIds: Option[ImmutableRoaringBitmap] = None): Iterator[Row] = {
+                         rowIds: Option[ImmutableRoaringBitmap] = None,
+                         timeWindow: Option[(Long, Long)] = None): Iterator[Row] = {
     // a union-schema column absent from THIS segment decodes as null
     // (schema evolution across a datasource's segments); `null` marks
     // the missing column so no per-segment null array materializes
@@ -568,12 +587,23 @@ object DruidSegmentReader {
     // iterator, not a materialized Seq — row objects stream out, and
     // column values decode lazily per access (LazyChunks), so a
     // bitmap-pruned walk touches only the selected rows' chunks
-    val walk: Iterator[Int] = rowIds match {
+    val walk0: Iterator[Int] = rowIds match {
       case Some(b) =>
         val it = b.getIntIterator
         Iterator.continually(()).takeWhile(_ => it.hasNext).map(_ => it.next())
           .takeWhile(_ < n)
       case None => (0 until n).iterator
+    }
+    val walk = timeWindow match {
+      case Some((lo, hi)) =>
+        require(names.headOption.contains("__time") && (cols.head ne null),
+          s"time window requires __time at position 0 of $names")
+        val times = cols.head
+        walk0.filter { i =>
+          val t = times(i).asInstanceOf[Long]
+          t >= lo && t < hi
+        }
+      case None => walk0
     }
     walk.map(i => Row.fromSeq(cols.map(c => if (c eq null) null else c(i))))
   }

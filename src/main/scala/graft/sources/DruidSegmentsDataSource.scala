@@ -136,11 +136,12 @@ private[sources] class DruidSegmentsTable(tableSchema: StructType,
 private[sources] class DruidScanBuilder(fullSchema: StructType,
                                         options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Seq[DruidAgg] = Nil
+  private var pushedLimit: Int = -1
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
   // dim -> conjunctive dictionary predicates (same law as
@@ -286,8 +287,22 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
     } else false
   }
 
+  /** PARTIAL limit: each partition stops decoding after `limit` rows
+    * (with lazy chunks that means later rows' chunks never
+    * decompress); Spark keeps the global Limit above the scan.
+    * Declined when dictionary predicates are pushed — they prune
+    * approximately, and truncating an over-approximate row stream
+    * could starve the residual filter of matching rows (Spark's own
+    * rule wouldn't push a limit below a residual Filter; declining is
+    * defense-in-depth at the source). */
+  override def pushLimit(limit: Int): Boolean =
+    preds.isEmpty && limit >= 0 && { pushedLimit = limit; true }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds, pushedAggs)
+    new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds,
+      pushedAggs, if (pushedAggs.nonEmpty) -1 else pushedLimit)
 }
 
 private[sources] sealed abstract class PushKind
@@ -316,7 +331,8 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  pushed: Array[Filter],
                                  timeLo: Long, timeHi: Long,
                                  preds: Map[String, Seq[DictPred]],
-                                 aggs: Seq[DruidAgg] = Nil)
+                                 aggs: Seq[DruidAgg] = Nil,
+                                 limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -329,7 +345,8 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
         case DruidAgg.MinTime => "MIN(__time)"
         case DruidAgg.MaxTime => "MAX(__time)"
       }.mkString(", ")}], "
-    s"DruidSegments ${aggPart}PushedFilters: [${pushed.mkString(", ")}], " +
+    val limitPart = if (limit < 0) "" else s"PushedLimit: $limit, "
+    s"DruidSegments $aggPart${limitPart}PushedFilters: [${pushed.mkString(", ")}], " +
       s"interval: [$timeLo, $timeHi), ReadColumns: ${readSchema.fieldNames.mkString(", ")}"
   }
 
@@ -389,7 +406,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
     } else windows.map { w =>
       DruidInputPartition(w.segment.path,
         math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
-        readSchema.fieldNames.toSeq, preds)
+        readSchema.fieldNames.toSeq, preds, limit)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -402,7 +419,8 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 
 private[sources] final case class DruidInputPartition(
     segmentDir: String, windowLo: Long, windowHi: Long,
-    columns: Seq[String], preds: Map[String, Seq[DictPred]]) extends InputPartition
+    columns: Seq[String], preds: Map[String, Seq[DictPred]],
+    limit: Int = -1) extends InputPartition
 
 /** One timeline window's partial-aggregate task; an empty `segmentDir`
   * is the synthetic zero-row partition of an empty timeline. */
@@ -442,8 +460,11 @@ private[sources] final case class DruidPartitionReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DruidInputPartition]
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val rows = DruidSegmentReader.decodeWindow(
+    val decoded = DruidSegmentReader.decodeWindow(
       conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.preds)
+    // partial limit: rows stream lazily, so stopping here means later
+    // rows' chunks are never decompressed
+    val rows = if (p.limit >= 0) decoded.take(p.limit) else decoded
     new PartitionReader[InternalRow] {
       override def next(): Boolean = rows.hasNext
       override def get(): InternalRow = toCatalyst(rows.next()).asInstanceOf[InternalRow]

@@ -187,6 +187,35 @@ class DruidSegmentReaderSpec extends SparkSpec {
       .isEmpty, "non-string column → None (no pruning), never empty")
   }
 
+  test("window clip prunes dim/metric decode to window selectivity") {
+    import graft.sources.{DruidSegmentWriter => W}
+    val dir = java.nio.file.Files.createTempDirectory("graft-winclip").toFile
+    val t0 = java.time.Instant.parse("2022-01-01T00:00:00Z").toEpochMilli
+    val n = 200
+    // 5 value columns × ~100 chunks each (SizePer=2): chunk
+    // decompressions measure how much of the segment a windowed read
+    // actually decodes
+    W.write(dir, "winclip", (0 until n).map(i => t0 + i * 1000L),
+      Seq(W.StrDim("host", (0 until n).map(i => f"h$i%03d"))) ++
+        (1 to 4).map(m => W.LongMet(s"m$m", (0 until n).map(i => (i * m).toLong))),
+      t0, t0 + n * 1000L)
+    val win = Seq((dir.getAbsolutePath, Long.MinValue, Long.MaxValue))
+    DruidSegmentReader.decompressedChunks.set(0)
+    assert(DruidSegmentReader.readWindowed(spark, win).collect().length == n)
+    val fullChunks = DruidSegmentReader.decompressedChunks.get()
+    // a 2-row window: the __time pre-scan may touch every __time chunk,
+    // but dim/metric chunks decode ONLY for in-window rows
+    DruidSegmentReader.decompressedChunks.set(0)
+    val got = DruidSegmentReader.readWindowed(spark,
+      Seq((dir.getAbsolutePath, t0 + 50_000L, t0 + 52_000L))).collect()
+    assert(got.map(_.getAs[String]("host")).sorted.toSeq == Seq("h050", "h051"))
+    assert(got.map(_.getAs[Long]("m4")).sorted.toSeq == Seq(200L, 204L))
+    val winChunks = DruidSegmentReader.decompressedChunks.get()
+    assert(winChunks * 4 <= fullChunks,
+      s"windowed decode must track window selectivity: $winChunks chunks " +
+        s"for 2/$n rows vs $fullChunks for the full scan")
+  }
+
   test("CONCISE decoder: literal, zero-fill and one-fill words with flipped bits") {
     import java.nio.ByteBuffer
     def words(ws: Int*): Array[Byte] = {

@@ -238,6 +238,40 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(df.collect().length == 5)
   }
 
+  test("dsv2 limit pushdown: partial per-partition limit stops chunk decode early") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    val n = 200
+    DruidSegmentWriter.write(new File(root, "seg1"), "fixture",
+      (0 until n).map(i => t0 + i * 1000L),
+      Seq(StrDim("host", (0 until n).map(i => f"h$i%03d")),
+        LongMet("hits", (0 until n).map(_.toLong))),
+      t0, t0 + day)
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    DruidSegmentReader.decompressedChunks.set(0)
+    assert(df.collect().length == n)
+    val fullChunks = DruidSegmentReader.decompressedChunks.get()
+    val limited = df.limit(3)
+    assert(scanDescription(limited).contains("PushedLimit: 3"), scanDescription(limited))
+    DruidSegmentReader.decompressedChunks.set(0)
+    val got = limited.collect()
+    assert(got.length == 3)
+    assert(got.forall(r => r.getString(1).startsWith("h")))
+    val limChunks = DruidSegmentReader.decompressedChunks.get()
+    assert(limChunks * 10 <= fullChunks,
+      s"limit(3) must stop decode early: $limChunks chunks vs $fullChunks full")
+    // approximate dictionary predicates decline the limit (residual
+    // filter could be starved by a truncated over-approximate stream)
+    val guarded = df.where(col("host") === "h007").limit(1)
+    assert(!scanDescription(guarded).contains("PushedLimit"), scanDescription(guarded))
+    assert(guarded.collect().map(_.getString(1)).toSeq == Seq("h007"))
+    // exact __time bounds + limit compose (both fully source-enforced)
+    val timed = df.where(col("__time") >= t0 + 100_000L).limit(2)
+    assert(scanDescription(timed).contains("PushedLimit: 2"), scanDescription(timed))
+    val timedRows = timed.collect()
+    assert(timedRows.length == 2 && timedRows.forall(_.getLong(0) >= t0 + 100_000L))
+  }
+
   test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
     val root = tmpDir()
     writeSegment(new File(root, "seg1"))
