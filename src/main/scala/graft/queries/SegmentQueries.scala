@@ -498,6 +498,35 @@ object SegmentQueries {
       s"CAST(${t0 + 3 * day / 4} AS BIGINT) AS t_last"
   }
 
+  /** DSv2 TOP-N pushdown under the driver gate: "latest 3 events" —
+    * Druid's time-ordered scan shape — over the deep-store fixture.
+    * The source heap-selects winners off the __time column per window
+    * and decodes only their dims (DruidSegmentsDataSourceSpec pins the
+    * plan + chunk accounting); fixture times are strictly increasing,
+    * so the top-3 set is deterministic and hash-checkable. */
+  def druidTopN(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = deepStoreFixture()
+    spark.read.format("druid-segments")
+      .option("dataSource", "fixture")
+      .load(root.getAbsolutePath)
+      .select(col("__time"), col("host"), col("hits"))
+      .orderBy(col("__time").desc)
+      .limit(3)
+  }
+
+  /** Latest 3 of the 5 timeline-visible rows: v2's two rows, then
+    * v1's last surviving row (c at 2·day/5). */
+  val druidTopNSql: String = {
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    val rows = Seq(
+      (t0 + 3 * day / 4, "n2", 20), (t0 + day / 2, "n1", 10),
+      (t0 + 2 * day / 5, "c", 30))
+    rows.map { case (t, h, hits) =>
+      s"(CAST($t AS BIGINT), '$h', CAST($hits AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n", ") AS t(__time, host, hits)")
+  }
+
   /** Schema EVOLUTION across a datasource's segments, read through the
     * DataSource V2 connector (`spark.read.format("druid-segments")`):
     * day 1 carries (host, hits), day 2 adds `country`/`clicks` and

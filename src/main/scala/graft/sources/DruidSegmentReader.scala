@@ -262,6 +262,63 @@ object DruidSegmentReader {
     decodeCompressedLongs(buf)
   }
 
+  /** Ids of the `n` earliest (asc) / latest (desc) rows by `__time`
+    * within `[lo, hi)` — a bounded heap over the `__time` column
+    * alone, so losing rows' dim/metric chunks are never touched. Ties
+    * resolve to the lowest row ids (the walk is ascending and replaces
+    * only on strictly-better times) — deterministic for a fixed
+    * segment. */
+  private[sources] def topNRowIds(file: SegmentFile, lo: Long, hi: Long,
+                                  n: Int, desc: Boolean): ImmutableRoaringBitmap = {
+    val times = timeValues(file)
+    // head of the queue = the WORST kept row (smallest kept time for
+    // desc, largest for asc), so one comparison decides a replace
+    val ord: Ordering[(Long, Int)] =
+      if (desc) Ordering.by[(Long, Int), Long](_._1).reverse
+      else Ordering.by[(Long, Int), Long](_._1)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](ord)
+    var i = 0
+    val len = times.length
+    while (i < len) {
+      val t = times(i)
+      if (t >= lo && t < hi) {
+        if (heap.size < n) heap.enqueue((t, i))
+        else if (if (desc) t > heap.head._1 else t < heap.head._1) {
+          heap.dequeue()
+          heap.enqueue((t, i))
+        }
+      }
+      i += 1
+    }
+    val out = new MutableRoaringBitmap()
+    heap.foreach { case (_, id) => out.add(id) }
+    out
+  }
+
+  /** Top-n by `__time` over a window: select winning row ids off the
+    * time column, then decode ONLY those rows' requested columns.
+    * Emission order is row-id order — the caller (Spark's
+    * TakeOrderedAndProject above a partially-pushed TopN) re-sorts. */
+  private[sources] def decodeTopN(conf: Configuration, dir: String,
+                                  lo: Long, hi: Long, names: Seq[String],
+                                  n: Int, desc: Boolean): Iterator[Row] = {
+    val file = openSegment(conf, dir)
+    val withTime =
+      if (names.headOption.contains("__time")) names
+      else "__time" +: names.filter(_ != "__time")
+    val ids = topNRowIds(file, lo, hi, n, desc)
+    if (ids.isEmpty) Iterator.empty
+    else {
+      decodedSegments.incrementAndGet()
+      val rows = decodeRows(file, withTime, Some(ids))
+      if (withTime == names) rows
+      else {
+        val idx = names.map(withTime.indexOf(_)).toArray
+        rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+      }
+    }
+  }
+
   /** Row count of a segment from the `__time` supplier HEADER alone —
     * the `totalSize` field of the compressed-longs supplier; zero
     * chunks are decompressed. Druid's own segment metadata query

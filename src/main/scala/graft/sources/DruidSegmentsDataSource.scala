@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -136,12 +136,13 @@ private[sources] class DruidSegmentsTable(tableSchema: StructType,
 private[sources] class DruidScanBuilder(fullSchema: StructType,
                                         options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Seq[DruidAgg] = Nil
   private var pushedLimit: Int = -1
+  private var pushedTopN: Option[(Boolean, Int)] = None // (desc, n)
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
   // dim -> conjunctive dictionary predicates (same law as
@@ -298,11 +299,31 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   override def pushLimit(limit: Int): Boolean =
     preds.isEmpty && limit >= 0 && { pushedLimit = limit; true }
 
+  /** PARTIAL top-n on `__time` — Druid's time-ordered scan shape
+    * ("latest n events"): each partition heap-selects its n best rows
+    * off the __time column and decodes ONLY those rows' dims/metrics;
+    * Spark's TakeOrderedAndProject merges and re-sorts the per-window
+    * winners. Same decline rule as limit: approximate dictionary
+    * predicates keep a residual filter that a truncated stream could
+    * starve. Null ordering is irrelevant — __time is physically
+    * non-null. */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean =
+    preds.isEmpty && limit >= 1 && (orders match {
+      case Array(o) if isTimeRef(o.expression()) =>
+        pushedTopN = Some((o.direction() == SortDirection.DESCENDING, limit))
+        true
+      case _ => false
+    })
+
+  /** Shared by limit and top-n pushdown: both are per-partition
+    * partials — Spark keeps the global Limit / ordered merge above. */
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
     new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds,
-      pushedAggs, if (pushedAggs.nonEmpty) -1 else pushedLimit)
+      pushedAggs,
+      if (pushedAggs.nonEmpty || pushedTopN.nonEmpty) -1 else pushedLimit,
+      if (pushedAggs.nonEmpty) None else pushedTopN)
 }
 
 private[sources] sealed abstract class PushKind
@@ -332,7 +353,8 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  timeLo: Long, timeHi: Long,
                                  preds: Map[String, Seq[DictPred]],
                                  aggs: Seq[DruidAgg] = Nil,
-                                 limit: Int = -1)
+                                 limit: Int = -1,
+                                 topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -346,7 +368,10 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
         case DruidAgg.MaxTime => "MAX(__time)"
       }.mkString(", ")}], "
     val limitPart = if (limit < 0) "" else s"PushedLimit: $limit, "
-    s"DruidSegments $aggPart${limitPart}PushedFilters: [${pushed.mkString(", ")}], " +
+    val topPart = topN.map { case (desc, n) =>
+      s"PushedTopN: ORDER BY __time ${if (desc) "DESC" else "ASC"} LIMIT $n, "
+    }.getOrElse("")
+    s"DruidSegments $aggPart$limitPart${topPart}PushedFilters: [${pushed.mkString(", ")}], " +
       s"interval: [$timeLo, $timeHi), ReadColumns: ${readSchema.fieldNames.mkString(", ")}"
   }
 
@@ -406,7 +431,9 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
     } else windows.map { w =>
       DruidInputPartition(w.segment.path,
         math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
-        readSchema.fieldNames.toSeq, preds, limit)
+        readSchema.fieldNames.toSeq, preds, limit,
+        topN = topN.map(_._2).getOrElse(-1),
+        topDesc = topN.exists(_._1))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -420,7 +447,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 private[sources] final case class DruidInputPartition(
     segmentDir: String, windowLo: Long, windowHi: Long,
     columns: Seq[String], preds: Map[String, Seq[DictPred]],
-    limit: Int = -1) extends InputPartition
+    limit: Int = -1, topN: Int = -1, topDesc: Boolean = false) extends InputPartition
 
 /** One timeline window's partial-aggregate task; an empty `segmentDir`
   * is the synthetic zero-row partition of an empty timeline. */
@@ -460,11 +487,17 @@ private[sources] final case class DruidPartitionReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DruidInputPartition]
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val decoded = DruidSegmentReader.decodeWindow(
-      conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.preds)
-    // partial limit: rows stream lazily, so stopping here means later
-    // rows' chunks are never decompressed
-    val rows = if (p.limit >= 0) decoded.take(p.limit) else decoded
+    val rows =
+      if (p.topN >= 0)
+        DruidSegmentReader.decodeTopN(conf.value, p.segmentDir,
+          p.windowLo, p.windowHi, p.columns, p.topN, p.topDesc)
+      else {
+        val decoded = DruidSegmentReader.decodeWindow(
+          conf.value, p.segmentDir, p.windowLo, p.windowHi, p.columns, p.preds)
+        // partial limit: rows stream lazily, so stopping here means
+        // later rows' chunks are never decompressed
+        if (p.limit >= 0) decoded.take(p.limit) else decoded
+      }
     new PartitionReader[InternalRow] {
       override def next(): Boolean = rows.hasNext
       override def get(): InternalRow = toCatalyst(rows.next()).asInstanceOf[InternalRow]

@@ -272,6 +272,55 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(timedRows.length == 2 && timedRows.forall(_.getLong(0) >= t0 + 100_000L))
   }
 
+  test("dsv2 topN pushdown: ORDER BY __time LIMIT n decodes only winning rows") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir()
+    val n = 200
+    DruidSegmentWriter.write(new File(root, "seg1"), "fixture",
+      (0 until n).map(i => t0 + i * 1000L),
+      Seq(StrDim("host", (0 until n).map(i => f"h$i%03d")),
+        LongMet("hits", (0 until n).map(_.toLong))),
+      t0, t0 + day)
+    // second segment, later day — global top-n must merge across windows
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      (0 until 3).map(i => t0 + day + i * 1000L),
+      Seq(StrDim("host", Seq("x", "y", "z")), LongMet("hits", Seq(1L, 2L, 3L))),
+      t0 + day, t0 + 2 * day)
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    DruidSegmentReader.decompressedChunks.set(0)
+    assert(df.collect().length == n + 3)
+    val fullChunks = DruidSegmentReader.decompressedChunks.get()
+    val latest = df.orderBy(col("__time").desc).limit(5)
+    assert(scanDescription(latest).contains("PushedTopN: ORDER BY __time DESC LIMIT 5"),
+      scanDescription(latest))
+    DruidSegmentReader.decompressedChunks.set(0)
+    val got = latest.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (t0 + day + 2000L, "z"), (t0 + day + 1000L, "y"), (t0 + day, "x"),
+      (t0 + (n - 1) * 1000L, f"h${n - 1}%03d"), (t0 + (n - 2) * 1000L, f"h${n - 2}%03d")),
+      s"got ${got.toSeq}")
+    val topChunks = DruidSegmentReader.decompressedChunks.get()
+    // the __time column scans fully (heap input) but dims decode only
+    // for the <=5 winners per window
+    assert(topChunks * 2 <= fullChunks,
+      s"topN decode must skip losing rows' dims: $topChunks vs $fullChunks")
+    // ascending works and respects an exactly-pushed time bound
+    val first = df.where(col("__time") >= t0 + 10_000L)
+      .orderBy(col("__time")).limit(2)
+    assert(scanDescription(first).contains("PushedTopN: ORDER BY __time ASC LIMIT 2"),
+      scanDescription(first))
+    assert(first.collect().map(_.getLong(0)).toSeq ==
+      Seq(t0 + 10_000L, t0 + 11_000L))
+    // dictionary predicate → declined, still correct
+    val guarded = df.where(col("host") === "h005").orderBy(col("__time")).limit(1)
+    assert(!scanDescription(guarded).contains("PushedTopN"), scanDescription(guarded))
+    assert(guarded.collect().map(_.getString(1)).toSeq == Seq("h005"))
+    // ordering by a non-__time column → declined, correct via full sort
+    val byHits = df.orderBy(col("hits").desc).limit(1)
+    assert(!scanDescription(byHits).contains("PushedTopN"), scanDescription(byHits))
+    assert(byHits.collect().head.getLong(2) == (n - 1).toLong)
+  }
+
   test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
     val root = tmpDir()
     writeSegment(new File(root, "seg1"))
