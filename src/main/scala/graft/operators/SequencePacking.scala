@@ -42,7 +42,14 @@ object SequencePacking {
     require(!Internal.contains(idCol),
       s"id column '$idCol' collides with a packing output column")
     val id = col(idCol)
+    // ROWS frame, not the default RANGE: RANGE treats ORDER-BY peers
+    // (duplicate ids) as one frame, which would hand both duplicates
+    // the same post-peer cumulative sum and silently overlap/gap the
+    // layout. With ROWS each row gets its own prefix. Ids are expected
+    // unique (duplicate ids still tile correctly but their relative
+    // order — hence the exact layout — is not deterministic).
     val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val L = lit(seqLen.toLong)
     docs
       .select(id, col(ntokCol).cast("long").as("ntok"),

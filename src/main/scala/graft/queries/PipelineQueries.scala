@@ -636,8 +636,12 @@ object PipelineQueries {
   val seqPackSql: String = {
     val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
       keep = Seq("doc_id", "ntok"), seed = 42L, out = "h")
+    // explicit whitespace class, not \s: Java's \s (Spark side) is
+    // [ \t\n\x0B\f\r] while RE2's \s also has \v semantics differences
+    // at \x0B — spelling it out pins the two engines to byte-identical
+    // token boundaries
     s"""WITH d0 AS (SELECT doc_id,
-       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS ntok
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS ntok
        |  FROM documents),
        |$steps,
        |signed AS (SELECT doc_id, ntok,
@@ -647,7 +651,8 @@ object PipelineQueries {
        |sh AS (SELECT doc_id, ntok, ((hs % 4) + 4) % 4 AS shard
        |       FROM signed WHERE ntok > 0),
        |c AS (SELECT doc_id, ntok, shard,
-       |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+       |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      - ntok AS strt FROM sh),
        |e AS (SELECT doc_id, ntok, shard, strt,
        |    unnest(range(strt // 512, (strt + ntok - 1) // 512 + 1)) AS seq
@@ -666,7 +671,7 @@ object PipelineQueries {
     """SELECT doc_id,
       |  CASE WHEN length(text) = 0 THEN 0
       |       ELSE len(string_split(text, ' ')) END AS ws_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** PII redaction — RE2-safe patterns, byte-identical in DuckDB
@@ -807,8 +812,11 @@ object PipelineQueries {
   }
 
   /** VALUES oracle from the DECLARED fixture metadata (never from a
-    * codec run): 18 fixtures × 4 decode paths. */
-  val multimodalRealSql: String = {
+    * codec run): 18 fixtures × 4 decode paths. Lazy — forcing
+    * MediaFixtures.all eagerly encodes the whole media corpus
+    * (ImageIO/javax.sound/MP4 assembly), which an unrelated query's
+    * object init shouldn't pay for. */
+  lazy val multimodalRealSql: String = {
     val rows = MediaFixtures.all.flatMap { f =>
       Seq(("audio", f.audio), ("image", f.image),
         ("image_resized", f.imageResized), ("video", f.video)).map {

@@ -219,13 +219,8 @@ object DruidSegmentReader {
         // and a downstream early stop (limit) never forces a full
         // column pass
         val clips = lo != Long.MinValue || hi != Long.MaxValue
-        val rows = decodeRows(file, withTime, pruned,
-          timeWindow = if (clips) Some((lo, hi)) else None)
-        if (withTime == names) rows
-        else {
-          val idx = names.map(withTime.indexOf(_)).toArray
-          rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
-        }
+        projectTo(names, withTime, decodeRows(file, withTime, pruned,
+          timeWindow = if (clips) Some((lo, hi)) else None))
       }
     }
   }
@@ -310,14 +305,19 @@ object DruidSegmentReader {
     if (ids.isEmpty) Iterator.empty
     else {
       decodedSegments.incrementAndGet()
-      val rows = decodeRows(file, withTime, Some(ids))
-      if (withTime == names) rows
-      else {
-        val idx = names.map(withTime.indexOf(_)).toArray
-        rows.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
-      }
+      projectTo(names, withTime, decodeRows(file, withTime, Some(ids)))
     }
   }
+
+  /** Reorder decoded rows from the __time-first internal layout back
+    * to the caller's requested column order. */
+  private def projectTo(names: Seq[String], withTime: Seq[String],
+                        rows: Iterator[Row]): Iterator[Row] =
+    if (withTime == names) rows
+    else {
+      val idx = names.map(withTime.indexOf(_)).toIndexedSeq
+      rows.map(r => Row.fromSeq(idx.map(r.get)))
+    }
 
   /** Row count of a segment from the `__time` supplier HEADER alone —
     * the `totalSize` field of the compressed-longs supplier; zero
@@ -327,9 +327,16 @@ object DruidSegmentReader {
   private[sources] def numRows(file: SegmentFile): Int = {
     val buf = ByteBuffer.wrap(file("__time"))
     readPrefixedJson(buf)
+    longsHeader(buf)._1 // totalSize = row count
+  }
+
+  /** CompressedLongsIndexedSupplier v2 header:
+    * (totalSize, sizePer, compression) — the single owner of the
+    * header layout for both the row-count probe and the decoder. */
+  private def longsHeader(buf: ByteBuffer): (Int, Int, Int) = {
     val version = buf.get()
     require(version == 2, s"compressed longs version $version")
-    buf.getInt() // totalSize = row count
+    (buf.getInt(), buf.getInt(), buf.get() & 0xff)
   }
 
   /** Partial (count, min __time, max __time) over `[lo, hi)`, decoding
@@ -744,11 +751,7 @@ object DruidSegmentReader {
 
   /** CompressedLongsIndexedSupplier v2 (little-endian longs). */
   private def decodeCompressedLongs(buf: ByteBuffer): IndexedSeq[Long] = {
-    val version = buf.get()
-    require(version == 2, s"compressed longs version $version")
-    val totalSize = buf.getInt()
-    val sizePer = buf.getInt()
-    val compression = buf.get() & 0xff
+    val (totalSize, sizePer, compression) = longsHeader(buf)
     val chunks = decompressChunks(buf, compression, sizePer * 8)
     lazyView(totalSize, i => ByteBuffer.wrap(chunks(i / sizePer), (i % sizePer) * 8, 8)
       .order(ByteOrder.LITTLE_ENDIAN).getLong)

@@ -50,6 +50,16 @@ object DruidSegmentWriter {
             version: String = "2020-01-01T00:00:00.000Z",
             shardNum: Int = 0, numShards: Int = 1): Unit = {
     require(cols.forall(c => rowCount(c) == times.size), "all columns need times.size rows")
+    // the Druid segment contract every reader fast path assumes: all
+    // rows lie within the declared interval (real Druid guarantees
+    // this by construction). A violating row would be dropped by the
+    // window clip but COUNTED by the full-coverage aggregate shortcut
+    // (aggregateWindow reads the supplier-header row count when the
+    // window covers the declared interval) — fail at write, not split
+    // behavior at read.
+    require(times.forall(t => t >= intervalStartMs && t < intervalEndMs),
+      s"segment rows must lie within the declared interval " +
+        s"[$intervalStartMs, $intervalEndMs)")
     dir.mkdirs()
 
     val dims = cols.collect { case d: StrDim => d.name; case d: MvDim => d.name }

@@ -109,6 +109,30 @@ class SequencePackingSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("duplicate ids still tile (ROWS frame, not RANGE peers)") {
+    import spark.implicits._
+    // two docs share id 1 (same shard by construction): under the
+    // default RANGE frame both would see the post-peer cumulative sum
+    // and the layout would overlap/gap; ROWS gives each its own prefix
+    val rows = SequencePacking.pack(
+      Seq((1L, 60L), (1L, 40L), (2L, 30L)).toDF("doc_id", "ntok"),
+      "doc_id", "ntok", seqLen = 100, shards = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 130 tokens total → sequence 0 holds exactly 100, sequence 1 the rest
+    val bySeq = rows.groupBy(_._1)
+    assert(bySeq(0L).map(s => s._3 - s._2).sum == 100L)
+    assert(bySeq.get(1L).map(_.map(s => s._3 - s._2).sum).getOrElse(0L) == 30L)
+    // offsets tile each sequence without overlap
+    bySeq.foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + (a._3 - a._2) == b._4)
+        case _ => ()
+      }
+    }
+  }
+
   test("id column colliding with an output column is rejected") {
     import spark.implicits._
     val df = corpus().toDF("seq", "ntok")

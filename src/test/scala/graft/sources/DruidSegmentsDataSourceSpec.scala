@@ -321,6 +321,16 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(byHits.collect().head.getLong(2) == (n - 1).toLong)
   }
 
+  test("writer rejects rows outside the declared interval (the aggregate fast-path contract)") {
+    val root = tmpDir()
+    intercept[IllegalArgumentException] {
+      DruidSegmentWriter.write(new File(root, "bad"), "fixture",
+        Seq(t0 - 1000L, t0), // first row precedes the interval
+        Seq(StrDim("host", Seq("a", "b")), LongMet("hits", Seq(1L, 2L))),
+        t0, t0 + day)
+    }
+  }
+
   test("dsv2: estimateStatistics reports real bytes, caches, and never reports 0 on failure") {
     val root = tmpDir()
     writeSegment(new File(root, "seg1"))
