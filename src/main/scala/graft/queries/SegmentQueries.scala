@@ -596,4 +596,75 @@ object SegmentQueries {
       "SELECT * FROM (VALUES\n", ",\n",
       ") AS t(__time, host, country, hits, clicks)")
   }
+
+  /** DSv2 GROUPED aggregate pushdown under the driver gate — Druid's
+    * topN/groupBy-count shape: `GROUP BY host → count(*), min/max
+    * (__time)` answered from the dim's inverted index (per-group count
+    * = bitmap ∧ window cardinality; the dim's value chunks never
+    * decompress — DruidSegmentsDataSourceSpec pins PushedGroupBy +
+    * zero-decode). The WHERE clips the day-2 segment mid-window, so
+    * the partial-coverage path (window row set off the __time column)
+    * is under the hash gate too. */
+  def druidGroupBy(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.sources.{DruidSegmentWriter => W}
+    import org.apache.spark.sql.functions.{count, max, min}
+    val day = 24 * 3600 * 1000L
+    val hour = 3600000L
+    val t0 = java.time.Instant.parse("2021-04-01T00:00:00Z").toEpochMilli
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_druid_groupby_w${graft.sources.DruidSegmentWriter.FormatVersion}")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_druid_groupby_w${graft.sources.DruidSegmentWriter.FormatVersion}_build_${java.util.UUID.randomUUID}")
+      W.write(new java.io.File(staging, "gb/day1/v1/0"), "gb",
+        (0 until 4).map(i => t0 + i * hour),
+        Seq(W.StrDim("host", Seq("a", "a", "b", "c")),
+          W.LongMet("hits", Seq(10L, 20L, 30L, 40L))),
+        t0, t0 + day, version = "v1")
+      W.write(new java.io.File(staging, "gb/day2/v1/0"), "gb",
+        (0 until 3).map(i => t0 + day + i * hour),
+        Seq(W.StrDim("host", Seq("a", "b", "b")),
+          W.LongMet("hits", Seq(50L, 60L, 70L))),
+        t0 + day, t0 + 2 * day, version = "v1")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"groupby fixture promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "gb")
+      .load(root.getAbsolutePath)
+      .where(col("__time") < t0 + day + hour + hour / 2) // clips day2 to rows 0-1
+      .groupBy("host")
+      .agg(count("*").as("n"), sum("hits").as("sum_hits"),
+        min("__time").as("t_first"), max("__time").as("t_last"))
+      .orderBy("host")
+  }
+
+  /** VALUES oracle from the fixture's known layout: day1 a@0h(10),
+    * a@1h(20), b@2h(30), c@3h(40) + day2's unclipped rows a@24h(50),
+    * b@25h(60). */
+  val druidGroupBySql: String = {
+    val day = 24 * 3600 * 1000L
+    val hour = 3600000L
+    val t0 = java.time.Instant.parse("2021-04-01T00:00:00Z").toEpochMilli
+    val rows = Seq(
+      ("a", 3L, 80L, t0, t0 + day),
+      ("b", 2L, 90L, t0 + 2 * hour, t0 + day + hour),
+      ("c", 1L, 40L, t0 + 3 * hour, t0 + 3 * hour))
+    rows.map { case (h, n, s, lo, hi) =>
+      s"('$h', CAST($n AS BIGINT), CAST($s AS BIGINT), " +
+        s"CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+    }.mkString(
+      "SELECT * FROM (VALUES\n", ",\n",
+      ") AS t(host, n, sum_hits, t_first, t_last) ORDER BY host")
+  }
 }

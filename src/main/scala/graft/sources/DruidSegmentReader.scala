@@ -339,36 +339,260 @@ object DruidSegmentReader {
     (buf.getInt(), buf.getInt(), buf.get() & 0xff)
   }
 
-  /** Partial (count, min __time, max __time) over `[lo, hi)`, decoding
-    * AT MOST the `__time` column — dimension and metric bytes are never
-    * touched. When the window is known to cover the segment's whole
-    * interval and only the count is wanted, even `__time` stays
-    * compressed: the supplier header alone answers it. The backing of
-    * DSv2 aggregate pushdown (count(*) / min/max(__time) over a
-    * migrated datasource — Druid's timeBoundary + timeseries-count
-    * fast paths). */
+  /** Per-metric window partial: modulo-2^64 sum (associative, so
+    * partial-then-merge equals any row order — including Spark's own
+    * non-ANSI long SUM), min and max. */
+  private[sources] final case class MetricAgg(sum: Long, min: Long, max: Long)
+
+  /** A LONG metric column's decoded values, or None when the column is
+    * absent from this segment (schema evolution: its rows are all-null
+    * for the metric, so pushed partials must be null too). A non-LONG
+    * column under a pushed long aggregate is a planner/schema
+    * contradiction — loud failure, exactly where the unpushed decode
+    * would have failed its Catalyst conversion. */
+  private def longMetricColumn(file: SegmentFile, name: String): Option[IndexedSeq[Long]] =
+    if (!file.has(name)) None
+    else {
+      val buf = ByteBuffer.wrap(file(name))
+      val json = readPrefixedJson(buf)
+      (json \ "valueType") match {
+        case JString("LONG") => Some(decodeCompressedLongs(buf))
+        case vt => throw new IllegalStateException(
+          s"pushed long aggregate over column '$name' of valueType $vt")
+      }
+    }
+
+  /** Partial (count, min/max __time, per-metric sum/min/max) over
+    * `[lo, hi)`, decoding AT MOST `__time` + the aggregated metric
+    * columns — dimension bytes are never touched. When the window is
+    * known to cover the segment's whole interval and only the count is
+    * wanted, even `__time` stays compressed: the supplier header alone
+    * answers it. The backing of DSv2 aggregate pushdown (count(*) /
+    * min/max(__time) / sum/min/max(metric) over a migrated datasource —
+    * Druid's timeBoundary + timeseries fast paths). */
   private[sources] def aggregateWindow(
       conf: Configuration, dir: String, lo: Long, hi: Long,
-      fullCoverage: Boolean, needTimeBounds: Boolean): (Long, Option[Long], Option[Long]) = {
+      fullCoverage: Boolean, needTimeBounds: Boolean,
+      metricCols: Seq[String] = Nil)
+      : (Long, Option[Long], Option[Long], Map[String, Option[MetricAgg]]) = {
     val file = openSegment(conf, dir)
-    if (fullCoverage && !needTimeBounds) (numRows(file).toLong, None, None)
+    if (fullCoverage && !needTimeBounds && metricCols.isEmpty)
+      (numRows(file).toLong, None, None, Map.empty)
     else {
-      val times = timeValues(file)
+      val metrics: Seq[(String, Option[IndexedSeq[Long]])] =
+        metricCols.map(m => m -> longMetricColumn(file, m))
+      val present = metrics.collect { case (m, Some(vs)) => (m, vs) }.toArray
+      val sums = new Array[Long](present.length)
+      val mins = Array.fill(present.length)(Long.MaxValue)
+      val maxs = Array.fill(present.length)(Long.MinValue)
+      val times = if (!fullCoverage || needTimeBounds) timeValues(file) else null
       var count = 0L
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var i = 0
-      val n = times.length
+      val n = if (times ne null) times.length else numRows(file)
       while (i < n) {
-        val t = times(i)
-        if (t >= lo && t < hi) {
+        val t = if (times ne null) times(i) else 0L
+        if (fullCoverage || (t >= lo && t < hi)) {
           count += 1
-          if (t < mn) mn = t
-          if (t > mx) mx = t
+          if (needTimeBounds) {
+            if (t < mn) mn = t
+            if (t > mx) mx = t
+          }
+          var j = 0
+          while (j < present.length) {
+            val v = present(j)._2(i)
+            sums(j) += v
+            if (v < mins(j)) mins(j) = v
+            if (v > maxs(j)) maxs(j) = v
+            j += 1
+          }
         }
         i += 1
       }
-      if (count == 0L) (0L, None, None) else (count, Some(mn), Some(mx))
+      val metricOut: Map[String, Option[MetricAgg]] = metrics.map {
+        case (m, None) => m -> None
+        case (m, Some(_)) =>
+          if (count == 0L) m -> None
+          else {
+            val j = present.indexWhere(_._1 == m)
+            m -> Some(MetricAgg(sums(j), mins(j), maxs(j)))
+          }
+      }.toMap
+      if (count == 0L) (0L, None, None, metricOut)
+      else (count,
+        if (needTimeBounds) Some(mn) else None,
+        if (needTimeBounds) Some(mx) else None,
+        metricOut)
+    }
+  }
+
+  /** One window's partial of `GROUP BY dim → count(*) [, min/max
+    * __time]` for a scalar STRING dim, answered from the dictionary +
+    * bitmap index: per-group count = |bitmap ∧ window-rows| — Druid's
+    * topN/groupBy-count shape, served the way Druid itself serves it
+    * (cardinality off the inverted index; DruidInputFormat.java:66-120
+    * delegates to the same QueryableIndex bitmaps). The dim's VALUE
+    * chunks are never decompressed; `__time` decodes only when the
+    * window clips the segment or time bounds are requested.
+    *
+    * Single-value dims partition rows across bitmaps, so any rows NOT
+    * covered by the union (a segment evolved without the column ends
+    * up all-null; defensive for malformed indexes too) surface as one
+    * null group. Falls back to a per-row (dim, __time) walk when the
+    * column has no readable bitmap index or is multi-value under an
+    * evolved scalar schema. Emission is partial-per-window; Spark's
+    * final aggregate merges groups across windows. */
+  /** One group's partial row: value, count, optional time bounds, and
+    * per-metric sum/min/max (None = metric column absent from the
+    * segment → null partials). */
+  private[sources] final case class GroupPartial(
+      value: String, count: Long, minT: Option[Long], maxT: Option[Long],
+      metrics: Map[String, Option[MetricAgg]])
+
+  private[sources] def aggregateGroupByWindow(
+      conf: Configuration, dir: String, dim: String, lo: Long, hi: Long,
+      fullCoverage: Boolean, needTimeBounds: Boolean,
+      metricCols: Seq[String] = Nil): Iterator[GroupPartial] = {
+    val file = openSegment(conf, dir)
+
+    def boundsOf(b: ImmutableRoaringBitmap,
+                 times: IndexedSeq[Long]): (Option[Long], Option[Long]) = {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      val it = b.getIntIterator
+      while (it.hasNext) {
+        val t = times(it.next())
+        if (t < mn) mn = t
+        if (t > mx) mx = t
+      }
+      if (mn > mx) (None, None) else (Some(mn), Some(mx))
+    }
+
+    // a segment without the column is all-null for it (schema
+    // evolution): every window row lands in the null group
+    if (!file.has(dim)) {
+      val (c, mn, mx, ms) =
+        aggregateWindow(conf, dir, lo, hi, fullCoverage, needTimeBounds, metricCols)
+      return if (c == 0L) Iterator.empty else Iterator(GroupPartial(null, c, mn, mx, ms))
+    }
+
+    dimBitmapIndex(file, dim).filter(!_.multiValue) match {
+      case Some(idx) =>
+        val metrics: Seq[(String, Option[IndexedSeq[Long]])] =
+          metricCols.map(m => m -> longMetricColumn(file, m))
+        val needTimes = !fullCoverage || needTimeBounds
+        val times: IndexedSeq[Long] = if (needTimes) timeValues(file) else null
+        // row ids inside the clipped window; None = every row
+        val windowSet: Option[ImmutableRoaringBitmap] =
+          if (fullCoverage) None
+          else {
+            val w = new MutableRoaringBitmap()
+            var i = 0
+            val n = times.length
+            while (i < n) {
+              val t = times(i)
+              if (t >= lo && t < hi) w.add(i)
+              i += 1
+            }
+            Some(w)
+          }
+        val windowRows: Long =
+          windowSet.map(_.getLongCardinality).getOrElse(numRows(file).toLong)
+        if (windowRows == 0L) return Iterator.empty
+
+        // per-group accumulation over one bitmap's rows: metric chunks
+        // decode lazily, so only in-group rows' chunks decompress
+        def metricsOf(b: ImmutableRoaringBitmap): Map[String, Option[MetricAgg]] =
+          metrics.map {
+            case (m, None) => m -> None
+            case (m, Some(vs)) =>
+              var sum = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              val it = b.getIntIterator
+              while (it.hasNext) {
+                val v = vs(it.next())
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+              m -> (if (mn > mx) None else Some(MetricAgg(sum, mn, mx)))
+          }.toMap
+
+        var covered = 0L
+        val union = new MutableRoaringBitmap() // to expose uncovered rows as the null group
+        val groups = Iterator.range(0, idx.dict.length).flatMap { id =>
+          if (!idx.entryNonEmpty(id)) Iterator.empty
+          else {
+            val b = idx.bitmap(id)
+            val inWindow = windowSet.fold(b)(w => ImmutableRoaringBitmap.and(b, w))
+            val c = inWindow.getLongCardinality
+            if (c == 0L) Iterator.empty
+            else {
+              covered += c
+              union.or(inWindow)
+              val (mn, mx) =
+                if (needTimeBounds) boundsOf(inWindow, times) else (None, None)
+              Iterator(GroupPartial(idx.dict(id), c, mn, mx, metricsOf(inWindow)))
+            }
+          }
+        }
+        // materialize the per-value groups first so `covered`/`union`
+        // are complete before the null-group remainder is computed
+        val out = groups.toVector
+        if (covered >= windowRows) out.iterator
+        else {
+          val nullCount = windowRows - covered
+          val rest = windowSet.map(_.toMutableRoaringBitmap).getOrElse {
+            val a = new MutableRoaringBitmap()
+            a.add(0L, numRows(file).toLong)
+            a
+          }
+          rest.andNot(union)
+          val (mn, mx) =
+            if (needTimeBounds) boundsOf(rest, times) else (None, None)
+          out.iterator ++ Iterator(GroupPartial(null, nullCount, mn, mx, metricsOf(rest)))
+        }
+      case None =>
+        // no usable inverted index: group by decoding
+        // (dim, __time, metrics…) rows — still window-clipped
+        val rows = decodeWindow(conf, dir, lo, hi,
+          Seq(dim, "__time") ++ metricCols, Map.empty)
+        final case class Acc(var c: Long, var mnT: Long, var mxT: Long,
+                             sums: Array[Long], mins: Array[Long],
+                             maxs: Array[Long], nn: Array[Boolean])
+        val k = metricCols.length
+        val acc = scala.collection.mutable.HashMap.empty[String, Acc]
+        rows.foreach { r =>
+          val v = r.get(0).asInstanceOf[String]
+          val t = r.getLong(1)
+          val a = acc.getOrElseUpdate(v, Acc(0L, Long.MaxValue, Long.MinValue,
+            new Array[Long](k), Array.fill(k)(Long.MaxValue),
+            Array.fill(k)(Long.MinValue), new Array[Boolean](k)))
+          a.c += 1
+          if (t < a.mnT) a.mnT = t
+          if (t > a.mxT) a.mxT = t
+          var j = 0
+          while (j < k) {
+            if (!r.isNullAt(2 + j)) {
+              val mv = r.getLong(2 + j)
+              a.nn(j) = true
+              a.sums(j) += mv
+              if (mv < a.mins(j)) a.mins(j) = mv
+              if (mv > a.maxs(j)) a.maxs(j) = mv
+            }
+            j += 1
+          }
+        }
+        acc.iterator.map { case (v, a) =>
+          GroupPartial(v, a.c,
+            if (needTimeBounds) Some(a.mnT) else None,
+            if (needTimeBounds) Some(a.mxT) else None,
+            metricCols.zipWithIndex.map { case (m, j) =>
+              m -> (if (a.nn(j)) Some(MetricAgg(a.sums(j), a.mins(j), a.maxs(j))) else None)
+            }.toMap)
+        }
     }
   }
 
@@ -411,6 +635,56 @@ object DruidSegmentReader {
     * bitmap path). */
   private[sources] def bitmapRowSet(file: SegmentFile, dim: String,
                                     pred: DictPred): Option[ImmutableRoaringBitmap] =
+    try dimBitmapIndex(file, dim).map { idx =>
+      val out = new MutableRoaringBitmap()
+      def orId(id: Int): Unit = if (idx.entryNonEmpty(id)) out.or(idx.bitmap(id))
+      pred match {
+        // dictionary is sorted: binary search each wanted value
+        case DictPred.Values(vs) => vs.foreach { v =>
+          idx.dict.search(v) match {
+            case scala.collection.Searching.Found(id) => orId(id)
+            case _ => ()
+          }
+        }
+        // anything else: scan the (cardinality-sized) dictionary
+        case p => var id = 0
+          while (id < idx.dict.length) {
+            if (p.matches(idx.dict(id))) orId(id)
+            id += 1
+          }
+      }
+      out: ImmutableRoaringBitmap
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A string dim's parsed inverted index: sorted value dictionary +
+    * one bitmap of row ids per value. Bitmaps decode lazily per
+    * access — a consumer that touches 2 of 10k entries pays for 2. */
+  private[sources] final class DimBitmapIndex(val dict: IndexedSeq[String],
+                                              val multiValue: Boolean,
+                                              serde: String,
+                                              raw: IndexedSeq[Array[Byte]]) {
+    def entryNonEmpty(id: Int): Boolean = raw(id).nonEmpty
+    def bitmap(id: Int): ImmutableRoaringBitmap =
+      if (raw(id).isEmpty) new MutableRoaringBitmap()
+      else serde match {
+        case "concise" => conciseToBitmap(raw(id))
+        case _ => new ImmutableRoaringBitmap(ByteBuffer.wrap(raw(id)))
+      }
+  }
+
+  /** Parse `dim`'s dictionary + bitmap region, or None when the column
+    * is absent / non-string / has no readable bitmap region — callers
+    * must treat None as "no index", never "no rows". Reads dictionary
+    * and bitmap entries only: the row-ids supplier is SKIPPED by its
+    * length header, never decompressed.
+    *
+    * Bitmap entries are standard portable-format RoaringBitmaps (what
+    * Druid's `{"type":"roaring"}` serde writes) or CONCISE word arrays
+    * (pre-0.18 `{"type":"concise"}`, per the descriptor's declared
+    * serde), one per dictionary entry, in a GenericIndexed after the
+    * row ids (DruidInputFormat.java:66-120 delegates to Druid's
+    * QueryableIndex bitmap path). */
+  private[sources] def dimBitmapIndex(file: SegmentFile, dim: String): Option[DimBitmapIndex] =
     try {
       if (!file.has(dim)) return None
       val buf = ByteBuffer.wrap(file(dim))
@@ -444,27 +718,7 @@ object DruidSegmentReader {
           .collectFirst { case JString(s) => s }.getOrElse("roaring")
         case _ => "roaring"
       }
-      val out = new MutableRoaringBitmap()
-      def orId(id: Int): Unit = if (bitmaps(id).nonEmpty) serde match {
-        case "concise" => out.or(conciseToBitmap(bitmaps(id)))
-        case _ => out.or(new ImmutableRoaringBitmap(ByteBuffer.wrap(bitmaps(id))))
-      }
-      pred match {
-        // dictionary is sorted: binary search each wanted value
-        case DictPred.Values(vs) => vs.foreach { v =>
-          dict.search(v) match {
-            case scala.collection.Searching.Found(id) => orId(id)
-            case _ => ()
-          }
-        }
-        // anything else: scan the (cardinality-sized) dictionary
-        case p => var id = 0
-          while (id < dict.length) {
-            if (p.matches(dict(id))) orId(id)
-            id += 1
-          }
-      }
-      Some(out)
+      Some(new DimBitmapIndex(dict, mv, serde, bitmaps))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** CONCISE bitmap → roaring (Colantonio & Di Pietro 2010; the

@@ -62,14 +62,32 @@ object DruidSegmentWriter {
         s"[$intervalStartMs, $intervalEndMs)")
     dir.mkdirs()
 
+    // Druid's other segment contract: rows are STORED sorted by __time
+    // ascending (IncrementalIndex persists time-ordered; the scan's
+    // SupportsReportOrdering and the window-clip early paths rely on
+    // it). Sort at write like Druid's ingestion does — stable, so
+    // equal-time rows keep their input order.
+    val presorted = times.indices.forall(i => i == 0 || times(i - 1) <= times(i))
+    val perm: Seq[Int] = if (presorted) times.indices else times.indices.sortBy(times)
+    def re[T](rows: Seq[T]): Seq[T] = if (presorted) rows else perm.map(rows)
+    val sortedTimes = re(times)
+    val sortedCols = if (presorted) cols else cols.map {
+      case StrDim(n, rows) => StrDim(n, re(rows))
+      case MvDim(n, rows) => MvDim(n, re(rows))
+      case LongMet(n, rows) => LongMet(n, re(rows))
+      case FloatMet(n, rows) => FloatMet(n, re(rows))
+      case DoubleMet(n, rows) => DoubleMet(n, re(rows))
+      case ComplexMet(n, t, rows) => ComplexMet(n, t, re(rows))
+    }
+
     val dims = cols.collect { case d: StrDim => d.name; case d: MvDim => d.name }
     val mets = cols.filter(c => !dims.contains(c.name)).map(_.name)
 
     val internal = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
     internal("index.drd") = indexDrd(dims ++ mets, dims, times.min, times.max)
     internal("__time") = columnFile("""{"valueType":"LONG","hasMultipleValues":false}""",
-      longsSupplier(times))
-    cols.foreach {
+      longsSupplier(sortedTimes))
+    sortedCols.foreach {
       case StrDim(n, rows) => internal(n) = columnFile(
         """{"valueType":"STRING","hasMultipleValues":false}""", svStringColumn(rows))
       case MvDim(n, rows) => internal(n) = columnFile(

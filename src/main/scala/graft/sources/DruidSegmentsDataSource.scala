@@ -9,12 +9,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import graft.model.DictPred
 
 /** Druid deep storage as a first-class Spark DataSource V2 table —
@@ -141,6 +142,7 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   private var requiredSchema: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Seq[DruidAgg] = Nil
+  private var groupDim: Option[String] = None
   private var pushedLimit: Int = -1
   private var pushedTopN: Option[(Boolean, Int)] = None // (desc, n)
   private var timeLo: Long = Long.MinValue
@@ -264,26 +266,53 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
     * single-partition guarantee. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
-  /** Accept global count(*) / count(__time) / min(__time) /
-    * max(__time) — Druid's timeBoundary and timeseries-count shapes,
-    * the queries an aggregation-first datasource serves constantly.
-    * Spark only offers aggregation when no residual Filter remains
-    * above the scan, i.e. when every WHERE conjunct pushed Exact;
-    * dictionary predicates always leave a residual, so `preds` is
-    * empty here by construction (checked anyway — a wrongly-counted
-    * row is silent corruption). */
+  /** Accept count(*) / count(__time) / min(__time) / max(__time),
+    * globally or GROUPED BY one scalar string dim — Druid's
+    * timeBoundary, timeseries-count and topN/groupBy-count shapes, the
+    * queries an aggregation-first datasource serves constantly. The
+    * grouped form answers from the dim's inverted index (per-group
+    * count = bitmap ∧ window cardinality) without ever decompressing
+    * the dim's value chunks. Spark only offers aggregation when no
+    * residual Filter remains above the scan, i.e. when every WHERE
+    * conjunct pushed Exact; dictionary predicates always leave a
+    * residual, so `preds` is empty here by construction (checked
+    * anyway — a wrongly-counted row is silent corruption). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (aggregation.groupByExpressions.nonEmpty || preds.nonEmpty) return false
+    if (preds.nonEmpty) return false
+    val dim: Option[String] = aggregation.groupByExpressions.toSeq match {
+      case Nil => None
+      // exactly one flat column ref over a scalar string dim; __time
+      // grouping and MV dims (ArrayType in the schema) stay Spark-side
+      case Seq(nr: NamedReference) if nr.fieldNames.length == 1 &&
+          nr.fieldNames.head != "__time" && isScalarString(nr.fieldNames.head) =>
+        Some(nr.fieldNames.head)
+      case _ => return false
+    }
+    // a LONG metric column (never a dim — dims are strings — and never
+    // the grouped column); exact long arithmetic is what makes the
+    // partial sound, so FLOAT/DOUBLE metrics never push
+    def longMetric(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val n = nr.fieldNames.head
+        if (n != "__time" && fullSchema.fields.exists(f => f.name == n && f.dataType == LongType))
+          Some(n)
+        else None
+      case _ => None
+    }
     val translated = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(DruidAgg.RowCount)
       // __time is physically never null → count(__time) ≡ count(*)
       case c: Count if !c.isDistinct && isTimeRef(c.column) => Some(DruidAgg.RowCount)
       case m: Min if isTimeRef(m.column) => Some(DruidAgg.MinTime)
       case m: Max if isTimeRef(m.column) => Some(DruidAgg.MaxTime)
+      case s: Sum if !s.isDistinct => longMetric(s.column).map(DruidAgg.SumMetric)
+      case m: Min => longMetric(m.column).map(DruidAgg.MinMetric)
+      case m: Max => longMetric(m.column).map(DruidAgg.MaxMetric)
       case _ => None
     }
     if (translated.nonEmpty && translated.forall(_.isDefined)) {
       pushedAggs = translated.flatten
+      groupDim = dim
       true
     } else false
   }
@@ -323,7 +352,8 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
     new DruidScan(options, requiredSchema, accepted, timeLo, timeHi, preds,
       pushedAggs,
       if (pushedAggs.nonEmpty || pushedTopN.nonEmpty) -1 else pushedLimit,
-      if (pushedAggs.nonEmpty) None else pushedTopN)
+      if (pushedAggs.nonEmpty) None else pushedTopN,
+      groupDim)
 }
 
 private[sources] sealed abstract class PushKind
@@ -333,17 +363,43 @@ private[sources] object PushKind {
   case object No extends PushKind
 }
 
-/** The aggregate shapes the source can answer without row decode. */
+/** The aggregate shapes the source can answer without materializing
+  * rows: counts and `__time` bounds from metadata/the time column,
+  * long-metric sum/min/max from the metric column alone (modulo-2^64
+  * long addition is associative, so window partials merge to exactly
+  * Spark's own non-ANSI long SUM under any row order — which is why
+  * LONG metrics push and floating-point ones never do). */
 private[sources] sealed abstract class DruidAgg extends Serializable
 private[sources] object DruidAgg {
   case object RowCount extends DruidAgg
   case object MinTime extends DruidAgg
   case object MaxTime extends DruidAgg
+  final case class SumMetric(col: String) extends DruidAgg
+  final case class MinMetric(col: String) extends DruidAgg
+  final case class MaxMetric(col: String) extends DruidAgg
+
+  def metricCols(aggs: Seq[DruidAgg]): Seq[String] = aggs.collect {
+    case SumMetric(c) => c
+    case MinMetric(c) => c
+    case MaxMetric(c) => c
+  }.distinct
+
+  def describe(aggs: Seq[DruidAgg]): String = aggs.map {
+    case RowCount => "COUNT(*)"
+    case MinTime => "MIN(__time)"
+    case MaxTime => "MAX(__time)"
+    case SumMetric(c) => s"SUM($c)"
+    case MinMetric(c) => s"MIN($c)"
+    case MaxMetric(c) => s"MAX($c)"
+  }.mkString(", ")
 
   def schema(aggs: Seq[DruidAgg]): StructType = StructType(aggs.zipWithIndex.map {
     case (RowCount, i) => StructField(s"count_$i", LongType, nullable = false)
     case (MinTime, i) => StructField(s"min_time_$i", LongType, nullable = true)
     case (MaxTime, i) => StructField(s"max_time_$i", LongType, nullable = true)
+    case (SumMetric(c), i) => StructField(s"sum_${c}_$i", LongType, nullable = true)
+    case (MinMetric(c), i) => StructField(s"min_${c}_$i", LongType, nullable = true)
+    case (MaxMetric(c), i) => StructField(s"max_${c}_$i", LongType, nullable = true)
   })
 }
 
@@ -354,19 +410,89 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  preds: Map[String, Seq[DictPred]],
                                  aggs: Seq[DruidAgg] = Nil,
                                  limit: Int = -1,
-                                 topN: Option[(Boolean, Int)] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+                                 topN: Option[(Boolean, Int)] = None,
+                                 groupDim: Option[String] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
+
+  /** Druid segments store rows sorted by `__time` ascending (the
+    * ingestion-time invariant real Druid and this repo's writer both
+    * guarantee), and every decode path walks rows in ascending row-id
+    * order (full walk, bitmap iterator, window clip, early-stop limit)
+    * — so each partition streams time-ordered and Spark can drop
+    * per-partition Sorts on `__time`. Not reported for pushed
+    * aggregates (different output schema) or pushed top-n (heap
+    * winners re-sorted by TakeOrderedAndProject above). */
+  override def outputOrdering(): Array[V2SortOrder] =
+    if (aggs.nonEmpty || topN.isDefined) Array.empty
+    else if (prunedSchema.fieldNames.contains("__time"))
+      Array(Expressions.sort(Expressions.column("__time"), SortDirection.ASCENDING))
+    else Array.empty
+
+  // ---- runtime (dynamic-partition-pruning) filters ----
+  // Spark hands the build side's join-key values to `filter()` at
+  // execution; both effects are PRUNING-ONLY (the join above still
+  // enforces exactness, the DPP contract): `__time` values tighten the
+  // planned interval so out-of-range WINDOWS never become tasks, and
+  // dim values become extra dictionary conjuncts so a segment whose
+  // dictionary lacks every value skips without decoding a chunk. At a
+  // 100 TB datasource this is the difference between scanning the year
+  // and scanning the week the dim table selected.
+  private var runtimeLo: Long = Long.MinValue
+  private var runtimeHi: Long = Long.MaxValue
+  private var runtimePreds: Map[String, Seq[DictPred]] = Map.empty
+
+  /** Offered only for plain row scans: pushed aggregates answer from
+    * metadata (no benefit, and a grouped partial must count every
+    * window), and pushed limit/top-n already bound their decode. Only
+    * columns surviving column pruning may be offered — Spark resolves
+    * these refs against the scan's OUTPUT and throws on a miss. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggs.nonEmpty || topN.isDefined || limit >= 0) Array.empty
+    else prunedSchema.fields.collect {
+      case f if f.name == "__time" || f.dataType == StringType => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("__time", vs) =>
+      val longs = vs.toSeq.collect { case l: Long => l; case i: Int => i.toLong }
+      if (longs.isEmpty) { runtimeLo = Long.MaxValue; runtimeHi = Long.MinValue }
+      else {
+        runtimeLo = math.max(runtimeLo, longs.min)
+        // max+1 can't overflow here: a join-side __time of
+        // Long.MaxValue can't exist (segments carry finite intervals),
+        // but clamp anyway
+        runtimeHi = math.min(runtimeHi,
+          if (longs.max == Long.MaxValue) Long.MaxValue else longs.max + 1)
+      }
+    case EqualTo("__time", v) => v match {
+      case l: Long => runtimeLo = math.max(runtimeLo, l)
+        if (l != Long.MaxValue) runtimeHi = math.min(runtimeHi, l + 1)
+      case _ => ()
+    }
+    case In(dim, vs) if prunedSchema.fields.exists(f => f.name == dim && f.dataType == StringType) =>
+      // nulls never equi-join: dropping them keeps pruning sound
+      val strs = vs.toSeq.collect { case s: String => s }.toSet
+      runtimePreds = runtimePreds.updated(dim,
+        runtimePreds.getOrElse(dim, Nil) :+ DictPred.Values(strs))
+    case EqualTo(dim, v: String) if prunedSchema.fields.exists(f => f.name == dim && f.dataType == StringType) =>
+      runtimePreds = runtimePreds.updated(dim,
+        runtimePreds.getOrElse(dim, Nil) :+ DictPred.Values(Set(v)))
+    case _ => () // unknown shapes are ignored — pruning is optional
+  }
 
   override def readSchema(): StructType =
-    if (aggs.nonEmpty) DruidAgg.schema(aggs) else prunedSchema
+    if (aggs.nonEmpty) {
+      // pushed-aggregate layout: group-by columns first, then the
+      // aggregate partials — the order V2ScanRelationPushDown expects
+      val group = groupDim.map(d => StructField(d, StringType, nullable = true)).toSeq
+      StructType(group ++ DruidAgg.schema(aggs).fields)
+    } else prunedSchema
 
   override def description(): String = {
     val aggPart = if (aggs.isEmpty) "" else
-      s"PushedAggregates: [${aggs.map {
-        case DruidAgg.RowCount => "COUNT(*)"
-        case DruidAgg.MinTime => "MIN(__time)"
-        case DruidAgg.MaxTime => "MAX(__time)"
-      }.mkString(", ")}], "
+      s"PushedAggregates: [${DruidAgg.describe(aggs)}], " +
+        groupDim.map(d => s"PushedGroupBy: [$d], ").getOrElse("")
     val limitPart = if (limit < 0) "" else s"PushedLimit: $limit, "
     val topPart = topN.map { case (desc, n) =>
       s"PushedTopN: ORDER BY __time ${if (desc) "DESC" else "ASC"} LIMIT $n, "
@@ -404,11 +530,16 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      if (aggs.nonEmpty) // one partial row per window
+      if (aggs.nonEmpty && groupDim.isEmpty) // one partial row per window
         util.OptionalLong.of(math.max(1, windows.size).toLong * 24)
+      // grouped: row count is windows × per-window group cardinality —
+      // unknown without opening dictionaries; report nothing rather
+      // than steer AQE with a guess
+      else if (aggs.nonEmpty) util.OptionalLong.empty()
       else plannedBytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
     override def numRows(): util.OptionalLong =
-      if (aggs.nonEmpty) util.OptionalLong.of(math.max(1, windows.size).toLong)
+      if (aggs.nonEmpty && groupDim.isEmpty)
+        util.OptionalLong.of(math.max(1, windows.size).toLong)
       else util.OptionalLong.empty()
   }
 
@@ -423,24 +554,41 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
         val full = lo <= w.segment.startMs && hi >= w.segment.endMs
         DruidAggPartition(w.segment.path, lo, hi, full): InputPartition
       }.toArray
-      // zero windows must still aggregate to count=0 (Spark's final
-      // merge is a SUM over partials — over an EMPTY scan it yields
-      // null, not 0): one synthetic partition emits the zero row
+      // zero windows must still aggregate to count=0 for the GLOBAL
+      // form (Spark's final merge is a SUM over partials — over an
+      // EMPTY scan it yields null, not 0): one synthetic partition
+      // emits the zero row. A grouped aggregate over zero rows is
+      // correctly EMPTY — no synthetic partition.
       if (parts.nonEmpty) parts
+      else if (groupDim.isDefined) Array.empty
       else Array(DruidAggPartition("", 0L, 0L, fullCoverage = false))
-    } else windows.map { w =>
-      DruidInputPartition(w.segment.path,
-        math.max(w.windowStartMs, timeLo), math.min(w.windowEndMs, timeHi),
-        readSchema.fieldNames.toSeq, preds, limit,
-        topN = topN.map(_._2).getOrElse(-1),
-        topDesc = topN.exists(_._1))
-    }.toArray
+    } else {
+      val eLo = math.max(timeLo, runtimeLo)
+      val eHi = math.min(timeHi, runtimeHi)
+      // plan-time preds and runtime (DPP) preds are independent
+      // conjunct sets; per dim they concatenate
+      val mergedPreds = runtimePreds.foldLeft(preds) { case (acc, (d, ps)) =>
+        acc.updated(d, acc.getOrElse(d, Nil) ++ ps)
+      }
+      windows.flatMap { w =>
+        val lo = math.max(w.windowStartMs, eLo)
+        val hi = math.min(w.windowEndMs, eHi)
+        if (lo >= hi) None // runtime-pruned window: never becomes a task
+        else Some(DruidInputPartition(w.segment.path, lo, hi,
+          readSchema.fieldNames.toSeq, mergedPreds, limit,
+          topN = topN.map(_._2).getOrElse(-1),
+          topDesc = topN.exists(_._1)): InputPartition)
+      }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new DruidSegmentReader.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    if (aggs.nonEmpty) DruidAggReaderFactory(conf, aggs)
-    else DruidPartitionReaderFactory(conf, readSchema)
+    groupDim match {
+      case Some(d) if aggs.nonEmpty => DruidGroupByReaderFactory(conf, aggs, d)
+      case _ if aggs.nonEmpty => DruidAggReaderFactory(conf, aggs)
+      case _ => DruidPartitionReaderFactory(conf, readSchema)
+    }
   }
 }
 
@@ -461,20 +609,59 @@ private[sources] final case class DruidAggReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DruidAggPartition]
-    val needBounds = aggs.exists(a => a != DruidAgg.RowCount)
-    val (count, mn, mx) =
-      if (p.segmentDir.isEmpty) (0L, None, None)
+    val needBounds = aggs.contains(DruidAgg.MinTime) || aggs.contains(DruidAgg.MaxTime)
+    val metricCols = DruidAgg.metricCols(aggs)
+    val (count, mn, mx, metrics) =
+      if (p.segmentDir.isEmpty)
+        (0L, None, None, metricCols.map(_ -> None).toMap)
       else DruidSegmentReader.aggregateWindow(conf.value, p.segmentDir,
-        p.windowLo, p.windowHi, p.fullCoverage, needBounds)
+        p.windowLo, p.windowHi, p.fullCoverage, needBounds, metricCols)
     val row = new GenericInternalRow(aggs.map[Any] {
       case DruidAgg.RowCount => count
       case DruidAgg.MinTime => mn.map(Long.box).orNull
       case DruidAgg.MaxTime => mx.map(Long.box).orNull
+      case DruidAgg.SumMetric(c) => metrics(c).map(a => Long.box(a.sum)).orNull
+      case DruidAgg.MinMetric(c) => metrics(c).map(a => Long.box(a.min)).orNull
+      case DruidAgg.MaxMetric(c) => metrics(c).map(a => Long.box(a.max)).orNull
     }.toArray)
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Grouped partial aggregates off the dim's inverted index: one
+  * output row per (window, dictionary value with rows in the window)
+  * — value chunks never decompress; Spark's final aggregate merges
+  * groups across windows (partial pushdown). */
+private[sources] final case class DruidGroupByReaderFactory(
+    conf: DruidSegmentReader.SerializableConfiguration,
+    aggs: Seq[DruidAgg], dim: String) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DruidAggPartition]
+    val needBounds = aggs.contains(DruidAgg.MinTime) || aggs.contains(DruidAgg.MaxTime)
+    val groups = DruidSegmentReader.aggregateGroupByWindow(conf.value, p.segmentDir,
+      dim, p.windowLo, p.windowHi, p.fullCoverage, needBounds, DruidAgg.metricCols(aggs))
+    val rows = groups.map { g =>
+      val cells = (if (g.value == null) null else UTF8String.fromString(g.value)) +:
+        aggs.map[Any] {
+          case DruidAgg.RowCount => g.count
+          case DruidAgg.MinTime => g.minT.map(Long.box).orNull
+          case DruidAgg.MaxTime => g.maxT.map(Long.box).orNull
+          case DruidAgg.SumMetric(c) => g.metrics(c).map(a => Long.box(a.sum)).orNull
+          case DruidAgg.MinMetric(c) => g.metrics(c).map(a => Long.box(a.min)).orNull
+          case DruidAgg.MaxMetric(c) => g.metrics(c).map(a => Long.box(a.max)).orNull
+        }
+      new GenericInternalRow(cells.toArray): InternalRow
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = rows.hasNext && { cur = rows.next(); true }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }

@@ -206,14 +206,170 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     val filtered = df.where(col("host") === "a").agg(count("*"))
     assert(!scanDescription(filtered).contains("PushedAggregates"), scanDescription(filtered))
     assert(filtered.collect().head.getLong(0) == 1L)
-    // group-by: not pushed, correct via normal decode
-    val grouped = df.groupBy("host").agg(count("*").as("n"))
+    // group-by over a LONG metric: only scalar string dims have an
+    // inverted index — declined, correct via normal decode
+    val grouped = df.groupBy("hits").agg(count("*").as("n"))
     assert(!scanDescription(grouped).contains("PushedAggregates"), scanDescription(grouped))
-    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toMap.values.forall(_ == 1L))
+    assert(grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap.values.forall(_ == 1L))
     // an unsupported agg in the mix declines the whole pushdown
-    val mixed = df.agg(count("*"), sum("hits"))
+    import org.apache.spark.sql.functions.avg
+    val mixed = df.agg(count("*"), avg("hits"))
     assert(!scanDescription(mixed).contains("PushedAggregates"), scanDescription(mixed))
-    assert(mixed.collect().head.getLong(1) == 150L)
+    assert(mixed.collect().head.getDouble(1) == 30.0)
+    // ...grouped or not
+    val groupedMixed = df.groupBy("host").agg(avg("hits").as("s"))
+    assert(!scanDescription(groupedMixed).contains("PushedAggregates"), scanDescription(groupedMixed))
+    assert(groupedMixed.collect().map(_.getDouble(1)).sum == 150.0)
+    // grouping by __time stays Spark-side (no per-timestamp bitmaps)
+    val byTime = df.groupBy("__time").agg(count("*"))
+    assert(!scanDescription(byTime).contains("PushedGroupBy"), scanDescription(byTime))
+    assert(byTime.collect().length == 5)
+  }
+
+  test("dsv2 aggregate pushdown: GROUP BY dim counts answer from the inverted index — no row decode") {
+    import org.apache.spark.sql.functions.{count, col, max, min}
+    val root = tmpDir()
+    // seg1: a,b,c,d,e (one row each); seg2 next day: a,a,f
+    writeSegment(new File(root, "seg1"))
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      Seq(t0 + day, t0 + day + 1000L, t0 + day + 2000L),
+      Seq(StrDim("host", Seq("a", "a", "f")), LongMet("hits", Seq(1L, 2L, 3L))),
+      t0 + day, t0 + 2 * day, version = "v1")
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+
+    val q = df.groupBy("host").agg(count("*").as("n"))
+    val d = scanDescription(q)
+    assert(d.contains("PushedAggregates: [COUNT(*)]") && d.contains("PushedGroupBy: [host]"), d)
+    DruidSegmentReader.decodedSegments.set(0)
+    DruidSegmentReader.decompressedChunks.set(0)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "e" -> 1L, "f" -> 1L))
+    assert(DruidSegmentReader.decodedSegments.get() == 0,
+      "grouped count must not row-decode")
+    assert(DruidSegmentReader.decompressedChunks.get() == 0,
+      "full-coverage grouped count reads dictionary + bitmaps only — no chunk may decompress")
+
+    // min/max(__time) per group: only the __time column decompresses
+    val qb = df.groupBy("host").agg(count("*").as("n"),
+      min("__time").as("lo"), max("__time").as("hi"))
+    assert(scanDescription(qb).contains("PushedGroupBy: [host]"), scanDescription(qb))
+    DruidSegmentReader.decodedSegments.set(0)
+    val b = qb.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(b("a") == ((3L, t0, t0 + day + 1000L)))
+    assert(b("f") == ((1L, t0 + day + 2000L, t0 + day + 2000L)))
+    assert(DruidSegmentReader.decodedSegments.get() == 0)
+
+    // time-clipped window: only seg2's first two rows are in scope
+    val qc = df.where(col("__time") >= t0 + day && col("__time") < t0 + day + 1500L)
+      .groupBy("host").agg(count("*").as("n"))
+    assert(scanDescription(qc).contains("PushedGroupBy: [host]"), scanDescription(qc))
+    assert(qc.collect().map(r => (r.getString(0), r.getLong(1))).toMap == Map("a" -> 2L))
+
+    // empty interval → empty grouped result (NOT a zero row)
+    val qe = df.where(col("__time") >= t0 + 10 * day).groupBy("host").agg(count("*"))
+    assert(qe.collect().isEmpty)
+
+    // cross-check grouped pushdown against the full-decode path
+    val unpushed = df.groupBy("host").agg(count("*").as("n"), min("__time").as("lo"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(unpushed.view.mapValues(_._1).toMap == got)
+  }
+
+  test("dsv2 aggregate pushdown: long-metric sum/min/max, global and grouped; doubles decline") {
+    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+    val root = tmpDir()
+    // seg1: hosts a,a,b with hits 10,20,30; seg2 next day: a,b with 5,7
+    DruidSegmentWriter.write(new File(root, "seg1"), "fixture",
+      Seq(t0, t0 + 1000L, t0 + 2000L),
+      Seq(StrDim("host", Seq("a", "a", "b")),
+        LongMet("hits", Seq(10L, 20L, 30L)),
+        DoubleMet("revenue", Seq(1.5, 2.5, 3.5))),
+      t0, t0 + day)
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      Seq(t0 + day, t0 + day + 1000L),
+      Seq(StrDim("host", Seq("a", "b")),
+        LongMet("hits", Seq(5L, 7L)),
+        DoubleMet("revenue", Seq(0.5, 0.25))),
+      t0 + day, t0 + 2 * day)
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+
+    // global: count + sum/min/max(hits) off metric column alone
+    val g = df.agg(count("*").as("n"), sum("hits").as("s"),
+      min("hits").as("lo"), max("hits").as("hi"))
+    val d = scanDescription(g)
+    assert(d.contains("SUM(hits)") && d.contains("MIN(hits)") && d.contains("MAX(hits)"), d)
+    DruidSegmentReader.decodedSegments.set(0)
+    val gr = g.collect().head
+    assert((gr.getLong(0), gr.getLong(1), gr.getLong(2), gr.getLong(3)) == ((5L, 72L, 5L, 30L)))
+    assert(DruidSegmentReader.decodedSegments.get() == 0, "metric aggs must not row-decode")
+
+    // grouped: per-host sums via bitmap ∧ rows over the metric column
+    val q = df.groupBy("host").agg(sum("hits").as("s"), count("*").as("n"))
+    assert(scanDescription(q).contains("PushedGroupBy: [host]") &&
+      scanDescription(q).contains("SUM(hits)"), scanDescription(q))
+    DruidSegmentReader.decodedSegments.set(0)
+    val got = q.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((35L, 3L)), "b" -> ((37L, 2L))))
+    assert(DruidSegmentReader.decodedSegments.get() == 0)
+
+    // time-clipped grouped sum (partial coverage path)
+    val qc = df.where(col("__time") >= t0 + 1000L && col("__time") < t0 + day + 500L)
+      .groupBy("host").agg(sum("hits").as("s"))
+    assert(scanDescription(qc).contains("SUM(hits)"), scanDescription(qc))
+    assert(qc.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 25L, "b" -> 30L))
+
+    // DOUBLE metrics never push (FP addition is order-dependent);
+    // results still correct via normal decode
+    val dq = df.agg(sum("revenue").as("s"))
+    assert(!scanDescription(dq).contains("PushedAggregates"), scanDescription(dq))
+    assert(math.abs(dq.collect().head.getDouble(0) - 8.25) < 1e-9)
+
+    // schema evolution: a segment lacking the metric contributes null
+    // partials, matching the unpushed null-fill semantics
+    val root2 = tmpDir()
+    writeSegment(new File(root2, "seg1")) // has hits
+    DruidSegmentWriter.write(new File(root2, "seg2"), "fixture",
+      Seq(t0 + day), Seq(StrDim("host", Seq("z")), LongMet("clicks", Seq(3L))),
+      t0 + day, t0 + 2 * day)
+    val df2 = spark.read.format("druid-segments").load(root2.getAbsolutePath)
+    val e = df2.groupBy("host").agg(sum("hits").as("s"))
+    assert(scanDescription(e).contains("SUM(hits)"), scanDescription(e))
+    val em = e.collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(em("z").isEmpty, "sum over an absent metric column must be NULL")
+    assert(em("a") == Some(10L))
+  }
+
+  test("dsv2 grouped pushdown: overshadow clips and evolved segments null-group") {
+    import org.apache.spark.sql.functions.count
+    val root = tmpDir()
+    // v1 covers the day (5 rows a-e); v2 re-ingests the second half-day
+    // → visible: v1 rows with ts < t0+day/2 (a,b,c) + v2's (x,y)
+    writeSegment(new File(root, "seg1"), version = "v1")
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      Seq(t0 + day / 2, t0 + day / 2 + 1000L),
+      Seq(StrDim("host", Seq("x", "y")), LongMet("hits", Seq(1L, 2L))),
+      t0 + day / 2, t0 + day, version = "v2")
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val q = df.groupBy("host").agg(count("*").as("n"))
+    assert(scanDescription(q).contains("PushedGroupBy: [host]"), scanDescription(q))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "x" -> 1L, "y" -> 1L))
+
+    // schema evolution: a segment WITHOUT the grouped dim contributes
+    // its window rows to the null group
+    val root2 = tmpDir()
+    writeSegment(new File(root2, "seg1"))
+    DruidSegmentWriter.write(new File(root2, "seg2"), "fixture",
+      Seq(t0 + day, t0 + day + 1000L),
+      Seq(StrDim("country", Seq("US", "DE")), LongMet("clicks", Seq(7L, 8L))),
+      t0 + day, t0 + 2 * day, version = "v1")
+    val df2 = spark.read.format("druid-segments").load(root2.getAbsolutePath)
+    val q2 = df2.groupBy("host").agg(count("*").as("n"))
+    assert(scanDescription(q2).contains("PushedGroupBy: [host]"), scanDescription(q2))
+    val got2 = q2.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got2 == Map(Some("a") -> 1L, Some("b") -> 1L, Some("c") -> 1L,
+      Some("d") -> 1L, Some("e") -> 1L, (None: Option[String]) -> 2L), s"got $got2")
   }
 
   test("dsv2 aggregate pushdown: partial overshadow counts only timeline-visible rows") {
@@ -236,6 +392,104 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(r.getLong(2) == t0 + day / 2 + 1000L)
     // cross-check against the non-agg (full row decode) path
     assert(df.collect().length == 5)
+  }
+
+  test("dsv2 runtime filtering: join-side dim values skip segments; __time values drop windows") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1")) // day 1: hosts a-e
+    writeSegment(new File(root, "seg2"), intervalStart = t0 + day, intervalEnd = t0 + 2 * day,
+      hosts = Seq("f", "g", "h", "i", "j"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+
+    // the Scan offers __time and every string dim for runtime filtering
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val attrs = scan.filterAttributes().map(_.fieldNames.mkString(".")).toSet
+    assert(attrs == Set("__time", "host"), attrs.toString)
+
+    // dim runtime filter: seg1's dictionary lacks every value → the
+    // task short-circuits without decoding a chunk
+    val dscan = new DruidScan(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root.getAbsolutePath)),
+      df.schema, Array.empty, Long.MinValue, Long.MaxValue, Map.empty)
+    dscan.filter(Array[org.apache.spark.sql.sources.Filter](In("host", Array("f", "g"))))
+    val parts = dscan.planInputPartitions()
+    assert(parts.length == 2, "dim pruning is task-side; both windows plan")
+    assert(parts.forall(_.asInstanceOf[DruidInputPartition]
+      .preds.get("host").exists(_.nonEmpty)))
+
+    // __time runtime filter: out-of-range windows never become tasks
+    val tscan = new DruidScan(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root.getAbsolutePath)),
+      df.schema, Array.empty, Long.MinValue, Long.MaxValue, Map.empty)
+    tscan.filter(Array[org.apache.spark.sql.sources.Filter](In("__time", Array(Long.box(t0 + day), Long.box(t0 + day + 5000L)))))
+    assert(tscan.planInputPartitions().length == 1, "day-1 window must be runtime-pruned")
+    // an all-null build side prunes everything
+    val escan = new DruidScan(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root.getAbsolutePath)),
+      df.schema, Array.empty, Long.MinValue, Long.MaxValue, Map.empty)
+    escan.filter(Array[org.apache.spark.sql.sources.Filter](In("__time", Array.empty[Any])))
+    assert(escan.planInputPartitions().isEmpty)
+    // equality form
+    val eqscan = new DruidScan(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root.getAbsolutePath)),
+      df.schema, Array.empty, Long.MinValue, Long.MaxValue, Map.empty)
+    eqscan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("host", "f"), EqualTo("__time", Long.box(t0 + day))))
+    assert(eqscan.planInputPartitions().length == 1)
+
+    // end-to-end: Spark injects a dynamic-pruning subquery on the join
+    // key (DPP over DSv2), and only the matching segment decodes. The
+    // dim side must be FILE-backed: a local relation constant-folds
+    // its Filter away and Spark no longer sees a selective predicate
+    // to prune with.
+    val dimPath = new File(root, "dimtab").getAbsolutePath
+    spark.createDataFrame(Seq(("f", "keep"), ("g", "keep"), ("x", "drop")))
+      .toDF("host", "grp").write.mode("overwrite").parquet(dimPath)
+    val dim = broadcast(spark.read.parquet(dimPath).where(col("grp") === "keep"))
+    val q = df.join(dim, "host").select("host", "hits")
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("f", 10L), ("g", 20L)))
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"expected a DPP runtime filter on the druid scan, plan:\n$planStr")
+    DruidSegmentReader.decodedSegments.set(0)
+    assert(q.collect().length == 2)
+    assert(DruidSegmentReader.decodedSegments.get() == 1,
+      s"runtime dim filter must dictionary-skip seg1, plan:\n$planStr")
+  }
+
+  test("dsv2 reported ordering: __time sort is eliminated; writer restores the invariant") {
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    // per-partition sort requirement: the reported ordering satisfies
+    // it, so no Sort node plans (a GLOBAL order-by still exchanges —
+    // Spark's V2 scans never report SinglePartition)
+    val q = df.select("__time", "host").sortWithinPartitions("__time")
+    val ts = q.collect().map(_.getLong(0)).toSeq
+    assert(ts == ts.sorted && ts.length == 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*\\bSort \\[.*"),
+      s"reported __time ordering must eliminate the per-partition Sort:\n$plan")
+
+    // the invariant's source: unsorted input is sorted AT WRITE —
+    // rows permute together, equal-time rows stay stable
+    val root2 = tmpDir()
+    DruidSegmentWriter.write(new File(root2, "seg1"), "fixture",
+      Seq(t0 + 3000L, t0 + 1000L, t0 + 2000L),
+      Seq(StrDim("host", Seq("c", "a", "b")), LongMet("hits", Seq(3L, 1L, 2L))),
+      t0, t0 + day)
+    val rows = spark.read.format("druid-segments").load(root2.getAbsolutePath)
+      .select("__time", "host", "hits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((t0 + 1000L, "a", 1L), (t0 + 2000L, "b", 2L), (t0 + 3000L, "c", 3L)))
   }
 
   test("dsv2 limit pushdown: partial per-partition limit stops chunk decode early") {
