@@ -494,6 +494,45 @@ object PipelineQueries {
 
   val annIvfIndexedSql: String = annIvfSql
 
+  /** SQ8-quantized ANN: per-dimension corpus min/max bounds, one
+    * unsigned byte per dimension (BINARY codes — 4× smaller than
+    * float32), ranked by the dequantized (ADC) cosine. Every step —
+    * the min/max fit, the affine code formula, the bin-center
+    * reconstruction, the sequential cosine fold — is exactly-rounded
+    * IEEE arithmetic mirrored verbatim by DuckDB, so the quantized
+    * top-k hash-matches end-to-end: a value-level gate on the whole
+    * quantization path, scores included. */
+  def annQuantized(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantization
+      .quantizedTopK(embs(s, d), queriesDf(s, d), "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+
+  val annQuantizedSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, j, v[j] AS x
+      |      FROM v, LATERAL (SELECT unnest(range(1, len(v)+1)) AS j) t),
+      |stats AS (SELECT j, min(x) lo, max(x) hi FROM e GROUP BY j),
+      |rec AS (SELECT vec_id, list(lo + (code + 0.5) * (hi - lo) / 255.0 ORDER BY j) AS rv
+      |  FROM (SELECT vec_id, j, lo, hi,
+      |          CASE WHEN hi = lo THEN 0
+      |               ELSE least(255, greatest(0,
+      |                      floor((x - lo) * 255.0 / (hi - lo))))::BIGINT
+      |          END AS code
+      |        FROM e JOIN stats USING (j))
+      |  GROUP BY vec_id),
+      |d AS (SELECT vec_id, rv,
+      |        sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM rec),
+      |s AS (SELECT q.vec_id q_id, n.vec_id n_id,
+      |        list_sum(list_transform(list_zip(q.rv, n.rv), p -> p[1]*p[2]))
+      |          / (q.nrm * n.nrm) qcos
+      |      FROM d q, d n WHERE q.vec_id < 5 AND n.vec_id != q.vec_id),
+      |r AS (SELECT q_id, n_id, qcos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) rank
+      |      FROM s)
+      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---- text analysis ----
 
   def langIdQ(s: SparkSession, d: String): DataFrame =
