@@ -53,6 +53,46 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-based corpus rebalancing (the multilingual-pretraining
+    * recipe: sample groups proportional to pᵢ^α, α ∈ (0,1], so
+    * high-resource groups shrink and the mixture flattens — Conneau &
+    * Lample 2019 §3.1). Downsampling-only formulation: group g with
+    * count c_g keeps rate r_g = (c_min / c_g)^(1-α), giving surviving
+    * counts ∝ c_g^α with the smallest group kept whole (a filter
+    * engine cannot up-sample; callers wanting replication compose with
+    * an explode). α = 1 keeps everything; α → 0 flattens toward the
+    * smallest group's size.
+    *
+    * Determinism/mirroring: membership is the usual xxhash64 bucket
+    * cut. For α = 0.5 the rate is `sqrt(c_min/c_g)` — sqrt and the
+    * bucket-cut arithmetic are exactly-rounded IEEE ops, so a SQL
+    * oracle reproduces membership bit-exactly (`pow` for general α is
+    * correctly-rounded on neither JVM nor DuckDB, so only the α = 0.5
+    * gate is hash-checked; other α are spec-tested in-Scala).
+    *
+    * Scale shape: ONE map-side-combined count aggregate over the
+    * corpus (the shuffle carries distinct groups per partition), a
+    * scalar c_min off that bounded table, then a group-keyed
+    * AQE-broadcast join of the cut table back onto the corpus and a
+    * pushable hash filter — no corpus shuffle. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, seed: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // materialized: consumed by the scalar c_min AND the join below —
+    // without truncation each consumer re-runs the corpus count
+    val counts = Materialize(df.groupBy(groupCol).count())
+    val cMin = counts.agg(min(col("count"))).head.getLong(0)
+    val rate =
+      if (alpha == 0.5) sqrt(lit(cMin.toDouble) / col("count").cast("double"))
+      else pow(lit(cMin.toDouble) / col("count").cast("double"), lit(1.0 - alpha))
+    val cuts = counts.select(col(groupCol),
+      floor(rate * lit(Buckets.toDouble)).as("__graft_cut"))
+    df.join(cuts, Seq(groupCol))
+      .filter(bucket(col(idCol), seed) < col("__graft_cut"))
+      .drop("__graft_cut")
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Per-group quota: keep at most `maxPerGroup` rows per `groupCol`
     * value — the crawl-pipeline domain cap ("no single site dominates
     * the corpus"). Selection is a uniform-but-reproducible sample:

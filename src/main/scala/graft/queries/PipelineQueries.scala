@@ -385,6 +385,33 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature rebalancing over the (skewed) lang distribution at
+    * α = 0.5: en (218 docs at sf0.01) keeps sqrt(64/218) ≈ 54%, the
+    * smallest lang keeps 100%. Membership-level oracle: DuckDB
+    * recomputes the per-lang counts, the sqrt rate (exactly-rounded
+    * IEEE ops), and the engine's bucket hash via SqlHash. */
+  def temperatureQ(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5)
+      .orderBy("doc_id")
+
+  val temperatureSql: String = {
+    val inner = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(0L, org.apache.spark.sql.types.LongType, 42L)
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id", "lang"), seed = inner, out = "h")
+    s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |cuts AS (SELECT lang,
+       |    floor(sqrt((SELECT min(cnt) FROM c)::DOUBLE / cnt::DOUBLE)
+       |          * 1048576.0)::BIGINT AS cut FROM c),
+       |d0 AS (SELECT doc_id, lang FROM documents),
+       |$steps
+       |SELECT doc_id, lang FROM hx JOIN cuts USING (lang)
+       |WHERE h % 1048576::HUGEINT < cut::HUGEINT
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- per-source quota ----
 
   /** Domain/source quota: ≤10 docs per source, chosen by the

@@ -77,4 +77,35 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
   }
+
+  test("temperatureSample flattens the mixture toward c^alpha") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // skewed groups: a=600, b=150, c=50
+    val df = spark.range(0, 800).toDF("id")
+      .withColumn("grp", when(col("id") < 600, lit("a"))
+        .when(col("id") < 750, lit("b")).otherwise(lit("c")))
+    val out = Sampling.temperatureSample(df, "id", "grp", alpha = 0.5)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected keep rates: sqrt(50/600)=.2887, sqrt(50/150)=.5774, 1.0
+    // membership matches the exact per-row reference
+    val ref = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val rates = Map("a" -> math.sqrt(50.0 / 600), "b" -> math.sqrt(50.0 / 150), "c" -> 1.0)
+    val cuts = rates.view.mapValues(r => math.floor(r * (1L << 20)).toLong).toMap
+    def bucketOf(id: Long): Long = {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.LongType
+      val inner = XxHash64Function.hash(0L, LongType, 42L)
+      val h = XxHash64Function.hash(id, LongType, inner)
+      ((h % (1L << 20)) + (1L << 20)) % (1L << 20)
+    }
+    val expect = ref.filter { case (id, g) => bucketOf(id) < cuts(g) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(byGrp == expect, s"got $byGrp expect $expect")
+    // smallest group survives whole; ordering of survivor counts flattens
+    assert(byGrp("c") == 50L)
+    assert(byGrp("a") < 600L * 6 / 10, "large group must be downsampled")
+    // alpha=1 keeps everything
+    assert(Sampling.temperatureSample(df, "id", "grp", alpha = 1.0).count() == 800)
+  }
 }
