@@ -188,6 +188,46 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(topK)
 
+  /** Per-document top-k distinctive terms by TF-IDF — the classic
+    * keyword/topic signal over a corpus (term frequent in THIS doc,
+    * rare across docs). Scoring uses the rational-idf variant
+    * `score = tf × 10⁹ div df` (idf = 1/df, fixed-point): integer
+    * arithmetic end-to-end, so ranking is deterministic and the SQL
+    * oracle is bit-exact — log-idf (`tf·ln(N/df)`) re-weights tf
+    * against idf but `ln` is not correctly rounded on either engine,
+    * which would make a cross-engine hash gate dishonest. N (the doc
+    * count) scales all scores equally and cancels from per-doc ranks.
+    *
+    * Scale shape: explode is map-side; the (doc, term) tf aggregate is
+    * ONE corpus shuffle, and the tf table is MATERIALIZED before its
+    * two consumers (the df aggregate and the join) — otherwise each
+    * re-derives it from a full corpus re-scan + re-shuffle
+    * (spec-pinned: exactly one corpus FileScan in the executed plan).
+    * A window `count() over (partition by term)` would avoid the
+    * second pass entirely but buffers each term's partition on one
+    * task — a hot stopword at corpus scale is a one-task skew trap, so
+    * df stays a (partial-aggregating, skew-immune) groupBy. df is
+    * vocabulary-sized, so the tf⋈df join is AQE-broadcast at moderate
+    * vocabularies and a token-keyed shuffle beyond; rank ≤ k plans as
+    * WindowGroupLimit (bounded per-task heaps). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val tf = Materialize(
+      df.select(col(idCol), explode(words(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", expr("tf * CAST(1000000000 AS BIGINT) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Overlapping token-window chunks for training-sequence prep:
     * window `window` tokens, stride `stride` (< window ⇒ overlap of
     * window − stride). Chunk grid = ceil((n − window)/stride) + 1, so

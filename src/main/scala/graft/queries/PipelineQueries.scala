@@ -1028,6 +1028,29 @@ object PipelineQueries {
       |GROUP BY word HAVING count(*) >= 5
       |ORDER BY n DESC, word ASC LIMIT 200""".stripMargin
 
+  /** Top-3 distinctive terms per document by fixed-point TF-IDF —
+    * integer (tf, df, score) end-to-end, hash-exact vs the DuckDB
+    * mirror (same space tokenization, same `div` arithmetic: both
+    * engines truncate/floor identically on positive operands). */
+  def tfidfQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val tfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      |       WHERE term <> '' GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |sc AS (SELECT doc_id, term, tf, df, tf * 1000000000 // df AS score
+      |       FROM tf JOIN dfq USING (term)),
+      |r AS (SELECT doc_id, term, tf, df, score,
+      |        CAST(row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, term) AS INT) AS rank
+      |      FROM sc)
+      |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   // ---- document chunking ----
 
   /** Overlapping token-window chunks (window 40, stride 30) — the

@@ -166,4 +166,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits.contains((1L, 100L)) && hits.contains((3L, 100L)))
     assert(!hits.exists(_._1 == 2L), "unrelated doc must not be flagged")
   }
+
+  test("tfidfTopTerms matches an in-memory reference of the same scoring") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple elderberry  elderberry"), // double space → empty token dropped
+      (4L, "date cherry date date")
+    )
+    // reference: tf per (doc, term), df per term, score = tf*1e9/df
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, g) => (id, w, g.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val ref = tf.map { case (id, w, f) =>
+      (id, w, f, dfm(w), f * 1000000000L / dfm(w))
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, w, _, _, s) => (-s, w) }.take(2)
+        .zipWithIndex.map { case ((id, w, f, d, s), i) => (w, f, d, s, i + 1) }
+    ).toMap
+    val got = TextAnalysis.tfidfTopTerms(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toSeq)
+      .toMap
+    assert(got == ref, s"got $got\nref $ref")
+  }
+
+  test("tfidfTopTerms scans the corpus once and heaps top-k") {
+    val df = graft.Tables.documents(spark, sf())
+    val q = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+    // tf is materialized before its two consumers (df agg + join):
+    // without that, each re-derives it from a full corpus re-scan
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0, // materialized tf truncates lineage: no corpus scan in final plan
+      s"expected the corpus scan to happen once inside Materialize, got $scans:\n$plan")
+  }
 }
