@@ -667,4 +667,63 @@ object SegmentQueries {
       "SELECT * FROM (VALUES\n", ",\n",
       ") AS t(host, n, sum_hits, t_first, t_last) ORDER BY host")
   }
+
+  /** DSv2 WRITE path under the driver gate: a 3-day slice of `events`
+    * is written as REAL Druid v9 DAY segments through
+    * `df.write.format("druid-segments")` (staged to a fresh dir,
+    * `_COMPLETE`-sentineled, atomically promoted — once per sf), read
+    * back through the DSv2 table, and aggregated per event_type. The
+    * oracle computes the same aggregate from the ORIGINAL parquet in
+    * DuckDB, so the whole write→publish→discover→decode chain gates on
+    * value equality: any loss, duplication, or reorder in the writer's
+    * chunking/sharding/commit protocol breaks the hash. */
+  def druidWrite(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_druid_write_w${graft.sources.DruidSegmentWriter.FormatVersion}_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${root.getName}_build_${java.util.UUID.randomUUID}")
+      Tables.events(spark, sfDir)
+        .where(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(unix_millis(col("ts")).as("__time"),
+          col("event_type"), col("user_id"), col("value"))
+        .write.format("druid-segments").mode("append")
+        .option("dataSource", "events_rt")
+        .option("segmentGranularity", "DAY")
+        .option("version", "v1")
+        .save(staging.getAbsolutePath)
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"druid write fixture promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "events_rt")
+      .load(root.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.dsum(col("value")).as("sum_value"),
+        sum(col("user_id")).as("sum_uid"),
+        min(col("__time")).as("t_min"),
+        max(col("__time")).as("t_max"))
+      .orderBy("event_type")
+  }
+
+  val druidWriteSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${graft.queries.Exact.sqlSum("value")} AS sum_value,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       |  min(epoch_ms(ts)) AS t_min, max(epoch_ms(ts)) AS t_max
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

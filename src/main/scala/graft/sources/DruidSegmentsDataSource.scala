@@ -68,7 +68,19 @@ class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val segs = DruidSegmentsDataSource.discover(spark, options)
+    // a WRITE to a fresh deep-storage root has no segments to infer
+    // from: return an empty schema (the table declares
+    // ACCEPT_ANY_SCHEMA, and the WriteBuilder validates the query
+    // schema itself); READS over the empty tree still fail loudly in
+    // discover() when the scan builds
+    val segs =
+      try DruidSegmentsDataSource.discover(spark, options)
+      catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("option 'path'") => throw e
+        case _: IllegalArgumentException => return StructType(Nil)
+        case _: java.io.FileNotFoundException => return StructType(Nil)
+      }
     // UNION schema across TIMELINE-VISIBLE segments: Druid datasources
     // evolve their dimension set per-interval, so no single segment is
     // authoritative — but overshadowed generations can never be read,
@@ -115,7 +127,8 @@ private[sources] object DruidSegmentsDataSource {
 
 private[sources] class DruidSegmentsTable(tableSchema: StructType,
                                           options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = {
     val ds = Option(options.get("dataSource")).map(d => s"/$d").getOrElse("")
@@ -124,11 +137,29 @@ private[sources] class DruidSegmentsTable(tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  // ACCEPT_ANY_SCHEMA: the write schema is the QUERY's schema (segments
+  // are schemaless across intervals — Druid datasources evolve; the
+  // WriteBuilder validates the mapping itself and fails loudly), which
+  // also lets the FIRST write into an empty tree plan without an
+  // inferred table schema.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new DruidScanBuilder(tableSchema, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(info.options().asCaseSensitiveMap())
+    val mergedMap = new CaseInsensitiveStringMap(merged)
+    val root = Option(mergedMap.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "druid-segments write: option 'path' (deep-storage root) is required"))
+    new DruidWriteBuilder(info, root, mergedMap)
+  }
 }
 
 /** Accumulates Catalyst's pushdown into (interval ∩ __time bounds,
