@@ -42,13 +42,20 @@ object DruidSegmentWriter {
   final case class DoubleMet(name: String, rows: Seq[Double]) extends Col
   final case class ComplexMet(name: String, typeName: String, rows: Seq[Array[Byte]]) extends Col
 
-  private val SizePer = 2 // values per compressed chunk — forces multi-chunk
+  /** Values per compressed chunk for FIXTURES: tiny so every column
+    * spans several LZ4 chunks and the reader's chunk walk gets real
+    * coverage. Production writes (the DSv2 write path) pass a real
+    * `sizePer` — a 2-value chunk would explode chunk-index overhead
+    * and kill decode throughput at segment scale. */
+  private val FixtureSizePer = 2
 
   /** Write a complete segment dir (descriptor.json + index.zip). */
   def write(dir: File, dataSource: String, times: Seq[Long], cols: Seq[Col],
             intervalStartMs: Long, intervalEndMs: Long,
             version: String = "2020-01-01T00:00:00.000Z",
-            shardNum: Int = 0, numShards: Int = 1): Unit = {
+            shardNum: Int = 0, numShards: Int = 1,
+            sizePer: Int = FixtureSizePer): Unit = {
+    require(sizePer >= 1, s"sizePer must be positive, got $sizePer")
     require(cols.forall(c => rowCount(c) == times.size), "all columns need times.size rows")
     // the Druid segment contract every reader fast path assumes: all
     // rows lie within the declared interval (real Druid guarantees
@@ -86,18 +93,18 @@ object DruidSegmentWriter {
     val internal = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
     internal("index.drd") = indexDrd(dims ++ mets, dims, times.min, times.max)
     internal("__time") = columnFile("""{"valueType":"LONG","hasMultipleValues":false}""",
-      longsSupplier(sortedTimes))
+      longsSupplier(sortedTimes, sizePer))
     sortedCols.foreach {
       case StrDim(n, rows) => internal(n) = columnFile(
-        """{"valueType":"STRING","hasMultipleValues":false}""", svStringColumn(rows))
+        """{"valueType":"STRING","hasMultipleValues":false}""", svStringColumn(rows, sizePer))
       case MvDim(n, rows) => internal(n) = columnFile(
-        """{"valueType":"STRING","hasMultipleValues":true}""", mvStringColumn(rows))
+        """{"valueType":"STRING","hasMultipleValues":true}""", mvStringColumn(rows, sizePer))
       case LongMet(n, rows) => internal(n) = columnFile(
-        """{"valueType":"LONG","hasMultipleValues":false}""", longsSupplier(rows))
+        """{"valueType":"LONG","hasMultipleValues":false}""", longsSupplier(rows, sizePer))
       case FloatMet(n, rows) => internal(n) = columnFile(
-        """{"valueType":"FLOAT","hasMultipleValues":false}""", floatsSupplier(rows))
+        """{"valueType":"FLOAT","hasMultipleValues":false}""", floatsSupplier(rows, sizePer))
       case DoubleMet(n, rows) => internal(n) = columnFile(
-        """{"valueType":"DOUBLE","hasMultipleValues":false}""", doublesSupplier(rows))
+        """{"valueType":"DOUBLE","hasMultipleValues":false}""", doublesSupplier(rows, sizePer))
       case ComplexMet(n, t, rows) => internal(n) = columnFile(
         s"""{"valueType":"COMPLEX","complexType":"$t","hasMultipleValues":false}""",
         genericIndexed(rows))
@@ -210,25 +217,25 @@ object DruidSegmentWriter {
     head.array() ++ chunks
   }
 
-  private def longsSupplier(rows: Seq[Long]): Array[Byte] =
-    supplier(rows.size, SizePer, leBytes(rows.size * 8, b => rows.foreach(b.putLong)), 8)
+  private def longsSupplier(rows: Seq[Long], sizePer: Int): Array[Byte] =
+    supplier(rows.size, sizePer, leBytes(rows.size * 8, b => rows.foreach(b.putLong)), 8)
 
-  private def floatsSupplier(rows: Seq[Float]): Array[Byte] =
-    supplier(rows.size, SizePer, leBytes(rows.size * 4, b => rows.foreach(b.putFloat)), 4)
+  private def floatsSupplier(rows: Seq[Float], sizePer: Int): Array[Byte] =
+    supplier(rows.size, sizePer, leBytes(rows.size * 4, b => rows.foreach(b.putFloat)), 4)
 
-  private def doublesSupplier(rows: Seq[Double]): Array[Byte] =
-    supplier(rows.size, SizePer, leBytes(rows.size * 8, b => rows.foreach(b.putDouble)), 8)
+  private def doublesSupplier(rows: Seq[Double], sizePer: Int): Array[Byte] =
+    supplier(rows.size, sizePer, leBytes(rows.size * 8, b => rows.foreach(b.putDouble)), 8)
 
-  private def intsSupplier(rows: Seq[Int]): Array[Byte] =
-    supplier(rows.size, SizePer, leBytes(rows.size * 4, b => rows.foreach(b.putInt)), 4)
+  private def intsSupplier(rows: Seq[Int], sizePer: Int): Array[Byte] =
+    supplier(rows.size, sizePer, leBytes(rows.size * 4, b => rows.foreach(b.putInt)), 4)
 
   /** CompressedVSizeInts: little-endian packed ints of numBytes each. */
-  private def vsizeIntsSupplier(rows: Seq[Int], numBytes: Int): Array[Byte] = {
+  private def vsizeIntsSupplier(rows: Seq[Int], numBytes: Int, sizePer: Int): Array[Byte] = {
     val body = new Array[Byte](rows.size * numBytes)
     rows.zipWithIndex.foreach { case (v, i) =>
       (0 until numBytes).foreach(b => body(i * numBytes + b) = ((v >> (8 * b)) & 0xff).toByte)
     }
-    supplier(rows.size, SizePer, body, numBytes, Some(numBytes))
+    supplier(rows.size, sizePer, body, numBytes, Some(numBytes))
   }
 
   private def dictOf(values: Seq[String]): IndexedSeq[String] =
@@ -240,12 +247,12 @@ object DruidSegmentWriter {
     * dictionary entry (the rows holding that value), exactly what
     * Druid's DictionaryEncodedColumnPartSerde emits and what the
     * reference's reader prunes rows with. */
-  private def svStringColumn(rows: Seq[String]): Array[Byte] = {
+  private def svStringColumn(rows: Seq[String], sizePer: Int): Array[Byte] = {
     val dict = dictOf(rows)
     val ids = rows.map(dict.indexOf)
     ByteBuffer.allocate(5).put(2.toByte).putInt(0).array() ++
       genericIndexed(dict.map(_.getBytes(StandardCharsets.UTF_8))) ++
-      vsizeIntsSupplier(ids, numBytesFor(dict.size)) ++
+      vsizeIntsSupplier(ids, numBytesFor(dict.size), sizePer) ++
       bitmapRegion(dict.indices.map(e => ids.zipWithIndex.collect {
         case (id, row) if id == e => row
       }))
@@ -257,15 +264,15 @@ object DruidSegmentWriter {
     * vsize ints column of all row values concatenated, then the
     * roaring bitmap index (a row is in a value's bitmap when ANY of
     * its values matches). */
-  private def mvStringColumn(rows: Seq[Seq[String]]): Array[Byte] = {
+  private def mvStringColumn(rows: Seq[Seq[String]], sizePer: Int): Array[Byte] = {
     val dict = dictOf(rows.flatten)
     val flat = rows.flatten.map(dict.indexOf)
     val offsets = rows.scanLeft(0)(_ + _.size)
     ByteBuffer.allocate(5).put(2.toByte).putInt(0x2).array() ++
       genericIndexed(dict.map(_.getBytes(StandardCharsets.UTF_8))) ++
       Array(3.toByte) ++
-      intsSupplier(offsets) ++
-      vsizeIntsSupplier(flat, numBytesFor(dict.size)) ++
+      intsSupplier(offsets, sizePer) ++
+      vsizeIntsSupplier(flat, numBytesFor(dict.size), sizePer) ++
       bitmapRegion(dict.indices.map(e => rows.zipWithIndex.collect {
         case (vs, row) if vs.exists(v => dict.indexOf(v) == e) => row
       }))

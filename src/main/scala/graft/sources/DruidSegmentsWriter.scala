@@ -151,24 +151,31 @@ private[sources] class DruidWriteBuilder(
       val maxRows = Option(options.get("maxRowsPerSegment")).map(_.toInt)
         .getOrElse(5000000)
       require(maxRows >= 1, s"maxRowsPerSegment must be >= 1, got $maxRows")
+      // values per LZ4 chunk — the production default (4096) keeps the
+      // chunk index small and decode sequential; the fixture writer's
+      // tiny default exists only to exercise multi-chunk decode paths
+      val rowsPerChunk = Option(options.get("rowsPerChunk")).map(_.toInt)
+        .getOrElse(4096)
+      require(rowsPerChunk >= 1, s"rowsPerChunk must be >= 1, got $rowsPerChunk")
       // schema validated ONCE at planning — a bad column fails the
       // write before any task runs
       DruidSegmentsWrite.plan(info.schema())
       val conf = new DruidSegmentReader.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
       new DruidBatchWrite(root, dataSource, granMs, version, maxRows,
-        info.schema(), conf)
+        rowsPerChunk, info.schema(), conf)
     }
   }
 }
 
 private[sources] class DruidBatchWrite(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    DruidDataWriterFactory(root, dataSource, granMs, version, maxRows, schema, conf)
+    DruidDataWriterFactory(root, dataSource, granMs, version, maxRows,
+      rowsPerChunk, schema, conf)
 
   /** Publish: assign numbered shard ids per chunk across every task's
     * staged segments, then write each segment's descriptor.json — the
@@ -232,11 +239,12 @@ private[sources] class DruidBatchWrite(
 
 private[sources] final case class DruidDataWriterFactory(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DruidDataWriter(root, dataSource, granMs, version, maxRows, schema, conf)
+    new DruidDataWriter(root, dataSource, granMs, version, maxRows,
+      rowsPerChunk, schema, conf)
 }
 
 /** Per-task writer: buffers rows per time chunk, flushing a segment
@@ -246,7 +254,7 @@ private[sources] final case class DruidDataWriterFactory(
   * chunkMs)`) to keep one live chunk per task at large scale. */
 private[sources] class DruidDataWriter(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
@@ -337,7 +345,7 @@ private[sources] class DruidDataWriter(
     val tmp = java.nio.file.Files.createTempDirectory("graft_druid_write_").toFile
     try {
       DruidSegmentWriter.write(tmp, dataSource, buf.times.toSeq, cols, lo, hi,
-        version = version)
+        version = version, sizePer = rowsPerChunk)
       val uuid = UUID.randomUUID().toString
       val destDir = s"$root/$dataSource/${lo}_$hi/$version/$uuid"
       val dest = new HPath(destDir)
