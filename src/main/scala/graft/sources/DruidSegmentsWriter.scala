@@ -94,11 +94,26 @@ private[sources] object DruidSegmentsWrite {
   case object KLong extends Kind
   case object KFloat extends Kind
   case object KDouble extends Kind
+  final case class KComplex(typeName: String) extends Kind
 
   final case class ColPlan(name: String, idx: Int, kind: Kind)
 
+  /** Parse the `complexMetrics` option ("col:typeName,col2:type2") —
+    * the writer cannot guess what a binary column holds, and a complex
+    * metric's declared type is load-bearing at read time (it picks the
+    * deserializer, e.g. hyperUnique → Druid HLLC). */
+  def complexTypes(spec: String): Map[String, String] =
+    spec.split(",").filter(_.nonEmpty).map { kv =>
+      kv.split(":", 2) match {
+        case Array(c, t) if c.nonEmpty && t.nonEmpty => c.trim -> t.trim
+        case _ => throw new IllegalArgumentException(
+          s"complexMetrics entry '$kv' — expected 'column:typeName'")
+      }
+    }.toMap
+
   /** Validate the query schema into a column plan. */
-  def plan(schema: StructType): (ColPlan, Seq[ColPlan]) = {
+  def plan(schema: StructType,
+           complex: Map[String, String] = Map.empty): (ColPlan, Seq[ColPlan]) = {
     val timeIdx = schema.fieldNames.indexOf("__time")
     require(timeIdx >= 0,
       s"druid-segments write needs a `__time` column (epoch-ms long or " +
@@ -116,11 +131,19 @@ private[sources] object DruidSegmentsWrite {
         case LongType | IntegerType | ShortType | ByteType => ColPlan(f.name, i, KLong)
         case FloatType => ColPlan(f.name, i, KFloat)
         case DoubleType => ColPlan(f.name, i, KDouble)
+        case BinaryType if complex.contains(f.name) =>
+          ColPlan(f.name, i, KComplex(complex(f.name)))
+        case BinaryType => throw new IllegalArgumentException(
+          s"druid-segments: binary column `${f.name}` needs its complex " +
+            "type declared — .option(\"complexMetrics\", " +
+            s"\"${f.name}:hyperUnique\") (the declared type picks the " +
+            "reader's deserializer; an undeclared binary blob would be " +
+            "unreadable as a Druid metric)")
         case dt => throw new IllegalArgumentException(
           s"druid-segments cannot write column `${f.name}` of type " +
             s"${dt.simpleString}: supported are string (dim), " +
             "array<string> (multi-value dim), long/int (long metric), " +
-            "float, double")
+            "float, double, binary (with complexMetrics declared)")
       }
     }
     (ColPlan("__time", timeIdx, timeKind), cols.toSeq)
@@ -157,25 +180,28 @@ private[sources] class DruidWriteBuilder(
       val rowsPerChunk = Option(options.get("rowsPerChunk")).map(_.toInt)
         .getOrElse(4096)
       require(rowsPerChunk >= 1, s"rowsPerChunk must be >= 1, got $rowsPerChunk")
+      val complex = Option(options.get("complexMetrics"))
+        .map(DruidSegmentsWrite.complexTypes).getOrElse(Map.empty)
       // schema validated ONCE at planning — a bad column fails the
       // write before any task runs
-      DruidSegmentsWrite.plan(info.schema())
+      DruidSegmentsWrite.plan(info.schema(), complex)
       val conf = new DruidSegmentReader.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
       new DruidBatchWrite(root, dataSource, granMs, version, maxRows,
-        rowsPerChunk, info.schema(), conf)
+        rowsPerChunk, complex, info.schema(), conf)
     }
   }
 }
 
 private[sources] class DruidBatchWrite(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, rowsPerChunk: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, complex: Map[String, String],
+    schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     DruidDataWriterFactory(root, dataSource, granMs, version, maxRows,
-      rowsPerChunk, schema, conf)
+      rowsPerChunk, complex, schema, conf)
 
   /** Publish: assign numbered shard ids per chunk across every task's
     * staged segments, then write each segment's descriptor.json — the
@@ -239,12 +265,13 @@ private[sources] class DruidBatchWrite(
 
 private[sources] final case class DruidDataWriterFactory(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, rowsPerChunk: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, complex: Map[String, String],
+    schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(root, dataSource, granMs, version, maxRows,
-      rowsPerChunk, schema, conf)
+      rowsPerChunk, complex, schema, conf)
 }
 
 /** Per-task writer: buffers rows per time chunk, flushing a segment
@@ -254,13 +281,14 @@ private[sources] final case class DruidDataWriterFactory(
   * chunkMs)`) to keep one live chunk per task at large scale. */
 private[sources] class DruidDataWriter(
     root: String, dataSource: String, granMs: Option[Long], version: String,
-    maxRows: Int, rowsPerChunk: Int, schema: StructType,
+    maxRows: Int, rowsPerChunk: Int, complex: Map[String, String],
+    schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
   import DruidSegmentsWrite._
 
-  private val (timePlan, colPlans) = DruidSegmentsWrite.plan(schema)
+  private val (timePlan, colPlans) = DruidSegmentsWrite.plan(schema, complex)
 
   private final class ChunkBuf {
     val times = mutable.ArrayBuffer[Long]()
@@ -309,6 +337,7 @@ private[sources] class DruidDataWriter(
         }
         case KFloat => row.getFloat(cp.idx)
         case KDouble => row.getDouble(cp.idx)
+        case KComplex(_) => row.getBinary(cp.idx).clone()
         case KTime | KTimeMicros => throw new IllegalStateException("unreachable")
       })
       i += 1
@@ -337,6 +366,8 @@ private[sources] class DruidDataWriter(
           buf.cols(i).toSeq.asInstanceOf[Seq[Float]])
         case KDouble => DruidSegmentWriter.DoubleMet(cp.name,
           buf.cols(i).toSeq.asInstanceOf[Seq[Double]])
+        case KComplex(t) => DruidSegmentWriter.ComplexMet(cp.name, t,
+          buf.cols(i).toSeq.asInstanceOf[Seq[Array[Byte]]])
         case KTime | KTimeMicros => throw new IllegalStateException("unreachable")
       }
     }.toSeq

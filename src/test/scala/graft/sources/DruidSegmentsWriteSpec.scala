@@ -158,6 +158,45 @@ class DruidSegmentsWriteSpec extends SparkSpec {
     assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("null")))
   }
 
+  test("complex (sketch) metrics roundtrip byte-exact with declared types") {
+    import graft.functions.DruidHll
+    val root = freshRoot()
+    // valid dense Druid HLLC sketches built from known register arrays
+    def sketch(regs: (Int, Int)*): Array[Byte] = {
+      val r = new Array[Int](2048)
+      regs.foreach { case (i, v) => r(i) = v }
+      DruidHll.toDense(r)
+    }
+    val s1 = sketch(0 -> 3, 100 -> 5)
+    val s2 = sketch(7 -> 2)
+    Seq((Day * 10 + 1, "a", s1), (Day * 10 + 2, "b", s2))
+      .toDF("__time", "host", "uniq")
+      .write.format("druid-segments").mode("append")
+      .option("dataSource", "evw").option("segmentGranularity", "DAY")
+      .option("version", "v1")
+      .option("complexMetrics", "uniq:hyperUnique").save(root)
+    val got = spark.read.format("druid-segments").load(root)
+      .select($"host", $"uniq",
+        DruidHll.druid_hll_estimate($"uniq").as("est"))
+      .orderBy("host").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(java.util.Arrays.equals(got(0).getAs[Array[Byte]](1), s1),
+      "sketch bytes must survive the write→read roundtrip exactly")
+    assert(java.util.Arrays.equals(got(1).getAs[Array[Byte]](1), s2))
+    // the transported sketch still estimates like the original
+    assert(got(0).getDouble(2) == DruidHll.estimate(s1))
+    // an UNDECLARED binary column fails loudly at planning
+    val e = intercept[Exception] {
+      Seq((Day * 10 + 1, s1)).toDF("__time", "blob")
+        .write.format("druid-segments").mode("append")
+        .option("dataSource", "evw").option("version", "v9x").save(root)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("complexMetrics")), s"got $e")
+  }
+
   test("timestamp __time converts to epoch ms") {
     val root = freshRoot()
     Seq(("2024-01-05 10:30:00", "a", 1L))
