@@ -1051,6 +1051,47 @@ object PipelineQueries {
       |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BPE tokenizer training under the driver gate: 5 merges over the
+    * ASCII-clean lowercase words of the corpus. The DuckDB oracle
+    * REPLAYS the whole training run level by level — identical word
+    * table, identical pair counting, identical (count DESC, left,
+    * right) argmax tiebreak, and the identical framed-string `replace`
+    * merge apply — so any divergence in counting or greedy-merge
+    * semantics breaks the hash. */
+  def bpeQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.BpeTrainer.bpeMergesDf(docs(s, d), "text",
+        numMerges = 5, wordFilter = Some("^[a-z]+$"))
+      .orderBy("rank")
+
+  val bpeSql: String = {
+    val S = "chr(31)"
+    val SS = s"$S || $S"
+    def level(i: Int): String = {
+      val t = s"t$i"
+      s"""p$i AS (SELECT toks[i] AS a, toks[i+1] AS b, sum(n)::BIGINT AS cnt
+         |  FROM (SELECT string_split(trim(s, chr(31)), $SS) AS toks, n FROM $t),
+         |       LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |t${i + 1} AS (SELECT replace(s, $S || a || $SS || b || $S,
+         |                             $S || a || b || $S) AS s, n
+         |  FROM $t, b$i)""".stripMargin
+    }
+    s"""WITH w AS (SELECT word, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND regexp_full_match(word, '[a-z]+')
+       |  GROUP BY word),
+       |t0 AS (SELECT $S || array_to_string(
+       |    list_transform(range(1, length(word)+1), i -> word[i]), $SS)
+       |    || $S AS s, n FROM w),
+       |${(0 until 5).map(level).mkString(",\n")}
+       |SELECT * FROM (
+       |${(0 until 5).map(i =>
+          s"  SELECT CAST(${i + 1} AS INT) AS rank, a AS \"left\", b AS \"right\", cnt AS pair_count FROM b$i")
+          .mkString("\n  UNION ALL\n")}
+       |) ORDER BY rank""".stripMargin
+  }
+
   // ---- document chunking ----
 
   /** Overlapping token-window chunks (window 40, stride 30) — the
