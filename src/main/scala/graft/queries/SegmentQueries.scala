@@ -726,4 +726,63 @@ object SegmentQueries {
        |FROM events
        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** STREAMING ingestion into real Druid v9 segments under the driver
+    * gate: the same 3-day events slice staged as 4 parquet files,
+    * consumed one file per AvailableNow micro-batch, each batch
+    * appending NEW SHARDS to the shared version "rt0"
+    * (StreamingDruidIngest → appendShards — Druid's append-lock
+    * realtime shape; batches accumulate, never overshadow). The read
+    * back + aggregate must equal the one-shot batch write: any lost,
+    * duplicated, or overshadowed batch breaks the hash vs the parquet
+    * oracle. */
+  def streamDruid(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_druid_w${graft.sources.DruidSegmentWriter.FormatVersion}_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${root.getName}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      Tables.events(spark, sfDir)
+        .where(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(unix_millis(col("ts")).as("__time"),
+          col("event_type"), col("user_id"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = spark.read.parquet(stage).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingDruidIngest.start(
+        src, root = s"$staging/deep", dataSource = "events_rt_stream",
+        checkpoint = s"$staging/ckpt", segmentGranularity = "DAY",
+        version = "rt0").awaitTermination()
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-druid promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "events_rt_stream")
+      .load(s"${root.getAbsolutePath}/deep")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.dsum(col("value")).as("sum_value"),
+        sum(col("user_id")).as("sum_uid"),
+        min(col("__time")).as("t_min"),
+        max(col("__time")).as("t_max"))
+      .orderBy("event_type")
+  }
+
+  /** Identical content to the one-shot write — the stream must land
+    * the same rows, so the same parquet oracle applies. */
+  val streamDruidSql: String = druidWriteSql
 }

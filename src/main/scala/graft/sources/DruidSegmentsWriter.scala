@@ -182,13 +182,14 @@ private[sources] class DruidWriteBuilder(
       require(rowsPerChunk >= 1, s"rowsPerChunk must be >= 1, got $rowsPerChunk")
       val complex = Option(options.get("complexMetrics"))
         .map(DruidSegmentsWrite.complexTypes).getOrElse(Map.empty)
+      val appendShards = Option(options.get("appendShards")).exists(_.toBoolean)
       // schema validated ONCE at planning — a bad column fails the
       // write before any task runs
       DruidSegmentsWrite.plan(info.schema(), complex)
       val conf = new DruidSegmentReader.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
       new DruidBatchWrite(root, dataSource, granMs, version, maxRows,
-        rowsPerChunk, complex, info.schema(), conf)
+        rowsPerChunk, complex, appendShards, info.schema(), conf)
     }
   }
 }
@@ -196,7 +197,7 @@ private[sources] class DruidWriteBuilder(
 private[sources] class DruidBatchWrite(
     root: String, dataSource: String, granMs: Option[Long], version: String,
     maxRows: Int, rowsPerChunk: Int, complex: Map[String, String],
-    schema: StructType,
+    appendShards: Boolean, schema: StructType,
     conf: DruidSegmentReader.SerializableConfiguration) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -205,9 +206,20 @@ private[sources] class DruidBatchWrite(
 
   /** Publish: assign numbered shard ids per chunk across every task's
     * staged segments, then write each segment's descriptor.json — the
-    * visibility flip. Refuses to publish into a (chunk, version) that
-    * already holds published segments: Druid versions are immutable;
-    * overwrite by writing a LATER version (it overshadows). */
+    * visibility flip.
+    *
+    * Default (`appendShards = false`): refuses to publish into a
+    * (chunk, version) that already holds published segments — Druid
+    * versions are immutable; overwrite by writing a LATER version
+    * (it overshadows).
+    *
+    * `appendShards = true` (Druid's append-lock ingestion shape, the
+    * streaming path): new shards EXTEND the version — numbering starts
+    * after the existing max partitionNum and descriptors carry
+    * `partitions: 0` (NumberedShardSpec's "unknown count" convention;
+    * the timeline keys on shard identity only, so earlier descriptors'
+    * stale totals are harmless). Same-version rows accumulate instead
+    * of overshadowing — exactly what a micro-batch event stream needs. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
       case DruidSegmentsWrite.CommitMsg(segs) => segs
@@ -216,27 +228,42 @@ private[sources] class DruidBatchWrite(
     val hconf = conf.value
     val byChunk = staged.groupBy(s => (s.chunkStart, s.chunkEnd))
     byChunk.foreach { case ((lo, hi), segs) =>
-      // same-version republish check: any already-published segment
-      // (descriptor.json present) under this chunk/version dir?
+      // already-published shards under this chunk/version dir?
       val versionDir = new HPath(s"$root/$dataSource/${lo}_$hi/$version")
       val fs = versionDir.getFileSystem(hconf)
-      if (fs.exists(versionDir)) {
-        val published = fs.listStatus(versionDir).exists { st =>
-          st.isDirectory && fs.exists(new HPath(st.getPath, "descriptor.json"))
+      val existingShards: Seq[Int] =
+        if (!fs.exists(versionDir)) Nil
+        else fs.listStatus(versionDir).toSeq.flatMap { st =>
+          val d = new HPath(st.getPath, "descriptor.json")
+          if (st.isDirectory && fs.exists(d)) {
+            val in = fs.open(d)
+            val text = try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8) finally in.close()
+            Some(DruidDeepStorage.parseDescriptor(text, st.getPath.toString).shardNum)
+          } else None
         }
-        require(!published,
-          s"druid-segments: chunk [$lo,$hi) of '$dataSource' already has " +
-            s"published segments at version '$version' — Druid versions are " +
-            "immutable; write a later version to overwrite (it overshadows)")
-      }
+      require(appendShards || existingShards.isEmpty,
+        s"druid-segments: chunk [$lo,$hi) of '$dataSource' already has " +
+          s"published segments at version '$version' — Druid versions are " +
+          "immutable; write a later version to overwrite (it overshadows), " +
+          "or pass .option(\"appendShards\", \"true\") to extend the " +
+          "version with new shards (streaming ingestion)")
+      val base = if (existingShards.isEmpty) 0 else existingShards.max + 1
       val ordered = segs.sortBy(_.dir) // deterministic shard numbering
       val total = ordered.length
-      ordered.zipWithIndex.foreach { case (s, shard) =>
+      ordered.zipWithIndex.foreach { case (s, i) =>
+        val shard = base + i
         val iso = (ms: Long) => java.time.Instant.ofEpochMilli(ms).toString
+        // append mode always numbers with partitions=0 (unknown count,
+        // more shards may follow); fresh one-shot writes keep the
+        // exact-total numbered spec (or "none" for a single shard)
         val shardJson =
-          if (total == 1) """{"type":"none"}"""
+          if (appendShards)
+            s"""{"type":"numbered","partitionNum":$shard,"partitions":0}"""
+          else if (total == 1) """{"type":"none"}"""
           else s"""{"type":"numbered","partitionNum":$shard,"partitions":$total}"""
-        val shardSuffix = if (total == 1) "" else s"_$shard"
+        val shardSuffix = if (!appendShards && total == 1) "" else s"_$shard"
         val ident = s"${dataSource}_${iso(lo)}_${iso(hi)}_$version$shardSuffix"
         val descriptor =
           s"""{"binaryVersion":9,"dataSource":"$dataSource",

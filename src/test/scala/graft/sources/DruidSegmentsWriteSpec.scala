@@ -197,6 +197,62 @@ class DruidSegmentsWriteSpec extends SparkSpec {
       c.getMessage.contains("complexMetrics")), s"got $e")
   }
 
+  test("appendShards extends a version instead of refusing or overshadowing") {
+    val root = freshRoot()
+    def batch(lo: Int, n: Int) =
+      (lo until lo + n).map(i => (Day * 10 + i, s"h$i", i.toLong))
+        .toDF("__time", "host", "hits").coalesce(1)
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("druid-segments").mode("append")
+        .option("dataSource", "evw").option("segmentGranularity", "DAY")
+        .option("version", "rt0").option("appendShards", "true").save(root)
+    write(batch(0, 3))
+    write(batch(3, 3))
+    write(batch(6, 3))
+    val segs = DruidDeepStorage.discover(spark, root)
+    // three appended shards, strictly increasing numbering, one chunk
+    assert(segs.map(_.shardNum).sorted == Seq(0, 1, 2), s"got $segs")
+    assert(segs.map(_.version).distinct == Seq("rt0"))
+    val got = spark.read.format("druid-segments").load(root)
+      .select("__time", "host", "hits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == (0 until 9).map(i => (Day * 10 + i, s"h$i", i.toLong)),
+      "appended batches must ACCUMULATE, never overshadow")
+    // a later non-append version still overshadows the whole chunk
+    batch(0, 1).write.format("druid-segments").mode("append")
+      .option("dataSource", "evw").option("segmentGranularity", "DAY")
+      .option("version", "v9").save(root)
+    assert(spark.read.format("druid-segments").load(root).count() == 1)
+  }
+
+  test("streaming ingestion lands every micro-batch as appended shards") {
+    val root = freshRoot()
+    val stage = s"$root/_stage"
+    val n = 12
+    (0 until n).map(i => (Day * 10 + i * 3600 * 1000L, s"h$i", i.toLong))
+      .toDF("__time", "host", "hits")
+      .repartition(3)
+      .write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    graft.streaming.StreamingDruidIngest.start(
+      src, root = s"$root/deep", dataSource = "ds",
+      checkpoint = s"$root/ckpt", segmentGranularity = "DAY",
+      version = "rt0").awaitTermination()
+    val got = spark.read.format("druid-segments").load(s"$root/deep")
+      .select("__time", "host", "hits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq ==
+      (0 until n).map(i => (Day * 10 + i * 3600 * 1000L, s"h$i", i.toLong)),
+      "every micro-batch row must land exactly once")
+    val segs = DruidDeepStorage.discover(spark, s"$root/deep")
+    assert(segs.map(_.version).distinct == Seq("rt0"))
+    assert(segs.map(_.shardNum).distinct.length == segs.length,
+      s"shard ids must be unique: $segs")
+    // batch markers recorded
+    assert(new java.io.File(s"$root/deep/ds/_batches").listFiles().nonEmpty)
+  }
+
   test("timestamp __time converts to epoch ms") {
     val root = freshRoot()
     Seq(("2024-01-05 10:30:00", "a", 1L))
