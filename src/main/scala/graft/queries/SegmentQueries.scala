@@ -737,6 +737,22 @@ object SegmentQueries {
     * duplicated, or overshadowed batch breaks the hash vs the parquet
     * oracle. */
   def streamDruid(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = streamDruidFixture(spark, sfDir)
+    spark.read.format("druid-segments")
+      .option("dataSource", "events_rt_stream")
+      .load(s"${root.getAbsolutePath}/deep")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.dsum(col("value")).as("sum_value"),
+        sum(col("user_id")).as("sum_uid"),
+        min(col("__time")).as("t_min"),
+        max(col("__time")).as("t_max"))
+      .orderBy("event_type")
+  }
+
+  /** Build-once fixture: the 3-day events slice streamed into a Druid
+    * deep store via 4 AvailableNow micro-batches (appendShards). */
+  private def streamDruidFixture(spark: SparkSession, sfDir: String): java.io.File = {
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_stream_druid_w${graft.sources.DruidSegmentWriter.FormatVersion}_$sfKey")
@@ -770,9 +786,51 @@ object SegmentQueries {
         }
       }
     }
-    spark.read.format("druid-segments")
-      .option("dataSource", "events_rt_stream")
-      .load(s"${root.getAbsolutePath}/deep")
+    root
+  }
+
+  /** Identical content to the one-shot write — the stream must land
+    * the same rows, so the same parquet oracle applies. */
+  val streamDruidSql: String = druidWriteSql
+
+  /** STREAMING READ of a Druid datasource under the driver gate: tail
+    * the stream-ingested deep store (`readStream.format(
+    * "druid-segments")` — each micro-batch emits newly PUBLISHED
+    * segments) into a parquet sink with AvailableNow, then aggregate
+    * the sink. The tail must emit every published segment exactly
+    * once, so the same parquet oracle applies end-to-end across the
+    * full loop: parquet → streamed INTO Druid segments → streamed
+    * back OUT → aggregate. */
+  def druidTail(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val deep = s"${streamDruidFixture(spark, sfDir).getAbsolutePath}/deep"
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_druid_tail_w${graft.sources.DruidSegmentWriter.FormatVersion}_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${root.getName}_build_${java.util.UUID.randomUUID}")
+      spark.readStream.format("druid-segments")
+        .option("dataSource", "events_rt_stream").load(deep)
+        .writeStream.format("parquet")
+        .option("path", s"$staging/out")
+        .option("checkpointLocation", s"$staging/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$staging/out/_spark_metadata"))
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"druid tail promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.parquet(s"$root/out")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.queries.Exact.dsum(col("value")).as("sum_value"),
@@ -782,7 +840,5 @@ object SegmentQueries {
       .orderBy("event_type")
   }
 
-  /** Identical content to the one-shot write — the stream must land
-    * the same rows, so the same parquet oracle applies. */
-  val streamDruidSql: String = druidWriteSql
+  val druidTailSql: String = druidWriteSql
 }

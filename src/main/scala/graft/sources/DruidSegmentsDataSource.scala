@@ -144,7 +144,7 @@ private[sources] class DruidSegmentsTable(tableSchema: StructType,
   // inferred table schema.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new DruidScanBuilder(tableSchema, options)
@@ -621,6 +621,86 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
       case _ => DruidPartitionReaderFactory(conf, readSchema)
     }
   }
+
+  /** Streaming READ: tail the datasource — each trigger emits the rows
+    * of segments PUBLISHED (descriptor.json written) since the last
+    * offset. Append-only semantics, deliberately: a realtime tail
+    * cannot retract rows it already emitted, so a later version
+    * overshadowing an earlier one streams as ADDITIONAL rows (exactly
+    * what Druid's own realtime→historical handoff looks like from a
+    * tailing consumer); batch reads remain the timeline-resolved
+    * truth. Pushed `__time` bounds and dictionary predicates still
+    * prune each new segment's decode. */
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(aggs.isEmpty && topN.isEmpty && limit < 0,
+      "druid-segments streaming read supports plain row scans only")
+    new DruidMicroBatchStream(options, prunedSchema, timeLo, timeHi, preds)
+  }
+}
+
+/** Offset = the set of segment dirs already emitted (sorted JSON list
+  * — segment publications have no global order, so the offset is the
+  * SET, and each batch is a set difference). */
+private[sources] final case class DruidSegmentsOffset(dirs: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JArray(dirs.toSeq.sorted.map(org.json4s.JString(_)).toList))
+}
+
+private[sources] object DruidSegmentsOffset {
+  def fromJson(json: String): DruidSegmentsOffset = {
+    val org.json4s.JArray(items) =
+      (org.json4s.jackson.JsonMethods.parse(json)): @unchecked
+    DruidSegmentsOffset(items.collect { case org.json4s.JString(s) => s }.toSet)
+  }
+}
+
+private[sources] class DruidMicroBatchStream(
+    options: CaseInsensitiveStringMap, schema: StructType,
+    timeLo: Long, timeHi: Long, preds: Map[String, Seq[DictPred]])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Discovery that tolerates an EMPTY (or not-yet-created) tree — a
+    * tail may start before the first publish. */
+  private def discoverNow(): Seq[SegmentDescriptor] =
+    try DruidSegmentsDataSource.discover(SparkSession.active, options)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no segments") => Nil
+      case _: java.io.FileNotFoundException => Nil
+    }
+
+  override def initialOffset(): Offset = DruidSegmentsOffset(Set.empty)
+  override def latestOffset(): Offset =
+    DruidSegmentsOffset(discoverNow().map(_.path).toSet)
+  override def deserializeOffset(json: String): Offset =
+    DruidSegmentsOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[DruidSegmentsOffset].dirs
+    val target = end.asInstanceOf[DruidSegmentsOffset].dirs
+    discoverNow()
+      .filter(s => target.contains(s.path) && !seen.contains(s.path))
+      .flatMap { s =>
+        val lo = math.max(s.startMs, timeLo)
+        val hi = math.min(s.endMs, timeHi)
+        if (lo >= hi) None
+        else Some(DruidInputPartition(s.path, lo, hi,
+          schema.fieldNames.toSeq, preds): InputPartition)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DruidPartitionReaderFactory(
+      new DruidSegmentReader.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration), schema)
 }
 
 private[sources] final case class DruidInputPartition(
