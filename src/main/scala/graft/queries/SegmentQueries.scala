@@ -841,4 +841,73 @@ object SegmentQueries {
   }
 
   val druidTailSql: String = druidWriteSql
+
+  /** Druid-deep-store VACUUM (kill task) under the driver gate: day 1
+    * of the slice is written at v1 and then OVERWRITTEN at v2 (value
+    * ×1 — identical content, fresh version), day 2 exists only at v1.
+    * The vacuum must reclaim exactly the fully-overshadowed day-1 v1
+    * shards — day 2's v1 survives — and the post-vacuum read must
+    * still hash-match the parquet oracle (vacuum can never change
+    * query results; a wrongly-killed partially-visible segment or a
+    * survivor leak both break the gate). */
+  def druidVacuum(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.sources.DruidDeepStorage
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_druid_vacuum_w${graft.sources.DruidSegmentWriter.FormatVersion}_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${root.getName}_build_${java.util.UUID.randomUUID}")
+      val deep = s"$staging/deep"
+      def slice(d0: String, d1: String) = Tables.events(spark, sfDir)
+        .where(col("ts") >= lit(d0).cast("timestamp") &&
+          col("ts") < lit(d1).cast("timestamp"))
+        .select(unix_millis(col("ts")).as("__time"),
+          col("event_type"), col("user_id"), col("value"))
+      // v1: both days; v2: day 1 rewritten (identical rows, new version)
+      slice("2024-01-10", "2024-01-12")
+        .write.format("druid-segments").mode("append")
+        .option("dataSource", "events_vac").option("segmentGranularity", "DAY")
+        .option("version", "v1").save(deep)
+      slice("2024-01-10", "2024-01-11")
+        .write.format("druid-segments").mode("append")
+        .option("dataSource", "events_vac").option("segmentGranularity", "DAY")
+        .option("version", "v2").save(deep)
+      val before = DruidDeepStorage.discover(spark, deep).size
+      val killed = DruidDeepStorage.vacuum(spark, deep, "events_vac")
+      val after = DruidDeepStorage.discover(spark, deep).size
+      require(killed.nonEmpty && killed.forall(_.contains("/v1/")),
+        s"vacuum must reclaim exactly the overshadowed v1 day-1 shards, got $killed")
+      require(after == before - killed.size,
+        s"discovery must lose exactly the killed segments: $before -> $after")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"druid vacuum promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "events_vac")
+      .load(s"${root.getAbsolutePath}/deep")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.dsum(col("value")).as("sum_value"),
+        min(col("__time")).as("t_min"),
+        max(col("__time")).as("t_max"))
+      .orderBy("event_type")
+  }
+
+  val druidVacuumSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${graft.queries.Exact.sqlSum("value")} AS sum_value,
+       |  min(epoch_ms(ts)) AS t_min, max(epoch_ms(ts)) AS t_max
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -67,6 +67,30 @@ object DruidDeepStorage {
       version, shardNum, numShards, segmentDir)
   }
 
+  /** Druid "kill task" over a deep-storage tree: delete segments with
+    * NO timeline-visible window (fully overshadowed by later
+    * versions) — the storage-reclaim half of the version lifecycle the
+    * write path creates. Partially-overshadowed segments survive
+    * (their un-overshadowed windows are still readable truth).
+    *
+    * Visibility flips FIRST: each dead segment's `descriptor.json` is
+    * deleted before its dir, so a discovery racing the vacuum either
+    * sees the segment whole or not at all — never a descriptor whose
+    * index.zip is gone. Returns the deleted segment dirs. */
+  def vacuum(spark: SparkSession, root: String, dataSource: String): Seq[String] = {
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = discover(spark, root).filter(_.dataSource == dataSource)
+    val visible = VersionedTimeline
+      .resolve(segs, Long.MinValue, Long.MaxValue)
+      .map(_.segment.path).toSet
+    val dead = segs.filterNot(s => visible.contains(s.path))
+    dead.foreach { s =>
+      fs.delete(new HPath(s.path, "descriptor.json"), false)
+      fs.delete(new HPath(s.path), true)
+    }
+    dead.map(_.path)
+  }
+
   /** The reference's DatasourceIngestionSpec surface with deep-storage
     * discovery: scan (dataSource, interval) with optional projection
     * and Druid DimFilter JSON, reading only the timeline-visible

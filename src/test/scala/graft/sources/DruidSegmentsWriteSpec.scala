@@ -253,6 +253,34 @@ class DruidSegmentsWriteSpec extends SparkSpec {
     assert(new java.io.File(s"$root/deep/ds/_batches").listFiles().nonEmpty)
   }
 
+  test("vacuum kills fully-overshadowed segments, spares partial overshadow") {
+    val root = freshRoot()
+    // v1: ONE segment spanning two days (ALL granularity)
+    sample.coalesce(1).write.format("druid-segments").mode("append")
+      .option("dataSource", "evw").option("segmentGranularity", "ALL")
+      .option("version", "v1").save(root)
+    // v2 overshadows only day 10 — v1 stays PARTIALLY visible (day 11)
+    Seq((Day * 10 + 50, "B", Seq("w"), 100L, 1.0f, 1.0))
+      .toDF("__time", "host", "tags", "hits", "ratio", "score")
+      .write.format("druid-segments").mode("append")
+      .option("dataSource", "evw").option("segmentGranularity", "DAY")
+      .option("version", "v2").save(root)
+    assert(DruidDeepStorage.vacuum(spark, root, "evw").isEmpty,
+      "a partially-overshadowed segment must survive the kill")
+    assert(readBack(root).size == 2) // v2 row + v1's surviving day-11 row
+    // now fully overshadow v1's remaining window too → v1 reclaimable
+    Seq((Day * 11 + 9, "C", Seq[String](), 7L, 1.0f, 1.0))
+      .toDF("__time", "host", "tags", "hits", "ratio", "score")
+      .write.format("druid-segments").mode("append")
+      .option("dataSource", "evw").option("segmentGranularity", "DAY")
+      .option("version", "v2").save(root)
+    val killed = DruidDeepStorage.vacuum(spark, root, "evw")
+    assert(killed.length == 1 && killed.head.contains("/v1/"), s"got $killed")
+    assert(readBack(root).map(_._2).sorted == Seq("B", "C"))
+    // idempotent: nothing left to kill
+    assert(DruidDeepStorage.vacuum(spark, root, "evw").isEmpty)
+  }
+
   test("timestamp __time converts to epoch ms") {
     val root = freshRoot()
     Seq(("2024-01-05 10:30:00", "a", 1L))
