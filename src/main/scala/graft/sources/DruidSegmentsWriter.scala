@@ -219,7 +219,12 @@ private[sources] class DruidBatchWrite(
     * `partitions: 0` (NumberedShardSpec's "unknown count" convention;
     * the timeline keys on shard identity only, so earlier descriptors'
     * stale totals are harmless). Same-version rows accumulate instead
-    * of overshadowing — exactly what a micro-batch event stream needs. */
+    * of overshadowing — exactly what a micro-batch event stream needs.
+    * Contract: ONE appender per (dataSource, version) at a time (the
+    * role Druid's overlord append lock plays) — Structured Streaming
+    * guarantees it within a query; two concurrent appending JOBS on
+    * the same version could race the read-assign-publish and collide
+    * shard numbers. Concurrent writers should use distinct versions. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
       case DruidSegmentsWrite.CommitMsg(segs) => segs
