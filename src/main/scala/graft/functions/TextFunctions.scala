@@ -84,6 +84,14 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     toColumn(WinnowFingerprints(toExpr(text), k, w))
 
+  /** Rolling polynomial hashes of every `w`-token window of the text
+    * (1 window per token position, each an exact 64-bit content key for
+    * `w` consecutive whitespace tokens) → array<long>. One O(tokens)
+    * pass per document (see [[DupWindowHashes]]); feeds the exact
+    * substring dedup operator. */
+  def dupWindowHashes(text: Column, w: Int): Column =
+    toColumn(DupWindowHashes(toExpr(text), w))
+
   /** Gopher-style repetition stats in one pass: struct<top_gram,
     * top_gram_frac, dup_gram_frac> (see [[RepetitionStats]]). */
   def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
@@ -440,6 +448,58 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     new GenericArrayData(out.distinct.toArray)
   }
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}
+
+/** Window hashes for exact substring dedup: split on single spaces
+  * (Spark `split(text, " ")` semantics — all empty tokens kept), hash
+  * each token with FNV-1a over its UTF-8 bytes, then emit the
+  * polynomial hash of every `w`-token window,
+  * `wh(i) = Σ_j th(i+j)·B^(w-1-j) mod 2^64`, via the rolling
+  * recurrence `wh(i+1) = (wh(i) − th(i)·B^(w-1))·B + th(i+w)` (Long
+  * overflow IS the mod-2^64) — O(tokens) per document, not O(tokens·w).
+  * Equal windows get equal hashes on every node and across runs;
+  * distinct windows collide with probability ~2^-64 (B odd, so
+  * token-position mixing is a bijection per step). The DuckDB oracle
+  * replays the identical arithmetic (Horner rule in HUGEINT mod 2^64),
+  * so the gate is value-exact, not approximate. */
+case class DupWindowHashes(child: Expression, w: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(w >= 1, "window must be >= 1 token")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = TextFunctions.fnv64(UTF8String.fromString(toks(i)))
+      i += 1
+    }
+    val B = DupWindowHashes.B
+    var bw = 1L // B^(w-1) mod 2^64
+    i = 0
+    while (i < w - 1) { bw *= B; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var acc = 0L
+    i = 0
+    while (i < w) { acc = acc * B + th(i); i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - w) {
+      acc = (acc - th(i - 1) * bw) * B + th(i + w - 1)
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): DupWindowHashes = copy(child = c)
+}
+
+object DupWindowHashes {
+  /** Polynomial base — odd (a unit mod 2^64), so each Horner step is a
+    * bijection of the accumulator. Public splitmix64 gamma constant. */
+  val B: Long = 0x9e3779b97f4a7c15L
 }
 
 /** Accent removal via Unicode NFD decomposition + combining-mark

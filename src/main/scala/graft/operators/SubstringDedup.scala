@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication — the suffix-array dedup family of
+  * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better"), re-expressed for distributed execution.
+  *
+  * A span of tokens is DUPLICATED when every `w`-token window inside
+  * it occurs ≥ 2 times in the corpus (counting every occurrence —
+  * other documents AND repeats within the same document). The operator
+  * reports, per document, the maximal runs of tokens covered by
+  * duplicated windows: exactly the "substring repeated ≥ `w` tokens
+  * somewhere in the corpus" regions a suffix array would find, at
+  * token (not byte) granularity.
+  *
+  * Scale design — the honest cost of exact substring dedup is one
+  * narrow corpus-sized pass, same as a suffix array's ~8 bytes/byte,
+  * but sharded instead of single-node:
+  *  1. ONE O(tokens) expression per document emits all rolling window
+  *     hashes ([[graft.functions.DupWindowHashes]]) — no window
+  *     strings, no O(tokens·w) rehash.
+  *  2. The exploded (id, pos, hash) table is 16-ish bytes/token and is
+  *     materialized ONCE (it feeds both the occurrence count and the
+  *     join back; without that, Spark would re-scan and re-hash the
+  *     corpus per consumer).
+  *  3. Occurrence counting is a map-side-combined `groupBy(hash)` —
+  *     the only corpus-wide shuffle, on 8-byte keys.
+  *  4. Duplicated hashes join back narrow (AQE broadcasts when the
+  *     duplicated set is small, as it is on mostly-clean corpora); the
+  *     island merge is one doc-partitioned window pass.
+  * Nothing is O(pairs): a window duplicated a million times costs one
+  * count row, not 10^12 comparisons.
+  */
+object SubstringDedup {
+
+  /** Per-document maximal duplicated spans, 1-based token positions:
+    * (id, span_start, span_end, span_toks, n_dup_windows), where
+    * n_dup_windows is the number of duplicated window starts merged
+    * into the span. Documents with < `w` tokens, or with no duplicated
+    * window, yield no rows. Two spans merge when adjacent (next start
+    * ≤ prev start + `w`), so covered-token runs are maximal. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8): DataFrame = {
+    val windows = Materialize(
+      df.select(col(idCol),
+          posexplode(TextFunctions.dupWindowHashes(col(textCol), w)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("wh")))
+    val dup = windows.groupBy("wh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("wh")
+    val starts = windows.join(dup, "wh").select(col(idCol), col("i"))
+    val byDoc = Window.partitionBy(idCol).orderBy("i")
+    val prev = lag(col("i"), 1).over(byDoc)
+    val marked = starts.withColumn("brk",
+      when(prev.isNull || col("i") > prev + w, 1).otherwise(0))
+    val grouped = marked.withColumn("g",
+      sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped.groupBy(col(idCol), col("g"))
+      .agg(min("i").as("span_start"), (max(col("i")) + w - 1).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_toks"),
+        col("n_dup_windows"))
+  }
+}

@@ -730,6 +730,61 @@ object PipelineQueries {
        |FROM e ORDER BY doc_id, seq""".stripMargin
   }
 
+  // ---- exact substring dedup ----
+
+  /** Exact substring dedup (Lee et al. 2022 family): per-document
+    * maximal spans whose every 8-token window occurs ≥ 2 times in the
+    * corpus. The oracle replays the engine bit-for-bit: FNV-1a token
+    * hashes over UTF-8 bytes ([[SqlHash.fnv1aSql]]/[[SqlHash.utf8Codes]]),
+    * Horner-rule polynomial window hashes mod 2^64 (HUGEINT `mulmod`
+    * per step — same base B as [[graft.functions.DupWindowHashes]]),
+    * corpus-wide occurrence counts, and the island merge — so span
+    * boundaries, widths, and window counts are all value-checked. */
+  def substrDedupQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.SubstringDedup.duplicatedSpans(docs(s, d), "doc_id", "text", w = 8)
+      .orderBy("doc_id", "span_start")
+
+  val substrDedupSql: String = {
+    val W = 8
+    val M = "18446744073709551616::HUGEINT"
+    val fnv = SqlHash.fnv1aSql(SqlHash.utf8Codes("tok"))
+    val horner =
+      s"(${SqlHash.mulmod("acc", graft.functions.DupWindowHashes.B)} + t) % $M"
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |            WHERE len(string_split(text, ' ')) >= $W),
+       |tk AS (SELECT doc_id, len(toks) AS n, toks,
+       |         unnest(range(1, len(toks)+1)) AS p FROM d0),
+       |t0 AS (SELECT doc_id, n, p, toks[p] AS tok FROM tk),
+       |t1 AS (SELECT doc_id, n, p, $fnv AS thv FROM t0),
+       |ths AS (SELECT doc_id, any_value(n) AS n, list(thv ORDER BY p) AS ths
+       |        FROM t1 GROUP BY doc_id),
+       |w0 AS (SELECT doc_id,
+       |    list_transform(range(1, n - $W + 2), i ->
+       |      list_reduce(
+       |        list_prepend(0::HUGEINT, list_transform(range(0, $W), j -> ths[i + j])),
+       |        (acc, t) -> $horner)) AS whs
+       |  FROM ths),
+       |wv0 AS (SELECT doc_id, whs, unnest(range(1, len(whs)+1)) AS i FROM w0),
+       |wv AS (SELECT doc_id, i, whs[i] AS wh FROM wv0),
+       |dup AS (SELECT wh FROM wv GROUP BY wh HAVING count(*) >= 2),
+       |st AS (SELECT doc_id, i FROM wv WHERE wh IN (SELECT wh FROM dup)),
+       |mk AS (SELECT doc_id, i,
+       |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |           OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $W
+       |         THEN 1 ELSE 0 END AS brk FROM st),
+       |gr AS (SELECT doc_id, i,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM mk),
+       |sp AS (SELECT doc_id, min(i) AS span_start, max(i) + $W - 1 AS span_end,
+       |         count(*) AS n_dup_windows FROM gr GROUP BY doc_id, g)
+       |SELECT doc_id, span_start::BIGINT AS span_start,
+       |  span_end::BIGINT AS span_end,
+       |  (span_end - span_start + 1)::BIGINT AS span_toks,
+       |  n_dup_windows
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
