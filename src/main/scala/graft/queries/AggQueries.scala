@@ -115,6 +115,29 @@ object AggQueries {
       |  coalesce(g.click_only_users, 0.0) AS click_only_users
       |FROM days LEFT JOIN g USING (d) ORDER BY 1""".stripMargin
 
+  // -- frequent items (DataSketches frequencies / heavy hitters) --
+
+  /** Per-day frequent event types via the frequencies sketch. Exact
+    * regime (per-day distinct event types fit the 64-slot map), so the
+    * sketch's est/lb/ub all equal the true count and the oracle is a
+    * plain GROUP BY replay — gating the exactness guarantee itself,
+    * not just row shapes. Estimate-regime bounds are spec-tested
+    * (FreqSketchSpec). */
+  def aggFreqItems(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.FreqSketch._
+    ev(s, d).groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(freq_sketch_agg(col("event_type"), 64).as("sk"))
+      .select(col("day"), explode(freq_items(col("sk"))).as("r"))
+      .select(col("day"), col("r.item").as("event_type"),
+        col("r.est").as("cnt"), col("r.lb").as("lb"), col("r.ub").as("ub"))
+      .orderBy(col("day"), col("cnt").desc, col("event_type"))
+  }
+
+  val aggFreqItemsSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  count(*) AS cnt, count(*) AS lb, count(*) AS ub
+      |FROM events GROUP BY 1, 2 ORDER BY day, cnt DESC, event_type""".stripMargin
+
   // -- hyperUnique (HLL): algorithm-specific estimate, rows-only --
 
   def aggHll(s: SparkSession, d: String): DataFrame = {
