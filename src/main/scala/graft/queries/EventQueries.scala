@@ -434,4 +434,32 @@ object EventQueries {
          |FROM events""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
+
+  // -- z-order layout: multi-dim clustering round-trip --
+
+  /** Events re-laid-out on the Morton curve of (user_id, value), then
+    * a two-dimension range filter + aggregate over the re-laid copy.
+    * The oracle runs the same query over the ORIGINAL parquet — the
+    * gate proves the layout permutes rows without changing content
+    * (and the two-dim pruning win is spec-measured in ZOrderSpec by
+    * touched-file counts). */
+  def zorderQ(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_zorder_v1_$sfKey"
+    if (!new java.io.File(s"$base/_SUCCESS").isFile)
+      graft.operators.ZOrder.layout(ev(spark, sfDir),
+          Seq("user_id", "value"), bits = 8, partitions = 8)
+        .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .filter(col("user_id").between(100, 300) && col("value").between(50, 500))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val zorderSql: String =
+    s"""SELECT event_type, count(*) AS cnt, ${sqlSum("value")} AS sum_value
+       |FROM events
+       |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 50 AND 500
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }
