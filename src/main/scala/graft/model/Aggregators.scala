@@ -35,7 +35,10 @@ object Aggregators {
   final case class AggSpec(
       name: String, tpe: String, fieldName: String,
       fields: Seq[String], filter: Option[DimFilter], sub: Option[AggSpec],
-      lgK: Int = 12, size: Int = 4096, k: Int = 128, byRow: Boolean = true)
+      lgK: Int = 12, size: Int = 4096, k: Int = 128, byRow: Boolean = true,
+      metricColumns: Seq[String] = Nil,
+      lower: Double = 0.0, upper: Double = 0.0, numBuckets: Int = 10,
+      outlierMode: String = "overflow")
 
   def parseAggs(json: String): Seq[AggSpec] =
     JsonMethods.parse(json) match {
@@ -62,9 +65,12 @@ object Aggregators {
         case JInt(v) => v.toInt
         case _ => 128 // Druid's default k
       }
-      val size = (obj \ "size") match { // thetaSketch nominal entries
+      val size = (obj \ "size") match { // theta/tuple nominal entries
         case JInt(v) => v.toInt
-        case _ => 4096
+        case _ => (obj \ "nominalEntries") match {
+          case JInt(v) => v.toInt
+          case _ => 4096
+        }
       }
       val filter = (obj \ "filter") match {
         case JNothing | JNull => None
@@ -74,12 +80,24 @@ object Aggregators {
         case JNothing | JNull => None
         case a => Some(aggFromJson(a))
       }
+      def dbl(key: String, default: Double): Double = (obj \ key) match {
+        case JDouble(v) => v; case JInt(v) => v.toDouble; case _ => default
+      }
       AggSpec(
         name = str("name").getOrElse(sub.map(_.name).getOrElse("agg")),
         tpe = tpe,
         fieldName = str("fieldName").getOrElse(""),
         fields = fields, filter = filter, sub = sub, lgK = lgK, size = size, k = k,
-        byRow = (obj \ "byRow") match { case JBool(b) => b; case _ => true })
+        byRow = (obj \ "byRow") match { case JBool(b) => b; case _ => true },
+        metricColumns = (obj \ "metricColumns") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        },
+        lower = dbl("lowerLimit", 0.0), upper = dbl("upperLimit", 0.0),
+        numBuckets = (obj \ "numBuckets") match {
+          case JInt(v) => v.toInt; case _ => 10
+        },
+        outlierMode = str("outlierHandlingMode").getOrElse("overflow"))
     case x => throw new IllegalArgumentException(s"bad aggregator $x")
   }
 
@@ -179,6 +197,56 @@ object Aggregators {
         // quantiles via the quantilesDoublesSketchToQuantile post-agg)
         val sketch = graft.functions.KllSketch.kll_sketch_agg(f, spec.k)
         if (finalize) graft.functions.KllSketch.kll_quantile(sketch, lit(0.5)) else sketch
+      case "arrayOfDoublesSketch" =>
+        // tuple sketch: distinct keys + per-key-summed double metrics.
+        // Over a BinaryType column (segment metric) → merge; over raw
+        // rows → build from the key + metricColumns (guard only the
+        // key: a filtered row's NULL key skips the whole row).
+        val isSketchCol = schema.fields.exists(x => x.name == spec.fieldName &&
+          x.dataType == BinaryType)
+        val m = math.max(spec.metricColumns.size, 1)
+        val sketch =
+          if (isSketchCol) graft.functions.TupleSketch.tuple_merge_agg(f, m, spec.size)
+          else graft.functions.TupleSketch.tuple_sketch_agg(
+            guard(col(spec.fieldName)),
+            if (spec.metricColumns.nonEmpty) spec.metricColumns.map(col)
+            else Seq(lit(1.0)),
+            spec.size)
+        if (finalize) graft.functions.TupleSketch.tuple_estimate(sketch) else sketch
+      case "fixedBucketsHistogram" =>
+        // deterministic equal-width histogram (Druid histogram
+        // extension): struct<buckets: array<long>, lower_out, upper_out>.
+        // Pure codegen'd conditional sums — partial aggregation applies,
+        // a group ships numBuckets+2 longs regardless of row count. The
+        // bucket arithmetic (subtract, divide, floor) is exactly-rounded
+        // IEEE both engines, so an oracle can replay it bit-for-bit.
+        // Druid semantics: v == upperLimit lands in the last bucket;
+        // outliers per mode (ignore drops, overflow counts separately,
+        // clip pushes into the edge buckets). NULLs are skipped.
+        require(spec.upper > spec.lower && spec.numBuckets > 0,
+          s"fixedBucketsHistogram needs lowerLimit < upperLimit, got ${spec.lower}..${spec.upper}")
+        val v = f.cast("double")
+        val width = (spec.upper - spec.lower) / spec.numBuckets
+        val lastB = spec.numBuckets - 1
+        val idxRaw = floor((v - lit(spec.lower)) / lit(width)).cast("int")
+        val inLow = v < lit(spec.lower)
+        val inHigh = v > lit(spec.upper)
+        val bucketIdx = when(v === lit(spec.upper), lit(lastB)).otherwise(idxRaw)
+        val effIdx = spec.outlierMode match {
+          case "clip" =>
+            when(inLow, lit(0)).when(inHigh, lit(lastB)).otherwise(bucketIdx)
+          case "ignore" | "overflow" =>
+            when(inLow || inHigh, lit(null)).otherwise(bucketIdx)
+          case other =>
+            throw new IllegalArgumentException(s"bad outlierHandlingMode $other")
+        }
+        val counts = array((0 until spec.numBuckets).map(b =>
+          coalesce(sum(when(effIdx === b, 1L)), lit(0L))): _*)
+        def outCount(c: Column): Column =
+          if (spec.outlierMode == "overflow") coalesce(sum(when(c, 1L)), lit(0L))
+          else lit(0L)
+        struct(counts.as("buckets"),
+          outCount(inLow).as("lower_out"), outCount(inHigh).as("upper_out"))
       case "filtered" =>
         val sub = spec.sub.getOrElse(throw new IllegalArgumentException("filtered agg needs aggregator"))
         val subCond = spec.filter.getOrElse(DimFilter.True).compile(schema)
@@ -260,6 +328,10 @@ object Aggregators {
           hll_sketch_estimate(f).cast("double")
         case "thetaSketchEstimate" =>
           graft.functions.Sketches.theta_estimate(compilePostAgg(obj \ "field"))
+        case "arrayOfDoublesSketchToEstimate" =>
+          graft.functions.TupleSketch.tuple_estimate(compilePostAgg(obj \ "field"))
+        case "arrayOfDoublesSketchToMetricsSumEstimate" =>
+          graft.functions.TupleSketch.tuple_metric_sums(compilePostAgg(obj \ "field"))
         case "quantilesDoublesSketchToQuantile" =>
           val fraction = (obj \ "fraction") match {
             case JDouble(v) => v

@@ -138,6 +138,80 @@ object AggQueries {
       |  count(*) AS cnt, count(*) AS lb, count(*) AS ub
       |FROM events GROUP BY 1, 2 ORDER BY day, cnt DESC, event_type""".stripMargin
 
+  // -- tuple (ArrayOfDoubles) sketch: distinct keys + keyed metric sums --
+
+  /** Druid `arrayOfDoublesSketch` per event type: distinct users AND
+    * per-key-summed metrics from ONE mergeable sketch. Exact regime
+    * (distinct users ≪ nominal entries, theta = 1) with integer-valued
+    * metric doubles, so the estimate and both sums hash-match a plain
+    * SQL recompute; estimate-regime error is spec-tested
+    * (TupleSketchSpec). */
+  def aggTupleSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TupleSketch
+    val withM = ev(s, d)
+      .withColumn("m_units", (col("user_id") % 97).cast("double"))
+      .withColumn("m_one", lit(1.0))
+    val agg = Aggregators.compile(Aggregators.parseAggs(
+      """{"type":"arrayOfDoublesSketch","name":"sk","fieldName":"user_id",
+        |"metricColumns":["m_units","m_one"],"nominalEntries":4096}""".stripMargin).head,
+      withM.schema, "ts", finalize = false)
+    withM.groupBy(col("event_type")).agg(agg)
+      .select(col("event_type"),
+        TupleSketch.tuple_estimate(col("sk")).cast("long").as("n_users"),
+        element_at(TupleSketch.tuple_metric_sums(col("sk")), 1)
+          .cast("long").as("sum_units"),
+        element_at(TupleSketch.tuple_metric_sums(col("sk")), 2)
+          .cast("long").as("n_rows"))
+      .orderBy("event_type")
+  }
+
+  val aggTupleSketchSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(user_id % 97) AS BIGINT) AS sum_units, count(*) AS n_rows
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- fixed-buckets histogram (Druid histogram extension) --
+
+  /** Equal-width histogram of `value` per event type, overflow outlier
+    * mode. Exact-arithmetic aggregate (conditional sums, IEEE bucket
+    * math identical in both engines), so every bucket count AND both
+    * outlier counters hash-match the SQL replay. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val spec = Aggregators.parseAggs(
+      """{"type":"fixedBucketsHistogram","name":"hist","fieldName":"value",
+        |"lowerLimit":50.0,"upperLimit":450.0,"numBuckets":8,
+        |"outlierHandlingMode":"overflow"}""".stripMargin).head
+    val df = ev(s, d)
+    df.groupBy(col("event_type"))
+      .agg(Aggregators.compile(spec, df.schema, "ts"))
+      .select(col("event_type"), col("hist.lower_out").as("lower_out"),
+        col("hist.upper_out").as("upper_out"), posexplode(col("hist.buckets")))
+      .select(col("event_type"), col("pos").cast("long").as("bucket"),
+        col("col").as("cnt"), col("lower_out"), col("upper_out"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val aggHistogramSql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CASE WHEN value < 50.0 OR value > 450.0 THEN NULL
+      |         WHEN value = 450.0 THEN 7
+      |         ELSE CAST(floor((value - 50.0) / 50.0) AS INT) END AS b,
+      |    CASE WHEN value < 50.0 THEN 1 ELSE 0 END AS lo,
+      |    CASE WHEN value > 450.0 THEN 1 ELSE 0 END AS hi
+      |  FROM events),
+      |agg AS (SELECT event_type, CAST(sum(lo) AS BIGINT) AS lower_out,
+      |               CAST(sum(hi) AS BIGINT) AS upper_out FROM base GROUP BY 1),
+      |cnts AS (SELECT event_type, b, count(*) AS cnt FROM base
+      |         WHERE b IS NOT NULL GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT event_type, unnest(range(0, 8)) AS bucket
+      |          FROM events)
+      |SELECT s.event_type, s.bucket, coalesce(c.cnt, 0) AS cnt,
+      |  a.lower_out, a.upper_out
+      |FROM spine s JOIN agg a USING (event_type)
+      |LEFT JOIN cnts c ON c.event_type = s.event_type AND c.b = s.bucket
+      |ORDER BY s.event_type, s.bucket""".stripMargin
+
   // -- hyperUnique (HLL): algorithm-specific estimate, rows-only --
 
   def aggHll(s: SparkSession, d: String): DataFrame = {
