@@ -718,8 +718,44 @@ object DruidSegmentReader {
           .collectFirst { case JString(s) => s }.getOrElse("roaring")
         case _ => "roaring"
       }
-      Some(new DimBitmapIndex(dict, mv, serde, bitmaps))
+      val idx = new DimBitmapIndex(dict, mv, serde, bitmaps)
+      // CONCISE bytes that are NOT the assumed container (e.g. a serde
+      // adding a length header) still parse as plausible words and
+      // yield a WRONG bitmap — and pruning on a wrong bitmap drops
+      // rows irrecoverably (the residual Spark filter cannot
+      // resurrect rows never decoded). Gate the serde behind a
+      // structural self-check before trusting it: decoded per-value
+      // bitmaps must exactly cover [0, numRows) (and partition it for
+      // single-value dims) — a property garbage decodes essentially
+      // never satisfy. Failure degrades to None = "no pruning", never
+      // wrong results. Verified positive against the reference's real
+      // 2015 ConciseBitmapSerdeFactory segment.
+      if (serde == "concise" && !conciseIndexValid(idx, numRows(file))) None
+      else Some(idx)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Structural validity of a decoded CONCISE index: every row id in
+    * [0, rows) appears in some value's bitmap and none outside it;
+    * for single-value dims the bitmaps are additionally disjoint
+    * (cardinalities sum to rows). Cost is one decode of each of the
+    * dictionary's (cardinality-many, row-count-independent) bitmaps,
+    * paid once per pruning attempt. */
+  private[sources] def conciseIndexValid(idx: DimBitmapIndex, rows: Int): Boolean = {
+    val union = new MutableRoaringBitmap()
+    var sum = 0L
+    var id = 0
+    while (id < idx.dict.length) {
+      val b = idx.bitmap(id)
+      sum += b.getLongCardinality
+      union.or(b)
+      id += 1
+    }
+    // card == rows with all ids in [0, rows-1] ⇒ union is exactly
+    // [0, rows) by pigeonhole
+    val covers = union.getLongCardinality == rows &&
+      (rows == 0 || (union.first() == 0 && union.last() == rows - 1))
+    covers && (idx.multiValue || sum == rows)
+  }
 
   /** CONCISE bitmap → roaring (Colantonio & Di Pietro 2010; the
     * extendedset encoding Druid's pre-0.18 default serde writes as

@@ -216,6 +216,34 @@ class DruidSegmentReaderSpec extends SparkSpec {
         s"for 2/$n rows vs $fullChunks for the full scan")
   }
 
+  test("CONCISE self-check: only bitmaps exactly covering [0, rows) are trusted") {
+    import java.nio.ByteBuffer
+    def words(ws: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * ws.size); ws.foreach(b.putInt); b.array()
+    }
+    def idx(mv: Boolean, entries: Array[Byte]*) =
+      new DruidSegmentReader.DimBitmapIndex(
+        entries.indices.map(i => s"v$i"), mv, "concise", entries.toIndexedSeq)
+    // valid partition of [0,3): {0,2} ∪ {1} — trusted
+    val ok = idx(mv = false, words(0x80000005), words(0x80000002))
+    assert(DruidSegmentReader.conciseIndexValid(ok, 3))
+    // a wrong container decode typically yields overlap or gaps:
+    // overlap {0,2}/{0} fails the single-value disjointness sum…
+    val overlap = idx(mv = false, words(0x80000005), words(0x80000001))
+    assert(!DruidSegmentReader.conciseIndexValid(overlap, 3))
+    // …but IS acceptable coverage for a multi-value dim
+    assert(DruidSegmentReader.conciseIndexValid(
+      idx(mv = true, words(0x80000005), words(0x80000002)), 3))
+    // gap: {0,2} alone misses row 1
+    assert(!DruidSegmentReader.conciseIndexValid(
+      idx(mv = false, words(0x80000005)), 3))
+    // out-of-range: a stray high bit past numRows
+    assert(!DruidSegmentReader.conciseIndexValid(
+      idx(mv = false, words(0x80000005), words(0x80000002, 0x80000001)), 3))
+    // and the REAL 2015 Druid segment still passes end-to-end (its
+    // pruning asserts live in the test above); garbage never should.
+  }
+
   test("CONCISE decoder: literal, zero-fill and one-fill words with flipped bits") {
     import java.nio.ByteBuffer
     def words(ws: Int*): Array[Byte] = {
