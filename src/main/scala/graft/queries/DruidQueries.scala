@@ -12,7 +12,8 @@ import org.json4s.jackson.JsonMethods
   * Druid-style aggregations downstream (druid-mr/DruidInputFormat.java,
   * druid-pig/udfs). Here the *query dialect itself* is kept: a user
   * hands the same JSON they'd POST to a Druid broker — timeseries,
-  * topN, groupBy, scan, search, timeBoundary, segmentMetadata — and it
+  * movingAverage, topN, groupBy, scan, search, timeBoundary,
+  * segmentMetadata — and it
   * compiles to a declarative DataFrame plan that Catalyst optimizes
   * (filter/projection pushdown to parquet, partial aggregation,
   * TakeOrderedAndProject for topN — never a global sort).
@@ -40,6 +41,7 @@ object DruidQueries {
     }
     queryType match {
       case "timeseries" => timeseries(df, timeCol, q)
+      case "movingAverage" => movingAverage(df, timeCol, q)
       case "topN" => topN(df, timeCol, q)
       case "groupBy" => groupBy(df, timeCol, q)
       case "scan" | "select" => scan(df, timeCol, q)
@@ -242,6 +244,195 @@ object DruidQueries {
         if (desc) filled.orderBy(col("__time").desc) else filled.orderBy(col("__time"))
     }
     withPostAggs(out, q)
+  }
+
+  /** Druid `movingAverage` query (the movingAverage contrib
+    * extension): an inner granular groupBy, zero-filled onto the
+    * granule grid per observed dimension combination, then
+    * trailing-`buckets` window averagers. Like the extension, the
+    * scanned interval is extended backward by (maxBuckets−1) granules
+    * so the first requested bucket sees a complete window, and the
+    * output is clipped back to the requested intervals. `postAveragers`
+    * compile through the same arithmetic as postAggregations.
+    *
+    * Cross-engine exactness: doubleSum inner aggregations stay
+    * DECIMAL(38,6) *through the window frame* — Spark streams sliding
+    * frames while DuckDB aggregates them via segment trees, so a
+    * double window sum would associate (and round) differently — and
+    * cast to double once at output.
+    *
+    * Scale shape: one shuffle for the inner groupBy (partial-agg,
+    * map-side combined), the generated granule grid joined on
+    * (__time, dims) (granules × observed combos — AQE broadcasts when
+    * small), one window shuffle partitioned by dims whose partitions
+    * hold granule-count-bounded series, never raw rows. No driver
+    * collects. Deviation (documented): tz-aware granularities and
+    * cycleSize/shiftBack averager options are unsupported. */
+  def movingAverage(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = granularityOf(q)
+    val origIvs = intervalBounds(q)
+    require(origIvs.nonEmpty, "movingAverage requires intervals")
+    case class Averager(tpe: String, name: String, fieldName: String, buckets: Int)
+    val averagers: Seq[Averager] = (q \ "averagers") match {
+      case JArray(xs) if xs.nonEmpty => xs.map {
+        case o: JObject =>
+          def s(k: String): String = (o \ k) match {
+            case JString(v) => v
+            case _ => throw new IllegalArgumentException(s"averager missing $k")
+          }
+          val b = (o \ "buckets") match {
+            case JInt(n) => n.toInt
+            case JLong(n) => n.toInt
+            case _ => throw new IllegalArgumentException("averager missing buckets")
+          }
+          require(b >= 1, "averager buckets must be >= 1")
+          Averager(s("type"), s("name"), s("fieldName"), b)
+        case x => throw new IllegalArgumentException(s"bad averager $x")
+      }
+      case _ => throw new IllegalArgumentException("movingAverage requires averagers")
+    }
+    // warm-up: rescan (maxBuckets-1) granules before each interval so
+    // the first emitted bucket's trailing window is complete — the
+    // extension adjusts its interval the same way
+    val warm = averagers.map(_.buckets).max - 1
+    val extIvs = origIvs.map { case (lo, hi) => (minusGranules(g, lo, warm), hi) }
+    val q2 = JObject(q.obj.filterNot(_._1 == "intervals") :+
+      ("intervals" -> (JArray(extIvs.map { case (lo, hi) =>
+        JString(s"${java.time.Instant.ofEpochMilli(lo)}/${java.time.Instant.ofEpochMilli(hi)}")
+      }.toList): JValue)))
+    val df = prepared(df0, timeCol, q2)
+    val dims: Seq[graft.model.DimensionSpec.Dim] = (q \ "dimensions") match {
+      case JArray(xs) => xs.map(graft.model.DimensionSpec.fromJson(_, timeCol))
+      case _ => Nil
+    }
+    val exploded = dims.foldLeft(df) { (d, dim) =>
+      d.schema.fields.find(_.name == dim.baseName) match {
+        case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          d.withColumn(dim.baseName, explode_outer(col(dim.baseName)))
+        case _ => d
+      }
+    }
+    val aggSpecs = (q \ "aggregations") match {
+      case JArray(xs) => xs.map(Aggregators.aggFromJson)
+      case _ => Nil
+    }
+    require(aggSpecs.nonEmpty, "movingAverage requires aggregations")
+    val decimalAggs = aggSpecs.collect {
+      case s if s.tpe == "doubleSum" || s.tpe == "floatSum" => s.name
+    }.toSet
+    val inner: Seq[Column] = aggSpecs.map { s =>
+      def f = col(s.fieldName)
+      (s.tpe match {
+        case "count" => count(lit(1))
+        case "longSum" => coalesce(sum(f.cast("long")), lit(0L))
+        case "doubleSum" | "floatSum" => sum(Exact.dec(f))
+        case "longMin" => min(f.cast("long"))
+        case "longMax" => max(f.cast("long"))
+        case "doubleMin" | "floatMin" => min(f.cast("double"))
+        case "doubleMax" | "floatMax" => max(f.cast("double"))
+        case other => throw new IllegalArgumentException(
+          s"movingAverage supports simple inner aggregators, not $other")
+      }).as(s.name)
+    }
+    val dimCols = dims.map(d => d.column.as(d.outputName))
+    val dimNames = dims.map(_.outputName)
+    val grouped = groupAgg(exploded,
+      g.bucket(col(timeCol)).as("__time") +: dimCols, inner)
+    val spark = df0.sparkSession
+    val granules = extIvs.map { case (lo, hi) =>
+      spark.range(1).select(explode(sequence(
+        g.bucket(timestamp_millis(lit(lo))),
+        timestamp_millis(lit(hi - 1)), g.step)).as("__raw"))
+    }.reduce(_ union _)
+      .select(g.bucket(col("__raw")).as("__time")).distinct()
+    val grid =
+      if (dims.isEmpty) granules
+      else granules.crossJoin(grouped.select(dimNames.map(col): _*).distinct())
+    val fills: Seq[Column] = aggSpecs.map { s =>
+      s.tpe match {
+        case "count" | "longSum" => coalesce(col(s.name), lit(0L)).as(s.name)
+        case "doubleSum" | "floatSum" =>
+          coalesce(col(s.name), lit(0).cast(Exact.Dec)).as(s.name)
+        case _ => col(s.name) // min/max of an empty bucket stays null
+      }
+    }
+    val filled = grid.join(grouped, Seq("__time") ++ dimNames, "left")
+      .select((col("__time") +: dimNames.map(col)) ++ fills: _*)
+    val base = Window.partitionBy(dimNames.map(col): _*).orderBy(col("__time"))
+    def frame(b: Int) = base.rowsBetween(-(b - 1), Window.currentRow)
+    val avgCols: Seq[Column] = averagers.map { a =>
+      require(aggSpecs.exists(_.name == a.fieldName),
+        s"averager ${a.name} references unknown aggregation ${a.fieldName}")
+      val f = col(a.fieldName)
+      (a.tpe match {
+        case "doubleMean" =>
+          sum(f).over(frame(a.buckets)).cast("double") / lit(a.buckets.toDouble)
+        case "doubleSum" => sum(f).over(frame(a.buckets)).cast("double")
+        case "doubleMax" => max(f.cast("double")).over(frame(a.buckets))
+        case "doubleMin" => min(f.cast("double")).over(frame(a.buckets))
+        case "longSum" => sum(f.cast("long")).over(frame(a.buckets))
+        case "longMax" => max(f.cast("long")).over(frame(a.buckets))
+        case "longMin" => min(f.cast("long")).over(frame(a.buckets))
+        case other => throw new IllegalArgumentException(
+          s"unsupported averager type $other")
+      }).as(a.name)
+    }
+    val exposed: Seq[Column] = aggSpecs.map { s =>
+      if (decimalAggs.contains(s.name)) col(s.name).cast("double").as(s.name)
+      else col(s.name)
+    }
+    val withAvg = filled.select(
+      (col("__time") +: dimNames.map(col)) ++ exposed ++ avgCols: _*)
+    val inOrig = origIvs.map { case (lo, hi) =>
+      col("__time") >= g.bucket(timestamp_millis(lit(lo))) &&
+        col("__time") < timestamp_millis(lit(hi))
+    }.reduce(_ || _)
+    val clipped = withAvg.filter(inOrig)
+    val post = (q \ "postAveragers") match {
+      case JArray(xs) if xs.nonEmpty =>
+        clipped.select(col("*") +: xs.map(Aggregators.compilePostAgg): _*)
+      case _ => clipped
+    }
+    post.orderBy(col("__time") +: dimNames.map(col): _*)
+  }
+
+  /** Start of the granule `k` steps before the one containing `ms`
+    * (JVM time math, for the movingAverage warm-up extension). */
+  private def minusGranules(g: Granularity, ms: Long, k: Int): Long = g match {
+    case Granularity.Duration(step, origin) =>
+      ms - Math.floorMod(ms - origin, step) - k.toLong * step
+    case Granularity.Calendar(unit, scala.None) =>
+      import java.time._
+      import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+      val z = Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC)
+      val start = unit match {
+        case "second" => z.truncatedTo(ChronoUnit.SECONDS)
+        case "minute" => z.truncatedTo(ChronoUnit.MINUTES)
+        case "hour" => z.truncatedTo(ChronoUnit.HOURS)
+        case "day" => z.truncatedTo(ChronoUnit.DAYS)
+        case "week" => z.truncatedTo(ChronoUnit.DAYS)
+          .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        case "month" => z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+        case "quarter" => z.truncatedTo(ChronoUnit.DAYS)
+          .withDayOfMonth(1).withMonth(((z.getMonthValue - 1) / 3) * 3 + 1)
+        case "year" => z.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1)
+        case other => throw new IllegalArgumentException(
+          s"movingAverage warm-up unsupported for calendar unit $other")
+      }
+      val back = unit match {
+        case "second" => start.minusSeconds(k)
+        case "minute" => start.minusMinutes(k)
+        case "hour" => start.minusHours(k)
+        case "day" => start.minusDays(k)
+        case "week" => start.minusWeeks(k)
+        case "month" => start.minusMonths(k)
+        case "quarter" => start.minusMonths(3L * k)
+        case "year" => start.minusYears(k)
+      }
+      back.toInstant.toEpochMilli
+    case other => throw new IllegalArgumentException(
+      s"movingAverage requires a stepped granularity, got $other")
   }
 
   def topN(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {

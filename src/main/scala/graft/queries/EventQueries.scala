@@ -69,6 +69,66 @@ object EventQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -- movingAverage: trailing 7-day averagers per event type --
+
+  /** The movingAverage extension's query shape: per-event-type daily
+    * series, 7-bucket trailing mean of the daily value sum and
+    * trailing count. The warm-up (Jan 2–7) comes from real data —
+    * events start Jan 1 — so every emitted window is complete. */
+  val movingAvgJson: String =
+    """{
+      |  "queryType": "movingAverage",
+      |  "granularity": "day",
+      |  "intervals": ["2024-01-08T00:00:00Z/2024-01-25T00:00:00Z"],
+      |  "dimensions": ["event_type"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "cnt"},
+      |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"}
+      |  ],
+      |  "averagers": [
+      |    {"type": "doubleMean", "name": "avg7_value", "fieldName": "sum_value", "buckets": 7},
+      |    {"type": "longSum", "name": "cnt7", "fieldName": "cnt", "buckets": 7}
+      |  ]
+      |}""".stripMargin
+
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", movingAvgJson)
+
+  /** Mirror replays the warm-up extension (scan from Jan 2 = Jan 8
+    * minus 6 granules), the zero-filled granule × event_type grid, the
+    * DECIMAL-through-the-window trailing sums, and the final clip —
+    * decimal window sums are association-independent, so DuckDB's
+    * segment-tree window aggregation agrees bit-for-bit. */
+  val movingAvgSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('day', ts) AS __time, event_type,
+      |         count(*) AS cnt,
+      |         sum(CAST(value AS DECIMAL(38,6))) AS sv
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-25'
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.__time, c.event_type
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-02',
+      |                 TIMESTAMP '2024-01-24', INTERVAL 1 DAY)) AS __time) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM d) c),
+      |f AS (
+      |  SELECT g.__time, g.event_type,
+      |         coalesce(d.cnt, 0) AS cnt,
+      |         coalesce(d.sv, CAST(0 AS DECIMAL(38,6))) AS sv
+      |  FROM grid g LEFT JOIN d ON g.__time = d.__time AND g.event_type = d.event_type),
+      |w AS (
+      |  SELECT __time, event_type, cnt,
+      |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sum_value,
+      |         (CAST(CAST(sum(sv) OVER win AS VARCHAR) AS DOUBLE) / 7) AS avg7_value,
+      |         sum(cnt) OVER win AS cnt7
+      |  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY __time
+      |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT CAST(__time AS TIMESTAMP) AS __time, event_type,
+      |       cnt, sum_value, avg7_value, CAST(cnt7 AS BIGINT) AS cnt7
+      |FROM w WHERE __time >= TIMESTAMP '2024-01-08'
+      |ORDER BY __time, event_type""".stripMargin
+
   // -- topN: top event types by summed value --
 
   val topNJson: String =

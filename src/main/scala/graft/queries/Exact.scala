@@ -26,16 +26,27 @@ import org.apache.spark.sql.types.DecimalType
   * (DuckDB side).
   */
 object Exact {
-  private val Dec = DecimalType(38, 6)
+  private[queries] val Dec = DecimalType(38, 6)
   private val MaxAbs = 1e32 // DECIMAL(38,6) holds ±(10^32 − 10^-6)
+
+  /** Checked DECIMAL(38,6) image of a double expression — the exact,
+    * association-independent carrier `dsum` sums. Consumers that must
+    * stay exact THROUGH a window frame (e.g. movingAverage trailing
+    * sums, where Spark streams frames but DuckDB segment-trees them —
+    * different association order) keep this decimal until one final
+    * double cast at output. Raises on values outside the decimal's
+    * integral range instead of nulling. */
+  def dec(c: Column): Column = {
+    val d = c.cast("double")
+    when(abs(d) >= lit(MaxAbs),
+        raise_error(concat(lit("Exact value overflows DECIMAL(38,6): "), d.cast("string"))))
+      .otherwise(d.cast(Dec))
+  }
 
   /** Order-independent sum of a double expression, as double.
     * Raises on per-value or accumulator overflow instead of nulling. */
   def dsum(c: Column): Column = {
-    val d = c.cast("double")
-    val checked = when(abs(d) >= lit(MaxAbs),
-        raise_error(concat(lit("Exact.dsum value overflows DECIMAL(38,6): "), d.cast("string"))))
-      .otherwise(d.cast(Dec))
+    val checked = dec(c)
     val s = sum(checked)
     when(count(checked) > 0 && s.isNull,
         raise_error(lit("Exact.dsum accumulator overflowed DECIMAL(38,6)")))

@@ -31,6 +31,60 @@ class DruidQueriesSpec extends SparkSpec {
     assert(normal.sameElements(inverted.reverse))
   }
 
+  test("movingAverage: warm-up, zero-fill, trailing windows, interval clip") {
+    val day0 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    def d(n: Int) = day0 + n * 86400000L
+    // x misses day2 (zero-filled bucket); y has data only on day0 —
+    // both windows reach back into the warm-up extension
+    val df = Seq(
+      (d(0), "x", 1.0), (d(1), "x", 2.0), (d(3), "x", 4.0),
+      (d(0), "y", 10.0)
+    ).toDF("t", "g", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      s"""{"queryType":"movingAverage","granularity":"day",
+         |"intervals":["2024-02-03T00:00:00Z/2024-02-05T00:00:00Z"],
+         |"dimensions":["g"],
+         |"aggregations":[
+         |  {"type":"count","name":"cnt"},
+         |  {"type":"doubleSum","name":"sv","fieldName":"v"}],
+         |"averagers":[
+         |  {"type":"doubleMean","name":"avg3","fieldName":"sv","buckets":3},
+         |  {"type":"longSum","name":"cnt2","fieldName":"cnt","buckets":2}]
+         |}""".stripMargin).collect()
+    // rows ordered by __time then g; only days 2-3 emitted (clip)
+    assert(out.length == 4)
+    val byKey = out.map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+      (r.getAs[Double]("sv"), r.getAs[Double]("avg3"), r.getAs[Long]("cnt2"))).toMap
+    assert(byKey((d(2), "x")) == (0.0, (1.0 + 2.0 + 0.0) / 3, 1L))
+    assert(byKey((d(3), "x")) == (4.0, (2.0 + 0.0 + 4.0) / 3, 1L))
+    assert(byKey((d(2), "y")) == (0.0, 10.0 / 3, 0L))
+    assert(byKey((d(3), "y")) == (0.0, 0.0, 0L))
+    assert(out.map(r => (r.getTimestamp(0).getTime, r.getString(1))).toSeq ==
+      Seq((d(2), "x"), (d(2), "y"), (d(3), "x"), (d(3), "y")))
+  }
+
+  test("movingAverage rejects unsupported shapes loudly") {
+    val df = Seq((0L, 1.0)).toDF("t", "v")
+      .withColumn("ts", timestamp_millis($"t")).drop("t")
+    def run(json: String) =
+      intercept[IllegalArgumentException](DruidQueries.run(df, "ts", json))
+    assert(run("""{"queryType":"movingAverage","granularity":"all",
+      |"intervals":["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+      |"aggregations":[{"type":"count","name":"c"}],
+      |"averagers":[{"type":"doubleMean","name":"m","fieldName":"c","buckets":2}]}"""
+      .stripMargin).getMessage.contains("stepped granularity"))
+    assert(run("""{"queryType":"movingAverage","granularity":"day",
+      |"intervals":["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+      |"aggregations":[{"type":"count","name":"c"}],
+      |"averagers":[{"type":"zscore","name":"m","fieldName":"c","buckets":2}]}"""
+      .stripMargin).getMessage.contains("unsupported averager"))
+    assert(run("""{"queryType":"movingAverage","granularity":"day",
+      |"intervals":["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+      |"aggregations":[{"type":"count","name":"c"}],
+      |"averagers":[{"type":"doubleMean","name":"m","fieldName":"nope","buckets":2}]}"""
+      .stripMargin).getMessage.contains("unknown aggregation"))
+  }
+
   test("multi-value groupBy keeps null/empty arrays as the NULL group") {
     val df = Seq(
       (1L, Seq("a", "b"), 10L),
