@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, Dedup, MediaFixtures, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1065,6 +1065,35 @@ object PipelineQueries {
        |  ${Exact.sqlSum("l_extendedprice")} AS sum_price
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Bloom-prefiltered exact semi-join under the oracle gate:
+    * lineitem rows whose order is URGENT-priority, aggregated per
+    * return flag. The bloom (built over the selective orders key set
+    * in one pass) drops non-member lineitem rows in the scan stage —
+    * before the join exchange — and the exact semi-join removes the
+    * bloom's false positives, so this hash-matches the plain
+    * IN-subquery DuckDB oracle. BloomJoinSpec pins row-level equality
+    * with the un-prefiltered join and the no-false-negative property. */
+  def bloomJoinQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    BloomJoin.semi(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 1000000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomJoinSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- vocabulary construction ----
 
