@@ -45,6 +45,36 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most similar corpus vectors carrying a DIFFERENT group
+    * value (label / source), restricted to a similarity band —
+    * cosine ∈ [lo, hi) — so near-duplicates above `hi` (likely
+    * positives or mislabels) and easy negatives below `lo` are both
+    * excluded. Plan shape = [[bruteTopK]]: broadcast query batch,
+    * fused codegen cosine, rank ≤ k planned as WindowGroupLimit
+    * (pre- and post-shuffle top-k heaps — a giant corpus never
+    * materializes a per-query partition beyond k). The group
+    * inequality rides the join condition; the band is a plain
+    * filter under whole-stage codegen. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, k: Int = 10,
+      lo: Double = -1.0, hi: Double = 1.0): DataFrame = {
+    require(lo < hi, s"empty similarity band [$lo, $hi)")
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"),
+      col(groupCol).as("n_grp"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"),
+      col(groupCol).as("q_grp"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("n_grp") =!= col("q_grp"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   /** Deterministic distributed k-means for IVF coarse centroids:
     * init = the `cells` lowest-id vectors, then `iters` Lloyd rounds
     * (cosine assignment via one broadcast join, per-cell elementwise

@@ -464,6 +464,36 @@ object PipelineQueries {
       |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** Hard-negative mining under the oracle gate: per query vector,
+    * top-10 most-similar vectors with a DIFFERENT label, cosine
+    * capped below 0.95 (near-dup/mislabel exclusion) and floored at
+    * 0.0 (easy-negative exclusion). Cosines are bit-identical across
+    * engines (sequential fold both sides), so the band filter and the
+    * (cosine desc, id) rank replay exactly in DuckDB. */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(embs(s, d), queriesDf(s, d), "vec_id", "embedding",
+        groupCol = "label", k = 10, lo = 0.0, hi = 0.95)
+      .orderBy("q_id", "rank")
+
+  val hardNegativesSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |d AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |s AS (SELECT q.vec_id q_id, n.vec_id n_id,
+      |        list_sum(list_transform(list_zip(q.v, n.v), p -> p[1]*p[2]))
+      |          / (q.nrm * n.nrm) cosine
+      |      FROM d q, d n
+      |      WHERE q.vec_id < 5 AND n.vec_id != q.vec_id AND n.label != q.label),
+      |b AS (SELECT * FROM s WHERE cosine >= 0.0 AND cosine < 0.95),
+      |r AS (SELECT q_id, n_id, cosine,
+      |        row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY cosine DESC, n_id) rank
+      |      FROM b)
+      |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val q = Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding")
     Similarity.ivfTopK(embs(s, d), q, "vec_id", "embedding",

@@ -33,6 +33,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == bruteRef(5, 3))
   }
 
+  test("hardNegatives: different group only, band respected, matches in-memory reference") {
+    val rows = embs.select("vec_id", "embedding", "label").collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (lo, hi, k) = (0.0, 0.95, 5)
+    val want = rows.filter(_._1 < 3).map { case (q, qv, qg) =>
+      q -> rows.filter { case (n, nv, ng) =>
+        n != q && ng != qg && { val c = cos(qv, nv); c >= lo && c < hi }
+      }.map { case (n, nv, _) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSeq
+    }.toMap
+    val got = Similarity.hardNegatives(embs, embs.filter($"vec_id" < 3),
+        "vec_id", "embedding", "label", k = k, lo = lo, hi = hi)
+      .orderBy("q_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(got == want)
+    // and every returned negative really crosses the label boundary
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    got.foreach { case (q, ns) =>
+      ns.foreach(n => assert(labels(n) != labels(q))) }
+  }
+
   test("bruteTopK plans as WindowGroupLimit, not a full window sort") {
     // rank<=k over a window must optimize to WindowGroupLimit (per-
     // partition top-k heap, no full sort/materialization of all
