@@ -118,4 +118,43 @@ object Sampling {
       .filter(col(rk) <= maxPerGroup)
       .drop(rk)
   }
+
+  /** Per-group EXACT percentile trim: drop rows whose `valueCol`
+    * exceeds the group's q-quantile (the length-outlier cut every
+    * quality pipeline runs before training). The threshold for group
+    * g is the smallest value v with |{rows ≤ v}| ≥ ⌈q·n_g⌉; rows with
+    * value ≤ threshold survive — tie-INCLUSIVE, so membership never
+    * depends on row order and the result is deterministic without an
+    * id tiebreak.
+    *
+    * Scale shape — exact order statistics WITHOUT sorting rows:
+    * aggregate a (group, value) histogram first (map-side combined;
+    * its size is the group×distinct-value DOMAIN, independent of row
+    * count), run the cumulative window over the histogram (partitions
+    * are domain-sized, never row-sized — a skewed giant group costs
+    * its distinct values, not its rows), then join the
+    * group-cardinality threshold table back (AQE broadcasts it) and
+    * filter. NULL values never survive (NULL ≤ t is NULL → dropped).
+    */
+  def percentileTrim(df: DataFrame, groupCol: String, valueCol: String,
+                     q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q")
+    import org.apache.spark.sql.expressions.Window
+    // the quantile is over NON-NULL values (engines disagree on where
+    // NULL sorts in a window; excluding it makes the threshold — and
+    // therefore membership — engine-independent)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(cumW))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val thresh = cum
+      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .groupBy(col(groupCol)).agg(min(col(valueCol)).as("__t"))
+    df.join(thresh, Seq(groupCol))
+      .filter(col(valueCol) <= col("__t"))
+      .drop("__t")
+  }
 }

@@ -439,6 +439,38 @@ object PipelineQueries {
        |SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact per-source p95 length trim under the oracle gate: the
+    * histogram/cumsum threshold replays in SQL (same tie-inclusive
+    * "smallest value whose cumulative count reaches ⌈q·n⌉" rule,
+    * same ceil(double) arithmetic), so kept-row aggregates
+    * hash-match. */
+  def percentileTrimQ(s: SparkSession, d: String): DataFrame =
+    Sampling.percentileTrim(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", q = 0.95)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("n_chars")).as("max_kept"),
+        sum(col("n_chars")).as("sum_kept"))
+      .orderBy("source")
+
+  val percentileTrimSql: String =
+    """WITH h AS (SELECT source, n_chars, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, n_chars,
+      |        sum(c) OVER (PARTITION BY source ORDER BY n_chars
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(c) OVER (PARTITION BY source) AS n
+      |      FROM h),
+      |th AS (SELECT source, min(n_chars) AS thr
+      |       FROM t WHERE cum >= ceil(0.95 * n) GROUP BY source)
+      |SELECT d.source, count(*) AS n_kept,
+      |       CAST(max(d.n_chars) AS BIGINT) AS max_kept,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS sum_kept
+      |FROM documents d JOIN th ON d.source = th.source
+      |WHERE d.n_chars <= th.thr
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---- similarity search ----
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =

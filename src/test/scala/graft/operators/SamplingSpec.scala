@@ -108,4 +108,25 @@ class SamplingSpec extends SparkSpec {
     // alpha=1 keeps everything
     assert(Sampling.temperatureSample(df, "id", "grp", alpha = 1.0).count() == 800)
   }
+
+  test("percentileTrim: exact tie-inclusive per-group quantile cut") {
+    // g=a: values 1..100 (p90 ⇒ ⌈0.9·100⌉=90 ⇒ threshold 90, keep 90)
+    // g=b: heavy ties — 10×5, 10×7, 2×9: n=22, ⌈0.9·22⌉=20 ⇒ cum(5)=10,
+    //      cum(7)=20 ≥ 20 ⇒ threshold 7, keep ALL twenty 5s and 7s
+    val rows = (1 to 100).map(v => ("a", v)) ++
+      Seq.fill(10)(("b", 5)) ++ Seq.fill(10)(("b", 7)) ++ Seq.fill(2)(("b", 9))
+    val df2 = rows.toDF("g", "v")
+    val out = Sampling.percentileTrim(df2, "g", "v", q = 0.9)
+      .groupBy("g").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("a") == (90L, 90))
+    assert(out("b") == (20L, 7))
+    // q=1.0 keeps every row
+    assert(Sampling.percentileTrim(df2, "g", "v", q = 1.0).count() == rows.size)
+    // NULL values never survive the cut
+    val withNull = (Seq(("a", Some(1)), ("a", Some(2)), ("a", None))).toDF("g", "v")
+    assert(Sampling.percentileTrim(withNull, "g", "v", q = 1.0).count() == 2)
+  }
 }
