@@ -228,6 +228,53 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Vocabulary-bounded term co-occurrence with an exact lift score —
+    * the corpus-analysis signal behind collocation mining and
+    * topic-drift checks. For the top-`vocabSize` terms by document
+    * frequency, counts documents containing both terms of each pair
+    * and scores lift = P(ab) / (P(a)·P(b)) = (n_ab/n_a)·(N/n_b),
+    * computed as two correctly-rounded double divisions and one
+    * multiply — identical operand bits on any engine, and no
+    * BIGINT-product overflow at any corpus size (a direct
+    * n_ab·N·scale product would overflow 2⁶³ past ~10⁹ docs). log of
+    * the lift (true PMI) is monotone, so ranking by lift ranks by PMI
+    * without either engine's un-correctly-rounded `ln`.
+    *
+    * Scale shape: pass 1 aggregates document frequencies only (corpus
+    * explode → vocab-sized agg, map-side combined) and keeps the
+    * top-V as TakeOrdered; pass 2 RE-SCANS the corpus restricted to
+    * the broadcast vocabulary — re-scanning beats materializing a
+    * corpus-sized incidence list — then distincts to (doc, term)
+    * with ≤V terms per doc, so the doc-keyed pair self-join is
+    * bounded by V² per document, never |doc|². Pair aggregation is
+    * one map-side-combined shuffle over ≤V² keys. */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 50, minPairDocs: Long = 5L,
+                   topK: Int = 100): DataFrame = {
+    require(vocabSize >= 2, s"bad vocabSize $vocabSize")
+    require(topK >= 1, s"bad topK $topK")
+    val n = df.count()
+    def incidence0 = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = incidence0.distinct()
+      .groupBy("term").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term").asc).limit(vocabSize)
+    val inc = incidence0
+      .join(broadcast(vocab), Seq("term"))
+      .select(col(idCol), col("term"), col("n_docs")).distinct()
+    val a = inc.select(col(idCol), col("term").as("t1"), col("n_docs").as("n_a"))
+    val b = inc.select(col(idCol), col("term").as("t2"), col("n_docs").as("n_b"))
+    a.join(b, Seq(idCol)).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .withColumn("lift",
+        (col("n_ab").cast("double") / col("n_a")) *
+          (lit(n).cast("double") / col("n_b")))
+      .orderBy(col("lift").desc, col("t1"), col("t2")).limit(topK)
+      .select("t1", "t2", "n_ab", "n_a", "n_b", "lift")
+  }
+
   /** Overlapping token-window chunks for training-sequence prep:
     * window `window` tokens, stride `stride` (< window ⇒ overlap of
     * window − stride). Chunk grid = ceil((n − window)/stride) + 1, so

@@ -439,6 +439,33 @@ object PipelineQueries {
        |SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   }
 
+  /** Top-50-vocabulary co-occurrence lift under the oracle gate: the
+    * mirror replays tokenization, doc-frequency top-V (count desc,
+    * term asc), the doc-bounded pair join, and the two-division lift
+    * arithmetic — identical double operations, identical bits. */
+  def cooccurQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cooccurrence(docs(s, d), "doc_id", "text",
+        vocabSize = 50, minPairDocs = 5L, topK = 100)
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+
+  val cooccurSql: String =
+    """WITH inc0 AS (
+      |  SELECT DISTINCT doc_id, word AS term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''),
+      |v AS (SELECT term, count(*) AS n_docs FROM inc0 GROUP BY term
+      |      ORDER BY n_docs DESC, term ASC LIMIT 50),
+      |inc AS (SELECT i.doc_id, i.term, v.n_docs FROM inc0 i JOIN v USING (term)),
+      |p AS (SELECT a.term AS t1, b.term AS t2,
+      |        a.n_docs AS n_a, b.n_docs AS n_b, count(*) AS n_ab
+      |      FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+      |      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+      |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+      |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       (CAST(n_ab AS DOUBLE) / n_a) *
+      |         (CAST((SELECT count(*) FROM documents) AS DOUBLE) / n_b) AS lift
+      |FROM p ORDER BY lift DESC, t1, t2 LIMIT 100""".stripMargin
+
   /** Exact per-source p95 length trim under the oracle gate: the
     * histogram/cumsum threshold replays in SQL (same tie-inclusive
     * "smallest value whose cumulative count reaches ⌈q·n⌉" rule,

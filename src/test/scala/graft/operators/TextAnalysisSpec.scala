@@ -207,4 +207,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scans == 0, // materialized tf truncates lineage: no corpus scan in final plan
       s"expected the corpus scan to happen once inside Materialize, got $scans:\n$plan")
   }
+
+  test("cooccurrence: vocab cut, doc-level pair counts, exact lift") {
+    val s2b = spark
+    import s2b.implicits._
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "b c"), (5L, "a b c d")
+    ).toDF("doc_id", "text")
+    // d (df=1) falls outside the top-3 vocabulary {a, b, c}
+    val out = TextAnalysis.cooccurrence(df, "doc_id", "text",
+      vocabSize = 3, minPairDocs = 2, topK = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_ab") == 3L)
+      assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+      assert(r.getAs[Double]("lift") == (3.0 / 4) * (5.0 / 4))
+    }
+    // repeated terms in one doc count the DOC once, not each hit
+    val rep = Seq((1L, "x x y"), (2L, "x y"), (3L, "y z")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.cooccurrence(rep, "doc_id", "text",
+      vocabSize = 3, minPairDocs = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_ab")).toMap
+    assert(o2(("x", "y")) == 2L)
+  }
 }
