@@ -23,17 +23,36 @@ import org.json4s.jackson.JsonMethods
   */
 object DruidQueries {
 
-  def run(df0: DataFrame, timeCol: String, queryJson: String): DataFrame = {
+  def run(df0: DataFrame, timeCol: String, queryJson: String): DataFrame =
+    runParsed(df0, timeCol, JsonMethods.parse(queryJson) match {
+      case o: JObject => o
+      case x => throw new IllegalArgumentException(s"bad query $x")
+    })
+
+  private def runParsed(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+    // `query` dataSource (Druid nested queries): compile the inner
+    // query over the root datasource first, then run the outer over
+    // its RESULT — keyed by the inner's emitted `__time` bucket column
+    // when it has one. Nesting composes arbitrarily (inner may itself
+    // nest); this is how Druid expresses filter-on-aggregate and
+    // reaggregation shapes beyond having-specs.
+    (q \ "dataSource" \ "type") match {
+      case JString("query") =>
+        val innerQ = (q \ "dataSource" \ "query") match {
+          case o: JObject => o
+          case x => throw new IllegalArgumentException(s"query dataSource missing query: $x")
+        }
+        val inner = runParsed(df0, timeCol, innerQ)
+        val outerTime = if (inner.columns.contains("__time")) "__time" else timeCol
+        return runParsed(inner, outerTime, JObject(q.obj.filterNot(_._1 == "dataSource")))
+      case _ => ()
+    }
     // accept epoch-millis long time columns (what SegmentStore scans
     // and DruidSegmentReader emit) alongside native timestamps
     val df = df0.schema.fields.find(_.name == timeCol) match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df0.withColumn(timeCol, timestamp_millis(col(timeCol)))
       case _ => df0
-    }
-    val q = JsonMethods.parse(queryJson) match {
-      case o: JObject => o
-      case x => throw new IllegalArgumentException(s"bad query $x")
     }
     val queryType = (q \ "queryType") match {
       case JString(s) => s

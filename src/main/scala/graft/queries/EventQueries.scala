@@ -129,6 +129,60 @@ object EventQueries {
       |FROM w WHERE __time >= TIMESTAMP '2024-01-08'
       |ORDER BY __time, event_type""".stripMargin
 
+  // -- nested query dataSource: groupBy over a groupBy's result --
+
+  /** Druid's filter-on-aggregate shape via a `query` dataSource: the
+    * inner groupBy computes daily per-type value sums; the outer
+    * keeps only "strong days" (numeric bound on the INNER AGGREGATE —
+    * beyond what a having-spec on the outer could express) and
+    * reaggregates per type. */
+  val nestedQueryJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dataSource": {"type": "query", "query": {
+      |    "queryType": "groupBy",
+      |    "granularity": "day",
+      |    "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+      |    "dimensions": ["event_type"],
+      |    "aggregations": [
+      |      {"type": "count", "name": "cnt"},
+      |      {"type": "doubleSum", "name": "day_value", "fieldName": "value"}
+      |    ]
+      |  }},
+      |  "granularity": "all",
+      |  "filter": {"type": "bound", "dimension": "day_value",
+      |             "lower": "3200", "ordering": "numeric"},
+      |  "dimensions": ["event_type"],
+      |  "aggregations": [
+      |    {"type": "longSum", "name": "n_events", "fieldName": "cnt"},
+      |    {"type": "count", "name": "n_days"},
+      |    {"type": "doubleMax", "name": "max_day", "fieldName": "day_value"}
+      |  ],
+      |  "limitSpec": {"type": "default",
+      |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+      |}""".stripMargin
+
+  def nestedQuery(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", nestedQueryJson)
+
+  /** Inner day sums are decimal-exact doubles (identical bits), so
+    * the outer's numeric bound keeps the same days in both engines;
+    * count/longSum/max over them are exact. */
+  val nestedQuerySql: String =
+    """WITH i AS (
+      |  SELECT date_trunc('day', ts) AS t, event_type,
+      |         count(*) AS cnt,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS day_value
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      |  GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(sum(cnt) AS BIGINT) AS n_events,
+      |       count(*) AS n_days,
+      |       max(day_value) AS max_day
+      |FROM i WHERE day_value >= 3200
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- topN: top event types by summed value --
 
   val topNJson: String =

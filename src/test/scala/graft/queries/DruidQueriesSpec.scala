@@ -63,6 +63,28 @@ class DruidQueriesSpec extends SparkSpec {
       Seq((d(2), "x"), (d(2), "y"), (d(3), "x"), (d(3), "y")))
   }
 
+  test("query dataSource nests: the outer filters on inner aggregates") {
+    val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
+    val df = Seq(
+      (day0, "a", 10L), (day0 + 1000, "a", 20L),           // a/day0 sum 30
+      (day0 + 86400000L, "a", 5L),                          // a/day1 sum 5
+      (day0, "b", 50L)                                      // b/day0 sum 50
+    ).toDF("t", "g", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"groupBy",
+        |"dataSource":{"type":"query","query":{
+        |  "queryType":"groupBy","granularity":"day","dimensions":["g"],
+        |  "aggregations":[{"type":"longSum","name":"s","fieldName":"v"}]}},
+        |"granularity":"all","dimensions":["g"],
+        |"filter":{"type":"bound","dimension":"s","lower":"30","ordering":"numeric"},
+        |"aggregations":[{"type":"count","name":"n_days"},
+        |                {"type":"longSum","name":"total","fieldName":"s"}]
+        |}""".stripMargin).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_days"), r.getAs[Long]("total"))).toMap
+    // day-sums >= 30: a/day0 (30) and b/day0 (50); a/day1 (5) drops
+    assert(out == Map("a" -> (1L, 30L), "b" -> (1L, 50L)))
+  }
+
   test("movingAverage rejects unsupported shapes loudly") {
     val df = Seq((0L, 1.0)).toDF("t", "v")
       .withColumn("ts", timestamp_millis($"t")).drop("t")
