@@ -194,6 +194,29 @@ object Dedup {
     clustersFromPairs(df, idCol,
       minhashPairs(df, idCol, textCol, threshold = threshold), maxIter)
 
+  /** Canonical-document selection per near-dup cluster: within each
+    * [[clusters]] component, keep the member maximizing
+    * (`scoreCol` desc, id asc) — "best-quality duplicate wins", the
+    * keep rule real dedup pipelines use instead of min-id (the
+    * longest / highest-quality copy survives, truncated or boiler-
+    * plated copies drop). Deterministic: the id tiebreak makes the
+    * argmax total even under score ties.
+    *
+    * Returns one row per cluster: (cluster_id, keep_id, n_members).
+    * Cost beyond clustering itself is ONE map-side-combined groupBy
+    * over (cluster, score) — max_by with a (score, -id) struct key,
+    * no window, no sort. */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, threshold: Double = 0.8): DataFrame = {
+    val cl = clusters(df, idCol, textCol, threshold = threshold)
+    df.select(col(idCol), col(scoreCol))
+      .join(cl, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), negate(col(idCol)))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Connected components from an existing (a_id, b_id) pair set —
     * lets callers reuse pairs they already computed (e.g. after
     * minhashPairs) instead of re-running the LSH pipeline.

@@ -173,6 +173,44 @@ object PipelineQueries {
       |SELECT v AS doc_id, min(lbl) AS cluster_id
       |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** Canonical pick per near-dup cluster: longest member wins
+    * (n_chars desc, doc_id asc) — the real pipelines' keep rule. The
+    * mirror replays the recursive-CTE components plus a window argmax
+    * over the joined scores. */
+  def canonicalPickQ(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalPerCluster(docs(s, d), "doc_id", "text", "n_chars",
+        threshold = 0.8)
+      .orderBy("cluster_id")
+
+  val canonicalPickSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t),
+      |e AS (SELECT a_id, b_id FROM (
+      |  SELECT a.doc_id a_id, b.doc_id b_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8),
+      |und(v, nbr) AS (SELECT a_id, b_id FROM e UNION SELECT b_id, a_id FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT und.nbr, cc.lbl FROM cc JOIN und ON cc.v = und.v),
+      |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |j AS (SELECT cl.cluster_id, d.doc_id, d.n_chars
+      |      FROM cl JOIN documents d USING (doc_id)),
+      |r AS (SELECT cluster_id, doc_id,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |                           ORDER BY n_chars DESC, doc_id) rn,
+      |        count(*) OVER (PARTITION BY cluster_id) n
+      |      FROM j)
+      |SELECT cluster_id, doc_id AS keep_id, CAST(n AS BIGINT) AS n_members
+      |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** SimHash hamming ≤ 3 pairs. The chunk-combination bucketing is
     * lossless for numChunks > maxHamming, so the engine's output must
     * EQUAL brute force — which the oracle recomputes in DuckDB from

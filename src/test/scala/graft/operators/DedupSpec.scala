@@ -165,6 +165,21 @@ class DedupSpec extends SparkSpec {
     assert(got(20L) == 20L)
   }
 
+  test("canonicalPerCluster keeps the best-scoring member, id tiebreak") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j", 10L), (2L, "a b c d e f g h i j", 99L),
+      (3L, "a b c d e f g h i k", 99L), // ties 2 on score → lower id wins
+      (10L, "z y x w v u t s r q", 5L), (11L, "z y x w v u t s r q", 7L),
+      (20L, "totally different words here that share nothing at all ok", 1L))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.canonicalPerCluster(df, "doc_id", "text", "score",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (2L, 3L))   // cluster {1,2,3}: score 99 tie → id 2
+    assert(got(10L) == (11L, 2L)) // cluster {10,11}: 7 > 5
+    assert(got(20L) == (20L, 1L)) // singleton keeps itself
+  }
+
   test("connected components fails loudly if maxIter is too small") {
     // a path graph 1-2-3-4-5 needs >1 round; maxIter=1 must throw,
     // never return partially-contracted labels (driverEdgeLimit=0
