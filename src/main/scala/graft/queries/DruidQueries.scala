@@ -30,22 +30,22 @@ object DruidQueries {
     })
 
   private def runParsed(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
-    // `query` dataSource (Druid nested queries): compile the inner
-    // query over the root datasource first, then run the outer over
-    // its RESULT — keyed by the inner's emitted `__time` bucket column
-    // when it has one. Nesting composes arbitrarily (inner may itself
-    // nest); this is how Druid expresses filter-on-aggregate and
-    // reaggregation shapes beyond having-specs.
-    (q \ "dataSource" \ "type") match {
-      case JString("query") =>
-        val innerQ = (q \ "dataSource" \ "query") match {
-          case o: JObject => o
-          case x => throw new IllegalArgumentException(s"query dataSource missing query: $x")
-        }
-        val inner = runParsed(df0, timeCol, innerQ)
-        val outerTime = if (inner.columns.contains("__time")) "__time" else timeCol
-        return runParsed(inner, outerTime, JObject(q.obj.filterNot(_._1 == "dataSource")))
-      case _ => ()
+    // Composite dataSources (Druid nested queries and broker joins)
+    // resolve first; the query then runs over the resolved DataFrame,
+    // keyed by its emitted `__time` bucket column when it has one.
+    //  - {type: query}: compile the inner query over the root
+    //    datasource, run the outer over its RESULT (filter-on-
+    //    aggregate / reaggregation beyond having-specs)
+    //  - {type: join}: left ⋈ right on Druid's equality condition
+    //    (`leftCol == "prefix.rightCol"`), right side BROADCAST —
+    //    Druid only joins against global (memory-resident) right
+    //    sides, which is exactly Spark's broadcast-hash shape
+    //  - composes to any depth (a join's right is typically a query)
+    resolveDataSource(df0, timeCol, q \ "dataSource") match {
+      case Some(resolved) =>
+        val outerTime = if (resolved.columns.contains("__time")) "__time" else timeCol
+        return runParsed(resolved, outerTime, JObject(q.obj.filterNot(_._1 == "dataSource")))
+      case None => ()
     }
     // accept epoch-millis long time columns (what SegmentStore scans
     // and DruidSegmentReader emit) alongside native timestamps
@@ -263,6 +263,77 @@ object DruidQueries {
         if (desc) filled.orderBy(col("__time").desc) else filled.orderBy(col("__time"))
     }
     withPostAggs(out, q)
+  }
+
+  /** Resolve a composite dataSource to a DataFrame, or None when the
+    * spec names the root datasource (a plain string / table type —
+    * the caller-passed DataFrame IS that table). */
+  private def resolveDataSource(df0: DataFrame, timeCol: String,
+                                j: JValue): Option[DataFrame] = j match {
+    case JNothing | JNull | JString(_) => None
+    case o: JObject => (o \ "type") match {
+      case JString("table") => None
+      case JString("query") =>
+        val innerQ = (o \ "query") match {
+          case q: JObject => q
+          case x => throw new IllegalArgumentException(s"query dataSource missing query: $x")
+        }
+        Some(runParsed(df0, timeCol, innerQ))
+      case JString("join") =>
+        def side(k: String): DataFrame =
+          resolveDataSource(df0, timeCol, o \ k).getOrElse(df0)
+        val left = side("left")
+        val prefix = (o \ "rightPrefix") match {
+          case JString(p) if p.nonEmpty => p
+          case _ => throw new IllegalArgumentException("join dataSource requires rightPrefix")
+        }
+        require(!prefix.contains("."),
+          s"rightPrefix '$prefix' contains '.', which collides with struct field " +
+            "syntax in downstream column references — use e.g. an underscore prefix")
+        val right = side("right")
+        val renamed = right.columns.foldLeft(right)((d, c) =>
+          d.withColumnRenamed(c, prefix + c))
+        val joinType = (o \ "joinType") match {
+          case JString(t) => t.toUpperCase match {
+            case "INNER" => "inner"
+            case "LEFT" => "left"
+            case other => throw new IllegalArgumentException(s"unsupported joinType $other")
+          }
+          case _ => "inner"
+        }
+        val condStr = (o \ "condition") match {
+          case JString(c) => c
+          case x => throw new IllegalArgumentException(s"join dataSource missing condition: $x")
+        }
+        // Druid's join condition language restricted to what Druid
+        // itself executes efficiently: conjunctions of equalities
+        // `leftCol == "rightRef"` (the right reference is a quoted
+        // prefix.column / prefixcolumn string)
+        val eq = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*==\s*"([^"]+)"\s*""".r
+        val conds = condStr.split("&&").toSeq.map {
+          case eq(l, r) =>
+            val rcol = if (r.startsWith(prefix)) r else prefix + r
+            require(renamed.columns.contains(rcol),
+              s"join condition references unknown right column $r (resolved $rcol)")
+            left(l) === renamed(rcol)
+          case other => throw new IllegalArgumentException(
+            s"unsupported join condition clause '$other' (need leftCol == \"${prefix}col\")")
+        }
+        // right side is a Druid GLOBAL datasource by contract → broadcast
+        Some(left.join(broadcast(renamed), conds.reduce(_ && _), joinType))
+      case JString("union") =>
+        val parts = (o \ "dataSources") match {
+          case JArray(xs) if xs.nonEmpty =>
+            xs.map(x => resolveDataSource(df0, timeCol, x).getOrElse(df0))
+          case _ => throw new IllegalArgumentException("union dataSource needs dataSources")
+        }
+        // Druid union-by-column-name with null fill for mismatches
+        Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+      case JString(other) =>
+        throw new IllegalArgumentException(s"unsupported dataSource type $other")
+      case _ => None
+    }
+    case x => throw new IllegalArgumentException(s"bad dataSource $x")
   }
 
   /** Druid `movingAverage` query (the movingAverage contrib

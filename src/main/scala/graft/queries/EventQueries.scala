@@ -183,6 +183,48 @@ object EventQueries {
       |FROM i WHERE day_value >= 3200
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- join dataSource: broadcast enrichment join, Druid broker-style --
+
+  /** Druid broker join: each event joined (broadcast) to its type's
+    * global count — right side is a `query` dataSource, Druid's
+    * "global datasource" contract = Spark's broadcast-hash shape —
+    * then filtered on the JOINED aggregate and regrouped. */
+  val druidJoinJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dataSource": {"type": "join",
+      |    "left": "events",
+      |    "right": {"type": "query", "query": {
+      |      "queryType": "groupBy", "granularity": "all",
+      |      "dimensions": ["event_type"],
+      |      "aggregations": [{"type": "count", "name": "cnt_type"}]}},
+      |    "rightPrefix": "r_",
+      |    "condition": "event_type == \"r_event_type\"",
+      |    "joinType": "INNER"},
+      |  "granularity": "all",
+      |  "filter": {"type": "bound", "dimension": "r_cnt_type",
+      |             "lower": "2000", "ordering": "numeric"},
+      |  "dimensions": ["event_type"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "n"},
+      |    {"type": "longMax", "name": "type_total", "fieldName": "r_cnt_type"}
+      |  ],
+      |  "limitSpec": {"type": "default",
+      |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+      |}""".stripMargin
+
+  def druidJoin(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", druidJoinJson)
+
+  val druidJoinSql: String =
+    """WITH r AS (SELECT event_type, count(*) AS cnt_type
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |       CAST(max(r.cnt_type) AS BIGINT) AS type_total
+      |FROM events e JOIN r ON e.event_type = r.event_type
+      |WHERE r.cnt_type >= 2000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- topN: top event types by summed value --
 
   val topNJson: String =

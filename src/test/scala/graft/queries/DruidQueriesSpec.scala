@@ -85,6 +85,48 @@ class DruidQueriesSpec extends SparkSpec {
     assert(out == Map("a" -> (1L, 30L), "b" -> (1L, 50L)))
   }
 
+  test("join dataSource: broadcast-enriched rows, LEFT keeps unmatched") {
+    val df = Seq((0L, "a", 1L), (1000L, "a", 2L), (2000L, "b", 3L))
+      .toDF("t", "g", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    def q(joinType: String) =
+      s"""{"queryType":"scan","columns":["g","v","r_s"],
+         |"dataSource":{"type":"join","left":"root",
+         |  "right":{"type":"query","query":{
+         |    "queryType":"groupBy","granularity":"all","dimensions":["g"],
+         |    "filter":{"type":"selector","dimension":"g","value":"a"},
+         |    "aggregations":[{"type":"longSum","name":"s","fieldName":"v"}]}},
+         |  "rightPrefix":"r_","condition":"g == \\"r_g\\"",
+         |  "joinType":"$joinType"}}""".stripMargin
+    val inner = DruidQueries.run(df, "ts", q("INNER")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(inner.toSet == Set(("a", 1L, 3L), ("a", 2L, 3L)))
+    val leftJ = DruidQueries.run(df, "ts", q("LEFT")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(leftJ.toSet == Set(("a", 1L, 3L), ("a", 2L, 3L), ("b", 3L, -1L)))
+    // the right side must plan as a broadcast join (Druid global contract)
+    val plan = DruidQueries.run(df, "ts", q("INNER"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"join dataSource must broadcast the right side:\n$plan")
+  }
+
+  test("union dataSource unions by name with null fill") {
+    val df = Seq((0L, "a", 1L)).toDF("t", "g", "v")
+      .withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"groupBy","granularity":"all","dimensions":["g"],
+        |"dataSource":{"type":"union","dataSources":[
+        |  "root",
+        |  {"type":"query","query":{"queryType":"groupBy","granularity":"all",
+        |    "dimensions":["g"],
+        |    "aggregations":[{"type":"count","name":"c"}]}}]},
+        |"aggregations":[{"type":"count","name":"n"}]}""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    // root row + the inner-aggregate row both carry g=a
+    assert(out == Map("a" -> 2L))
+  }
+
   test("movingAverage rejects unsupported shapes loudly") {
     val df = Seq((0L, 1.0)).toDF("t", "v")
       .withColumn("ts", timestamp_millis($"t")).drop("t")
