@@ -396,7 +396,33 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"),
         TextFunctions.simhash64(split(col("__text"), " ")).as("sh")))
+    signaturePairs(docs, maxHamming, numChunks, maxBucketSize)
+  }
 
+  /** Hamming-radius pairs over a PRE-COMPUTED 64-bit signature column
+    * — [[simhashPairs]]' pairing stage for signatures the caller
+    * already owns (an image perceptual hash, a stored simhash, any
+    * 64-bit locality-sensitive code). Same guarantees: chunk-
+    * combination buckets are LOSSLESS for `numChunks > maxHamming`,
+    * bucket sizes hard-capped, exact xor/bit_count verify. NULL
+    * signatures (undecodable blobs) drop out. */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3, numChunks: Int = 6,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    require(numChunks > maxHamming,
+      "chunk bucketing is lossless only when numChunks > maxHamming")
+    require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
+    val docs = Materialize(df
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("sh"))
+      .repartition(col("id")))
+    signaturePairs(docs, maxHamming, numChunks, maxBucketSize)
+  }
+
+  /** (id, sh) → hamming ≤ maxHamming pairs (shared tail of
+    * [[simhashPairs]] / [[hammingPairs]]). */
+  private def signaturePairs(docs: DataFrame, maxHamming: Int,
+                             numChunks: Int, maxBucketSize: Int): DataFrame = {
     val chunks = docs.select(
       col("id"),
       explode(TextFunctions.simhashKeysFromHash(

@@ -43,19 +43,31 @@ object MediaFixtures {
 
   // ---- image encoders (javax.imageio; deterministic solid fill) ----
 
-  private def img(w: Int, h: Int, format: String): Array[Byte] = {
+  /** The standard authored pixel pattern: green = (31x + 17y) mod 255,
+    * red = blue = 0. Perceptual-hash gates recompute expected values
+    * from THIS closed form, independent of any encode/decode. */
+  def patternGreen(x: Int, y: Int): Int = (x * 31 + y * 17) % 255
+
+  /** Deterministic image blob: `green(x, y)` in the green channel
+    * (custom functions let perceptual-hash gates plant near-dup and
+    * distinct variants), encoded by javax.imageio. */
+  def customImage(w: Int, h: Int, format: String,
+                  green: (Int, Int) => Int = patternGreen): Array[Byte] = {
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var x = 0
     while (x < w) {
       var y = 0
-      while (y < h) { im.setRGB(x, y, ((x * 31 + y * 17) % 255) << 8); y += 1 }
+      while (y < h) { im.setRGB(x, y, (green(x, y) & 0xFF) << 8); y += 1 }
       x += 1
     }
     val baos = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, format, baos)
     baos.toByteArray
   }
+
+  private def img(w: Int, h: Int, format: String): Array[Byte] =
+    customImage(w, h, format)
 
   private def imageFixture(id: Long, format: String, w: Int, h: Int): Fixture =
     Fixture(id, s"image/$format", img(w, h, format),

@@ -246,6 +246,86 @@ object Multimodal {
     }(rowEnc)
   }
 
+  // ---- perceptual hashing (image near-dup dedup) ----
+
+  /** 64-bit difference hash (dHash) of a decoded pixel matrix:
+    * integer-luma grayscale is averaged over a 9×8 integer-grid
+    * block downscale; bit (row·8+col) is set when the right cell's
+    * mean exceeds the left's. Images smaller than 9×8 have empty
+    * blocks → None. Pure integer arithmetic: deterministic for a
+    * given pixel matrix on any platform. */
+  private[graft] def dhashOfPixels(gray: (Int, Int) => Int,
+                                   w: Int, h: Int): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val means = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(x, y); n += 1; x += 1 }
+          y += 1
+        }
+        means(cy)(cx) = s / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (means(k / 8)(k % 8 + 1) > means(k / 8)(k % 8)) bits |= 1L << k
+      k += 1
+    }
+    Some(bits)
+  }
+
+  /** Integer luma of a packed ARGB pixel: (299r + 587g + 114b)/1000 —
+    * the ITU-R 601 weights in exact integer arithmetic. */
+  private[operators] def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xFF; val g = (argb >> 8) & 0xFF; val b = argb & 0xFF
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Per-image 64-bit dHash column over a binary blob column —
+    * the image near-dup signal (two images within a few bits are
+    * visually near-identical; crops/recompressions land nearby).
+    * Decode is javax.imageio; LOSSLESS formats (PNG/BMP/GIF) hash
+    * identically everywhere, JPEG hashes additionally depend on the
+    * decoder's IDCT so treat them as cluster-local features.
+    * Undecodable blobs and images under 9×8 yield NULL dhash —
+    * corrupt rows are data to route, never task kills.
+    *
+    * Pure per-row projection via mapPartitions (ImageIO cannot live
+    * in a codegen Expression): NO shuffle at any scale. Pair
+    * generation over the result is [[Dedup.hammingPairs]] — bucketed,
+    * capped, exact-verified; never all-pairs. */
+  def imageDHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val enc = ExpressionEncoder(StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true))))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val dh: Option[Long] =
+          try {
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            if (im == null) None
+            else dhashOfPixels((x, y) => luma(im.getRGB(x, y)),
+              im.getWidth, im.getHeight)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        Row(id, dh.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** Pluggable audio codec boundary — audio metadata has its own
     * natural shape (rate/channels/frames), not the image struct. */
   trait AudioCodec extends Serializable {

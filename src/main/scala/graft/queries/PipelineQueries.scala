@@ -1079,6 +1079,57 @@ object PipelineQueries {
        |ORDER BY media_id, modality""".stripMargin
   }
 
+  // ---- image perceptual-hash dedup ----
+
+  private val dhBase: (Int, Int) => Int = MediaFixtures.patternGreen
+  private val dhBumped: (Int, Int) => Int =
+    (x, y) => if (x < 8 && y < 6) math.min(dhBase(x, y) + 60, 255) else dhBase(x, y)
+  private val dhReversed: (Int, Int) => Int = (x, y) => 254 - dhBase(x, y)
+
+  /** dHash gate corpus: base pattern (png), a one-block bump (png,
+    * within hamming radius), the SAME pattern as bmp (cross-format
+    * exact perceptual dup), a reversed gradient (far), an undersized
+    * image and a corrupt blob (both NULL-hash, dropped). */
+  private def dhashCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, MediaFixtures.customImage(72, 48, "png")),
+      (2L, MediaFixtures.customImage(72, 48, "png", dhBumped)),
+      (3L, MediaFixtures.customImage(72, 48, "bmp")),
+      (4L, MediaFixtures.customImage(72, 48, "png", dhReversed)),
+      (5L, MediaFixtures.customImage(4, 4, "png")),
+      (6L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("img_id", "blob")
+  }
+
+  /** Image near-dup detection through the REAL codec path: encode →
+    * javax.imageio decode → dHash → bucketed hamming pairs. The
+    * oracle recomputes expected hashes from the AUTHORED pattern
+    * closed form (never touching encoded bytes), so the gate
+    * certifies the whole encode→decode→hash pipeline. */
+  def imageDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs(
+        Multimodal.imageDHash(dhashCorpus(s), "img_id", "blob"),
+        "img_id", "dhash", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  lazy val imageDedupSql: String = {
+    def hash(green: (Int, Int) => Int): Long =
+      Multimodal.dhashOfPixels((x, y) => 587 * green(x, y) / 1000, 72, 48).get
+    val hs = Seq(1L -> hash(dhBase), 2L -> hash(dhBumped),
+      3L -> hash(dhBase), 4L -> hash(dhReversed))
+    val pairs = for {
+      (a, ha) <- hs
+      (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield s"($a, $b, $d)"
+    require(pairs.nonEmpty, "dHash gate corpus must contain near-dup pairs")
+    s"""SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  CAST(hamming AS INT) AS hamming
+       |FROM (VALUES ${pairs.mkString(", ")}) AS t(a_id, b_id, hamming)
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- point-in-time (as-of) join ----
 
   /** Each click event annotated with the user's most recent purchase

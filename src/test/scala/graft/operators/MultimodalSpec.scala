@@ -192,4 +192,51 @@ class MultimodalSpec extends SparkSpec {
     assert(repart.rdd.getNumPartitions >= 1)
     assert(repart.count() == 3)
   }
+
+  test("dhashOfPixels: hand-computed extremes and undersized images") {
+    // 9×8 with gray = x: one pixel per block, every right neighbor
+    // brighter → all 64 bits set
+    assert(Multimodal.dhashOfPixels((x, _) => x, 9, 8) == Some(-1L))
+    // strictly decreasing → no bit set
+    assert(Multimodal.dhashOfPixels((x, _) => 9 - x, 9, 8) == Some(0L))
+    // constant → ties are NOT "greater" → no bit set
+    assert(Multimodal.dhashOfPixels((_, _) => 42, 90, 80) == Some(0L))
+    // single flipped comparison: gray rises only from block col 0 to 1
+    // on every row → bits k ≡ 0 (mod 8)
+    val one = Multimodal.dhashOfPixels(
+      (x, _) => if (x < 10) 0 else 50, 90, 80).get
+    assert(one == (0 until 8).map(r => 1L << (8 * r)).reduce(_ | _))
+    assert(Multimodal.dhashOfPixels((x, _) => x, 8, 8).isEmpty, "w < 9")
+    assert(Multimodal.dhashOfPixels((x, _) => x, 9, 7).isEmpty, "h < 8")
+  }
+
+  test("imageDHash: encode→decode→hash equals the authored-pattern hash") {
+    val expect = Multimodal.dhashOfPixels(
+      (x, y) => 587 * MediaFixtures.patternGreen(x, y) / 1000, 72, 48).get
+    val df = Seq(
+      (1L, MediaFixtures.customImage(72, 48, "png")),
+      (2L, MediaFixtures.customImage(72, 48, "bmp")),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, MediaFixtures.customImage(4, 4, "png"))
+    ).toDF("img_id", "blob")
+    val got = Multimodal.imageDHash(df, "img_id", "blob").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) == Some(expect), "png round-trip")
+    assert(got(2L) == Some(expect), "bmp round-trip — cross-format perceptual dup")
+    assert(got(3L).isEmpty, "corrupt blob → NULL, not a task kill")
+    assert(got(4L).isEmpty, "undersized image → NULL")
+  }
+
+  test("hammingPairs over stored hashes equals simhash pairing semantics") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, Some(0x0L)), (2L, Some(0x3L)),          // hamming 2
+      (3L, Some(0xFFL)), (4L, Some(0xFFFFFFFFL)),  // far from everything
+      (5L, None: Option[Long])                     // NULL drops
+    ).toDF("id", "h")
+    val pairs = Dedup.hammingPairs(df, "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2)))
+  }
 }
