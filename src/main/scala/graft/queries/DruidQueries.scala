@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.model.{Aggregators, DimFilter, Granularity}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -24,12 +25,23 @@ import org.json4s.jackson.JsonMethods
 object DruidQueries {
 
   def run(df0: DataFrame, timeCol: String, queryJson: String): DataFrame =
+    run(df0, timeCol, queryJson, Map.empty)
+
+  /** Run with a catalog of NAMED datasources: a string (or
+    * {type: table}) dataSource whose name is in `catalog` resolves to
+    * that DataFrame (its time column is also `timeCol`); unknown
+    * names resolve to `df0`, the root datasource. This is how a join
+    * query references a second table (`{"left": "events",
+    * "right": "event_tiers", ...}`). */
+  def run(df0: DataFrame, timeCol: String, queryJson: String,
+          catalog: Map[String, DataFrame]): DataFrame =
     runParsed(df0, timeCol, JsonMethods.parse(queryJson) match {
       case o: JObject => o
       case x => throw new IllegalArgumentException(s"bad query $x")
-    })
+    }, catalog)
 
-  private def runParsed(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
+  private def runParsed(df0: DataFrame, timeCol: String, q: JObject,
+                        catalog: Map[String, DataFrame] = Map.empty): DataFrame = {
     // Composite dataSources (Druid nested queries and broker joins)
     // resolve first; the query then runs over the resolved DataFrame,
     // keyed by its emitted `__time` bucket column when it has one.
@@ -41,10 +53,11 @@ object DruidQueries {
     //    Druid only joins against global (memory-resident) right
     //    sides, which is exactly Spark's broadcast-hash shape
     //  - composes to any depth (a join's right is typically a query)
-    resolveDataSource(df0, timeCol, q \ "dataSource") match {
+    resolveDataSource(df0, timeCol, q \ "dataSource", catalog) match {
       case Some(resolved) =>
         val outerTime = if (resolved.columns.contains("__time")) "__time" else timeCol
-        return runParsed(resolved, outerTime, JObject(q.obj.filterNot(_._1 == "dataSource")))
+        return runParsed(resolved, outerTime,
+          JObject(q.obj.filterNot(_._1 == "dataSource")), catalog)
       case None => ()
     }
     // accept epoch-millis long time columns (what SegmentStore scans
@@ -266,22 +279,71 @@ object DruidQueries {
   }
 
   /** Resolve a composite dataSource to a DataFrame, or None when the
-    * spec names the root datasource (a plain string / table type —
-    * the caller-passed DataFrame IS that table). */
-  private def resolveDataSource(df0: DataFrame, timeCol: String,
-                                j: JValue): Option[DataFrame] = j match {
-    case JNothing | JNull | JString(_) => None
+    * spec names the root datasource (a plain string / table type not
+    * present in the catalog — the caller-passed DataFrame IS that
+    * table). */
+  private def resolveDataSource(df0: DataFrame, timeCol: String, j: JValue,
+                                catalog: Map[String, DataFrame]): Option[DataFrame] = j match {
+    case JNothing | JNull => None
+    case JString(name) => catalog.get(name)
     case o: JObject => (o \ "type") match {
-      case JString("table") => None
+      case JString("table") => (o \ "name") match {
+        case JString(name) => catalog.get(name)
+        case _ => None
+      }
       case JString("query") =>
         val innerQ = (o \ "query") match {
           case q: JObject => q
           case x => throw new IllegalArgumentException(s"query dataSource missing query: $x")
         }
-        Some(runParsed(df0, timeCol, innerQ))
+        Some(runParsed(df0, timeCol, innerQ, catalog))
+      case JString("inline") =>
+        // {"type":"inline","columnNames":[...],"rows":[[...]]} — a
+        // literal relation carried IN the query (Druid uses these for
+        // small enrichment/join sides); numbers land as long/double,
+        // strings as strings, null as null
+        val names = (o \ "columnNames") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => throw new IllegalArgumentException("inline dataSource needs columnNames")
+        }
+        val rows = (o \ "rows") match {
+          case JArray(xs) => xs.map {
+            case JArray(cells) =>
+              require(cells.size == names.size,
+                s"inline row arity ${cells.size} != ${names.size} columns")
+              Row.fromSeq(cells.map {
+                case JString(s) => s
+                case JInt(n) => n.toLong
+                case JLong(n) => n
+                case JDouble(d) => d
+                case JDecimal(d) => d.toDouble
+                case JBool(b) => b
+                case JNull => null
+                case x => throw new IllegalArgumentException(s"bad inline cell $x")
+              })
+            case x => throw new IllegalArgumentException(s"bad inline row $x")
+          }
+          case _ => throw new IllegalArgumentException("inline dataSource needs rows")
+        }
+        require(rows.nonEmpty, "inline dataSource needs at least one row")
+        val fields = names.zipWithIndex.map { case (n, i) =>
+          val tpe = rows.iterator.map(_.get(i)).collectFirst {
+            case v if v != null => v match {
+              case _: String => StringType
+              case _: java.lang.Long => LongType
+              case _: java.lang.Double => DoubleType
+              case _: java.lang.Boolean => BooleanType
+            }
+          }.getOrElse(StringType)
+          StructField(n, tpe, nullable = true)
+        }
+        Some(df0.sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava),
+          StructType(fields)))
       case JString("join") =>
         def side(k: String): DataFrame =
-          resolveDataSource(df0, timeCol, o \ k).getOrElse(df0)
+          resolveDataSource(df0, timeCol, o \ k, catalog).getOrElse(df0)
         val left = side("left")
         val prefix = (o \ "rightPrefix") match {
           case JString(p) if p.nonEmpty => p
@@ -324,7 +386,7 @@ object DruidQueries {
       case JString("union") =>
         val parts = (o \ "dataSources") match {
           case JArray(xs) if xs.nonEmpty =>
-            xs.map(x => resolveDataSource(df0, timeCol, x).getOrElse(df0))
+            xs.map(x => resolveDataSource(df0, timeCol, x, catalog).getOrElse(df0))
           case _ => throw new IllegalArgumentException("union dataSource needs dataSources")
         }
         // Druid union-by-column-name with null fill for mismatches

@@ -225,6 +225,46 @@ object EventQueries {
       |WHERE r.cnt_type >= 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- inline dataSource join: enrichment without any table --
+
+  /** Literal enrichment relation carried IN the query (Druid inline
+    * dataSource) joined broadcast onto events, aggregated per tier. */
+  val inlineJoinJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dataSource": {"type": "join",
+      |    "left": "events",
+      |    "right": {"type": "inline",
+      |      "columnNames": ["event_type", "tier"],
+      |      "rows": [["click", "engage"], ["view", "engage"],
+      |               ["purchase", "revenue"], ["signup", "revenue"],
+      |               ["error", "ops"]]},
+      |    "rightPrefix": "t_",
+      |    "condition": "event_type == \"t_event_type\"",
+      |    "joinType": "LEFT"},
+      |  "granularity": "all",
+      |  "dimensions": ["t_tier"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "n"},
+      |    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"}
+      |  ],
+      |  "limitSpec": {"type": "default",
+      |    "columns": [{"dimension": "t_tier", "direction": "ascending"}]}
+      |}""".stripMargin
+
+  def inlineJoin(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts", inlineJoinJson)
+
+  val inlineJoinSql: String =
+    s"""WITH tiers(event_type, tier) AS (VALUES
+       |  ('click', 'engage'), ('view', 'engage'),
+       |  ('purchase', 'revenue'), ('signup', 'revenue'),
+       |  ('error', 'ops'))
+       |SELECT t.tier AS t_tier, count(*) AS n,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events e LEFT JOIN tiers t USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- topN: top event types by summed value --
 
   val topNJson: String =

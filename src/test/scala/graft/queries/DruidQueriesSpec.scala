@@ -111,6 +111,35 @@ class DruidQueriesSpec extends SparkSpec {
       s"join dataSource must broadcast the right side:\n$plan")
   }
 
+  test("catalog resolves named datasources; inline carries a literal relation") {
+    val events = Seq((0L, "a", 1L), (1000L, "b", 2L))
+      .toDF("t", "g", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val dims = Seq(("a", "x"), ("b", "y")).toDF("g", "grp")
+    // named right side from the catalog
+    val out = DruidQueries.run(events, "ts",
+      """{"queryType":"groupBy","granularity":"all","dimensions":["d_grp"],
+        |"dataSource":{"type":"join","left":"events","right":"dims",
+        |  "rightPrefix":"d_","condition":"g == \"d_g\"","joinType":"INNER"},
+        |"aggregations":[{"type":"longSum","name":"s","fieldName":"v"}]}""".stripMargin,
+      Map("events" -> events, "dims" -> dims))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s")).toMap
+    assert(out == Map("x" -> 1L, "y" -> 2L))
+    // inline relation: no catalog, no table — rows live in the query
+    val inl = DruidQueries.run(events, "ts",
+      """{"queryType":"scan","columns":["g","v","i_w"],
+        |"dataSource":{"type":"join","left":"root",
+        |  "right":{"type":"inline","columnNames":["g","w"],
+        |           "rows":[["a", 10], ["b", 20]]},
+        |  "rightPrefix":"i_","condition":"g == \"i_g\"","joinType":"INNER"}}"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(inl.toSet == Set(("a", 1L, 10L), ("b", 2L, 20L)))
+    // inline arity mismatch fails loudly
+    intercept[IllegalArgumentException](DruidQueries.run(events, "ts",
+      """{"queryType":"scan","dataSource":{"type":"inline",
+        |"columnNames":["g","w"],"rows":[["a"]]}}""".stripMargin))
+  }
+
   test("union dataSource unions by name with null fill") {
     val df = Seq((0L, "a", 1L)).toDF("t", "g", "v")
       .withColumn("ts", timestamp_millis($"t")).drop("t")
