@@ -129,4 +129,22 @@ class SamplingSpec extends SparkSpec {
     val withNull = (Seq(("a", Some(1)), ("a", Some(2)), ("a", None))).toDF("g", "v")
     assert(Sampling.percentileTrim(withNull, "g", "v", q = 1.0).count() == 2)
   }
+
+  test("percentileTrim matches a sort-based reference on random data") {
+    for (seed <- Seq(7, 8, 9); q <- Seq(0.5, 0.9, 0.99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 2000).map(i =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(50), i.toLong))
+      val df2 = rows.toDF("g", "v", "rid")
+      val got = Sampling.percentileTrim(df2, "g", "v", q)
+        .collect().map(_.getAs[Long]("rid")).toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val need = math.ceil(q * sorted.size).toInt
+        val thr = sorted(need - 1) // smallest value whose cum count ≥ need
+        grp.filter(_._2 <= thr).map(_._3)
+      }.toSet
+      assert(got == want, s"seed $seed q $q")
+    }
+  }
 }

@@ -63,6 +63,41 @@ class DruidQueriesSpec extends SparkSpec {
       Seq((d(2), "x"), (d(2), "y"), (d(3), "x"), (d(3), "y")))
   }
 
+  test("movingAverage matches an in-memory reference on random series") {
+    val day0 = java.time.Instant.parse("2024-05-01T00:00:00Z").toEpochMilli
+    val dayMs = 86400000L
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // integer-valued doubles: every sum is exact in double AND
+      // decimal, so the reference needs no decimal plumbing
+      val rows = for {
+        d <- 0 until 15
+        g <- Seq("p", "q")
+        if rnd.nextDouble() < 0.7
+        k <- 0 until (1 + rnd.nextInt(3))
+      } yield (day0 + d * dayMs + k * 1000L, g, rnd.nextInt(100).toDouble)
+      val df = rows.toDF("t", "g", "v")
+        .withColumn("ts", timestamp_millis($"t")).drop("t")
+      val out = DruidQueries.run(df, "ts",
+        """{"queryType":"movingAverage","granularity":"day",
+          |"intervals":["2024-05-06T00:00:00Z/2024-05-16T00:00:00Z"],
+          |"dimensions":["g"],
+          |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}],
+          |"averagers":[{"type":"doubleMean","name":"m4","fieldName":"sv","buckets":4}]
+          |}""".stripMargin).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getAs[Double]("sv"), r.getAs[Double]("m4"))).toMap
+      // reference: zero-filled daily sums per dim, trailing-4 mean,
+      // clipped to days 5..14 — dims that never appear emit nothing
+      val dims = rows.map(_._2).distinct.sorted
+      val daily = Map.from(for (g <- dims; d <- 0 until 15) yield (d, g) ->
+        rows.filter(r => r._2 == g && (r._1 - day0) / dayMs == d).map(_._3).sum)
+      val want = for (g <- dims; d <- 5 until 15) yield (day0 + d * dayMs, g) ->
+        (daily((d, g)), (d - 3 to d).map(i => daily((i, g))).sum / 4.0)
+      assert(out == want.toMap, s"seed $seed")
+    }
+  }
+
   test("query dataSource nests: the outer filters on inner aggregates") {
     val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
     val df = Seq(

@@ -244,6 +244,30 @@ class DruidSegmentReaderSpec extends SparkSpec {
     // pruning asserts live in the test above); garbage never should.
   }
 
+  test("CONCISE structural check rejects random word soup (property)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // random word arrays decode to SOME bitmap, but the probability
+    // that a handful of them exactly partitions [0, rows) is
+    // negligible — the self-check must say no
+    val gen = for {
+      n <- Gen.choose(2, 6)
+      words <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(Int.MinValue, Int.MaxValue)))
+    } yield words
+    val prop = Prop.forAll(gen) { words =>
+      val entries = words.map { ws =>
+        val b = java.nio.ByteBuffer.allocate(4 * ws.size)
+        ws.foreach(b.putInt); b.array()
+      }.toIndexedSeq
+      val idx = new DruidSegmentReader.DimBitmapIndex(
+        entries.indices.map(i => s"v$i"), false, "concise", entries)
+      !DruidSegmentReader.conciseIndexValid(idx, 100000)
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(0xA11CE)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("CONCISE decoder: literal, zero-fill and one-fill words with flipped bits") {
     import java.nio.ByteBuffer
     def words(ws: Int*): Array[Byte] = {
