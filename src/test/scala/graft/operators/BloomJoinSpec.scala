@@ -48,6 +48,30 @@ class BloomJoinSpec extends SparkSpec {
     assert(semi.toSeq == Seq(1L))
   }
 
+  test("prefilter runs in the probe scan stage, BELOW the join exchange") {
+    // force the shuffle-join regime (the operator's target scenario:
+    // small side too big to broadcast) and check the bloom filter
+    // sits under the probe side's Exchange — rows drop BEFORE shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(0, 5000).select(($"id" % 512).as("k"))
+      val small = spark.range(0, 512).filter($"id" % 9 === 0).select($"id".as("sk"))
+      val df = BloomJoin.semi(big, small, "k", "sk", expectedItems = 100)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val exch = plan.indexOf("Exchange")
+      val mc = plan.indexOf("might_contain")
+      assert(exch >= 0 && mc >= 0, s"plan missing exchange or bloom filter:\n$plan")
+      // tree text prints children after parents: the bloom filter line
+      // appearing after the first Exchange line means it executes
+      // inside (below) the shuffle's input stage, not after the join
+      assert(mc > exch, s"bloom prefilter must sit below the exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join under the forced regime:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("invalid sizing parameters fail loudly") {
     val df = Seq(1L).toDF("k")
     intercept[IllegalArgumentException](BloomJoin.bloomOf(df, "k", 0))

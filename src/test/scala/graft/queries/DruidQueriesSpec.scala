@@ -63,6 +63,36 @@ class DruidQueriesSpec extends SparkSpec {
       Seq((d(2), "x"), (d(2), "y"), (d(3), "x"), (d(3), "y")))
   }
 
+  test("movingAverage plan: bounded exchanges, no cartesian product") {
+    val day0 = java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli
+    val df = (0 until 200).map(i => (day0 + i * 3600_000L, s"g${i % 3}", i.toDouble))
+      .toDF("t", "g", "v").withColumn("ts", timestamp_millis($"t")).drop("t")
+    val out = DruidQueries.run(df, "ts",
+      """{"queryType":"movingAverage","granularity":"day",
+        |"intervals":["2024-06-03T00:00:00Z/2024-06-09T00:00:00Z"],
+        |"dimensions":["g"],
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}],
+        |"averagers":[{"type":"doubleMean","name":"m3","fieldName":"sv","buckets":3}]
+        |}""".stripMargin)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"grid join must not be a cartesian product:\n$plan")
+    assert(plan.contains("Window"), s"plan lacks the averager window:\n$plan")
+    // corpus-path shuffles: inner agg (1) + window (1). The remaining
+    // exchanges sit on DOMAIN-sized tables — granule-grid distinct,
+    // dim-combo distinct, and join re-partitioning of the
+    // granules×combos grid — whose row counts are granules × combos,
+    // independent of corpus size. Bound the total so a lost
+    // partitioning (e.g. the window re-shuffling the corpus) trips.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 6, s"movingAverage plan has $shuffles hash exchanges:\n$plan")
+    // the grid side must broadcast into the fill join, and the
+    // tiny grid×combo cross stays a broadcast nested loop
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"grid fill join should broadcast at this scale:\n$plan")
+  }
+
   test("movingAverage matches an in-memory reference on random series") {
     val day0 = java.time.Instant.parse("2024-05-01T00:00:00Z").toEpochMilli
     val dayMs = 86400000L
