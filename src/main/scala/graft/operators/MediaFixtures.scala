@@ -91,6 +91,32 @@ object MediaFixtures {
     baos.toByteArray
   }
 
+  /** PCM blob authored at the SAMPLE level: `sample(k)` is the signed
+    * 16-bit value of flat sample index k (frame·channels + channel),
+    * byte-packed per the target endianness — so the same sample
+    * function encoded as WAV (LE) and AIFF (BE) decodes to identical
+    * samples, giving perceptual-hash gates a cross-format exact dup. */
+  def customPcm(fileType: javax.sound.sampled.AudioFileFormat.Type,
+                rate: Int, channels: Int, frames: Int, bigEndian: Boolean,
+                sample: Int => Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, bigEndian)
+    val bytes = new Array[Byte](frames * fmt.getFrameSize)
+    var k = 0
+    while (k < frames * channels) {
+      val s = sample(k).toShort
+      val o = 2 * k
+      if (bigEndian) { bytes(o) = (s >> 8).toByte; bytes(o + 1) = s.toByte }
+      else { bytes(o) = s.toByte; bytes(o + 1) = (s >> 8).toByte }
+      k += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, baos)
+    baos.toByteArray
+  }
+
   private def audioFixture(id: Long, kind: String,
                            fileType: javax.sound.sampled.AudioFileFormat.Type,
                            rate: Int, channels: Int, frames: Int,

@@ -285,6 +285,76 @@ object Multimodal {
     Some(bits)
   }
 
+  /** 1-D difference hash of a value series: 65 windows on the integer
+    * grid, per-window integer mean, bit k set when window k+1's mean
+    * exceeds window k's. Series shorter than 65 → None. The audio
+    * fingerprint runs this over the |mono sample| energy series. */
+  private[graft] def dhashOfSeries(v: Int => Long, n: Int): Option[Long] = {
+    if (n < 65) return None
+    val means = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val a = j * n / 65; val b = (j + 1) * n / 65
+      var s = 0L; var i = a
+      while (i < b) { s += v(i); i += 1 }
+      means(j) = s / (b - a)
+      j += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) { if (means(k + 1) > means(k)) bits |= 1L << k; k += 1 }
+    Some(bits)
+  }
+
+  /** Per-clip 64-bit audio fingerprint over a binary blob column —
+    * the audio near-dup signal: a difference hash of the energy
+    * envelope (|mono|, 65 integer-grid windows). Decode is the REAL
+    * javax.sound path (WAV/AIFF/AU, 16-bit signed PCM); identical
+    * samples fingerprint identically regardless of container or
+    * endianness. Non-PCM/undecodable blobs and clips under 65 frames
+    * yield NULL. Pure mapPartitions projection — NO shuffle; pair
+    * generation is [[Dedup.hammingPairs]]. */
+  def audioFingerprint(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val enc = ExpressionEncoder(StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("afp", LongType, nullable = true))))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fp: Option[Long] =
+          try {
+            import javax.sound.sampled._
+            val ais = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+            else {
+              val bytes = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val be = fmt.isBigEndian
+              val frameSize = fmt.getFrameSize
+              val n = bytes.length / frameSize
+              def mono(i: Int): Long = {
+                var s = 0L; var c = 0
+                while (c < ch) {
+                  val o = i * frameSize + 2 * c
+                  val (b0, b1) = (bytes(o), bytes(o + 1))
+                  s += (if (be) ((b0 & 0xFF) << 8) | (b1 & 0xFF)
+                        else ((b1 & 0xFF) << 8) | (b0 & 0xFF)).toShort
+                  c += 1
+                }
+                s / ch
+              }
+              dhashOfSeries(i => math.abs(mono(i)), n)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        Row(id, fp.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** Integer luma of a packed ARGB pixel: (299r + 587g + 114b)/1000 —
     * the ITU-R 601 weights in exact integer arithmetic. */
   private[operators] def luma(argb: Int): Int = {

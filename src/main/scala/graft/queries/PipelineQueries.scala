@@ -1130,6 +1130,62 @@ object PipelineQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- audio perceptual-hash dedup ----
+
+  private val afBase: Int => Int =
+    k => ((k % 97) - 48) * ((k / 64) % 50 + 1)
+  private val afBumped: Int => Int =
+    k => afBase(k) + (if (k < 300) 500 else 0)
+  private val afOther: Int => Int =
+    k => ((k % 89) - 44) * (50 - (k / 64) % 50)
+
+  /** Audio fingerprint gate corpus: base waveform as WAV (LE), an
+    * early-window bump (near-dup), the SAME samples as AIFF (BE —
+    * cross-container/endianness exact perceptual dup), a different
+    * envelope (far), an under-65-frame clip and a corrupt blob (both
+    * NULL, dropped). */
+  private def audioCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    Seq(
+      (1L, MediaFixtures.customPcm(WAVE, 16000, 1, 8000, bigEndian = false, afBase)),
+      (2L, MediaFixtures.customPcm(WAVE, 16000, 1, 8000, bigEndian = false, afBumped)),
+      (3L, MediaFixtures.customPcm(AIFF, 16000, 1, 8000, bigEndian = true, afBase)),
+      (4L, MediaFixtures.customPcm(WAVE, 16000, 1, 8000, bigEndian = false, afOther)),
+      (5L, MediaFixtures.customPcm(WAVE, 16000, 1, 50, bigEndian = false, afBase)),
+      (6L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("clip_id", "blob")
+  }
+
+  /** Audio near-dup detection through the REAL decode path: author →
+    * WAV/AIFF encode → javax.sound decode → energy-envelope dHash →
+    * bucketed hamming pairs. The oracle recomputes fingerprints from
+    * the AUTHORED sample closed form, so the gate certifies container
+    * parsing, endianness handling, and the hash end-to-end. */
+  def audioDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs(
+        Multimodal.audioFingerprint(audioCorpus(s), "clip_id", "blob"),
+        "clip_id", "afp", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  lazy val audioDedupSql: String = {
+    def fp(sample: Int => Int): Long =
+      Multimodal.dhashOfSeries(
+        i => math.abs(sample(i).toShort.toLong), 8000).get
+    val hs = Seq(1L -> fp(afBase), 2L -> fp(afBumped),
+      3L -> fp(afBase), 4L -> fp(afOther))
+    val pairs = for {
+      (a, ha) <- hs
+      (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield s"($a, $b, $d)"
+    require(pairs.nonEmpty, "audio gate corpus must contain near-dup pairs")
+    s"""SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  CAST(hamming AS INT) AS hamming
+       |FROM (VALUES ${pairs.mkString(", ")}) AS t(a_id, b_id, hamming)
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- point-in-time (as-of) join ----
 
   /** Each click event annotated with the user's most recent purchase

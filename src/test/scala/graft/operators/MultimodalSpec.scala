@@ -228,6 +228,46 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).isEmpty, "undersized image → NULL")
   }
 
+  test("dhashOfSeries: hand-computed extremes and short series") {
+    // strictly rising window means → all bits; falling → none
+    assert(Multimodal.dhashOfSeries(i => i.toLong, 65) == Some(-1L))
+    assert(Multimodal.dhashOfSeries(i => (65 - i).toLong, 65) == Some(0L))
+    assert(Multimodal.dhashOfSeries(_ => 7L, 650) == Some(0L), "ties are not greater")
+    assert(Multimodal.dhashOfSeries(i => i.toLong, 64).isEmpty, "n < 65")
+  }
+
+  test("audioFingerprint: WAV(LE) and AIFF(BE) of identical samples match the authored hash") {
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val wave: Int => Int = k => ((k % 73) - 36) * ((k / 50) % 40 + 1)
+    val expect = Multimodal.dhashOfSeries(
+      i => math.abs(wave(i).toShort.toLong), 4000).get
+    val df = Seq(
+      (1L, MediaFixtures.customPcm(WAVE, 8000, 1, 4000, bigEndian = false, wave)),
+      (2L, MediaFixtures.customPcm(AIFF, 8000, 1, 4000, bigEndian = true, wave)),
+      (3L, "junk".getBytes("UTF-8")),
+      (4L, MediaFixtures.customPcm(WAVE, 8000, 1, 30, bigEndian = false, wave))
+    ).toDF("clip_id", "blob")
+    val got = Multimodal.audioFingerprint(df, "clip_id", "blob").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) == Some(expect), "wav decode")
+    assert(got(2L) == Some(expect), "aiff decode — endianness-independent fingerprint")
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
+  test("audioFingerprint mixes stereo to mono before the envelope") {
+    import javax.sound.sampled.AudioFileFormat.Type.WAVE
+    // stereo with L = 2v, R = 0 → mono v; mono with v directly must match
+    val v: Int => Int = k => ((k % 61) - 30) * ((k / 40) % 30 + 1)
+    val stereo = MediaFixtures.customPcm(WAVE, 8000, 2, 4000, bigEndian = false,
+      k => if (k % 2 == 0) 2 * v(k / 2) else 0)
+    val mono = MediaFixtures.customPcm(WAVE, 8000, 1, 4000, bigEndian = false, v)
+    val df = Seq((1L, stereo), (2L, mono)).toDF("clip_id", "blob")
+    val got = Multimodal.audioFingerprint(df, "clip_id", "blob").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+  }
+
   test("hammingPairs over stored hashes equals simhash pairing semantics") {
     import graft.operators.Dedup
     val df = Seq(
