@@ -79,6 +79,9 @@ object DruidQueries {
       case "scan" | "select" => scan(df, timeCol, q)
       case "search" => search(df, timeCol, q)
       case "timeBoundary" => timeBoundary(df, timeCol, q)
+      // dispatched on the UNconverted frame: a ms-long __time stays a
+      // plain max(long) → aggregate-pushdown-eligible on DSv2 sources
+      case "dataSourceMetadata" => dataSourceMetadata(df0, timeCol)
       case "segmentMetadata" => segmentMetadata(df, q)
       case other => throw new IllegalArgumentException(s"unsupported queryType $other")
     }
@@ -778,6 +781,22 @@ object DruidQueries {
 
   /** min/max __time as epoch-millis (the engine's canonical __time).
     * `bound: minTime|maxTime` narrows to one side, per Druid. */
+  /** Druid dataSourceMetadata query: the ingestion watermark —
+    * maxIngestedEventTime, the newest event __time present in the
+    * datasource (druid.apache.org native query #8; the reference's
+    * ingestion loop polls it to decide what to pull next). Takes no
+    * filter/interval by Druid's contract. Compiles to a single
+    * partial-agg max over the time column — on a DSv2 Druid
+    * datasource the max(__time) aggregate pushes down to the segment
+    * header (zero row decode). */
+  def dataSourceMetadata(df: DataFrame, timeCol: String): DataFrame = {
+    val m = df.schema.fields.find(_.name == timeCol) match {
+      case Some(f) if f.dataType == LongType => max(col(timeCol))
+      case _ => unix_millis(max(col(timeCol)))
+    }
+    df.agg(m.as("maxIngestedEventTime"))
+  }
+
   def timeBoundary(df0: DataFrame, timeCol: String, q: JObject): DataFrame = {
     val df = prepared(df0, timeCol, q)
     (q \ "bound") match {

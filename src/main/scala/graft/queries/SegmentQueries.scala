@@ -498,6 +498,29 @@ object SegmentQueries {
       s"CAST(${t0 + 3 * day / 4} AS BIGINT) AS t_last"
   }
 
+  /** Druid dataSourceMetadata queryType (the ingestion watermark,
+    * native query #8 — the reference's ingestion loop polls it to
+    * decide what interval to pull next) run as the JSON dialect over
+    * the DSv2 deep-store datasource: maxIngestedEventTime =
+    * max(__time) over timeline-VISIBLE rows. Dispatches on the raw
+    * ms-long __time so the max stays a pushed-down aggregate — the
+    * answer comes from the compressed-longs header, zero row decode
+    * (DruidSegmentsDataSourceSpec pins PushedAggregates). */
+  def druidDsMetadata(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = deepStoreFixture()
+    val ds = spark.read.format("druid-segments")
+      .option("dataSource", "fixture")
+      .load(root.getAbsolutePath)
+    DruidQueries.run(ds, "__time", """{"queryType": "dataSourceMetadata"}""")
+  }
+
+  /** v2's second row is the newest visible event (t0 + 3·day/4). */
+  val druidDsMetadataSql: String = {
+    val day = 24 * 3600 * 1000L
+    val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+    s"SELECT CAST(${t0 + 3 * day / 4} AS BIGINT) AS maxIngestedEventTime"
+  }
+
   /** DSv2 TOP-N pushdown under the driver gate: "latest 3 events" —
     * Druid's time-ordered scan shape — over the deep-store fixture.
     * The source heap-selects winners off the __time column per window

@@ -380,6 +380,19 @@ class DruidQueriesSpec extends SparkSpec {
     assert(mx.collect()(0).getLong(0) == both.getLong(1))
   }
 
+  test("dataSourceMetadata returns the ingestion watermark in millis") {
+    val out = DruidQueries.run(ev, "ts",
+      """{"queryType":"dataSourceMetadata"}""")
+    assert(out.columns.toSeq == Seq("maxIngestedEventTime"))
+    val expect = ev.agg(max(unix_millis($"ts"))).collect()(0).getLong(0)
+    assert(out.collect()(0).getLong(0) == expect)
+    // ms-long time column stays a plain long max (pushdown-eligible)
+    val longDf = ev.select(unix_millis($"ts").as("t"), $"event_type")
+    val out2 = DruidQueries.run(longDf, "t",
+      """{"queryType":"dataSourceMetadata"}""")
+    assert(out2.collect()(0).getLong(0) == expect)
+  }
+
   test("topN dimension metric orders lexicographically") {
     val out = DruidQueries.run(ev, "ts",
       """{"queryType":"topN","dimension":"event_type",

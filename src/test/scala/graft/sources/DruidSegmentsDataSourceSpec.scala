@@ -152,6 +152,20 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
         r.scan.description()
     }.getOrElse("")
 
+  test("dataSourceMetadata queryType pushes max(__time) — zero row decode") {
+    val root = tmpDir()
+    writeSegment(new File(root, "seg1"))
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+    val q = graft.queries.DruidQueries.run(df, "__time",
+      """{"queryType":"dataSourceMetadata"}""")
+    assert(scanDescription(q).contains("PushedAggregates: [MAX(__time)]"),
+      s"watermark must come from the pushed aggregate, got: ${scanDescription(q)}")
+    DruidSegmentReader.decodedSegments.set(0)
+    assert(q.collect().head.getLong(0) == t0 + 4 * (day / 5))
+    assert(DruidSegmentReader.decodedSegments.get() == 0,
+      "dataSourceMetadata must not row-decode")
+  }
+
   test("dsv2 aggregate pushdown: count(*) answers from segment metadata — zero chunks decompressed") {
     import org.apache.spark.sql.functions.{count, col}
     val root = tmpDir()
