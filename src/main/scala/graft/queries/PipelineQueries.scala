@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, SaltedJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, Pii, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1269,6 +1269,61 @@ object PipelineQueries {
       |    strip_accents(regexp_replace(lower(text), '[0-9]', '0', 'g')),
       |    '\s+', ' ', 'g')) AS text_norm
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- PII redaction ----
+
+  /** PII scrub under the hash gate. The synthetic corpus carries no
+    * PII, so each doc's text is AUGMENTED deterministically from
+    * doc_id (an email always; SSN / IP / phone on id mod 3/2/5) by
+    * IDENTICAL expressions on both engines — the gate then certifies
+    * the regex machinery itself: Java and RE2 must agree on every
+    * match boundary for the redacted strings and counts to
+    * hash-match. Pure projection, zero shuffle (Pii.scala). */
+  def piiRedactQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def lp(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@mail"), (id % 7).cast("string"), lit(".org"),
+      when(id % 3 === 0, concat(lit(" ssn 123-45-"), lp(10000, 4)))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" from 10."), (id % 256).cast("string"),
+          lit(".0."), ((id * 7) % 256).cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call +1 555-"), lp(1000, 3), lit("-"), lp(10000, 4)))
+        .otherwise(lit("")))
+    Pii.redact(docs(s, d).select(id, aug.as("text")))
+      .select(col("doc_id"), col("clean"), col("n_email"), col("n_ssn"),
+        col("n_ip"), col("n_phone"), col("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    // NB: continuation lines must not START with the || operator —
+    // stripMargin would eat its first pipe
+    val aug =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |         '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END""".stripMargin
+    s"""WITH aug AS (SELECT doc_id, $aug AS text FROM documents)
+       |SELECT doc_id, ${Pii.mirrorClean("text")} AS clean,
+       |  ${Pii.mirrorCounts("text").mkString(",\n  ")},
+       |  ${Pii.patterns.map(p => s"n_${p._1}").mkString(" + ")} AS n_pii
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
 
   // ---- salted skew join ----
 
