@@ -354,4 +354,58 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  // ---- HTML text extraction ----
+
+  /** Tag-strip passes in order: script/style bodies first (they may
+    * contain bare `<`), then comments, then any remaining tag. All in
+    * the RE2 ∩ Java dialect (inline (?is) flags + lazy .*? are common
+    * to both; no lookaround). */
+  val htmlStripPasses: Seq[(String, String)] = Seq(
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("<[^>]*>", " "))
+
+  /** Entity decodes, LITERAL replaces in order — `&amp;` last, so an
+    * escaped entity (`&amp;lt;`) decodes to the literal text `&lt;`
+    * (HTML semantics), not to `<`. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"))
+
+  /** HTML → text extraction (the crawl-ingest "strip the markup"
+    * pass): drop script/style/comments, strip tags, decode the common
+    * entities, collapse whitespace. Returns the input plus
+    * `<outCol>` (extracted text) and `n_tags` (tags stripped, an
+    * audit/quality signal — markup-heavy pages filter on it).
+    *
+    * Scale shape: pure per-row projection over codegen'd
+    * regexp_replace/replace — zero shuffle; at 100 TB it pipelines
+    * inside whole-stage codegen behind the scan, same as [[Pii]]. */
+  def htmlExtract(df: DataFrame, htmlCol: String = "html",
+                  outCol: String = "text_extracted"): DataFrame = {
+    val stripped = htmlStripPasses.foldLeft(col(htmlCol)) {
+      case (c, (re, repl)) => regexp_replace(c, lit(re), lit(repl))
+    }
+    val decoded = htmlEntities.foldLeft(stripped) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    df.withColumn("n_tags",
+        regexp_count(col(htmlCol), lit("<[^>]*>")).cast("long"))
+      .withColumn(outCol,
+        trim(regexp_replace(decoded, lit("[ \\t\\r\\n]+"), lit(" "))))
+  }
+
+  /** DuckDB mirror of [[htmlExtract]]'s text expression. */
+  def htmlExtractMirror(htmlCol: String): String = {
+    val stripped = htmlStripPasses.foldLeft(htmlCol) {
+      case (e, (re, repl)) => s"regexp_replace($e, '$re', '$repl', 'g')"
+    }
+    val decoded = htmlEntities.foldLeft(stripped) {
+      case (e, (from, to)) =>
+        s"replace($e, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
 }

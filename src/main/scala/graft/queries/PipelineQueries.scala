@@ -1325,6 +1325,46 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- HTML text extraction ----
+
+  /** HTML → text under the hash gate. Docs are WRAPPED in a
+    * deterministic id-derived HTML page (script with a bare `<`,
+    * style, comment, heading, entity-laden paragraph incl. the
+    * escaped-entity case `&amp;lt;`) by identical expressions on both
+    * engines; extraction must strip markup and decode entities so the
+    * recovered text hash-matches — certifying pass order and Java/RE2
+    * lazy-quantifier agreement. Pure projection, zero shuffle. */
+  def htmlExtractQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>.c { }</style></head><body><h1>Doc "), id,
+      lit("</h1><!-- hidden "), id, lit(" --><p>"), col("text"),
+      lit("</p><p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;" +
+        " f&nbsp;g &amp;lt;h&gt;</p></body></html>"))
+    TextAnalysis.htmlExtract(
+        docs(s, d).select(col("doc_id"), html.as("html")))
+      .select(col("doc_id"), col("text_extracted"), col("n_tags"))
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String = {
+    val aug =
+      """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><script type="text/javascript">var x = 1 < 2;' ||
+        |  '</script><style>.c { }</style></head><body><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '</h1><!-- hidden ' || CAST(doc_id AS VARCHAR) || ' --><p>' ||
+        |  text ||
+        |  '</p><p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;' ||
+        |  ' f&nbsp;g &amp;lt;h&gt;</p></body></html>'""".stripMargin
+    s"""WITH aug AS (SELECT doc_id, $aug AS html FROM documents)
+       |SELECT doc_id, ${TextAnalysis.htmlExtractMirror("html")} AS text_extracted,
+       |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
   // ---- salted skew join ----
 
   /** Skew-robust salted equi-join under the oracle gate: lineitem
