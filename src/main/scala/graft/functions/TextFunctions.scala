@@ -101,6 +101,11 @@ object TextFunctions {
     * mapping DuckDB's `strip_accents` applies on Latin text. */
   def stripAccents(text: Column): Column = toColumn(StripAccents(toExpr(text)))
 
+  /** Hashed-linear classifier logit (see [[LinearTextScore]]). */
+  def linearTextScore(text: Column, buckets: Int = 1 << 16,
+                      span: Int = 61): Column =
+    toColumn(LinearTextScore(toExpr(text), buckets, span))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -537,6 +542,56 @@ case class StripAccents(child: Expression) extends UnaryExpression {
 
 object StripAccents {
   private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+}
+
+/** fastText-shaped hashed linear text scorer in ONE pass per row:
+  * features are word unigrams + adjacent bigrams over the single-space
+  * token stream (Spark `split(text, " ")` semantics, empties kept);
+  * each feature hashes with FNV-1a over its UTF-8 bytes (bigrams as
+  * `"a b"`), lands in bucket `h mod buckets` (unsigned), and
+  * contributes the integer weight `(bucket mod span) − span/2`. The
+  * score is the Σ of weights — a linear model's logit with the weight
+  * TABLE stubbed as a hash-derived function (deterministic,
+  * documented; a learned model plugs its table in here — the hashing
+  * trick means collisions behave identically either way).
+  *
+  * Integer end-to-end ⇒ the DuckDB oracle replays the exact score
+  * (fnv1a in HUGEINT mod 2^64); O(tokens) per row, no allocation
+  * beyond the token split, real codegen (static call, no
+  * CodegenFallback). */
+case class LinearTextScore(child: Expression, buckets: Int, span: Int)
+  extends UnaryExpression {
+  require(buckets > 0 && span > 0, "buckets and span must be positive")
+  override def dataType: DataType = LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("linScore", this, classOf[LinearTextScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  private def weight(h: Long): Long =
+    java.lang.Long.remainderUnsigned(h, buckets) % span - span / 2
+
+  def compute(u: UTF8String): Long = {
+    val toks = u.toString.split(" ", -1)
+    var score = 0L
+    var i = 0
+    while (i < toks.length) {
+      score += weight(TextFunctions.fnv64(UTF8String.fromString(toks(i))))
+      if (i + 1 < toks.length)
+        score += weight(TextFunctions.fnv64(
+          UTF8String.fromString(toks(i) + " " + toks(i + 1))))
+      i += 1
+    }
+    score
+  }
+  override protected def withNewChildInternal(c: Expression): LinearTextScore =
+    copy(child = c)
 }
 
 /** Gopher-style repetition statistics (Rae et al. 2021, appendix A1)

@@ -355,6 +355,26 @@ object TextAnalysis {
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  // ---- hashed linear quality classifier ----
+
+  /** fastText-shaped quality-classifier INFERENCE at corpus scale:
+    * per-doc logit from hashed unigram+bigram features
+    * ([[graft.functions.TextFunctions.linearTextScore]] — one-pass
+    * codegen'd Expression, zero shuffle), `keep = score >= threshold`.
+    * The weight table is a deterministic hash-derived stub (where a
+    * trained model's table plugs in); the MACHINERY — tokenize, hash,
+    * bucket, weigh, sum, threshold — is the real scale path and is
+    * value-exactly mirrored by the DuckDB oracle. */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 1 << 16, span: Int = 61,
+                      threshold: Long = 0L): DataFrame = {
+    val score = TextFunctions.linearTextScore(lower(col(textCol)), buckets, span)
+    df.select(col(idCol),
+      score.as("score"),
+      (size(split(col(textCol), " ", -1)) * 2 - 1).cast("long").as("n_features"),
+      (score >= threshold).as("keep"))
+  }
+
   // ---- HTML text extraction ----
 
   /** Tag-strip passes in order: script/style bodies first (they may

@@ -1325,6 +1325,38 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- hashed linear quality classifier ----
+
+  /** Classifier inference under the hash gate: per-doc logit + keep
+    * flag from TextAnalysis.classifierScore (one-pass codegen'd
+    * expression). The oracle rebuilds every feature in DuckDB —
+    * unigrams + adjacent bigrams of the lowercased token stream, each
+    * FNV-1a-hashed over UTF-8 bytes in HUGEINT mod-2^64 — and
+    * re-derives bucket→weight→Σ, so the integer score (not just the
+    * keep bit) must agree feature-for-feature across engines. */
+  def qualityClassifierQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.classifierScore(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qualityClassifierSql: String = {
+    val fnvTok = SqlHash.fnv1aSql(SqlHash.utf8Codes("f"))
+    s"""WITH toks AS (SELECT doc_id,
+       |    string_split(lower(text), ' ') AS t FROM documents),
+       |feat AS (SELECT doc_id, unnest(list_concat(t,
+       |    list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1]))) AS f
+       |  FROM toks),
+       |fh AS (SELECT doc_id, $fnvTok AS hu FROM feat),
+       |sc AS (SELECT doc_id,
+       |    CAST(sum((hu % 65536::HUGEINT) % 61::HUGEINT - 30::HUGEINT)
+       |         AS BIGINT) AS score
+       |  FROM fh GROUP BY doc_id)
+       |SELECT s.doc_id, s.score,
+       |  CAST(2 * len(t.t) - 1 AS BIGINT) AS n_features,
+       |  s.score >= 0 AS keep
+       |FROM sc s JOIN toks t ON s.doc_id = t.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---- HTML text extraction ----
 
   /** HTML → text under the hash gate. Docs are WRAPPED in a
