@@ -322,6 +322,12 @@ object Aggregators {
               case other => throw new IllegalArgumentException(s"bad fn $other")
             }
           }
+        case "expression" =>
+          // Druid's expression post-aggregator; like virtualColumns,
+          // the expression text is Spark SQL's dialect (documented
+          // deviation — the shared arithmetic/function subset is
+          // spelled identically), referencing agg outputs by name
+          expr(str("expression").get)
         case "hyperUniqueCardinality" =>
           val f = col(str("fieldName").get)
           // over sketch bytes → estimate (double, Druid semantics)

@@ -43,6 +43,37 @@ object EventQueries {
        |  AND event_type IN ('click', 'purchase', 'view')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- expression post-aggregator (Druid's modern post-agg form) --
+
+  /** Daily timeseries with `expression` post-aggregators — Druid's
+    * successor to arithmetic post-agg trees. Expression text is Spark
+    * SQL's dialect (same documented deviation as virtualColumns); the
+    * integer expression is exact by construction and the double one a
+    * single correctly-rounded division, so both hash-match. */
+  def postaggExpr(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts",
+      """{
+        |  "queryType": "timeseries",
+        |  "granularity": "day",
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "su", "fieldName": "user_id"}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "expression", "name": "mix", "expression": "su * 2 + cnt"},
+        |    {"type": "expression", "name": "avg_u",
+        |     "expression": "cast(su as double) / cnt"}
+        |  ]
+        |}""".stripMargin)
+
+  val postaggExprSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+      |  count(*) AS cnt,
+      |  CAST(sum(user_id) AS BIGINT) AS su,
+      |  CAST(sum(user_id) AS BIGINT) * 2 + count(*) AS mix,
+      |  CAST(CAST(sum(user_id) AS BIGINT) AS DOUBLE) / count(*) AS avg_u
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- timeseries with duration granularity (15-minute buckets) --
 
   val timeseries15mJson: String =

@@ -274,4 +274,18 @@ class AggregatorsSpec extends SparkSpec {
     val direct = agged.collect()(0)
     assert(math.abs(got - direct.getAs[Double]("sv") / direct.getAs[Long]("cnt")) < 1e-9)
   }
+
+  test("expression post-aggregator references agg outputs by name") {
+    val aggs = Aggregators.parseAggs(
+      """[{"type":"count","name":"cnt"},
+        |{"type":"longSum","name":"su","fieldName":"user_id"}]""".stripMargin)
+      .map(a => Aggregators.compile(a, ev.schema, "ts"))
+    val agged = ev.agg(aggs.head, aggs.tail: _*)
+    val post = Aggregators.parsePostAggs(
+      """{"type":"expression","name":"mix","expression":"su * 2 + cnt"}""")
+    val got = agged.select((col("*") +: post.map(Aggregators.compilePostAgg)): _*)
+      .collect()(0)
+    assert(got.getAs[Long]("mix") ==
+      got.getAs[Long]("su") * 2 + got.getAs[Long]("cnt"))
+  }
 }
