@@ -38,6 +38,77 @@ object VectorFunctions {
     * `cellIds` must be sorted ascending. */
   def nearestCell(vec: Column, cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): Column =
     toColumn(NearestCell(toExpr(vec), cellIds, cellVecs))
+
+  /** Sign random projection (see [[SignProjection]]). */
+  def signProjection(vec: Column, k: Int, seed: Long = 0L): Column =
+    toColumn(SignProjection(toExpr(vec), k, seed))
+}
+
+/** Johnson–Lindenstrauss sign random projection: dim-D float/double
+  * vector → k-dim double vector, `y[j] = (1/√k) · Σ_d s(j,d) · v[d]`
+  * with `s(j,d) ∈ {±1}` the low bit of `splitmix64(seed + j·65536 + d)`
+  * (Steele/Lea/Flood 2014 — public mixing constants). Projection-
+  * matrix-free: signs derive from the hash at eval time, so nothing is
+  * broadcast and any executor reproduces the identical matrix.
+  *
+  * Accumulation is d-ascending per output coordinate and every term is
+  * an exact IEEE op (±1 multiply, sequential adds, power-of-two 1/√k
+  * when k is an even power of two), so the DuckDB oracle replays the
+  * EXACT doubles (splitmix64 in HUGEINT mod 2^64). One pass, O(dim·k)
+  * per row, zero shuffle. */
+case class SignProjection(child: Expression, k: Int, seed: Long)
+  extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // lazy: child.dataType is unresolvable at construction time
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private val scale: Double = 1.0 / math.sqrt(k.toDouble)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("signProj", this, classOf[SignProjection].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val dim = arr.numElements()
+    val out = new Array[Double](k)
+    var d = 0
+    while (d < dim) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var j = 0
+      while (j < k) {
+        val h = SignProjection.mix64(seed + j * 65536L + d)
+        out(j) += (if ((h & 1L) == 1L) x else -x)
+        j += 1
+      }
+      d += 1
+    }
+    var j = 0
+    while (j < k) { out(j) *= scale; j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SignProjection =
+    copy(child = c)
+}
+
+object SignProjection {
+  /** splitmix64 finalizer+stream increment (public constants). */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }
 
 case class NearestCell(

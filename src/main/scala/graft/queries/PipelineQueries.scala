@@ -1325,6 +1325,38 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- sign random projection (JL dimensionality reduction) ----
+
+  /** JL sign projection under the hash gate: 64-dim float embeddings
+    * → 16-dim doubles (4× smaller — at 100 TB the difference between
+    * an in-memory downstream index and not), matrix-free (signs from
+    * splitmix64, reproduced on any executor). Every IEEE op is exact
+    * (±1 multiply, d-ascending sequential sum, power-of-two 1/√16),
+    * so the oracle replays the EXACT doubles — splitmix64 in HUGEINT
+    * mod 2^64, coordinate by coordinate. Output flattened to p0..p15
+    * columns for a robust cross-engine compare. */
+  def randomProjectionQ(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val pr = graft.functions.VectorFunctions.signProjection(col("embedding"), k)
+    embs(s, d).select(col("vec_id"), pr.as("pr"))
+      .select(col("vec_id") +:
+        (0 until k).map(j => element_at(col("pr"), j + 1).as(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
+
+  val randomProjectionSql: String = {
+    val k = 16
+    val mix = SqlHash.splitmix64("(j*65536 + d - 1)::HUGEINT")
+    s"""WITH p AS (SELECT vec_id,
+       |    list_transform(range(0, $k), j -> 0.25 * list_sum(
+       |      list_transform(range(1, len(embedding)+1), d ->
+       |        CAST(embedding[d] AS DOUBLE) *
+       |        CASE WHEN ($mix) % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS pr
+       |  FROM embeddings)
+       |SELECT vec_id, ${(0 until k).map(j => s"pr[${j + 1}] AS p$j").mkString(", ")}
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
   // ---- hashed linear quality classifier ----
 
   /** Classifier inference under the hash gate: per-doc logit + keep

@@ -83,6 +83,17 @@ object SqlHash {
        |              xor((h % 16777216::HUGEINT)::BIGINT, c::BIGINT)::HUGEINT)
        |             * 1099511628211::HUGEINT) % $M)""".stripMargin
 
+  /** splitmix64 of an unsigned [0,2^64) HUGEINT expression — mirrors
+    * [[graft.functions.SignProjection.mix64]] bit-for-bit. The input
+    * expression is substituted textually (twice per xor step), so
+    * keep `e` SMALL — a few tokens, not a nested CTE. */
+  def splitmix64(e: String): String = {
+    val z0 = s"((($e) + 11400714819323198485::HUGEINT) % $M)"
+    val z1 = s"(${mulmod(xor(z0, shr(z0, 30)), 0xBF58476D1CE4E5B9L)})"
+    val z2 = s"(${mulmod(xor(z1, shr(z1, 27)), 0x94D049BB133111EBL)})"
+    xor(z2, shr(z2, 31))
+  }
+
   /** DuckDB list of the UTF-8 BYTE values of a VARCHAR expression —
     * the engine's fnv64 hashes UTF-8 bytes, so mirrors that hash
     * strings must feed bytes, not codepoints (they agree only on
