@@ -355,6 +355,47 @@ object TextAnalysis {
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  // ---- inverted index ----
+
+  /** Inverted-index build: term → PAGED posting lists of doc ids.
+    * The search/retrieval-side artifact of a corpus (and the dual of
+    * `vocabulary`): one output row per (term, page) with the page's
+    * sorted postings joined as a comma string, plus the term's total
+    * document frequency. `minDf` drops hapax terms; `pageSize` bounds
+    * every output row.
+    *
+    * Scale shape: distinct (doc, term) pairs are map-side
+    * (`array_distinct` before explode); df is a partial-aggregating
+    * groupBy (skew-immune — a hot stopword never buffers on one
+    * task); the df cut joins back AQE-broadcast (vocab-sized table);
+    * global posting order comes from a streaming `row_number` window
+    * (sort-based, spills; it never materializes a term's postings as
+    * one object), and only then does a (term, page) groupBy collect —
+    * every collected array is ≤ pageSize by construction, so NO row
+    * is unbounded no matter how hot the term. A naive
+    * `collect_list(doc) GROUP BY term` would OOM on exactly the
+    * terms an index cares about. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 2L, pageSize: Int = 1024): DataFrame = {
+    require(pageSize >= 1, "pageSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val postings = df
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(array_distinct(words(lower(col(textCol))))).as("term"))
+      .filter(col("term") =!= "")
+    val dfs = postings.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = Window.partitionBy("term").orderBy("__doc")
+    postings.join(dfs, "term")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("page", ((col("__rn") - 1) / pageSize).cast("long"))
+      .groupBy(col("term"), col("page"), col("df"))
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(sort_array(collect_list(col("__doc"))),
+          x => x.cast("string")), ",").as("postings"))
+  }
+
   // ---- hashed linear quality classifier ----
 
   /** fastText-shaped quality-classifier INFERENCE at corpus scale:

@@ -1325,6 +1325,33 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- inverted index ----
+
+  /** Paged inverted index under the hash gate: every (term, page) row
+    * with df, page length, and the comma-joined sorted postings —
+    * pageSize=16 at gate scale so multi-page terms actually occur.
+    * The mirror replays df cut, global rank paging, and page-local
+    * ordering in DuckDB. */
+  def invertedIndexQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(s, d), "doc_id", "text",
+        minDf = 2L, pageSize = 16)
+      .orderBy("term", "page")
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |d AS (SELECT term, count(*) AS df FROM t GROUP BY term
+      |      HAVING count(*) >= 2),
+      |r AS (SELECT t.term, d.df, t.doc_id,
+      |    row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+      |  FROM t JOIN d USING (term))
+      |SELECT term, (rn - 1) // 16 AS page, df, count(*) AS n,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM r GROUP BY term, (rn - 1) // 16, df
+      |ORDER BY term, page""".stripMargin
+
   // ---- sign random projection (JL dimensionality reduction) ----
 
   /** JL sign projection under the hash gate: 64-dim float embeddings
