@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, Pii, SaltedJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, Pii, RangeJoin, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1324,6 +1324,31 @@ object PipelineQueries {
        |  ${Pii.patterns.map(p => s"n_${p._1}").mkString(" + ")} AS n_pii
        |FROM aug ORDER BY doc_id""".stripMargin
   }
+
+  // ---- binned range join ----
+
+  /** Range-join under the hash gate: events matched into 30
+    * OVERLAPPING user_id bands `[37i, 37i+55)` via RangeJoin.binned
+    * (binWidth 32) and aggregated per band. The mirror is the plain
+    * BETWEEN theta join — the bin decomposition must reproduce its
+    * exact row set (multi-matches included) to hash-match.
+    * RangeJoinSpec additionally pins the no-nested-loop plan. */
+  def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(30).select(col("id").as("band_id"),
+      (col("id") * 37).as("lo"), (col("id") * 37 + 55).as("hi"))
+    val ev = Tables.events(s, d).select(col("user_id"))
+    RangeJoin.binned(ev, "user_id", bands, "lo", "hi", binWidth = 32)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+      .orderBy("band_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT b.i AS band_id, count(*) AS n,
+      |  CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+      |FROM range(30) b(i) JOIN events e
+      |  ON e.user_id >= b.i*37 AND e.user_id < b.i*37 + 55
+      |GROUP BY b.i ORDER BY band_id""".stripMargin
 
   // ---- inverted index ----
 
