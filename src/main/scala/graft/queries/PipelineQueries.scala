@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, BloomJoin, Dedup, MediaFixtures, Multimodal, Pii, RangeJoin, SaltedJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, Funnel, MediaFixtures, Multimodal, Pii, RangeJoin, SaltedJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1324,6 +1324,42 @@ object PipelineQueries {
        |  ${Pii.patterns.map(p => s"n_${p._1}").mkString(" + ")} AS n_pii
        |FROM aug ORDER BY doc_id""".stripMargin
   }
+
+  // ---- funnel analysis ----
+
+  /** view→click→purchase conversion funnel, 3-day window from the
+    * first view, per-user chain times under the hash gate. Greedy-
+    * earliest semantics (tᵢ = min step-i ts ≥ tᵢ₋₁, < t1+window);
+    * every stage shuffles on user_id only (partitioning reused).
+    * Millis-long times keep the cross-engine compare integer-exact. */
+  def funnelQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tm"))
+    Funnel.funnel(e, "user_id", "event_type", "tm",
+        Seq("view", "click", "purchase"), windowMs = 3L * 86400000L)
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        col("steps_completed"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tm FROM events),
+      |s1 AS (SELECT user_id, min(tm) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.tm) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.tm >= s1.t1
+      |         AND e.tm < s1.t1 + 259200000 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.tm) AS t3
+      |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.tm >= s2.t2
+      |         AND e.tm < s1.t1 + 259200000 GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+      |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS steps_completed
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
 
   // ---- binned range join ----
 
