@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   * stages (EnsureRequirements inserts no re-exchange between them),
   * and the per-stage tables only shrink (funnel monotonicity). No
   * window function buffers a user's full event history — a hot user
-  * costs their event count in the join, not a one-task sort. */
+  * costs their event count in the join, not a one-task sort.
+  *
+  * Each stage's table feeds TWO consumers (the next stage's match
+  * join and the chain-break keep join), so it is [[Materialize]]d
+  * once per stage — otherwise Catalyst re-derives the whole upstream
+  * lineage per consumer and the step₁ scan runs 2^(k−1)-ish times
+  * (the redundant-corpus-scan trap). Stage tables are
+  * user-cardinality, far smaller than the event log. */
 object Funnel {
 
   def funnel(events: DataFrame, userCol: String, typeCol: String,
@@ -31,11 +38,12 @@ object Funnel {
              windowMs: Long): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     require(windowMs > 0, "window must be positive")
-    val first = events.filter(col(typeCol) === steps.head)
+    val first = Materialize(events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
-      .agg(min(col(tsMillisCol)).as("t1"))
+      .agg(min(col(tsMillisCol)).as("t1")))
     val full = steps.zipWithIndex.tail.foldLeft(first) {
-      case (prev, (step, i)) =>
+      case (prev0, (step, i)) =>
+        val prev = if (i == 1) prev0 else Materialize(prev0)
         val tPrev = s"t$i"
         val tCur = s"t${i + 1}"
         // t1..tPrev are per-user constants here; min re-emits them
