@@ -379,10 +379,13 @@ object TextAnalysis {
                     minDf: Long = 2L, pageSize: Int = 1024): DataFrame = {
     require(pageSize >= 1, "pageSize must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val postings = df
+    // Materialized: the (doc, term) table feeds BOTH the df aggregate
+    // and the join side — unmaterialized, each re-tokenizes the whole
+    // corpus (same convention as tfidf's tf table)
+    val postings = Materialize(df
       .select(col(idCol).cast("long").as("__doc"),
         explode(array_distinct(words(lower(col(textCol))))).as("term"))
-      .filter(col("term") =!= "")
+      .filter(col("term") =!= ""))
     val dfs = postings.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
