@@ -1325,6 +1325,71 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- stream-stream interval join ----
+
+  /** Watermarked stream-stream attribution join under the hash gate:
+    * clicks ⋈ preceding views (same user, ≤ 1 hour gap) through REAL
+    * AvailableNow micro-batches (staged 4-file parquet source), then
+    * hash-matched against the batch self-join mirror. Lateness is set
+    * past the corpus's 30-day span so no row is watermark-dropped —
+    * making streaming output ≡ batch join exactly (production uses
+    * the real disorder bound; eviction semantics are Spark's own).
+    * Same staging/sentinel/promote protocol as q_stream_dedup. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamjoin_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamjoin_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .filter(col("event_type").isin("view", "click"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      graft.streaming.StreamJoin.intervalJoin(views, clicks,
+          "user_id", "vts", "cts", horizon = "1 HOUR", lateness = "60 DAYS")
+        .writeStream.format("parquet")
+        .option("path", s"$staging/out")
+        .option("checkpointLocation", s"$staging/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$staging/out/_spark_metadata"))
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-join promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    s.read.parquet(s"$root/out")
+      .select(col("user_id"), unix_millis(col("vts")).as("vt"),
+        unix_millis(col("cts")).as("ct"))
+      .orderBy("user_id", "vt", "ct")
+  }
+
+  val streamJoinSql: String =
+    """SELECT v.user_id, epoch_ms(v.ts) AS vt, epoch_ms(c.ts) AS ct
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, vt, ct""".stripMargin
+
   // ---- funnel analysis ----
 
   /** view→click→purchase conversion funnel, 3-day window from the
