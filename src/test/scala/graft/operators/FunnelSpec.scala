@@ -41,4 +41,22 @@ class FunnelSpec extends SparkSpec {
     val got = run((1L, "a", 0L), (1L, "b", 20L), (1L, "b", 90L), (1L, "c", 95L))
     assert(got.toSeq == Seq((1L, 0L, 20L, 95L, 3L)))
   }
+
+  test("one event scan per step (stage tables Materialized)") {
+    val df = graft.Tables.events(spark, sf())
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")).as("tm"))
+    val q = Funnel.funnel(df, "user_id", "event_type", "tm",
+      Seq("view", "click", "purchase"), windowMs = 86400000L)
+    q.collect()
+    // stages 1..k−1 ran eagerly inside Materialize (one scan each,
+    // lineage truncated); the final plan holds only the LAST stage's
+    // two event scans (match side of step 2 and 3 feed it)
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2,
+      s"lineage duplication would re-derive stage aggregates, got $scans scans:\n$plan")
+  }
 }

@@ -41,4 +41,14 @@ class InvertedIndexSpec extends SparkSpec {
       minDf = 1L, pageSize = 2)
     assert(idx.collect().forall(_.getAs[Long]("n") <= 2L))
   }
+
+  test("tokenizes the corpus once (postings Materialized before both consumers)") {
+    val df = graft.Tables.documents(spark, sf())
+    val q = TextAnalysis.invertedIndex(df, "doc_id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected the tokenization scan to happen once inside Materialize, got $scans:\n$plan")
+  }
 }
