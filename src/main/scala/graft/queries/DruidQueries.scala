@@ -300,6 +300,22 @@ object DruidQueries {
           case x => throw new IllegalArgumentException(s"query dataSource missing query: $x")
         }
         Some(runParsed(df0, timeCol, innerQ, catalog))
+      case JString("lookup") =>
+        // {"type":"lookup","lookup":"name"} — the registered lookup as
+        // a RELATION (Druid exposes every lookup as a two-column k/v
+        // datasource, its broker-join form of LookupJoin). The catalog
+        // entry must be a 2-column frame; columns are renamed to
+        // Druid's contract (k, v) positionally.
+        (o \ "lookup") match {
+          case JString(name) =>
+            val lk = catalog.getOrElse(name,
+              throw new IllegalArgumentException(s"unknown lookup '$name'"))
+            require(lk.columns.length == 2,
+              s"lookup '$name' must have exactly 2 columns (k, v), " +
+                s"got ${lk.columns.mkString(", ")}")
+            Some(lk.toDF("k", "v"))
+          case x => throw new IllegalArgumentException(s"bad lookup name $x")
+        }
       case JString("inline") =>
         // {"type":"inline","columnNames":[...],"rows":[[...]]} — a
         // literal relation carried IN the query (Druid uses these for

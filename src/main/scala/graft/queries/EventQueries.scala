@@ -256,6 +256,49 @@ object EventQueries {
       |WHERE r.cnt_type >= 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- lookup dataSource: a registered lookup as a join relation --
+
+  /** `{type: lookup}` dataSource — Druid exposes every registered
+    * lookup as a two-column (k, v) relation joinable on the broker;
+    * here the catalog entry is renamed positionally to Druid's k/v
+    * contract and broadcast like any join right side. Unmatched keys
+    * survive the LEFT join with a NULL label (ordered NULLS FIRST on
+    * both engines). */
+  val lookupDsJson: String =
+    """{
+      |  "queryType": "groupBy",
+      |  "dataSource": {"type": "join",
+      |    "left": "events",
+      |    "right": {"type": "lookup", "lookup": "type_labels"},
+      |    "rightPrefix": "l_",
+      |    "condition": "event_type == \"l_k\"",
+      |    "joinType": "LEFT"},
+      |  "granularity": "all",
+      |  "dimensions": ["l_v"],
+      |  "aggregations": [
+      |    {"type": "count", "name": "n"},
+      |    {"type": "longSum", "name": "su", "fieldName": "user_id"}
+      |  ],
+      |  "limitSpec": {"type": "default",
+      |    "columns": [{"dimension": "l_v", "direction": "ascending"}]}
+      |}""".stripMargin
+
+  def lookupDs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Seq(("click", "Click-through"), ("view", "Impression"),
+      ("purchase", "Conversion")).toDF("key", "label")
+    DruidQueries.run(ev(spark, sfDir), "ts", lookupDsJson,
+      Map("type_labels" -> labels))
+  }
+
+  val lookupDsSql: String =
+    """WITH lk AS (SELECT * FROM (VALUES ('click', 'Click-through'),
+      |    ('view', 'Impression'), ('purchase', 'Conversion')) AS t(k, v))
+      |SELECT lk.v AS l_v, count(*) AS n,
+      |  CAST(sum(e.user_id) AS BIGINT) AS su
+      |FROM events e LEFT JOIN lk ON e.event_type = lk.k
+      |GROUP BY lk.v ORDER BY l_v ASC NULLS FIRST""".stripMargin
+
   // -- inline dataSource join: enrichment without any table --
 
   /** Literal enrichment relation carried IN the query (Druid inline

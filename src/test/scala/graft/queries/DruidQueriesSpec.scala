@@ -393,6 +393,31 @@ class DruidQueriesSpec extends SparkSpec {
     assert(out2.collect()(0).getLong(0) == expect)
   }
 
+  test("lookup dataSource: k/v rename, unknown name and bad arity fail loudly") {
+    val labels = Seq(("click", "C"), ("view", "V")).toDF("key", "label")
+    val out = DruidQueries.run(ev, "ts",
+      """{"queryType":"groupBy","dataSource":{"type":"join","left":"events",
+        |"right":{"type":"lookup","lookup":"lk"},"rightPrefix":"l_",
+        |"condition":"event_type == \"l_k\"","joinType":"INNER"},
+        |"granularity":"all","dimensions":["l_v"],
+        |"aggregations":[{"type":"count","name":"n"}]}""".stripMargin,
+      Map("lk" -> labels))
+    assert(out.collect().map(_.getString(0)).toSet == Set("C", "V"))
+    val e1 = intercept[IllegalArgumentException] {
+      DruidQueries.run(ev, "ts",
+        """{"queryType":"scan","dataSource":{"type":"lookup","lookup":"nope"},
+          |"columns":["k"]}""".stripMargin)
+    }
+    assert(e1.getMessage.contains("unknown lookup"))
+    val e2 = intercept[IllegalArgumentException] {
+      DruidQueries.run(ev, "ts",
+        """{"queryType":"scan","dataSource":{"type":"lookup","lookup":"bad"},
+          |"columns":["k"]}""".stripMargin,
+        Map("bad" -> ev))
+    }
+    assert(e2.getMessage.contains("exactly 2 columns"))
+  }
+
   test("topN dimension metric orders lexicographically") {
     val out = DruidQueries.run(ev, "ts",
       """{"queryType":"topN","dimension":"event_type",
