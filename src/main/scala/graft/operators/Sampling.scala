@@ -157,4 +157,31 @@ object Sampling {
       .filter(col(valueCol) <= col("__t"))
       .drop("__t")
   }
+
+  /** k-anonymity suppression: drop every row whose quasi-identifier
+    * combination (the `quasiCols` tuple) occurs fewer than `k` times —
+    * the release-gate guarantee that no published row is identifiable
+    * within a group smaller than k (Sweeney 2002). The complement of
+    * [[graft.operators.Pii]]'s direct-identifier scrub: PII redaction
+    * removes explicit identifiers, k-anonymity removes rows that
+    * quasi-identifiers would single out.
+    *
+    * Scale shape: combo counts via map-side-combined groupBy (a hot
+    * combo never buffers one task — a `count over (partition by
+    * quasi)` window would), the ≥k combo set joined back on the combo
+    * key (AQE broadcasts when it is small, shuffles both sides
+    * co-partitioned when not) as a plain filter. NULL quasi values
+    * group together (null-safe key semantics), matching the mirror's
+    * GROUP BY. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    val combos = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+    // null-safe equality: a NULL-valued combo with >= k rows is kept,
+    // matching the groupBy that counted it
+    val cond = quasiCols.map(q => df(q) <=> combos(q)).reduce(_ && _)
+    df.join(combos, cond, "left_semi")
+  }
 }

@@ -1325,6 +1325,37 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- k-anonymity suppression ----
+
+  /** k-anonymity release gate under the hash gate: events suppressed
+    * on the quasi-identifier (event_type, day, user_id mod 50) at
+    * k=5, then per-type totals over the SURVIVING rows — any join-back
+    * or threshold error shifts the sums. Decimal-exact value sums for
+    * the cross-engine hash. */
+  def kAnonymizeQ(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.events(s, d).select(
+      col("event_type"), date_trunc("day", col("ts")).as("day"),
+      pmod(col("user_id"), lit(50)).as("bucket"),
+      col("user_id"), col("value"))
+    Sampling.kAnonymize(q, Seq("event_type", "day", "bucket"), k = 5L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("su"),
+        Exact.dsum(col("value")).as("sv"))
+      .orderBy("event_type")
+  }
+
+  val kAnonymizeSql: String =
+    s"""WITH q AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |    user_id % 50 AS bucket, user_id, value FROM events),
+       |keep AS (SELECT event_type, day, bucket FROM q
+       |         GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+       |SELECT q.event_type, count(*) AS n,
+       |  CAST(sum(q.user_id) AS BIGINT) AS su,
+       |  ${Exact.sqlSum("q.value")} AS sv
+       |FROM q JOIN keep USING (event_type, day, bucket)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- stream-stream interval join ----
 
   /** Watermarked stream-stream attribution join under the hash gate:
