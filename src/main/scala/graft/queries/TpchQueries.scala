@@ -222,6 +222,116 @@ object TpchQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q12-style late-shipment counts by order priority (the schema has
+    * no shipmode/commitdate, so "late" = shipped > 90 days after the
+    * order date — same join + conditional-aggregation plan shape).
+    * lineitem ⋈ orders is fact ⋈ fact: NO broadcast hint, the shuffle
+    * join co-partitions both sides on the order key. */
+  def q12Shipmode(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1L).otherwise(0L)).as("late_lines"),
+        count(lit(1)).as("all_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q12ShipmodeSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+      |  count(*) AS all_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q14: promo revenue share for one ship month. part is a constant-
+    * cardinality dim → explicit broadcast; the share is ONE double
+    * division over two decimal-exact sums (correctly rounded, so the
+    * cross-engine hash covers the percentage too). */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val pt = Tables.part(spark, sfDir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .agg(
+        dsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum(rev).as("total_rev"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  val q14PromoSql: String =
+    s"""WITH a AS (SELECT
+       |  ${sqlSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_rev,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS total_rev
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01')
+       |SELECT promo_rev, total_rev,
+       |  100.0 * promo_rev / total_rev AS promo_share FROM a""".stripMargin
+
+  /** Q17: small-quantity-order revenue — lineitem against ITS OWN
+    * per-part average. The avg table is fact-derived (one row per
+    * part): no broadcast hint, AQE decides; the join is partkey-keyed
+    * both sides. avg is exact decimal; the 0.2× threshold compare and
+    * final /7.0 are correctly-rounded double ops. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    val pt = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#1")
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQtySql: String =
+    s"""WITH a AS (SELECT l_partkey AS a_partkey,
+       |    ${sqlAvg("l_quantity")} AS avg_qty FROM lineitem GROUP BY 1)
+       |SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  JOIN a ON l_partkey = a_partkey
+       |WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Q18: large-volume customers — orders whose total quantity exceeds
+    * the threshold, joined back to customer. The qualifying-orders set
+    * is a fact aggregate (no hint, AQE); customer joins broadcast only
+    * if runtime-small. Top 10 by (totalprice desc, orderkey asc) —
+    * total order + tiebreak ⇒ deterministic hash. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate")).as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING ${sqlSum("l_quantity")} > 150.0)
+       |SELECT c_name, c_custkey, o_orderkey,
+       |  epoch_ms(o_orderdate) AS o_date, o_totalprice, sum_qty
+       |FROM orders JOIN big ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   val q19DiscountedSql: String =
     s"""SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
        |  count(*) AS n_lines
