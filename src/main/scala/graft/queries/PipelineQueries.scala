@@ -1325,6 +1325,33 @@ object PipelineQueries {
        |FROM aug ORDER BY doc_id""".stripMargin
   }
 
+  // ---- retention cohorts ----
+
+  /** Cohort retention under the hash gate: users cohorted by their
+    * FIRST-activity day, then counted distinct per (cohort, day
+    * offset) — the product-analytics companion to q_funnel over the
+    * same clickstream. Two user-keyed shuffles (first-day aggregate,
+    * then the events⋈cohort join re-using the user partitioning) and
+    * one (cohort, offset) partial-agg count-distinct; integer day
+    * arithmetic (floor on epoch-days) keeps the mirror exact. */
+  def retentionQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"),
+      (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT c.cohort_day, e.day - c.cohort_day AS offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- k-anonymity suppression ----
 
   /** k-anonymity release gate under the hash gate: events suppressed
