@@ -102,6 +102,19 @@ object GraftExtensions {
       case Seq(t) => StripAccents(t)
       case args => throw new IllegalArgumentException(s"strip_accents takes 1 arg, got ${args.size}")
     }
+    reg("linear_text_score",
+        "linear_text_score(text, buckets, span) - hashed unigram+bigram linear logit") {
+      case Seq(t) => LinearTextScore(t, 1 << 16, 61)
+      case Seq(t, b, s) =>
+        LinearTextScore(t, intArg(b, "buckets"), intArg(s, "span"))
+      case args => throw new IllegalArgumentException(s"linear_text_score takes 1 or 3 args, got ${args.size}")
+    }
+    reg("sign_projection",
+        "sign_projection(vec, k, seed) - Johnson-Lindenstrauss sign random projection") {
+      case Seq(v, k) => SignProjection(v, intArg(k, "k"), 0L)
+      case Seq(v, k, s) => SignProjection(v, intArg(k, "k"), intArg(s, "seed").toLong)
+      case args => throw new IllegalArgumentException(s"sign_projection takes 2 or 3 args, got ${args.size}")
+    }
     out.result()
   }
 }

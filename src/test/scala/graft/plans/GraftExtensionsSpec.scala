@@ -19,7 +19,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "theta_sketch_agg", "theta_estimate", "theta_union",
       "theta_intersect", "theta_anotb", "minhash_sig", "simhash64",
-      "winnow_fingerprints", "repetition_stats", "strip_accents"))
+      "winnow_fingerprints", "repetition_stats", "strip_accents",
+      "linear_text_score", "sign_projection"))
   }
 
   test("strip_accents works from SQL") {
@@ -68,6 +69,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp = spark.sql("SELECT winnow_fingerprints(t, 4, 3) AS f FROM docs")
       .collect()(0).getSeq[Long](0)
     assert(fp.nonEmpty)
+  }
+
+  test("classifier and projection functions from SQL") {
+    val score = spark.sql("SELECT linear_text_score('the quick fox') AS s")
+      .collect()(0).getLong(0)
+    val expect = graft.functions.LinearTextScore(
+      org.apache.spark.sql.catalyst.expressions.Literal("the quick fox"),
+      1 << 16, 61).compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick fox"))
+    assert(score == expect)
+    val proj = spark.sql(
+        "SELECT sign_projection(array(1.0D, 2.0D, 3.0D, 4.0D), 4) AS p")
+      .collect()(0).getSeq[Double](0)
+    assert(proj.length == 4 && proj.exists(_ != 0.0))
   }
 
   test("wrong arity yields a clear error") {
