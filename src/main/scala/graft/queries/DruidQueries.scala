@@ -758,17 +758,43 @@ object DruidQueries {
         case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
       }.toSeq
     }
-    val (value, caseSensitive) = (q \ "query") match {
+    // searchQuerySpec → per-value predicate builder. Druid's three
+    // spec types: contains / insensitive_contains (one needle),
+    // fragment (ALL needles must appear), regex (java.util.regex —
+    // Druid's SearchQuerySpec is JDK-regex too, so rlike matches).
+    val matchPred: Column => Column = (q \ "query") match {
       case o: JObject =>
-        val v = (o \ "value") match { case JString(s) => s; case _ => "" }
-        val cs = (o \ "type") match {
-          case JString("contains") => (o \ "caseSensitive") match {
-            case JBool(b) => b; case _ => true
-          }
-          case _ => false
+        def cs: Boolean = (o \ "caseSensitive") match {
+          case JBool(b) => b; case _ => false
         }
-        (v, cs)
-      case _ => ("", false)
+        def one(c: Column, v: String, sensitive: Boolean): Column =
+          if (sensitive) c.contains(lit(v))
+          else lower(c).contains(lit(v.toLowerCase))
+        (o \ "type") match {
+          case JString("fragment") =>
+            val vals = (o \ "values") match {
+              case JArray(xs) => xs.collect { case JString(s) => s }
+              case _ => throw new IllegalArgumentException("fragment needs values")
+            }
+            require(vals.nonEmpty, "fragment needs at least one value")
+            c => vals.map(v => one(c, v, cs)).reduce(_ && _)
+          case JString("regex") =>
+            val pat = (o \ "pattern") match {
+              case JString(s) => s
+              case _ => throw new IllegalArgumentException("regex needs pattern")
+            }
+            c => c.rlike(pat)
+          case JString("contains") =>
+            val v = (o \ "value") match { case JString(s) => s; case _ => "" }
+            val sensitive = (o \ "caseSensitive") match {
+              case JBool(b) => b; case _ => true
+            }
+            c => one(c, v, sensitive)
+          case _ =>
+            val v = (o \ "value") match { case JString(s) => s; case _ => "" }
+            c => one(c, v, sensitive = false)
+        }
+      case _ => c => lower(c).contains(lit(""))
     }
     val perDim = dims.map { d =>
       // multi-value dims: Druid search matches ANY value of the array
@@ -778,9 +804,7 @@ object DruidQueries {
           df.select(explode(col(d)).as(d))
         case _ => df
       }
-      val c = if (caseSensitive) col(d).contains(lit(value))
-              else lower(col(d)).contains(lit(value.toLowerCase))
-      base.filter(c)
+      base.filter(matchPred(col(d)))
         .groupBy(col(d).as("value"))
         .agg(count(lit(1)).as("count"))
         .select(lit(d).as("dimension"), col("value"), col("count"))

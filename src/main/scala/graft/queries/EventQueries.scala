@@ -532,6 +532,47 @@ object EventQueries {
       |  GROUP BY props)
       |ORDER BY dimension, value""".stripMargin
 
+  /** fragment + regex searchQuerySpecs (the two remaining Druid spec
+    * types): fragment requires ALL needles, regex uses the Java ∩ RE2
+    * common dialect so the DuckDB mirror is exact. One query runs
+    * both shapes (union) to gate them together. */
+  def searchSpecs(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = DruidQueries.run(ev(spark, sfDir), "ts",
+      """{
+        |  "queryType": "search",
+        |  "searchDimensions": ["props"],
+        |  "query": {"type": "fragment", "values": ["1", "3"]},
+        |  "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"]
+        |}""".stripMargin)
+      .withColumn("spec", lit("fragment"))
+    val re = DruidQueries.run(ev(spark, sfDir), "ts",
+      """{
+        |  "queryType": "search",
+        |  "searchDimensions": ["props"],
+        |  "query": {"type": "regex", "pattern": "[0-9]{2}"},
+        |  "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"]
+        |}""".stripMargin)
+      .withColumn("spec", lit("regex"))
+    frag.unionByName(re).orderBy("spec", "dimension", "value")
+  }
+
+  val searchSpecsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'props' AS dimension, props AS value, count(*) AS count,
+      |         'fragment' AS spec
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      |    AND contains(lower(props), '1') AND contains(lower(props), '3')
+      |  GROUP BY props
+      |  UNION ALL
+      |  SELECT 'props' AS dimension, props AS value, count(*) AS count,
+      |         'regex' AS spec
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      |    AND regexp_matches(props, '[0-9]{2}')
+      |  GROUP BY props)
+      |ORDER BY spec, dimension, value""".stripMargin
+
   // -- timeBoundary --
 
   val timeBoundaryJson: String =
