@@ -176,12 +176,17 @@ object Sampling {
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, "k must be >= 1")
+    // the combo table's key columns are RENAMED before the join —
+    // both sides derive from `df`, and same-named columns from shared
+    // lineage resolve ambiguously (Spark's "trivially true equals"
+    // trap)
     val combos = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= k)
+      .select(quasiCols.map(q => col(q).as(s"__q_$q")): _*)
     // null-safe equality: a NULL-valued combo with >= k rows is kept,
     // matching the groupBy that counted it
-    val cond = quasiCols.map(q => df(q) <=> combos(q)).reduce(_ && _)
+    val cond = quasiCols.map(q => col(q) <=> col(s"__q_$q")).reduce(_ && _)
     df.join(combos, cond, "left_semi")
   }
 }
