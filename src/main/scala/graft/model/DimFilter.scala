@@ -36,6 +36,7 @@ sealed trait DimFilter {
     case DimFilter.Search(d, _, _) => Some(Set(d))
     case DimFilter.Intervals(d, _) => Some(Set(d))
     case DimFilter.ColumnComparison(ds) => Some(ds.toSet)
+    case DimFilter.Extracted(d, _, _) => Some(Set(d))
     case DimFilter.And(fs) =>
       fs.foldLeft(Option(Set.empty[String])) {
         case (Some(a), f) => f.referencedDims.map(a ++ _)
@@ -256,18 +257,44 @@ object DimFilter {
   final case class Bound(
       dimension: String, lower: Option[String], upper: Option[String],
       lowerStrict: Boolean, upperStrict: Boolean, numeric: Boolean) extends DimFilter {
-    def compile(schema: StructType): Column = {
+    private[model] def pred(raw: Column): Column = {
       def side(c: Column): Column = if (numeric) c.cast("double") else c
-      dimPred(schema, dimension) { raw =>
-        val c = side(raw)
-        val lo = lower.map { v =>
-          if (lowerStrict) c > side(lit(v)) else c >= side(lit(v))
-        }
-        val hi = upper.map { v =>
-          if (upperStrict) c < side(lit(v)) else c <= side(lit(v))
-        }
-        (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
+      val c = side(raw)
+      val lo = lower.map { v =>
+        if (lowerStrict) c > side(lit(v)) else c >= side(lit(v))
       }
+      val hi = upper.map { v =>
+        if (upperStrict) c < side(lit(v)) else c <= side(lit(v))
+      }
+      (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
+    }
+    def compile(schema: StructType): Column = dimPred(schema, dimension)(pred)
+  }
+
+  /** A value filter whose dimension is transformed by an
+    * `extractionFn` first (Druid: selector/in/bound/like/regex all
+    * accept one). Per Druid semantics the extraction applies PER
+    * VALUE of a multi-value dim. Contributes nothing to
+    * requiredValues/dictPredicates (sound: extraction changes values,
+    * so no dictionary short-circuit), and the compiled Column is not
+    * parquet-pushable — it filters post-scan, same as Druid evaluates
+    * it post-dictionary. */
+  final case class Extracted(dimension: String, fn: JValue, test: DimFilter)
+      extends DimFilter {
+    def compile(schema: StructType): Column = {
+      def t(c: Column): Column = DimensionSpec.applyExtraction(fn, c)
+      val inner: Column => Column = test match {
+        case Selector(_, Some(v)) => c => t(c) === lit(v)
+        case Selector(_, None) => c => t(c).isNull
+        case In(_, vs) => c => t(c).isin(vs: _*)
+        case Like(_, p) => c => t(c).like(p)
+        case Regex(_, p) => c => t(c).rlike(p)
+        case b: Bound => c => b.pred(t(c))
+        case other => throw new IllegalArgumentException(
+          s"extractionFn unsupported on ${other.getClass.getSimpleName}")
+      }
+      if (isMv(schema, dimension)) exists(col(dimension), inner)
+      else inner(col(dimension))
     }
   }
 
@@ -341,7 +368,7 @@ object DimFilter {
         case JBool(b) => b
         case _ => false
       }
-      str("type").getOrElse(throw new IllegalArgumentException(s"filter missing type: $j")) match {
+      val parsed = str("type").getOrElse(throw new IllegalArgumentException(s"filter missing type: $j")) match {
         case "selector" => Selector(str("dimension").get, str("value"))
         case "in" =>
           val vals = (obj \ "values") match {
@@ -391,6 +418,17 @@ object DimFilter {
           throw new IllegalArgumentException("expression filter needs expression")))
         case "true" => True
         case other => throw new IllegalArgumentException(s"unsupported filter type $other")
+      }
+      // Druid: selector/in/bound/like/regex accept an extractionFn —
+      // the value test then applies to the EXTRACTED value
+      (obj \ "extractionFn") match {
+        case JNothing | JNull => parsed
+        case fn => parsed match {
+          case v @ (_: Selector | _: In | _: Bound | _: Like | _: Regex) =>
+            Extracted(v.referencedDims.get.head, fn, v)
+          case other => throw new IllegalArgumentException(
+            s"extractionFn not supported on filter type ${other.getClass.getSimpleName}")
+        }
       }
     case x => throw new IllegalArgumentException(s"bad filter json $x")
   }

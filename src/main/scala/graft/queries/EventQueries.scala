@@ -573,6 +573,33 @@ object EventQueries {
       |  GROUP BY props)
       |ORDER BY spec, dimension, value""".stripMargin
 
+  /** extractionFn INSIDE filters (Druid: selector/in/bound/like/regex
+    * all take one): substring-selector AND strlen-numeric-bound,
+    * through the timeseries compiler. */
+  def extractionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    DruidQueries.run(ev(spark, sfDir), "ts",
+      """{
+        |  "queryType": "timeseries",
+        |  "granularity": "day",
+        |  "filter": {"type": "and", "fields": [
+        |    {"type": "selector", "dimension": "event_type", "value": "c",
+        |     "extractionFn": {"type": "substring", "index": 0, "length": 1}},
+        |    {"type": "bound", "dimension": "props", "lower": "9",
+        |     "ordering": "numeric", "extractionFn": {"type": "strlen"}}
+        |  ]},
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "su", "fieldName": "user_id"}
+        |  ]
+        |}""".stripMargin)
+
+  val extractionFilterSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+      |  count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su
+      |FROM events
+      |WHERE substring(event_type, 1, 1) = 'c' AND length(props) >= 9
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- timeBoundary --
 
   val timeBoundaryJson: String =

@@ -90,6 +90,32 @@ class DimFilterSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("extractionFn on filters: value test applies to the extracted value") {
+    // substring(0,1) == 'a' → alpha, alphabet
+    assert(idsJson(
+      """{"type":"selector","dimension":"name","value":"a",
+        |"extractionFn":{"type":"substring","index":0,"length":1}}""".stripMargin)
+      == Set(1L, 4L))
+    // strlen numeric bound: names >= 5 chars
+    assert(idsJson(
+      """{"type":"bound","dimension":"name","lower":"5","ordering":"numeric",
+        |"extractionFn":{"type":"strlen"}}""".stripMargin) == Set(1L, 3L, 4L))
+    // upper() + in
+    assert(idsJson(
+      """{"type":"in","dimension":"name","values":["BETA","GAMMA"],
+        |"extractionFn":{"type":"upper"}}""".stripMargin) == Set(2L, 3L))
+    // multi-value dim: extraction applies per value
+    assert(idsJson(
+      """{"type":"selector","dimension":"tags","value":"X",
+        |"extractionFn":{"type":"upper"}}""".stripMargin) == Set(1L, 5L))
+    // no dictionary short-circuit contribution (soundness)
+    val f = DimFilter.parse(
+      """{"type":"selector","dimension":"name","value":"a",
+        |"extractionFn":{"type":"substring","index":0,"length":1}}""".stripMargin)
+    assert(f.requiredValues.isEmpty && f.dictPredicates.isEmpty)
+    assert(f.referencedDims == Some(Set("name")))
+  }
+
   test("referencedDims: structured filters name their columns; expression is unknown") {
     assert(DimFilter.parse(
       """{"type":"and","fields":[
