@@ -165,10 +165,10 @@ object DruidQueries {
 
   private def havingFilter(df: DataFrame, j: JValue): DataFrame = j match {
     case JNothing | JNull => df
-    case h => df.filter(compileHaving(h))
+    case h => df.filter(compileHaving(h, df.schema))
   }
 
-  private def compileHaving(j: JValue): Column = j match {
+  private def compileHaving(j: JValue, schema: org.apache.spark.sql.types.StructType): Column = j match {
     case obj: JObject =>
       def str(k: String) = (obj \ k) match { case JString(s) => Some(s); case _ => None }
       def num(k: String): Double = (obj \ k) match {
@@ -182,17 +182,21 @@ object DruidQueries {
         case "lessThan" => col(str("aggregation").get) < lit(num("value"))
         case "equalTo" => col(str("aggregation").get) === lit(num("value"))
         case "dimSelector" => col(str("dimension").get) === lit(str("value").get)
-        case "and" => subHavings(obj).reduce(_ && _)
-        case "or" => subHavings(obj).reduce(_ || _)
-        case "not" => !compileHaving(obj \ "havingSpec")
+        case "and" => subHavings(obj, schema).reduce(_ && _)
+        case "or" => subHavings(obj, schema).reduce(_ || _)
+        case "not" => !compileHaving(obj \ "havingSpec", schema)
+        // havingSpec {type: filter}: ANY DimFilter evaluated over the
+        // grouped result's columns (dims AND aggregates)
+        case "filter" => DimFilter.fromJson(obj \ "filter").compile(schema)
         case other => throw new IllegalArgumentException(s"unsupported having $other")
       }
     case x => throw new IllegalArgumentException(s"bad having $x")
   }
 
-  private def subHavings(obj: JObject): Seq[Column] =
+  private def subHavings(obj: JObject,
+                         schema: org.apache.spark.sql.types.StructType): Seq[Column] =
     (obj \ "havingSpecs") match {
-      case JArray(xs) => xs.map(compileHaving)
+      case JArray(xs) => xs.map(compileHaving(_, schema))
       case _ => Nil
     }
 

@@ -393,6 +393,19 @@ class DruidQueriesSpec extends SparkSpec {
     assert(out2.collect()(0).getLong(0) == expect)
   }
 
+  test("filter-type havingSpec evaluates any DimFilter over the grouped result") {
+    val out = DruidQueries.run(ev, "ts",
+      """{"queryType":"groupBy","granularity":"all",
+        |"dimensions":["event_type"],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"having":{"type":"filter","filter":{"type":"and","fields":[
+        |  {"type":"regex","dimension":"event_type","pattern":"^[cv]"},
+        |  {"type":"bound","dimension":"cnt","lower":"1","ordering":"numeric"}]}}
+        |}""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("click", "view"))
+  }
+
   test("lookup dataSource: k/v rename, unknown name and bad arity fail loudly") {
     val labels = Seq(("click", "C"), ("view", "V")).toDF("key", "label")
     val out = DruidQueries.run(ev, "ts",
