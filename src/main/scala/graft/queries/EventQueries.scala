@@ -160,6 +160,67 @@ object EventQueries {
       |FROM w WHERE __time >= TIMESTAMP '2024-01-08'
       |ORDER BY __time, event_type""".stripMargin
 
+  // -- trailing-window anomaly flags (z-score over daily sums) --
+
+  /** Timeseries anomaly detection — the movingAverage extension's
+    * real production use: per event type, each day's value sum scored
+    * against the trailing-7-day mean/std, |z| > 2 flagged. Both
+    * trailing moments (Σx and Σx²) ride DECIMAL through the window
+    * frame (Spark streams sliding frames, DuckDB segment-trees them —
+    * only exact decimal makes the association order irrelevant), then
+    * ONE chain of correctly-rounded double ops (m=S/7, msq=SQ/7,
+    * var=msq−m·m, √, z=(x−m)/σ) that both engines execute
+    * identically — the gate hash-matches z itself, not just the flag.
+    * One partial-agg shuffle + a granule-count-bounded window. */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(sum(Exact.dec(col("value"))).as("sv"),
+        sum(Exact.dec(col("value") * col("value"))).as("svv"))
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    val seq = Window.partitionBy("event_type").orderBy("day")
+    val m = (sum(col("sv")).over(win).cast("double") / 7.0).as("mean7")
+    val msq = (sum(col("svv")).over(win).cast("double") / 7.0)
+    val scored = daily
+      .withColumn("__rn", row_number().over(seq))
+      .withColumn("x", col("sv").cast("double"))
+      .withColumn("mean7", m)
+      .withColumn("std7", sqrt(greatest(msq - col("mean7") * col("mean7"), lit(0.0))))
+      .filter(col("__rn") >= 7)
+      .withColumn("z", when(col("std7") > 0.0,
+        (col("x") - col("mean7")) / col("std7")).otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    scored.select(col("day"), col("event_type"), col("x"),
+        col("mean7"), col("std7"), col("z"), col("is_anomaly"))
+      .orderBy("day", "event_type")
+  }
+
+  val anomalySql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type,
+      |         sum(CAST(value AS DECIMAL(38,6))) AS sv,
+      |         sum(CAST(value * value AS DECIMAL(38,6))) AS svv
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day, event_type,
+      |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS x,
+      |         CAST(CAST(sum(sv) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS mean7,
+      |         CAST(CAST(sum(svv) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS msq,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT day, event_type, x, mean7,
+      |         sqrt(greatest(msq - mean7 * mean7, 0.0)) AS std7
+      |  FROM w WHERE rn >= 7)
+      |SELECT CAST(day AS TIMESTAMP) AS day, event_type, x, mean7, std7,
+      |  CASE WHEN std7 > 0.0 THEN (x - mean7) / std7 ELSE 0.0 END AS z,
+      |  CASE WHEN std7 > 0.0 THEN abs((x - mean7) / std7) > 2.0
+      |       ELSE false END AS is_anomaly
+      |FROM s ORDER BY day, event_type""".stripMargin
+
   // -- nested query dataSource: groupBy over a groupBy's result --
 
   /** Druid's filter-on-aggregate shape via a `query` dataSource: the
