@@ -54,6 +54,8 @@ object TupleSketch {
     * Σ values / theta (exact sums below nominalEntries). */
   def tuple_metric_sums(c: Column): Column = toColumn(TupleMetricSums(toExpr(c)))
 
+  def tuple_metric_means(c: Column): Column = toColumn(TupleMetricMeans(toExpr(c)))
+
   private[graft] def wrap(bytes: Array[Byte]): ArrayOfDoublesSketch =
     ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bytes))
 }
@@ -153,6 +155,36 @@ case class TupleEstimate(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TupleSketch.wrap(v.asInstanceOf[Array[Byte]]).getEstimate
   override protected def withNewChildInternal(c: Expression): TupleEstimate =
+    copy(child = c)
+}
+
+/** Druid's arrayOfDoublesSketchToMeans: per-metric mean over the
+  * sketch's RETAINED entries (no theta scaling — means are
+  * ratio-of-retained statistics, matching DataSketches'
+  * ArrayOfDoublesSketchToMeansPostAggregator). Empty sketch → nulls. */
+case class TupleMetricMeans(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullSafeEval(v: Any): Any = {
+    val sk = TupleSketch.wrap(v.asInstanceOf[Array[Byte]])
+    val m = sk.getNumValues
+    val sums = new Array[Double](m)
+    var n = 0L
+    val it = sk.iterator()
+    while (it.next()) {
+      val vals = it.getValues
+      var j = 0
+      while (j < m) { sums(j) += vals(j); j += 1 }
+      n += 1
+    }
+    if (n == 0L) new GenericArrayData(Array.fill[Any](m)(null))
+    else {
+      var j = 0
+      while (j < m) { sums(j) /= n.toDouble; j += 1 }
+      new GenericArrayData(sums)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): TupleMetricMeans =
     copy(child = c)
 }
 

@@ -338,6 +338,8 @@ object Aggregators {
           graft.functions.TupleSketch.tuple_estimate(compilePostAgg(obj \ "field"))
         case "arrayOfDoublesSketchToMetricsSumEstimate" =>
           graft.functions.TupleSketch.tuple_metric_sums(compilePostAgg(obj \ "field"))
+        case "arrayOfDoublesSketchToMeans" =>
+          graft.functions.TupleSketch.tuple_metric_means(compilePostAgg(obj \ "field"))
         case "quantilesDoublesSketchToQuantile" =>
           val fraction = (obj \ "fraction") match {
             case JDouble(v) => v

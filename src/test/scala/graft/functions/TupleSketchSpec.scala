@@ -24,6 +24,20 @@ class TupleSketchSpec extends SparkSpec {
     assert(sums == Seq((0 until 1200).map(i => ((i % 300) % 7).toDouble).sum, 1200.0))
   }
 
+  test("metric means: per-retained-key averages of the per-key totals") {
+    val df = (0 until 1200).map { i =>
+      val k = (i % 300).toLong
+      (k, (k % 7).toDouble, 1.0)
+    }.toDF("k", "m1", "m2").repartition(11)
+    val means = df.agg(TupleSketch.tuple_sketch_agg(col("k"),
+        Seq(col("m1"), col("m2")), 4096).as("sk"))
+      .select(TupleSketch.tuple_metric_means(col("sk")).as("means"))
+      .head().getSeq[Double](0)
+    // exact regime: one entry per key holding that key's summed values
+    val m1 = (0 until 300).map(k => 4.0 * (k % 7)).sum / 300.0
+    assert(means == Seq(m1, 4.0))
+  }
+
   test("sketch bytes re-aggregate through the merge path") {
     val df = (0 until 1000).map { i => (s"g${i % 2}", (i % 100).toLong, 1.0) }
       .toDF("g", "k", "m")
