@@ -41,6 +41,58 @@ class PropertiesSpec extends org.scalatest.funsuite.AnyFunSuite {
     })
   }
 
+  test("LinearTextScore decomposes exactly: score(a⧺b) = score(a) + score(b) + w(boundary bigram)") {
+    import graft.functions.LinearTextScore
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = LinearTextScore(Literal(""), 1 << 16, 61)
+    def score(s: String): Long = expr.compute(UTF8String.fromString(s))
+    // boundary-bigram weight expressed through score itself:
+    // score("x y") = w(x) + w(y) + w("x y") and score(tok) = w(tok)
+    def wPair(x: String, y: String): Long =
+      score(x + " " + y) - score(x) - score(y)
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    check(Prop.forAll(text, text) { (a, b) =>
+      val lastA = a.split(" ", -1).last
+      val firstB = b.split(" ", -1).head
+      score(a + " " + b) == score(a) + score(b) + wPair(lastA, firstB)
+    })
+  }
+
+  test("Pii.redact is idempotent and clean text is a fixed point") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // drive the exact engine expressions without a session
+    def redactOnce(s: String): String =
+      graft.operators.Pii.patterns.foldLeft(s) { case (t, (_, re, tok)) =>
+        t.replaceAll(re, java.util.regex.Matcher.quoteReplacement(tok))
+      }
+    val piiGen = Gen.oneOf(
+      Gen.choose(0, 9999).map(i => s"user$i@mail$i.org"),
+      Gen.choose(0, 9999).map(i => f"123-45-$i%04d"),
+      Gen.choose(0, 255).map(i => s"10.$i.0.$i"),
+      Gen.choose(0, 9999).map(i => f"+1 555-${i % 1000}%03d-$i%04d"))
+    val filler = Gen.listOf(Gen.alphaChar).map(_.mkString)
+    val gen = for {
+      parts <- Gen.listOfN(4, Gen.zip(filler, piiGen))
+    } yield parts.map { case (f, p) => s"$f $p " }.mkString
+    check(Prop.forAll(gen) { s =>
+      val once = redactOnce(s)
+      redactOnce(once) == once && !once.contains("@") &&
+        graft.operators.Pii.patterns.forall { case (_, re, _) =>
+          !re.r.findFirstIn(once).isDefined
+        }
+    })
+  }
+
+  test("splitmix64 stream is collision-free over dense index ranges") {
+    import graft.functions.SignProjection.mix64
+    check(Prop.forAll(Gen.choose(0L, 1L << 40)) { base =>
+      val vals = (0 until 512).map(i => mix64(base + i))
+      vals.distinct.size == 512
+    })
+  }
+
   test("dHash downscale blocks partition every pixel exactly once") {
     check(Prop.forAll(Gen.choose(9, 50), Gen.choose(8, 40)) { (w, h) =>
       var seen = 0L
