@@ -61,8 +61,8 @@ class PropertiesSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("Pii.redact is idempotent and clean text is a fixed point") {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    // drive the exact engine expressions without a session
+    // replay the engine's regexp_replace chain (same Java regex
+    // engine, same pattern order) without a session
     def redactOnce(s: String): String =
       graft.operators.Pii.patterns.foldLeft(s) { case (t, (_, re, tok)) =>
         t.replaceAll(re, java.util.regex.Matcher.quoteReplacement(tok))
