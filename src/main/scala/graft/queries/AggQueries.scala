@@ -161,13 +161,24 @@ object AggQueries {
         element_at(TupleSketch.tuple_metric_sums(col("sk")), 1)
           .cast("long").as("sum_units"),
         element_at(TupleSketch.tuple_metric_sums(col("sk")), 2)
-          .cast("long").as("n_rows"))
+          .cast("long").as("n_rows"),
+        // ToMeans post-agg: per-retained-key mean of per-key totals.
+        // Both metrics are integer-valued, so the entry-order double
+        // accumulation is exact and the mean is ONE correctly-rounded
+        // division — hash-comparable to the SQL replay.
+        element_at(TupleSketch.tuple_metric_means(col("sk")), 1)
+          .as("mean_units"),
+        element_at(TupleSketch.tuple_metric_means(col("sk")), 2)
+          .as("mean_rows"))
       .orderBy("event_type")
   }
 
   val aggTupleSketchSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(user_id % 97) AS BIGINT) AS sum_units, count(*) AS n_rows
+      |  CAST(sum(user_id % 97) AS BIGINT) AS sum_units, count(*) AS n_rows,
+      |  CAST(CAST(sum(user_id % 97) AS BIGINT) AS DOUBLE)
+      |    / count(DISTINCT user_id) AS mean_units,
+      |  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS mean_rows
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- fixed-buckets histogram (Druid histogram extension) --
