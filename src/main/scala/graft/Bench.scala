@@ -75,6 +75,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"bench_out write failed: $e") }
+    // self-identifying tail: a capture window that truncates the big
+    // per-query line from the FRONT still ends with this short,
+    // independently parseable summary line
+    println(s"""{"bench_total":$total,"n":${names.size},"n_errors":${errs.size},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errs.size} queries threw: ${errs.keys.toSeq.sorted.mkString(", ")}")

@@ -101,10 +101,13 @@ object TextFunctions {
     * mapping DuckDB's `strip_accents` applies on Latin text. */
   def stripAccents(text: Column): Column = toColumn(StripAccents(toExpr(text)))
 
-  /** Hashed-linear classifier logit (see [[LinearTextScore]]). */
+  /** Hashed-linear classifier logit (see [[LinearTextScore]]).
+    * Supply `weights` (one fixed-point long per bucket) to run a
+    * TRAINED model's table; omit it for the hash-derived stub. */
   def linearTextScore(text: Column, buckets: Int = 1 << 16,
-                      span: Int = 61): Column =
-    toColumn(LinearTextScore(toExpr(text), buckets, span))
+                      span: Int = 61,
+                      weights: Option[Array[Long]] = None): Column =
+    toColumn(LinearTextScore(toExpr(text), buckets, span, weights))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
@@ -549,19 +552,29 @@ object StripAccents {
   * token stream (Spark `split(text, " ")` semantics, empties kept);
   * each feature hashes with FNV-1a over its UTF-8 bytes (bigrams as
   * `"a b"`), lands in bucket `h mod buckets` (unsigned), and
-  * contributes the integer weight `(bucket mod span) − span/2`. The
-  * score is the Σ of weights — a linear model's logit with the weight
-  * TABLE stubbed as a hash-derived function (deterministic,
-  * documented; a learned model plugs its table in here — the hashing
-  * trick means collisions behave identically either way).
+  * contributes that bucket's integer weight. The score is the Σ of
+  * weights — a linear model's logit.
+  *
+  * The weight table is either CALLER-SUPPLIED (`weights`: one fixed-
+  * point long per bucket — a trained fastText/logistic model's
+  * quantized table; the real model-inference entry point) or, by
+  * default, the deterministic hash-derived stub
+  * `(bucket mod span) − span/2` (useful for gating the machinery with
+  * no model at hand — the hashing trick means collisions behave
+  * identically either way). A 2^16-bucket long table is 512 KB; it
+  * rides to executors once per task binary via the expression's
+  * reference object, the same way a broadcast scalar would.
   *
   * Integer end-to-end ⇒ the DuckDB oracle replays the exact score
   * (fnv1a in HUGEINT mod 2^64); O(tokens) per row, no allocation
   * beyond the token split, real codegen (static call, no
   * CodegenFallback). */
-case class LinearTextScore(child: Expression, buckets: Int, span: Int)
+case class LinearTextScore(child: Expression, buckets: Int, span: Int,
+                           weights: Option[Array[Long]] = None)
   extends UnaryExpression {
   require(buckets > 0 && span > 0, "buckets and span must be positive")
+  require(weights.forall(_.length == buckets),
+    s"weight table must have exactly $buckets entries")
   override def dataType: DataType = LongType
 
   override protected def doGenCode(
@@ -574,8 +587,12 @@ case class LinearTextScore(child: Expression, buckets: Int, span: Int)
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
-  private def weight(h: Long): Long =
-    java.lang.Long.remainderUnsigned(h, buckets) % span - span / 2
+  @transient private lazy val wtab: Array[Long] = weights.orNull
+
+  private def weight(h: Long): Long = {
+    val b = java.lang.Long.remainderUnsigned(h, buckets)
+    if (wtab != null) wtab(b.toInt) else b % span - span / 2
+  }
 
   def compute(u: UTF8String): Long = {
     val toks = u.toString.split(" ", -1)

@@ -49,7 +49,10 @@ object VectorFunctions {
   * with `s(j,d) ∈ {±1}` the low bit of `splitmix64(seed + j·65536 + d)`
   * (Steele/Lea/Flood 2014 — public mixing constants). Projection-
   * matrix-free: signs derive from the hash at eval time, so nothing is
-  * broadcast and any executor reproduces the identical matrix.
+  * broadcast and any executor reproduces the identical matrix. The
+  * (j, d) packing gives each output coordinate a 65536-wide hash lane,
+  * so input dimension must be < 65536 (enforced; beyond it lanes would
+  * overlap and coordinates silently correlate).
   *
   * Accumulation is d-ascending per output coordinate and every term is
   * an exact IEEE op (±1 multiply, sequential adds, power-of-two 1/√k
@@ -81,6 +84,11 @@ case class SignProjection(child: Expression, k: Int, seed: Long)
 
   def compute(arr: ArrayData): ArrayData = {
     val dim = arr.numElements()
+    // The hash input packs (j, d) as seed + j·65536 + d; at dim ≥ 65536
+    // the pairs (j, d) and (j+1, d−65536) would collide and silently
+    // correlate output coordinates. Refuse rather than degrade.
+    require(dim < 65536,
+      s"sign_projection supports input dimension < 65536, got $dim")
     val out = new Array[Double](k)
     var d = 0
     while (d < dim) {

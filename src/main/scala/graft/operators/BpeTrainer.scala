@@ -49,10 +49,29 @@ object BpeTrainer {
     * from `textCol`, optionally pre-filtered by `wordFilter` — e.g.
     * "^[a-z]+$" to pin an ASCII-clean training set). Returns one row
     * per merge: (rank, left, right, pair_count), rank starting at 1.
-    * Stops early when no pair reaches `minPairCount`. */
+    * Stops early when no pair reaches `minPairCount`.
+    *
+    * ADAPTIVE merge loop: the training table is vocabulary-sized —
+    * orders smaller than the corpus — and each merge round only needs
+    * THAT table. When it fits an explicit driver budget
+    * (`driverVocabLimit` rows AND `driverVocabChars` framed chars,
+    * measured by one bounded agg on the materialized table), the
+    * merge rounds run IN MEMORY on the collected framed strings: an
+    * occurrence-indexed incremental pair count plus a lazy max-heap
+    * argmax, so a realistic 32k-merge vocabulary costs one distributed
+    * word count + an in-memory loop instead of 32k sequential Spark
+    * jobs and materializations (pure scheduling overhead on a table
+    * that fits driver memory). Past the budget the distributed
+    * round loop runs unchanged, so training never depends on the
+    * vocabulary fitting anywhere. Both paths consume the SAME
+    * Spark-built framed encoding and break argmax ties by (count
+    * DESC, left, right) in UTF-8 binary order, so the merge tables
+    * are identical by construction (spec-pinned). */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 wordFilter: Option[String] = None,
-                minPairCount: Long = 1L): Seq[(Int, String, String, Long)] = {
+                minPairCount: Long = 1L,
+                driverVocabLimit: Long = 2000000L,
+                driverVocabChars: Long = 128000000L): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val rawWords = df
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -63,6 +82,14 @@ object BpeTrainer {
     var vocab = Materialize(
       words.groupBy("word").agg(count(lit(1)).as("n"))
         .select(encode(array_remove(split(col("word"), ""), "")).as("s"), col("n")))
+    // one bounded action decides the strategy (rows + framed chars)
+    val stats = vocab.agg(count(lit(1)), coalesce(sum(length(col("s"))), lit(0L)))
+      .collect()(0)
+    val (vocabRows, vocabChars) = (stats.getLong(0), stats.getLong(1))
+    if (vocabRows <= driverVocabLimit && vocabChars <= driverVocabChars) {
+      val local = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      return localMerges(local, numMerges, minPairCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1
     var done = false
@@ -93,13 +120,137 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** UTF-8 binary order — the comparison Spark's UTF8String `asc`
+    * (and DuckDB's default collation) applies to the tie-break. Java's
+    * String.compareTo is UTF-16 code-unit order, which DIVERGES on
+    * BMP-vs-astral comparisons; this comparator replays the engines'. */
+  private[operators] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** In-memory merge loop over the collected framed vocabulary —
+    * bit-identical semantics to the distributed rounds: adjacent-pair
+    * counts weighted by word frequency, argmax tie-broken by (count
+    * DESC, left UTF-8 ASC, right UTF-8 ASC), merge applied as the
+    * greedy left-to-right non-overlapping scan (what literal `replace`
+    * does on the framed encoding). Incremental: each round touches
+    * only the words containing the merged pair (occurrence index) and
+    * re-finds the argmax through a lazy max-heap (stale entries are
+    * dropped when popped), so round cost is O(affected words + log
+    * heap), not O(vocabulary). */
+  private def localMerges(vocabRows: Array[(String, Long)], numMerges: Int,
+                          minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val sepSep = java.util.regex.Pattern.quote(Sep + Sep)
+    // decode the framed strings the SAME way the distributed path does
+    val toks: Array[Array[String]] = vocabRows.map { case (s, _) =>
+      if (s.length <= 2) Array.empty[String]
+      else s.substring(1, s.length - 1).split(sepSep, -1)
+    }
+    val freq: Array[Long] = vocabRows.map(_._2)
+
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val occ = new java.util.HashMap[(String, String), java.util.HashSet[Int]]()
+    def addWord(w: Int, sign: Long, touched: java.util.HashSet[(String, String)]): Unit = {
+      val t = toks(w)
+      var i = 0
+      while (i + 1 < t.length) {
+        val p = (t(i), t(i + 1))
+        val c = counts.getOrDefault(p, 0L) + sign * freq(w)
+        if (c == 0L) counts.remove(p) else counts.put(p, c)
+        if (sign > 0)
+          occ.computeIfAbsent(p, _ => new java.util.HashSet[Int]()).add(w)
+        if (touched != null) touched.add(p)
+        i += 1
+      }
+      if (sign < 0) { // occurrence sets are rebuilt on re-add
+        i = 0
+        while (i + 1 < t.length) {
+          val p = (t(i), t(i + 1))
+          val s = occ.get(p)
+          if (s != null) { s.remove(w); if (s.isEmpty) occ.remove(p) }
+          i += 1
+        }
+      }
+    }
+    var w = 0
+    while (w < toks.length) { addWord(w, 1L, null); w += 1 }
+
+    // lazy max-heap: (cnt, a, b) snapshots; an entry is live iff it
+    // still equals the current count for its pair
+    val ord = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        if (x._1 != y._1) return java.lang.Long.compare(y._1, x._1)
+        val c = utf8Compare(x._2, y._2)
+        if (c != 0) c else utf8Compare(x._3, y._3)
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(counts.size, 16), ord)
+    counts.forEach((p, c) => heap.add((c, p._1, p._2)))
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val cand = heap.poll()
+        if (counts.getOrDefault((cand._2, cand._3), 0L) == cand._1) top = cand
+      }
+      if (top == null || top._1 < minPairCount) done = true
+      else {
+        val (cnt, a, b) = top
+        merges += ((rank, a, b, cnt))
+        val affected = occ.get((a, b))
+        if (affected != null) {
+          val snapshot = affected.toArray(new Array[Integer](0))
+          val touched = new java.util.HashSet[(String, String)]()
+          snapshot.foreach { wi =>
+            val wIdx = wi.intValue()
+            addWord(wIdx, -1L, touched)
+            // greedy left-to-right non-overlapping merge — the exact
+            // semantics of literal replace over the framed encoding
+            val t = toks(wIdx)
+            val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += t(i); i += 1 }
+            }
+            toks(wIdx) = out.toArray
+            addWord(wIdx, 1L, touched)
+          }
+          touched.forEach { p =>
+            val c = counts.getOrDefault(p, 0L)
+            if (c > 0L) heap.add((c, p._1, p._2))
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** The merge table as a DataFrame (for the driver gate). */
   def bpeMergesDf(df: DataFrame, textCol: String, numMerges: Int,
                   wordFilter: Option[String] = None,
-                  minPairCount: Long = 1L): DataFrame = {
+                  minPairCount: Long = 1L,
+                  driverVocabLimit: Long = 2000000L,
+                  driverVocabChars: Long = 128000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeMerges(df, textCol, numMerges, wordFilter, minPairCount)
+    bpeMerges(df, textCol, numMerges, wordFilter, minPairCount,
+        driverVocabLimit, driverVocabChars)
       .toDF("rank", "left", "right", "pair_count")
   }
 

@@ -8,9 +8,16 @@ import org.apache.spark.sql.functions._
   * after the previous step's chosen time and within `windowMs` of the
   * FIRST step (the standard product-analytics conversion funnel —
   * Druid deployments run this shape over clickstreams constantly).
-  * Semantics: tᵢ = min ts of stepᵢ events with ts ≥ tᵢ₋₁ and
-  * ts < t₁ + windowMs — greedy-earliest, which maximizes completion
-  * (if any chain exists, the greedy one does).
+  * Semantics: t₁ is pinned to the user's globally earliest step₁
+  * event; tᵢ = min ts of stepᵢ events with ts ≥ tᵢ₋₁ and
+  * ts < t₁ + windowMs. Given that earliest-first-step anchor, the
+  * greedy-earliest choice of each later step is optimal: if any chain
+  * completes from t₁, the greedy one does. A user whose only
+  * completable chain starts from a LATER step₁ occurrence (outside
+  * windowMs of their first) is reported as broken — the standard
+  * first-touch funnel convention; multi-anchor retry is a different
+  * (and quadratic-prone) semantics this operator deliberately does
+  * not implement.
   *
   * Returns one row per user who performed step₁:
   * `(userCol, t1..tk millis, steps_completed)` — later columns NULL

@@ -240,26 +240,40 @@ object TextAnalysis {
     * the lift (true PMI) is monotone, so ranking by lift ranks by PMI
     * without either engine's un-correctly-rounded `ln`.
     *
-    * Scale shape: pass 1 aggregates document frequencies only (corpus
-    * explode → vocab-sized agg, map-side combined) and keeps the
-    * top-V as TakeOrdered; pass 2 RE-SCANS the corpus restricted to
-    * the broadcast vocabulary — re-scanning beats materializing a
-    * corpus-sized incidence list — then distincts to (doc, term)
-    * with ≤V terms per doc, so the doc-keyed pair self-join is
-    * bounded by V² per document, never |doc|². Pair aggregation is
-    * one map-side-combined shuffle over ≤V² keys. */
+    * Scale shape: pass 1 aggregates document frequencies (corpus
+    * explode → vocab-sized agg, map-side combined) WITH the corpus
+    * doc count riding the same shuffle as a marker-term row (one
+    * `""` row per document — `""` cannot be a real term — whose
+    * group count is N), and collects marker + top-V in ONE bounded
+    * TakeOrdered action (V+1 rows); pass 2 RE-SCANS the corpus
+    * restricted to the collected vocabulary (broadcast local
+    * relation) — re-scanning beats materializing a corpus-sized
+    * incidence list — then distincts to (doc, term) with ≤V terms
+    * per doc, so the doc-keyed pair self-join is bounded by V² per
+    * document, never |doc|². Pair aggregation is one
+    * map-side-combined shuffle over ≤V² keys. Two corpus scans
+    * total; no separate count() action. */
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 50, minPairDocs: Long = 5L,
                    topK: Int = 100): DataFrame = {
     require(vocabSize >= 2, s"bad vocabSize $vocabSize")
     require(topK >= 1, s"bad topK $topK")
-    val n = df.count()
     def incidence0 = df
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    val vocab = incidence0.distinct()
+    // one action: (marker row carrying N) + top-V vocabulary terms
+    val head = incidence0.distinct()
+      .union(df.select(col(idCol), lit("").as("term")))
       .groupBy("term").agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("term").asc).limit(vocabSize)
+      .orderBy((col("term") === "").desc, col("n_docs").desc, col("term").asc)
+      .limit(vocabSize + 1)
+      .collect()
+    val n: Long = head.find(_.getString(0) == "").map(_.getLong(1)).getOrElse(0L)
+    val vocabLocal = head.filter(_.getString(0) != "")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = vocabLocal.toDF("term", "n_docs")
     val inc = incidence0
       .join(broadcast(vocab), Seq("term"))
       .select(col(idCol), col("term"), col("n_docs")).distinct()
@@ -405,14 +419,18 @@ object TextAnalysis {
     * per-doc logit from hashed unigram+bigram features
     * ([[graft.functions.TextFunctions.linearTextScore]] — one-pass
     * codegen'd Expression, zero shuffle), `keep = score >= threshold`.
-    * The weight table is a deterministic hash-derived stub (where a
-    * trained model's table plugs in); the MACHINERY — tokenize, hash,
-    * bucket, weigh, sum, threshold — is the real scale path and is
+    * Pass `weights` (bucket → fixed-point long, e.g. a trained
+    * fastText/logistic table quantized to integers) to run a REAL
+    * model; with no table the deterministic hash-derived stub scores
+    * instead. Either way the MACHINERY — tokenize, hash, bucket,
+    * weigh, sum, threshold — is the same scale path and is
     * value-exactly mirrored by the DuckDB oracle. */
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
                       buckets: Int = 1 << 16, span: Int = 61,
-                      threshold: Long = 0L): DataFrame = {
-    val score = TextFunctions.linearTextScore(lower(col(textCol)), buckets, span)
+                      threshold: Long = 0L,
+                      weights: Option[Array[Long]] = None): DataFrame = {
+    val score =
+      TextFunctions.linearTextScore(lower(col(textCol)), buckets, span, weights)
     df.select(col(idCol),
       score.as("score"),
       (size(split(col(textCol), " ", -1)) * 2 - 1).cast("long").as("n_features"),

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.{toColumn, toExpr}
@@ -69,9 +68,12 @@ object ZOrder {
 
 /** Bucket index of a double among sorted `boundaries` (binary search):
   * #boundaries ≤ value. Nulls and NaNs sort first (bucket 0), matching
-  * their min/max-stat irrelevance. */
+  * their min/max-stat irrelevance. Real `doGenCode` (a local binary
+  * search over a referenced array) so the z-value projection stays
+  * inside whole-stage codegen — it sits immediately before the
+  * range-repartition exchange and would otherwise break the stage. */
 case class RangeBucket(child: Expression, boundaries: Array[Double])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -87,6 +89,40 @@ case class RangeBucket(child: Expression, boundaries: Array[Double])
     }
     lo
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val b = ctx.addReferenceObj("rangeBucketBounds", boundaries, "double[]")
+    val childGen = child.genCode(ctx)
+    val d = ctx.freshName("rbVal")
+    val lo = ctx.freshName("rbLo")
+    val hi = ctx.freshName("rbHi")
+    val mid = ctx.freshName("rbMid")
+    // null / NaN → bucket 0; result itself is never null
+    val javaCode =
+      code"""
+         |${childGen.code}
+         |int ${ev.value} = 0;
+         |if (!${childGen.isNull}) {
+         |  double $d = ${childGen.value};
+         |  if (!Double.isNaN($d)) {
+         |    int $lo = 0;
+         |    int $hi = $b.length;
+         |    while ($lo < $hi) {
+         |      int $mid = ($lo + $hi) >>> 1;
+         |      if ($b[$mid] <= $d) { $lo = $mid + 1; } else { $hi = $mid; }
+         |    }
+         |    ${ev.value} = $lo;
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = javaCode, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildInternal(c: Expression): RangeBucket =
     copy(child = c)
 }

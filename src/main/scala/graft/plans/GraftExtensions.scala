@@ -56,6 +56,13 @@ object GraftExtensions {
       case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
     }
 
+    // Full 64-bit range (hash seeds) — intArg(...).toLong would truncate.
+    def longArg(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
+    }
+
     reg("theta_sketch_agg", "theta_sketch_agg(col) - mergeable theta sketch bytes") {
       case Seq(c) => ThetaSketchAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"theta_sketch_agg takes 1 arg, got ${args.size}")
@@ -112,7 +119,7 @@ object GraftExtensions {
     reg("sign_projection",
         "sign_projection(vec, k, seed) - Johnson-Lindenstrauss sign random projection") {
       case Seq(v, k) => SignProjection(v, intArg(k, "k"), 0L)
-      case Seq(v, k, s) => SignProjection(v, intArg(k, "k"), intArg(s, "seed").toLong)
+      case Seq(v, k, s) => SignProjection(v, intArg(k, "k"), longArg(s, "seed"))
       case args => throw new IllegalArgumentException(s"sign_projection takes 2 or 3 args, got ${args.size}")
     }
     out.result()

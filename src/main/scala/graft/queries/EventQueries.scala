@@ -164,28 +164,34 @@ object EventQueries {
 
   /** Timeseries anomaly detection — the movingAverage extension's
     * real production use: per event type, each day's value sum scored
-    * against the trailing-7-day mean/std, |z| > 2 flagged. Both
-    * trailing moments (Σx and Σx²) ride DECIMAL through the window
-    * frame (Spark streams sliding frames, DuckDB segment-trees them —
-    * only exact decimal makes the association order irrelevant), then
-    * ONE chain of correctly-rounded double ops (m=S/7, msq=SQ/7,
-    * var=msq−m·m, √, z=(x−m)/σ) that both engines execute
-    * identically — the gate hash-matches z itself, not just the flag.
+    * against the trailing-7-day mean/std of DAILY SUMS, |z| > 2
+    * flagged. The second moment is the square of each day's sum
+    * (x·x, computed AFTER the daily agg), not the day's sum of
+    * per-event squares — the latter measures within-day spread and
+    * collapses std7 to 0 under the mean7² subtraction. Both trailing
+    * moments (Σx and Σx²) ride DECIMAL through the window frame
+    * (Spark streams sliding frames, DuckDB segment-trees them — only
+    * exact decimal makes the association order irrelevant; x·x is one
+    * correctly-rounded double product both engines compute
+    * identically before the decimal image), then ONE chain of
+    * correctly-rounded double ops (m=S/7, msq=SQ/7, var=msq−m·m, √,
+    * z=(x−m)/σ) that both engines execute identically — the gate
+    * hash-matches z itself, not just the flag.
     * One partial-agg shuffle + a granule-count-bounded window. */
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = ev(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(sum(Exact.dec(col("value"))).as("sv"),
-        sum(Exact.dec(col("value") * col("value"))).as("svv"))
+      .agg(sum(Exact.dec(col("value"))).as("sv"))
+      .withColumn("x", col("sv").cast("double"))
+      .withColumn("sv2", Exact.dec(col("x") * col("x")))
     val win = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, 0)
     val seq = Window.partitionBy("event_type").orderBy("day")
     val m = (sum(col("sv")).over(win).cast("double") / 7.0).as("mean7")
-    val msq = (sum(col("svv")).over(win).cast("double") / 7.0)
+    val msq = (sum(col("sv2")).over(win).cast("double") / 7.0)
     val scored = daily
       .withColumn("__rn", row_number().over(seq))
-      .withColumn("x", col("sv").cast("double"))
       .withColumn("mean7", m)
       .withColumn("std7", sqrt(greatest(msq - col("mean7") * col("mean7"), lit(0.0))))
       .filter(col("__rn") >= 7)
@@ -198,16 +204,20 @@ object EventQueries {
   }
 
   val anomalySql: String =
-    """WITH d AS (
+    """WITH d0 AS (
       |  SELECT date_trunc('day', ts) AS day, event_type,
-      |         sum(CAST(value AS DECIMAL(38,6))) AS sv,
-      |         sum(CAST(value * value AS DECIMAL(38,6))) AS svv
+      |         sum(CAST(value AS DECIMAL(38,6))) AS sv
       |  FROM events GROUP BY 1, 2),
-      |w AS (
-      |  SELECT day, event_type,
+      |d AS (
+      |  SELECT day, event_type, sv,
       |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS x,
+      |         CAST(CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+      |              * CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6)) AS sv2
+      |  FROM d0),
+      |w AS (
+      |  SELECT day, event_type, x,
       |         CAST(CAST(sum(sv) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS mean7,
-      |         CAST(CAST(sum(svv) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS msq,
+      |         CAST(CAST(sum(sv2) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS msq,
       |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
       |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
       |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),

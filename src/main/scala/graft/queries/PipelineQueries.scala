@@ -1380,7 +1380,10 @@ object PipelineQueries {
        |SELECT q.event_type, count(*) AS n,
        |  CAST(sum(q.user_id) AS BIGINT) AS su,
        |  ${Exact.sqlSum("q.value")} AS sv
-       |FROM q JOIN keep USING (event_type, day, bucket)
+       |FROM q JOIN keep k
+       |  ON q.event_type IS NOT DISTINCT FROM k.event_type
+       | AND q.day IS NOT DISTINCT FROM k.day
+       | AND q.bucket IS NOT DISTINCT FROM k.bucket
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- stream-stream interval join ----
@@ -1593,6 +1596,43 @@ object PipelineQueries {
        |    CAST(sum((hu % 65536::HUGEINT) % 61::HUGEINT - 30::HUGEINT)
        |         AS BIGINT) AS score
        |  FROM fh GROUP BY doc_id)
+       |SELECT s.doc_id, s.score,
+       |  CAST(2 * len(t.t) - 1 AS BIGINT) AS n_features,
+       |  s.score >= 0 AS keep
+       |FROM sc s JOIN toks t ON s.doc_id = t.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** Classifier inference with a CALLER-SUPPLIED weight table — the
+    * trained-model entry point (not the stub): a deterministic
+    * non-trivial 2^16-entry table (splitmix64(bucket) mod 1001 − 500,
+    * stand-in for a quantized fastText table) is built caller-side
+    * and passed to [[TextAnalysis.classifierScore]], so the PLAN
+    * carries the supplied array and every lookup reads from it. The
+    * oracle re-derives the same table per feature-bucket in HUGEINT
+    * arithmetic — scores hash-match only if the supplied-table path
+    * is actually exercised end-to-end. */
+  def qualityWeightedQ(s: SparkSession, d: String): DataFrame = {
+    val weights = Array.tabulate(1 << 16)(b =>
+      java.lang.Long.remainderUnsigned(
+        graft.functions.SignProjection.mix64(b.toLong), 1001L) - 500L)
+    TextAnalysis.classifierScore(docs(s, d), "doc_id", "text",
+        weights = Some(weights))
+      .orderBy("doc_id")
+  }
+
+  val qualityWeightedSql: String = {
+    val fnvTok = SqlHash.fnv1aSql(SqlHash.utf8Codes("f"))
+    val wt = s"(${SqlHash.splitmix64("b")} % 1001::HUGEINT - 500::HUGEINT)"
+    s"""WITH toks AS (SELECT doc_id,
+       |    string_split(lower(text), ' ') AS t FROM documents),
+       |feat AS (SELECT doc_id, unnest(list_concat(t,
+       |    list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1]))) AS f
+       |  FROM toks),
+       |fh AS (SELECT doc_id, $fnvTok AS hu FROM feat),
+       |fb AS (SELECT doc_id, hu % 65536::HUGEINT AS b FROM fh),
+       |sc AS (SELECT doc_id, CAST(sum($wt) AS BIGINT) AS score
+       |  FROM fb GROUP BY doc_id)
        |SELECT s.doc_id, s.score,
        |  CAST(2 * len(t.t) - 1 AS BIGINT) AS n_features,
        |  s.score >= 0 AS keep

@@ -691,6 +691,72 @@ object SegmentQueries {
       ") AS t(host, n, sum_hits, t_first, t_last) ORDER BY host")
   }
 
+  /** MULTI-dim grouped-aggregate pushdown under the driver gate:
+    * `GROUP BY (host, dc)` over two real segments — one carrying both
+    * dims, one EVOLVED without `dc` (its rows land in dc's null
+    * group) — with the second segment window-CLIPPED mid-interval.
+    * Served by per-combo bitmap ANDs off the inverted indexes
+    * (DruidSegmentsDataSourceSpec pins PushedGroupBy: [host, dc] and
+    * zero row decode); the oracle is the fixture's known layout. */
+  def druidGroupBy2(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    import graft.sources.{DruidSegmentWriter => W}
+    import org.apache.spark.sql.functions.{count, sum}
+    val day = 24 * 3600 * 1000L
+    val hour = 3600000L
+    val t0 = java.time.Instant.parse("2021-04-01T00:00:00Z").toEpochMilli
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_druid_groupby2_w${graft.sources.DruidSegmentWriter.FormatVersion}")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_druid_groupby2_w${graft.sources.DruidSegmentWriter.FormatVersion}_build_${java.util.UUID.randomUUID}")
+      W.write(new java.io.File(staging, "gb2/day1/v1/0"), "gb2",
+        (0 until 5).map(i => t0 + i * hour),
+        Seq(W.StrDim("host", Seq("a", "a", "b", "b", "c")),
+          W.StrDim("dc", Seq("e", "w", "e", "w", "e")),
+          W.LongMet("hits", Seq(10L, 20L, 30L, 40L, 50L))),
+        t0, t0 + day, version = "v1")
+      W.write(new java.io.File(staging, "gb2/day2/v1/0"), "gb2",
+        (0 until 3).map(i => t0 + day + i * hour),
+        Seq(W.StrDim("host", Seq("a", "b", "a")),
+          W.LongMet("hits", Seq(60L, 70L, 80L))),
+        t0 + day, t0 + 2 * day, version = "v1")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"groupby2 fixture promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    spark.read.format("druid-segments")
+      .option("dataSource", "gb2")
+      .load(root.getAbsolutePath)
+      .where(col("__time") < t0 + day + hour + hour / 2) // clips day2 to rows 0-1
+      .groupBy("host", "dc")
+      .agg(count("*").as("n"), sum("hits").as("sum_hits"))
+      .orderBy("host", "dc")
+  }
+
+  /** VALUES oracle from the fixture's known layout: day1's five
+    * (host, dc) rows + day2's two unclipped rows in dc's null group. */
+  val druidGroupBy2Sql: String = {
+    val rows = Seq(
+      ("'a'", "'e'", 1L, 10L), ("'a'", "'w'", 1L, 20L),
+      ("'b'", "'e'", 1L, 30L), ("'b'", "'w'", 1L, 40L),
+      ("'c'", "'e'", 1L, 50L),
+      ("'a'", "NULL", 1L, 60L), ("'b'", "NULL", 1L, 70L))
+    rows.map { case (h, dc, n, s) =>
+      s"($h, CAST($dc AS VARCHAR), CAST($n AS BIGINT), CAST($s AS BIGINT))"
+    }.mkString(
+      "SELECT * FROM (VALUES\n", ",\n",
+      ") AS t(host, dc, n, sum_hits) ORDER BY host, dc")
+  }
+
   /** DSv2 WRITE path under the driver gate: a 3-day slice of `events`
     * is written as REAL Druid v9 DAY segments through
     * `df.write.format("druid-segments")` (staged to a fresh dir,

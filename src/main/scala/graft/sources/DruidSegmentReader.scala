@@ -427,34 +427,68 @@ object DruidSegmentReader {
     }
   }
 
-  /** One window's partial of `GROUP BY dim → count(*) [, min/max
-    * __time]` for a scalar STRING dim, answered from the dictionary +
-    * bitmap index: per-group count = |bitmap ∧ window-rows| — Druid's
-    * topN/groupBy-count shape, served the way Druid itself serves it
+  /** One window's partial of `GROUP BY dims → count(*) [, min/max
+    * __time, metric sum/min/max]` for scalar STRING dims, answered
+    * from the dictionaries + bitmap indexes: a group's row set is the
+    * AND of its dims' posting bitmaps (∧ the window rows) — Druid's
+    * topN/groupBy shape, served the way Druid itself serves it
     * (cardinality off the inverted index; DruidInputFormat.java:66-120
-    * delegates to the same QueryableIndex bitmaps). The dim's VALUE
+    * delegates to the same QueryableIndex bitmaps). The dims' VALUE
     * chunks are never decompressed; `__time` decodes only when the
     * window clips the segment or time bounds are requested.
     *
-    * Single-value dims partition rows across bitmaps, so any rows NOT
-    * covered by the union (a segment evolved without the column ends
-    * up all-null; defensive for malformed indexes too) surface as one
-    * null group. Falls back to a per-row (dim, __time) walk when the
-    * column has no readable bitmap index or is multi-value under an
-    * evolved scalar schema. Emission is partial-per-window; Spark's
-    * final aggregate merges groups across windows. */
-  /** One group's partial row: value, count, optional time bounds, and
-    * per-metric sum/min/max (None = metric column absent from the
-    * segment → null partials). */
+    * Enumeration recurses dim-by-dim and prunes empty intersections,
+    * so cost is bounded by (observed parent combos × dictionary width)
+    * per level — output-sensitive, not the full cardinality product.
+    * Rows not covered by a dim's postings (segment evolved without the
+    * column; defensive for malformed indexes) surface as that dim's
+    * null group at every level. Falls back to a per-row decode walk
+    * when any dim lacks a usable bitmap index (or is multi-value under
+    * an evolved scalar schema), or when the dictionary-cardinality
+    * product exceeds `productCap` — past that bound decode-and-hash
+    * is the cheaper worst case. Emission is partial-per-window;
+    * Spark's final aggregate merges groups across windows. */
+
+  /** One group's partial row: one value per group dim (null = that
+    * dim's null group), count, optional time bounds, and per-metric
+    * sum/min/max (None = metric column absent from the segment →
+    * null partials). */
   private[sources] final case class GroupPartial(
-      value: String, count: Long, minT: Option[Long], maxT: Option[Long],
+      values: Seq[String], count: Long, minT: Option[Long], maxT: Option[Long],
       metrics: Map[String, Option[MetricAgg]])
 
-  private[sources] def aggregateGroupByWindow(
-      conf: Configuration, dir: String, dim: String, lo: Long, hi: Long,
+  private[sources] def aggregateGroupByDims(
+      conf: Configuration, dir: String, dims: Seq[String], lo: Long, hi: Long,
       fullCoverage: Boolean, needTimeBounds: Boolean,
-      metricCols: Seq[String] = Nil): Iterator[GroupPartial] = {
+      metricCols: Seq[String] = Nil,
+      productCap: Double = 1000000.0): Iterator[GroupPartial] = {
+    require(dims.nonEmpty, "at least one group dim")
     val file = openSegment(conf, dir)
+
+    // a segment missing EVERY group column is one all-null combo over
+    // the window — answered by the global-aggregate metadata path
+    if (dims.forall(d => !file.has(d))) {
+      val (c, mn, mx, ms) =
+        aggregateWindow(conf, dir, lo, hi, fullCoverage, needTimeBounds, metricCols)
+      return if (c == 0L) Iterator.empty
+      else Iterator(GroupPartial(dims.map(_ => null: String), c, mn, mx, ms))
+    }
+
+    // per-dim plan: Some(None) = column absent (all-null level, passes
+    // the parent row set through); Some(Some(idx)) = inverted index;
+    // None = no usable index → whole segment falls back to decode
+    val planned: Seq[Option[Option[DimBitmapIndex]]] = dims.map { d =>
+      if (!file.has(d)) Some(None)
+      else dimBitmapIndex(file, d).filter(!_.multiValue) match {
+        case Some(i) => Some(Some(i))
+        case None => None
+      }
+    }
+    val cardProduct = planned.flatten.flatten
+      .map(i => i.dict.length + 1.0).product
+    if (planned.exists(_.isEmpty) || cardProduct > productCap)
+      return groupByDecode(conf, dir, dims, lo, hi, needTimeBounds, metricCols, file)
+    val idxs: Seq[Option[DimBitmapIndex]] = planned.map(_.get)
 
     def boundsOf(b: ImmutableRoaringBitmap,
                  times: IndexedSeq[Long]): (Option[Long], Option[Long]) = {
@@ -469,130 +503,147 @@ object DruidSegmentReader {
       if (mn > mx) (None, None) else (Some(mn), Some(mx))
     }
 
-    // a segment without the column is all-null for it (schema
-    // evolution): every window row lands in the null group
-    if (!file.has(dim)) {
-      val (c, mn, mx, ms) =
-        aggregateWindow(conf, dir, lo, hi, fullCoverage, needTimeBounds, metricCols)
-      return if (c == 0L) Iterator.empty else Iterator(GroupPartial(null, c, mn, mx, ms))
+    val metrics: Seq[(String, Option[IndexedSeq[Long]])] =
+      metricCols.map(m => m -> longMetricColumn(file, m))
+    val needTimes = !fullCoverage || needTimeBounds
+    val times: IndexedSeq[Long] = if (needTimes) timeValues(file) else null
+    // row ids inside the clipped window; None = every row
+    val windowSet: Option[ImmutableRoaringBitmap] =
+      if (fullCoverage) None
+      else {
+        val w = new MutableRoaringBitmap()
+        var i = 0
+        val n = times.length
+        while (i < n) {
+          val t = times(i)
+          if (t >= lo && t < hi) w.add(i)
+          i += 1
+        }
+        Some(w)
+      }
+    val windowRows: Long =
+      windowSet.map(_.getLongCardinality).getOrElse(numRows(file).toLong)
+    if (windowRows == 0L) return Iterator.empty
+
+    lazy val allRows: ImmutableRoaringBitmap = {
+      val a = new MutableRoaringBitmap()
+      a.add(0L, numRows(file).toLong)
+      a
     }
 
-    dimBitmapIndex(file, dim).filter(!_.multiValue) match {
-      case Some(idx) =>
-        val metrics: Seq[(String, Option[IndexedSeq[Long]])] =
-          metricCols.map(m => m -> longMetricColumn(file, m))
-        val needTimes = !fullCoverage || needTimeBounds
-        val times: IndexedSeq[Long] = if (needTimes) timeValues(file) else null
-        // row ids inside the clipped window; None = every row
-        val windowSet: Option[ImmutableRoaringBitmap] =
-          if (fullCoverage) None
-          else {
-            val w = new MutableRoaringBitmap()
-            var i = 0
-            val n = times.length
-            while (i < n) {
-              val t = times(i)
-              if (t >= lo && t < hi) w.add(i)
-              i += 1
-            }
-            Some(w)
+    // per-group accumulation over one bitmap's rows: metric chunks
+    // decode lazily, so only in-group rows' chunks decompress
+    def metricsOf(b: ImmutableRoaringBitmap): Map[String, Option[MetricAgg]] =
+      metrics.map {
+        case (m, None) => m -> None
+        case (m, Some(vs)) =>
+          var sum = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          val it = b.getIntIterator
+          while (it.hasNext) {
+            val v = vs(it.next())
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
           }
-        val windowRows: Long =
-          windowSet.map(_.getLongCardinality).getOrElse(numRows(file).toLong)
-        if (windowRows == 0L) return Iterator.empty
+          m -> (if (mn > mx) None else Some(MetricAgg(sum, mn, mx)))
+      }.toMap
 
-        // per-group accumulation over one bitmap's rows: metric chunks
-        // decode lazily, so only in-group rows' chunks decompress
-        def metricsOf(b: ImmutableRoaringBitmap): Map[String, Option[MetricAgg]] =
-          metrics.map {
-            case (m, None) => m -> None
-            case (m, Some(vs)) =>
-              var sum = 0L
-              var mn = Long.MaxValue
-              var mx = Long.MinValue
-              val it = b.getIntIterator
-              while (it.hasNext) {
-                val v = vs(it.next())
-                sum += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
+    // dim-by-dim recursion: children of a node are (value, parent ∧
+    // posting) for every non-empty intersection plus the uncovered
+    // remainder as the null child; prefix accumulates REVERSED
+    def recurse(level: Int, parent: Option[ImmutableRoaringBitmap],
+                parentCount: Long, prefix: List[String]): Iterator[GroupPartial] =
+      if (level == dims.length) {
+        // parent is concrete here: the all-absent case returned early,
+        // so at least one indexed level intersected above
+        val leaf = parent.getOrElse(allRows)
+        val (mn, mx) = if (needTimeBounds) boundsOf(leaf, times) else (None, None)
+        Iterator(GroupPartial(prefix.reverse, parentCount, mn, mx, metricsOf(leaf)))
+      } else idxs(level) match {
+        case None => // column absent from the segment: all-null level
+          recurse(level + 1, parent, parentCount, (null: String) :: prefix)
+        case Some(idx) =>
+          val kids = scala.collection.mutable.ArrayBuffer
+            .empty[(String, ImmutableRoaringBitmap, Long)]
+          var covered = 0L
+          val union = new MutableRoaringBitmap()
+          var id = 0
+          while (id < idx.dict.length) {
+            if (idx.entryNonEmpty(id)) {
+              val b = idx.bitmap(id)
+              val inter = parent.fold(b)(p => ImmutableRoaringBitmap.and(b, p))
+              val c = inter.getLongCardinality
+              if (c > 0L) {
+                covered += c
+                union.or(inter)
+                kids += ((idx.dict(id), inter, c))
               }
-              m -> (if (mn > mx) None else Some(MetricAgg(sum, mn, mx)))
-          }.toMap
+            }
+            id += 1
+          }
+          val base = kids.iterator.flatMap { case (v, bm, c) =>
+            recurse(level + 1, Some(bm), c, v :: prefix)
+          }
+          if (covered >= parentCount) base
+          else { // uncovered rows = this dim's null group
+            val rest = parent.getOrElse(allRows).toMutableRoaringBitmap
+            rest.andNot(union)
+            base ++ recurse(level + 1, Some(rest), parentCount - covered,
+              (null: String) :: prefix)
+          }
+      }
+    recurse(0, windowSet, windowRows, Nil)
+  }
 
-        var covered = 0L
-        val union = new MutableRoaringBitmap() // to expose uncovered rows as the null group
-        val groups = Iterator.range(0, idx.dict.length).flatMap { id =>
-          if (!idx.entryNonEmpty(id)) Iterator.empty
-          else {
-            val b = idx.bitmap(id)
-            val inWindow = windowSet.fold(b)(w => ImmutableRoaringBitmap.and(b, w))
-            val c = inWindow.getLongCardinality
-            if (c == 0L) Iterator.empty
-            else {
-              covered += c
-              union.or(inWindow)
-              val (mn, mx) =
-                if (needTimeBounds) boundsOf(inWindow, times) else (None, None)
-              Iterator(GroupPartial(idx.dict(id), c, mn, mx, metricsOf(inWindow)))
-            }
-          }
+  /** Decode-walk grouping fallback (no usable index on some dim, or
+    * cardinality product past the cap): one pass over the window's
+    * (dims…, __time, metrics…) rows into a hash of combos. Absent
+    * columns contribute null at their position. */
+  private def groupByDecode(
+      conf: Configuration, dir: String, dims: Seq[String], lo: Long, hi: Long,
+      needTimeBounds: Boolean, metricCols: Seq[String],
+      file: SegmentFile): Iterator[GroupPartial] = {
+    val present = dims.filter(file.has)
+    val posOf: Map[String, Int] = present.zipWithIndex.toMap
+    val tIdx = present.length
+    val rows = decodeWindow(conf, dir, lo, hi,
+      present ++ Seq("__time") ++ metricCols, Map.empty)
+    final case class Acc(var c: Long, var mnT: Long, var mxT: Long,
+                         sums: Array[Long], mins: Array[Long],
+                         maxs: Array[Long], nn: Array[Boolean])
+    val k = metricCols.length
+    val acc = scala.collection.mutable.HashMap.empty[List[String], Acc]
+    rows.foreach { r =>
+      val key: List[String] = dims.map(d =>
+        posOf.get(d).map(i => r.get(i).asInstanceOf[String]).orNull).toList
+      val t = r.getLong(tIdx)
+      val a = acc.getOrElseUpdate(key, Acc(0L, Long.MaxValue, Long.MinValue,
+        new Array[Long](k), Array.fill(k)(Long.MaxValue),
+        Array.fill(k)(Long.MinValue), new Array[Boolean](k)))
+      a.c += 1
+      if (t < a.mnT) a.mnT = t
+      if (t > a.mxT) a.mxT = t
+      var j = 0
+      while (j < k) {
+        if (!r.isNullAt(tIdx + 1 + j)) {
+          val mv = r.getLong(tIdx + 1 + j)
+          a.nn(j) = true
+          a.sums(j) += mv
+          if (mv < a.mins(j)) a.mins(j) = mv
+          if (mv > a.maxs(j)) a.maxs(j) = mv
         }
-        // materialize the per-value groups first so `covered`/`union`
-        // are complete before the null-group remainder is computed
-        val out = groups.toVector
-        if (covered >= windowRows) out.iterator
-        else {
-          val nullCount = windowRows - covered
-          val rest = windowSet.map(_.toMutableRoaringBitmap).getOrElse {
-            val a = new MutableRoaringBitmap()
-            a.add(0L, numRows(file).toLong)
-            a
-          }
-          rest.andNot(union)
-          val (mn, mx) =
-            if (needTimeBounds) boundsOf(rest, times) else (None, None)
-          out.iterator ++ Iterator(GroupPartial(null, nullCount, mn, mx, metricsOf(rest)))
-        }
-      case None =>
-        // no usable inverted index: group by decoding
-        // (dim, __time, metrics…) rows — still window-clipped
-        val rows = decodeWindow(conf, dir, lo, hi,
-          Seq(dim, "__time") ++ metricCols, Map.empty)
-        final case class Acc(var c: Long, var mnT: Long, var mxT: Long,
-                             sums: Array[Long], mins: Array[Long],
-                             maxs: Array[Long], nn: Array[Boolean])
-        val k = metricCols.length
-        val acc = scala.collection.mutable.HashMap.empty[String, Acc]
-        rows.foreach { r =>
-          val v = r.get(0).asInstanceOf[String]
-          val t = r.getLong(1)
-          val a = acc.getOrElseUpdate(v, Acc(0L, Long.MaxValue, Long.MinValue,
-            new Array[Long](k), Array.fill(k)(Long.MaxValue),
-            Array.fill(k)(Long.MinValue), new Array[Boolean](k)))
-          a.c += 1
-          if (t < a.mnT) a.mnT = t
-          if (t > a.mxT) a.mxT = t
-          var j = 0
-          while (j < k) {
-            if (!r.isNullAt(2 + j)) {
-              val mv = r.getLong(2 + j)
-              a.nn(j) = true
-              a.sums(j) += mv
-              if (mv < a.mins(j)) a.mins(j) = mv
-              if (mv > a.maxs(j)) a.maxs(j) = mv
-            }
-            j += 1
-          }
-        }
-        acc.iterator.map { case (v, a) =>
-          GroupPartial(v, a.c,
-            if (needTimeBounds) Some(a.mnT) else None,
-            if (needTimeBounds) Some(a.mxT) else None,
-            metricCols.zipWithIndex.map { case (m, j) =>
-              m -> (if (a.nn(j)) Some(MetricAgg(a.sums(j), a.mins(j), a.maxs(j))) else None)
-            }.toMap)
-        }
+        j += 1
+      }
+    }
+    acc.iterator.map { case (key, a) =>
+      GroupPartial(key, a.c,
+        if (needTimeBounds) Some(a.mnT) else None,
+        if (needTimeBounds) Some(a.mxT) else None,
+        metricCols.zipWithIndex.map { case (m, j) =>
+          m -> (if (a.nn(j)) Some(MetricAgg(a.sums(j), a.mins(j), a.maxs(j))) else None)
+        }.toMap)
     }
   }
 

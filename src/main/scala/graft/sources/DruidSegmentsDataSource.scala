@@ -101,6 +101,12 @@ class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] object DruidSegmentsDataSource {
 
+  /** Grouped-aggregate pushdown cap: past a few dims the combo count
+    * approaches the row count and the pushed partial stops paying for
+    * itself (and Spark-side grouping is already exact) — the same
+    * conservatism Druid's own groupBy planner applies. */
+  val MaxGroupDims = 4
+
   /** Driver-side descriptor discovery + dataSource filter (one
     * recursive listing — the same O(#segments) planning cost as the
     * reference's overlord segment-list action). */
@@ -173,7 +179,7 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   private var requiredSchema: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Seq[DruidAgg] = Nil
-  private var groupDim: Option[String] = None
+  private var groupDims: Seq[String] = Nil
   private var pushedLimit: Int = -1
   private var pushedTopN: Option[(Boolean, Int)] = None // (desc, n)
   private var timeLo: Long = Long.MinValue
@@ -298,29 +304,37 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
   /** Accept count(*) / count(__time) / min(__time) / max(__time),
-    * globally or GROUPED BY one scalar string dim — Druid's
-    * timeBoundary, timeseries-count and topN/groupBy-count shapes, the
-    * queries an aggregation-first datasource serves constantly. The
-    * grouped form answers from the dim's inverted index (per-group
-    * count = bitmap ∧ window cardinality) without ever decompressing
-    * the dim's value chunks. Spark only offers aggregation when no
+    * globally or GROUPED BY up to [[DruidSegmentsDataSource.MaxGroupDims]]
+    * scalar string dims — Druid's timeBoundary, timeseries-count and
+    * topN/groupBy shapes, the queries an aggregation-first datasource
+    * serves constantly. The grouped form answers from the dims'
+    * inverted indexes (per-combo count = bitmap ∧ … ∧ bitmap ∧ window
+    * cardinality; empty subtrees pruned, per-segment decode fallback
+    * past a cardinality-product cap) without ever decompressing the
+    * dims' value chunks. Spark only offers aggregation when no
     * residual Filter remains above the scan, i.e. when every WHERE
     * conjunct pushed Exact; dictionary predicates always leave a
     * residual, so `preds` is empty here by construction (checked
     * anyway — a wrongly-counted row is silent corruption). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (preds.nonEmpty) return false
-    val dim: Option[String] = aggregation.groupByExpressions.toSeq match {
-      case Nil => None
-      // exactly one flat column ref over a scalar string dim; __time
-      // grouping and MV dims (ArrayType in the schema) stay Spark-side
-      case Seq(nr: NamedReference) if nr.fieldNames.length == 1 &&
-          nr.fieldNames.head != "__time" && isScalarString(nr.fieldNames.head) =>
-        Some(nr.fieldNames.head)
-      case _ => return false
-    }
+    // flat column refs over DISTINCT scalar string dims; __time
+    // grouping and MV dims (ArrayType in the schema) stay Spark-side
+    val groupRefs = aggregation.groupByExpressions.toSeq
+    val dims: Seq[String] =
+      if (groupRefs.isEmpty) Nil
+      else if (groupRefs.length <= DruidSegmentsDataSource.MaxGroupDims &&
+        groupRefs.forall {
+          case nr: NamedReference => nr.fieldNames.length == 1 &&
+            nr.fieldNames.head != "__time" && isScalarString(nr.fieldNames.head)
+          case _ => false
+        }) {
+        val names = groupRefs.map(_.asInstanceOf[NamedReference].fieldNames.head)
+        if (names.distinct.length != names.length) return false
+        names
+      } else return false
     // a LONG metric column (never a dim — dims are strings — and never
-    // the grouped column); exact long arithmetic is what makes the
+    // a grouped column); exact long arithmetic is what makes the
     // partial sound, so FLOAT/DOUBLE metrics never push
     def longMetric(e: V2Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -343,7 +357,7 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
     }
     if (translated.nonEmpty && translated.forall(_.isDefined)) {
       pushedAggs = translated.flatten
-      groupDim = dim
+      groupDims = dims
       true
     } else false
   }
@@ -384,7 +398,7 @@ private[sources] class DruidScanBuilder(fullSchema: StructType,
       pushedAggs,
       if (pushedAggs.nonEmpty || pushedTopN.nonEmpty) -1 else pushedLimit,
       if (pushedAggs.nonEmpty) None else pushedTopN,
-      groupDim)
+      groupDims)
 }
 
 private[sources] sealed abstract class PushKind
@@ -442,7 +456,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
                                  aggs: Seq[DruidAgg] = Nil,
                                  limit: Int = -1,
                                  topN: Option[(Boolean, Int)] = None,
-                                 groupDim: Option[String] = None)
+                                 groupDims: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportOrdering {
 
@@ -516,14 +530,14 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
     if (aggs.nonEmpty) {
       // pushed-aggregate layout: group-by columns first, then the
       // aggregate partials — the order V2ScanRelationPushDown expects
-      val group = groupDim.map(d => StructField(d, StringType, nullable = true)).toSeq
+      val group = groupDims.map(d => StructField(d, StringType, nullable = true))
       StructType(group ++ DruidAgg.schema(aggs).fields)
     } else prunedSchema
 
   override def description(): String = {
     val aggPart = if (aggs.isEmpty) "" else
       s"PushedAggregates: [${DruidAgg.describe(aggs)}], " +
-        groupDim.map(d => s"PushedGroupBy: [$d], ").getOrElse("")
+        (if (groupDims.isEmpty) "" else s"PushedGroupBy: [${groupDims.mkString(", ")}], ")
     val limitPart = if (limit < 0) "" else s"PushedLimit: $limit, "
     val topPart = topN.map { case (desc, n) =>
       s"PushedTopN: ORDER BY __time ${if (desc) "DESC" else "ASC"} LIMIT $n, "
@@ -561,7 +575,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      if (aggs.nonEmpty && groupDim.isEmpty) // one partial row per window
+      if (aggs.nonEmpty && groupDims.isEmpty) // one partial row per window
         util.OptionalLong.of(math.max(1, windows.size).toLong * 24)
       // grouped: row count is windows × per-window group cardinality —
       // unknown without opening dictionaries; report nothing rather
@@ -569,7 +583,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
       else if (aggs.nonEmpty) util.OptionalLong.empty()
       else plannedBytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
     override def numRows(): util.OptionalLong =
-      if (aggs.nonEmpty && groupDim.isEmpty)
+      if (aggs.nonEmpty && groupDims.isEmpty)
         util.OptionalLong.of(math.max(1, windows.size).toLong)
       else util.OptionalLong.empty()
   }
@@ -591,7 +605,7 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
       // emits the zero row. A grouped aggregate over zero rows is
       // correctly EMPTY — no synthetic partition.
       if (parts.nonEmpty) parts
-      else if (groupDim.isDefined) Array.empty
+      else if (groupDims.nonEmpty) Array.empty
       else Array(DruidAggPartition("", 0L, 0L, fullCoverage = false))
     } else {
       val eLo = math.max(timeLo, runtimeLo)
@@ -615,8 +629,8 @@ private[sources] class DruidScan(options: CaseInsensitiveStringMap,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new DruidSegmentReader.SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    groupDim match {
-      case Some(d) if aggs.nonEmpty => DruidGroupByReaderFactory(conf, aggs, d)
+    groupDims match {
+      case ds if ds.nonEmpty && aggs.nonEmpty => DruidGroupByReaderFactory(conf, aggs, ds)
       case _ if aggs.nonEmpty => DruidAggReaderFactory(conf, aggs)
       case _ => DruidPartitionReaderFactory(conf, readSchema)
     }
@@ -750,15 +764,16 @@ private[sources] final case class DruidAggReaderFactory(
   * groups across windows (partial pushdown). */
 private[sources] final case class DruidGroupByReaderFactory(
     conf: DruidSegmentReader.SerializableConfiguration,
-    aggs: Seq[DruidAgg], dim: String) extends PartitionReaderFactory {
+    aggs: Seq[DruidAgg], dims: Seq[String]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DruidAggPartition]
     val needBounds = aggs.contains(DruidAgg.MinTime) || aggs.contains(DruidAgg.MaxTime)
-    val groups = DruidSegmentReader.aggregateGroupByWindow(conf.value, p.segmentDir,
-      dim, p.windowLo, p.windowHi, p.fullCoverage, needBounds, DruidAgg.metricCols(aggs))
+    val groups = DruidSegmentReader.aggregateGroupByDims(conf.value, p.segmentDir,
+      dims, p.windowLo, p.windowHi, p.fullCoverage, needBounds, DruidAgg.metricCols(aggs))
     val rows = groups.map { g =>
-      val cells = (if (g.value == null) null else UTF8String.fromString(g.value)) +:
+      val cells = g.values.map[Any](v =>
+        if (v == null) null else UTF8String.fromString(v)) ++
         aggs.map[Any] {
           case DruidAgg.RowCount => g.count
           case DruidAgg.MinTime => g.minT.map(Long.box).orNull

@@ -34,6 +34,33 @@ class LinearTextScoreSpec extends SparkSpec {
     assert(a != b, "unigram-only scoring would be order-invariant")
   }
 
+  test("caller-supplied weight table is read bucket-for-bucket") {
+    val buckets = 1 << 16
+    // a non-trivial table: every bucket gets a distinct-ish weight
+    val tab = Array.tabulate(buckets)(b => (b * 7L) % 1013L - 506L)
+    def wSup(f: String): Long =
+      tab(java.lang.Long.remainderUnsigned(
+        TextFunctions.fnv64(UTF8String.fromString(f)), buckets).toInt)
+    def expSup(text: String): Long = {
+      val toks = text.split(" ", -1)
+      toks.map(wSup).sum + toks.sliding(2).filter(_.length == 2)
+        .map(p => wSup(p(0) + " " + p(1))).sum
+    }
+    val texts = Seq("the quick brown fox", "a", "", "café déjà vu")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id",
+        TextFunctions.linearTextScore($"text", weights = Some(tab)).as("s"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(got.toSeq == texts.map(expSup))
+    // and it genuinely diverges from the stub table
+    assert(got.toSeq != texts.map(expected(_)))
+    // table size must match the bucket count
+    intercept[IllegalArgumentException] {
+      TextFunctions.linearTextScore($"text", weights = Some(Array(1L, 2L)))
+    }
+  }
+
   test("expression compiles under whole-stage codegen, no fallback") {
     val df = spark.range(1)
       .select(org.apache.spark.sql.functions.concat(

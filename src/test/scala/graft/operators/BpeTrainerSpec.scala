@@ -90,6 +90,35 @@ class BpeTrainerSpec extends SparkSpec {
     got.foreach { case (w, toks) => assert(toks.mkString == w) }
   }
 
+  test("adaptive paths agree: in-memory loop == distributed rounds") {
+    // ties on count force the (left, right) binary-order tiebreak, and
+    // the BMP non-ASCII words make UTF-8 byte order observable (Java's
+    // UTF-16 compareTo would order some of these differently)
+    val texts = Seq(
+      "low lower lowest low low newer newest wider new new",
+      "aaaa aaaa banana bandana cabana",
+      "ｚｚ ｚｚ 日本 日本 日本語 ééé ééé zzz zzz")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val local = BpeTrainer.bpeMerges(df, "text", numMerges = 12)
+    val dist = BpeTrainer.bpeMerges(df, "text", numMerges = 12,
+      driverVocabLimit = 0L) // force the distributed round loop
+    assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
+    assert(local.nonEmpty)
+  }
+
+  test("in-memory loop handles a 1000-merge budget (early stop when dry)") {
+    // enough distinct structure for many rounds; asserts the loop is
+    // robust far past the gate's 5 merges and ranks stay dense
+    val texts = (0 until 200).map(i => s"w${i}abcdefgh w${i}abcdefgh prefix${i % 7}common")
+    val merges = BpeTrainer.bpeMerges(
+      texts.zipWithIndex.map(_.swap).toDF("id", "text"), "text", numMerges = 1000)
+    assert(merges.map(_._1) == (1 to merges.length))
+    assert(merges.length > 20)
+    // counts are non-increasing in a valid greedy BPE only per affected
+    // lineage, but the FIRST merge must be the global max
+    assert(merges.head._4 == merges.map(_._4).max)
+  }
+
   test("wordFilter pins the training set; early stop below minPairCount") {
     val merges = BpeTrainer.bpeMerges(
       Seq((1, "aa aa BB BB BB")).toDF("id", "text"), "text",

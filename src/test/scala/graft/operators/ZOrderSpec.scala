@@ -51,6 +51,34 @@ class ZOrderSpec extends SparkSpec {
     assert(zord.except(df).isEmpty && df.except(zord).isEmpty)
   }
 
+  test("RangeBucket is real codegen and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpr}
+    import org.apache.spark.sql.types.DoubleType
+    val bounds = Array(10.0, 20.0, 30.0)
+    val expr = RangeBucket(BoundReference(0, DoubleType, nullable = true), bounds)
+    assert(!expr.isInstanceOf[CodegenFallback])
+    val vals: Seq[java.lang.Double] =
+      Seq(Double.NaN, -1.0, 9.999, 10.0, 15.0, 20.0, 29.9, 30.0, 1e9, null)
+    // interpreted
+    val interp = vals.map(v => expr.eval(InternalRow(v)))
+    assert(interp == Seq(0, 0, 0, 1, 1, 2, 2, 3, 3, 0))
+    // codegen path (default executed plan) agrees, and the projection
+    // stays inside WholeStageCodegen (a starred Project)
+    // repartition(1) blocks ConvertToLocalRelation from eagerly folding
+    // the projection — the bucket expression must actually run codegen'd
+    val in = vals.map(Option(_).map(_.doubleValue)).toDF("v").repartition(1)
+    val out = in.select(toColumn(
+      RangeBucket(toExpr(col("v")), bounds)).as("b"))
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(0, 0, 0, 1, 1, 2, 2, 3, 3, 0).sorted)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"z-value projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("skewed data still spreads across buckets (quantile boundaries)") {
     // 90% of mass at x=5; equal-width bucketing would collapse the curve
     val skew = (0 until 20000).map { i =>

@@ -289,6 +289,63 @@ class DruidSegmentsDataSourceSpec extends SparkSpec {
     assert(unpushed.view.mapValues(_._1).toMap == got)
   }
 
+  test("dsv2 aggregate pushdown: multi-dim GROUP BY answers from bitmap ANDs — no row decode") {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val root = tmpDir()
+    // seg1 carries (host, dc); seg2 evolved WITHOUT dc → its rows land
+    // in dc's null group
+    DruidSegmentWriter.write(new File(root, "seg1"), "fixture",
+      Seq(t0, t0 + 1000L, t0 + 2000L, t0 + 3000L),
+      Seq(StrDim("host", Seq("a", "a", "b", "b")),
+        StrDim("dc", Seq("e", "w", "e", "e")),
+        LongMet("hits", Seq(1L, 2L, 4L, 8L))),
+      t0, t0 + day, version = "v1")
+    DruidSegmentWriter.write(new File(root, "seg2"), "fixture",
+      Seq(t0 + day, t0 + day + 1000L),
+      Seq(StrDim("host", Seq("a", "b")), LongMet("hits", Seq(16L, 32L))),
+      t0 + day, t0 + 2 * day, version = "v1")
+    val df = spark.read.format("druid-segments").load(root.getAbsolutePath)
+
+    val q = df.groupBy("host", "dc").agg(count("*").as("n"), sum("hits").as("s"))
+    val d = scanDescription(q)
+    assert(d.contains("PushedGroupBy: [host, dc]"), d)
+    DruidSegmentReader.decodedSegments.set(0)
+    DruidSegmentReader.decompressedChunks.set(0)
+    val got = q.collect()
+      .map(r => ((r.getString(0), Option(r.getString(1)).getOrElse("∅")),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "e") -> ((1L, 1L)), ("a", "w") -> ((1L, 2L)),
+      ("b", "e") -> ((2L, 12L)),
+      ("a", "∅") -> ((1L, 16L)), ("b", "∅") -> ((1L, 32L))), got.toString)
+    assert(DruidSegmentReader.decodedSegments.get() == 0,
+      "multi-dim grouped count must not row-decode")
+
+    // window clip drops seg1's last row from its combos
+    val qc = df.where(col("__time") < t0 + 2500L).groupBy("host", "dc")
+      .agg(count("*").as("n"))
+    assert(scanDescription(qc).contains("PushedGroupBy: [host, dc]"), scanDescription(qc))
+    val c = qc.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(c == Map(("a", "e") -> 1L, ("a", "w") -> 1L, ("b", "e") -> 1L), c.toString)
+
+    // grouping by __time or > MaxGroupDims dims declines (stays Spark-side)
+    val qt = df.groupBy("host", "__time").agg(count("*"))
+    assert(!scanDescription(qt).contains("PushedGroupBy"), scanDescription(qt))
+
+    // the decode fallback (tiny product cap) agrees with the bitmap path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def collectGroups(cap: Double) =
+      DruidSegmentReader.aggregateGroupByDims(conf,
+          new File(root, "seg1").getAbsolutePath, Seq("host", "dc"),
+          t0, t0 + day, fullCoverage = true, needTimeBounds = true,
+          metricCols = Seq("hits"), productCap = cap)
+        .map(g => (g.values.toList, g.count, g.minT, g.maxT, g.metrics))
+        .toSeq.sortBy(_._1.map(String.valueOf(_)).mkString("|"))
+    assert(collectGroups(1e6) == collectGroups(1.0),
+      "bitmap-intersection and decode-fallback grouping must agree")
+  }
+
   test("dsv2 aggregate pushdown: long-metric sum/min/max, global and grouped; doubles decline") {
     import org.apache.spark.sql.functions.{col, count, max, min, sum}
     val root = tmpDir()
