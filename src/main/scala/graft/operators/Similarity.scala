@@ -27,7 +27,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Brute-force top-k cosine neighbors for each query id.
     * `queries` must be small (broadcast side). Self-matches excluded. */
@@ -121,13 +121,13 @@ object Similarity {
     * and the probe scans corpus/cells × nprobe vectors per query.
     */
   /** Deterministic default centroids: the `cells` lowest-id vectors. */
-  private def defaultCentroids(c: DataFrame, cells: Int): DataFrame =
+  private[graft] def defaultCentroids(c: DataFrame, cells: Int): DataFrame =
     c.orderBy(col("n_id")).limit(cells)
       .select(col("n_id").as("c_id"), col("n_v").as("c_v"))
 
   /** Collect the (bounded-by-construction: `cells` rows) centroid
     * table to the driver, sorted by c_id ascending. */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
+  private[graft] def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
     centroids.select(col("c_id").cast("long"), col("c_v"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))

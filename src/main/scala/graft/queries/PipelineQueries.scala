@@ -1820,6 +1820,58 @@ object PipelineQueries {
        |) ORDER BY rank""".stripMargin
   }
 
+  /** BPE tokenizer APPLICATION under the driver gate — the other half
+    * of q_bpe: train the same 5 merges, then SEGMENT the corpus's
+    * training-set words with the learned table and aggregate
+    * (word, tokens, n_tok) with corpus occurrence counts. The DuckDB
+    * oracle re-trains level by level carrying the word through the
+    * merge chain, so its final framed strings ARE the segmentations —
+    * any divergence in merge order, greedy-replace semantics, or the
+    * apply fold breaks the hash. Application itself is a pure per-row
+    * projection (5 literal replaces) behind the explode — zero extra
+    * shuffle beyond the output groupBy. */
+  def bpeSegmentQ(s: SparkSession, d: String): DataFrame = {
+    val docsDf = docs(s, d)
+    val merges = graft.operators.BpeTrainer.bpeMerges(
+      docsDf, "text", numMerges = 5, wordFilter = Some("^[a-z]+$"))
+    graft.operators.BpeTrainer
+      .bpeSegment(docsDf, "doc_id", "text", merges.map(m => (m._2, m._3)))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col("word"), array_join(col("tokens"), " ").as("toks"),
+        size(col("tokens")).as("n_tok"))
+      .groupBy("word", "toks", "n_tok").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+  }
+
+  val bpeSegmentSql: String = {
+    val S = "chr(31)"
+    val SS = s"$S || $S"
+    def level(i: Int): String = {
+      val t = s"t$i"
+      s"""p$i AS (SELECT toks[i] AS a, toks[i+1] AS b, sum(n)::BIGINT AS cnt
+         |  FROM (SELECT string_split(trim(s, chr(31)), $SS) AS toks, n FROM $t),
+         |       LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |t${i + 1} AS (SELECT word, replace(s, $S || a || $SS || b || $S,
+         |                             $S || a || b || $S) AS s, n
+         |  FROM $t, b$i)""".stripMargin
+    }
+    s"""WITH w AS (SELECT word, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND regexp_full_match(word, '[a-z]+')
+       |  GROUP BY word),
+       |t0 AS (SELECT word, $S || array_to_string(
+       |    list_transform(range(1, length(word)+1), i -> word[i]), $SS)
+       |    || $S AS s, n FROM w),
+       |${(0 until 5).map(level).mkString(",\n")}
+       |SELECT word,
+       |  array_to_string(string_split(trim(s, chr(31)), $SS), ' ') AS toks,
+       |  CAST(len(string_split(trim(s, chr(31)), $SS)) AS INT) AS n_tok,
+       |  n
+       |FROM t5 ORDER BY word""".stripMargin
+  }
+
   // ---- document chunking ----
 
   /** Overlapping token-window chunks (window 40, stride 30) — the
