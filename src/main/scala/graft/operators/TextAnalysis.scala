@@ -465,6 +465,54 @@ object TextAnalysis {
     * Scale shape: pure per-row projection over codegen'd
     * regexp_replace/replace — zero shuffle; at 100 TB it pipelines
     * inside whole-stage codegen behind the scan, same as [[Pii]]. */
+  /** Per-document n-gram familiarity — the cheap LM-free fluency
+    * proxy quality pipelines run when a real language model is too
+    * expensive (CCNet-style filtering at web scale): score each
+    * document by how common its word bigrams are in the corpus
+    * itself. Fluent prose reuses frequent transitions; gibberish,
+    * boilerplate-mangled and wrong-language text sit in the rare
+    * tail. Output per doc: `n_bigrams`, `sum_freq` (sum over the
+    * doc's bigram OCCURRENCES of that bigram's corpus count) and
+    * `familiarity = sum_freq / n_bigrams` (mean corpus frequency of
+    * the doc's transitions). Counts, not log-probabilities, on
+    * purpose: the integer arithmetic is order-independent and makes
+    * the cross-engine hash gate exact, where `ln` would not be —
+    * same rationale as [[tfidfTopTerms]]'s rational idf; ranking by
+    * mean count and by mean log-count agree on what they flag at the
+    * filtering tails.
+    *
+    * Scale shape: the exploded (doc, bigram) occurrence table is
+    * token-count-sized and MATERIALIZED once for its two consumers
+    * (the corpus count aggregate and the scoring join) — the
+    * re-derive-per-consumer trap would scan the corpus twice. The
+    * count aggregate is a partial-aggregating groupBy (a hot bigram
+    * combines map-side, never buffers one task); the scoring join is
+    * keyed on the bigram with both sides hash-partitioned (AQE
+    * broadcasts the count table at small vocabularies and splits
+    * skewed probe partitions beyond); the final per-doc aggregate is
+    * one doc-keyed shuffle. No window ever holds a bigram's full
+    * posting list. */
+  def ngramFamiliarity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val id = col(idCol)
+    // docs with < 2 words have no transitions — excluded, matching
+    // the mirror's WHERE. sequence(0, size-2) must not see size < 2:
+    // Spark generates a DESCENDING sequence when stop < start.
+    val bg = df
+      .select(id, words(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(id, explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    val mat = Materialize(bg)
+    val counts = mat.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    mat.join(counts, "bg")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_freq"))
+      .withColumn("familiarity",
+        col("sum_freq").cast("double") / col("n_bigrams"))
+  }
+
   def htmlExtract(df: DataFrame, htmlCol: String = "html",
                   outCol: String = "text_extracted"): DataFrame = {
     val stripped = htmlStripPasses.foldLeft(col(htmlCol)) {

@@ -1872,6 +1872,55 @@ object PipelineQueries {
        |FROM t5 ORDER BY word""".stripMargin
   }
 
+  // ---- deterministic corpus shuffle ----
+
+  /** Global training-order shuffle under the driver gate: every
+    * document gets a dense position in seeded-hash order. The oracle
+    * replays Spark's seeded xxhash64 via [[SqlHash.xxh64LongSteps]]
+    * and ranks globally, so the ENTIRE permutation — every position,
+    * every shard — is value-checked, certifying that the sharded
+    * rank decomposition (per-shard row_number + offset table)
+    * reproduces the one-task global sort it replaces. */
+  def shuffleOrderQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.ShuffleOrder.order(docs(s, d).select(col("doc_id")),
+        "doc_id", seed = 7L, shardBits = 3)
+      .select(col("pos"), col("shard"), col("doc_id"))
+      .orderBy("pos")
+
+  val shuffleOrderSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id"), seed = 7L, out = "h")
+    // shard = top 3 bits of the unsigned hash = h // 2^61
+    s"""WITH d0 AS (SELECT doc_id FROM documents),
+       |$steps
+       |SELECT (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS pos,
+       |  (h // 2305843009213693952::HUGEINT)::BIGINT AS shard,
+       |  doc_id
+       |FROM hx ORDER BY pos""".stripMargin
+  }
+
+  // ---- n-gram familiarity (LM-free fluency proxy) ----
+
+  /** Corpus-frequency familiarity scoring under the driver gate:
+    * integer bigram counts end-to-end, so every doc's score is
+    * hash-exact against the mirror (the one double is a final
+    * int/int division both engines round identically). */
+  def ngramFamQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.ngramFamiliarity(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val ngramFamSql: String =
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |       FROM d0, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix),
+       |c AS (SELECT bg, count(*)::BIGINT AS cnt FROM bg GROUP BY bg)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(cnt)::BIGINT AS sum_freq,
+       |  sum(cnt)::DOUBLE / count(*) AS familiarity
+       |FROM bg JOIN c USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- document chunking ----
 
   /** Overlapping token-window chunks (window 40, stride 30) — the

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShuffleOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def input(n: Int, parts: Int) =
+    spark.range(0, n, 1, parts).toDF("doc_id")
+
+  test("positions are a dense permutation of [0, n)") {
+    val out = ShuffleOrder.order(input(500, 7), "doc_id", seed = 7L)
+    val pos = out.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 500L))
+  }
+
+  test("matches the one-task global sort it replaces, on every shard width") {
+    val df = input(300, 5)
+    // UNSIGNED hash order (the operator's and the DuckDB mirror's
+    // contract): xor with the sign bit maps it onto signed order
+    val brute = df
+      .withColumn("k", ShuffleOrder.seededHash(col("doc_id"), 7L))
+      .orderBy(col("k").bitwiseXOR(lit(Long.MinValue)), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    for (bits <- Seq(1, 3, 8)) {
+      val got = ShuffleOrder.order(df, "doc_id", seed = 7L, shardBits = bits)
+        .orderBy("pos").select("doc_id").as[Long].collect()
+      assert(got.toSeq == brute.toSeq, s"shardBits=$bits")
+    }
+  }
+
+  test("independent of input partitioning") {
+    val a = ShuffleOrder.order(input(400, 1), "doc_id", seed = 11L)
+      .orderBy("pos").select("doc_id").as[Long].collect()
+    val b = ShuffleOrder.order(input(400, 13), "doc_id", seed = 11L)
+      .orderBy("pos").select("doc_id").as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("different seeds give different permutations; same seed is stable") {
+    val df = input(256, 4)
+    def run(seed: Long) = ShuffleOrder.order(df, "doc_id", seed)
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(run(1L) == run(1L))
+    assert(run(1L) != run(2L))
+  }
+
+  test("shard is the hash's top bits and orders align across shards") {
+    val out = ShuffleOrder.order(input(300, 3), "doc_id", seed = 7L, shardBits = 3)
+      .withColumn("k", ShuffleOrder.seededHash(col("doc_id"), 7L))
+      .select(col("pos"), col("shard"),
+        shiftrightunsigned(col("k"), 61).as("expect"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    // positions within a lower shard all precede any higher shard's
+    val byShard = out.groupBy(_.getLong(1)).view
+      .mapValues(rs => (rs.map(_.getLong(0)).min, rs.map(_.getLong(0)).max))
+    byShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byShard(a)._2 < byShard(b)._1)
+      case _ =>
+    }
+  }
+
+  test("bases join is broadcast; no merge join, no data-wide single partition") {
+    val plan = ShuffleOrder.order(input(300, 5), "doc_id", 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rejects bad shardBits and colliding output columns") {
+    intercept[IllegalArgumentException] {
+      ShuffleOrder.order(input(10, 1), "doc_id", 1L, shardBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      ShuffleOrder.order(input(10, 1).withColumn("pos", lit(0)), "doc_id", 1L)
+    }
+  }
+}

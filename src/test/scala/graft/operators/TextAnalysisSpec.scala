@@ -231,4 +231,34 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_ab")).toMap
     assert(o2(("x", "y")) == 2L)
   }
+
+  test("ngramFamiliarity: mean corpus frequency of a doc's bigrams, exact") {
+    val s2c = spark
+    import s2c.implicits._
+    val df = Seq(
+      (1L, "a b c"),   // bigrams: "a b", "b c"
+      (2L, "a b"),     // "a b"
+      (3L, "b c d"),   // "b c", "c d"
+      (4L, "z")        // no bigram -> excluded
+    ).toDF("doc_id", "text")
+    // corpus counts: "a b" = 2, "b c" = 2, "c d" = 1
+    val out = TextAnalysis.ngramFamiliarity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_freq"),
+        r.getAs[Double]("familiarity"))).toMap
+    assert(byId(1L) == ((2L, 4L, 2.0)))
+    assert(byId(2L) == ((1L, 2L, 2.0)))
+    assert(byId(3L) == ((2L, 3L, 1.5)))
+  }
+
+  test("ngramFamiliarity: one corpus scan (occurrence table materialized)") {
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = TextAnalysis.ngramFamiliarity(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected the corpus scan to happen once inside Materialize, got $scans:\n$plan")
+  }
 }
