@@ -55,7 +55,21 @@ object ShuffleOrder {
     * hash ties break on it, so duplicate ids would make the
     * permutation depend on partitioning. */
   def order(df: DataFrame, idCol: String, seed: Long,
-            shardBits: Int = 8): DataFrame = {
+            shardBits: Int = 8): DataFrame =
+    orderImpl(df, idCol, seed, shardBits, ntokCol = None)
+
+  /** [[order]] plus `tok_start`: each document's first token's offset
+    * in the global shuffled token stream (`ntokCol` = per-doc token
+    * count, tokenizer-agnostic). The running sum shares the rank's
+    * window pass — same partition/order spec, so Catalyst evaluates
+    * both in ONE Window node behind the same single exchange — and
+    * the base table carries (row count, token total) per shard. */
+  def orderWithTokens(df: DataFrame, idCol: String, ntokCol: String,
+                      seed: Long, shardBits: Int = 8): DataFrame =
+    orderImpl(df, idCol, seed, shardBits, ntokCol = Some(ntokCol))
+
+  private def orderImpl(df: DataFrame, idCol: String, seed: Long,
+                        shardBits: Int, ntokCol: Option[String]): DataFrame = {
     require(shardBits >= 1 && shardBits <= 20,
       s"shardBits must be in [1,20], got $shardBits")
     require(!df.columns.contains("pos") && !df.columns.contains("shard"),
@@ -63,21 +77,74 @@ object ShuffleOrder {
     val keyed = df
       .withColumn("__k", seededHash(col(idCol).cast("long"), seed))
       .withColumn("shard", shiftrightunsigned(col("__k"), 64 - shardBits))
-    // per-shard rank: the ONE data exchange (hash partition by shard,
-    // task-local sort). ROWS frame irrelevant for row_number.
+    // per-shard rank (and token prefix sum, when asked): the ONE data
+    // exchange (hash partition by shard, task-local sort). Both window
+    // functions share the partition/order spec, so they run in one
+    // Window node — the ROWS frame applies only to the sum.
     val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
-    val ranked = keyed.withColumn("__rn", row_number().over(w).cast("long"))
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked0 = keyed.withColumn("__rn", row_number().over(w).cast("long"))
+    val ranked = ntokCol match {
+      case Some(n) => ranked0.withColumn("__ct",
+        sum(col(n).cast("long")).over(wsum) - col(n).cast("long"))
+      case None => ranked0
+    }
     // shard base offsets: shards-row table (≤ 2^shardBits, bounded by
-    // construction) — prefix sum over the single tiny partition, then
-    // broadcast back. No corpus data crosses this path.
+    // construction) — prefix sums over the single tiny partition, then
+    // broadcast back. No corpus data crosses this path; its aggregate
+    // re-reads only the id (+ntok) columns, map-side combined.
     val wb = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = keyed.groupBy(col("shard")).agg(count(lit(1)).as("__c"))
+    val aggs = count(lit(1)).as("__c") +:
+      ntokCol.map(n => sum(col(n).cast("long")).as("__t")).toSeq
+    val bases0 = keyed.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
       .withColumn("__base", sum(col("__c")).over(wb) - col("__c"))
-      .select(col("shard"), col("__base"))
-    ranked
+    val bases = ntokCol match {
+      case Some(_) => bases0
+        .withColumn("__tbase", sum(col("__t")).over(wb) - col("__t"))
+        .select(col("shard"), col("__base"), col("__tbase"))
+      case None => bases0.select(col("shard"), col("__base"))
+    }
+    val joined = ranked
       .join(broadcast(bases), "shard")
       .withColumn("pos", col("__base") + col("__rn") - 1L)
-      .drop("__k", "__rn", "__base")
+    val withTok = ntokCol match {
+      case Some(_) => joined
+        .withColumn("tok_start", col("__tbase") + col("__ct"))
+        .drop("__ct", "__tbase")
+      case None => joined
+    }
+    withTok.drop("__k", "__rn", "__base")
+  }
+
+  /** Cut a corpus to EXACTLY `budget` tokens in shuffle order — the
+    * "sample B tokens for this training run" step: documents are
+    * taken in [[order]]'s position order until the running token
+    * total reaches the budget; the boundary document is truncated so
+    * the prefix sums to `budget` exactly. Output rows are the kept
+    * documents with `tok_start` (the doc's first token's offset in
+    * the global stream) and `tok_take` (how many of its tokens are
+    * in-budget; < ntok only for the boundary doc).
+    *
+    * Scale shape: everything rides [[orderWithTokens]]'s single
+    * exchange — the running token sum shares the rank's window pass
+    * and the per-shard token totals ride the same bounded base
+    * table, so the cut itself is a pure filter + projection. The
+    * `tok_start < budget` filter prunes whole shards (a shard's
+    * broadcast base offset bounds every row in it) before any
+    * window output is retained.
+    *
+    * Input must be [[orderWithTokens]]'s output (pos, shard,
+    * tok_start present); `ntokCol` is the same token-count column. */
+  def tokenBudget(ordered: DataFrame, ntokCol: String,
+                  budget: Long): DataFrame = {
+    require(budget >= 0L, s"bad budget $budget")
+    require(Seq("pos", "shard", "tok_start").forall(ordered.columns.contains),
+      "tokenBudget input must be ShuffleOrder.orderWithTokens output " +
+        "(pos, shard, tok_start)")
+    ordered
+      .filter(col("tok_start") < budget)
+      .withColumn("tok_take",
+        least(col(ntokCol).cast("long"), lit(budget) - col("tok_start")))
   }
 }

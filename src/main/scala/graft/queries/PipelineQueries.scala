@@ -1899,6 +1899,46 @@ object PipelineQueries {
        |FROM hx ORDER BY pos""".stripMargin
   }
 
+  // ---- token-budget prefix ----
+
+  /** "Sample exactly B tokens" under the driver gate: shuffle order
+    * (seed 7) → cut at 10k tokens, boundary doc truncated. The oracle
+    * replays the seeded hash, the global rank, the running token sum
+    * and the boundary truncation in one DuckDB window, so membership,
+    * every stream offset, and the exact cut point are value-checked
+    * against the sharded two-window decomposition. */
+  def tokenBudgetQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val ordered = graft.operators.ShuffleOrder.orderWithTokens(
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("ntok")),
+      "doc_id", "ntok", seed = 7L, shardBits = 3)
+    graft.operators.ShuffleOrder.tokenBudget(ordered, "ntok", budget = 10000L)
+      .select(col("pos"), col("shard"), col("doc_id"), col("ntok"),
+        col("tok_start"), col("tok_take"))
+      .orderBy("pos")
+  }
+
+  val tokenBudgetSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id", "ntok"), seed = 7L, out = "h")
+    s"""WITH d0 AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT AS ntok
+       |  FROM documents),
+       |$steps,
+       |r AS (SELECT doc_id, ntok,
+       |    (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS pos,
+       |    (h // 2305843009213693952::HUGEINT)::BIGINT AS shard
+       |  FROM hx),
+       |c AS (SELECT *,
+       |    (sum(ntok) OVER (ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok)::BIGINT
+       |      AS tok_start FROM r)
+       |SELECT pos, shard, doc_id, ntok, tok_start,
+       |  least(ntok, 10000 - tok_start)::BIGINT AS tok_take
+       |FROM c WHERE tok_start < 10000 ORDER BY pos""".stripMargin
+  }
+
   // ---- n-gram familiarity (LM-free fluency proxy) ----
 
   /** Corpus-frequency familiarity scoring under the driver gate:

@@ -69,6 +69,43 @@ class ShuffleOrderSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("tokenBudget: exact prefix in shuffle order, boundary doc truncated") {
+    val df = input(200, 6).withColumn("ntok", (col("doc_id") % 7 + 1).cast("long"))
+    val ordered = ShuffleOrder.orderWithTokens(df, "doc_id", "ntok",
+      seed = 7L, shardBits = 3)
+    val budget = 300L
+    val out = ShuffleOrder.tokenBudget(ordered, "ntok", budget)
+      .orderBy("pos")
+      .select("pos", "ntok", "tok_start", "tok_take").collect()
+    // brute: walk the permutation accumulating tokens
+    val walk = ordered.orderBy("pos").select("pos", "ntok").collect()
+    var cum = 0L
+    val expect = walk.takeWhile { r => val keep = cum < budget; cum += r.getLong(1); keep }
+    assert(out.length == expect.length)
+    var at = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("tok_start") == at)
+      assert(r.getAs[Long]("tok_take") ==
+        math.min(r.getAs[Long]("ntok"), budget - at))
+      at += r.getAs[Long]("ntok")
+    }
+    // the kept takes sum to the budget exactly
+    assert(out.map(_.getAs[Long]("tok_take")).sum == budget)
+  }
+
+  test("tokenBudget: rank + token sum share one Window pass, one data exchange") {
+    val df = input(100, 4).withColumn("ntok", lit(3L))
+    val plan = ShuffleOrder.tokenBudget(
+        ShuffleOrder.orderWithTokens(df, "doc_id", "ntok", 7L), "ntok", 50L)
+      .queryExecution.executedPlan.toString
+    // the main branch's rank and running-sum evaluate in ONE Window
+    // node behind ONE hashpartitioning(shard) exchange; the only other
+    // shard exchange is the bounded base-table aggregate's
+    val dataExchanges = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size
+    assert(dataExchanges <= 2, s"unexpected re-exchange of the data:\n$plan")
+    assert("row_number".r.findAllIn(plan).size >= 1 && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("rejects bad shardBits and colliding output columns") {
     intercept[IllegalArgumentException] {
       ShuffleOrder.order(input(10, 1), "doc_id", 1L, shardBits = 0)
