@@ -58,6 +58,41 @@ object ShuffleOrder {
             shardBits: Int = 8): DataFrame =
     orderImpl(df, idCol, seed, shardBits, ntokCol = None)
 
+  /** Curriculum ordering: positions ascend by `bucketCol` FIRST
+    * (easy→hard stages: length class, quality band, difficulty
+    * score), pseudo-randomly WITHIN each bucket — the curriculum-
+    * learning data order. Built on the same key machinery: the sort
+    * key packs the bucket into the top `bucketBits` bits above the
+    * hash's top bits, so bucket-major/hash-minor order IS unsigned
+    * key order and the whole [[order]] decomposition (range shards,
+    * per-shard rank, broadcast offsets) applies unchanged. Buckets
+    * must be in [0, 2^bucketBits) — enforced per row. With
+    * `shardBits > bucketBits` every bucket still splits across
+    * 2^(shardBits−bucketBits) shards, so one giant stage cannot
+    * serialize into one task. */
+  def curriculumOrder(df: DataFrame, idCol: String, bucketCol: String,
+                      seed: Long, bucketBits: Int = 4,
+                      shardBits: Int = 8): DataFrame = {
+    require(bucketBits >= 1 && bucketBits < 20, s"bad bucketBits $bucketBits")
+    require(shardBits >= bucketBits,
+      s"shardBits ($shardBits) must be >= bucketBits ($bucketBits)")
+    orderImpl(df, idCol, seed, shardBits,
+      ntokCol = None, bucket = Some((bucketCol, bucketBits)))
+  }
+
+  /** [[curriculumOrder]] + [[orderWithTokens]]'s `tok_start` — feeds
+    * [[tokenBudget]] for "the first B tokens of the curriculum". */
+  def curriculumOrderWithTokens(df: DataFrame, idCol: String,
+                                bucketCol: String, ntokCol: String,
+                                seed: Long, bucketBits: Int = 4,
+                                shardBits: Int = 8): DataFrame = {
+    require(bucketBits >= 1 && bucketBits < 20, s"bad bucketBits $bucketBits")
+    require(shardBits >= bucketBits,
+      s"shardBits ($shardBits) must be >= bucketBits ($bucketBits)")
+    orderImpl(df, idCol, seed, shardBits,
+      ntokCol = Some(ntokCol), bucket = Some((bucketCol, bucketBits)))
+  }
+
   /** [[order]] plus `tok_start`: each document's first token's offset
     * in the global shuffled token stream (`ntokCol` = per-doc token
     * count, tokenizer-agnostic). The running sum shares the rank's
@@ -69,13 +104,26 @@ object ShuffleOrder {
     orderImpl(df, idCol, seed, shardBits, ntokCol = Some(ntokCol))
 
   private def orderImpl(df: DataFrame, idCol: String, seed: Long,
-                        shardBits: Int, ntokCol: Option[String]): DataFrame = {
+                        shardBits: Int, ntokCol: Option[String],
+                        bucket: Option[(String, Int)] = None): DataFrame = {
     require(shardBits >= 1 && shardBits <= 20,
       s"shardBits must be in [1,20], got $shardBits")
     require(!df.columns.contains("pos") && !df.columns.contains("shard"),
       "input already has a pos/shard column")
+    val hash = seededHash(col(idCol).cast("long"), seed)
+    // curriculum key: bucket in the TOP bucketBits bits, hash's top
+    // bits below — unsigned key order = (bucket asc, hash asc)
+    val key = bucket match {
+      case Some((bc, bb)) =>
+        val b = col(bc).cast("long")
+        val checked = when(b.isNull || b < 0L || b >= (1L << bb),
+          raise_error(concat(lit(s"curriculum bucket outside [0, ${1L << bb}): "),
+            b.cast("string")))).otherwise(b)
+        shiftleft(checked, 64 - bb).bitwiseOR(shiftrightunsigned(hash, bb))
+      case None => hash
+    }
     val keyed = df
-      .withColumn("__k", seededHash(col(idCol).cast("long"), seed))
+      .withColumn("__k", key)
       .withColumn("shard", shiftrightunsigned(col("__k"), 64 - shardBits))
     // per-shard rank (and token prefix sum, when asked): the ONE data
     // exchange (hash partition by shard, task-local sort). Both window

@@ -1899,6 +1899,47 @@ object PipelineQueries {
        |FROM hx ORDER BY pos""".stripMargin
   }
 
+  // ---- curriculum ordering ----
+
+  /** Short-to-long curriculum under the driver gate: documents
+    * bucketed by word-count class (easy = short first), shuffled
+    * within each class (seed 7). The oracle packs the same
+    * (bucket, hash-top-bits) key in HUGEINT and ranks globally, so
+    * the full curriculum permutation — stage boundaries included —
+    * is value-checked against the sharded decomposition. */
+  def curriculumQ(s: SparkSession, d: String): DataFrame = {
+    val bucket = when(size(split(col("text"), " ")) < 33, 0)
+      .when(size(split(col("text"), " ")) < 57, 1)
+      .when(size(split(col("text"), " ")) < 77, 2)
+      .otherwise(3)
+    graft.operators.ShuffleOrder.curriculumOrder(
+        docs(s, d).select(col("doc_id"), bucket.as("bucket")),
+        "doc_id", "bucket", seed = 7L, bucketBits = 2, shardBits = 4)
+      .select(col("pos"), col("bucket"), col("shard"), col("doc_id"))
+      .orderBy("pos")
+  }
+
+  val curriculumSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "d0", "doc_id",
+      keep = Seq("doc_id", "bucket"), seed = 7L, out = "h")
+    // key = bucket << 62 | h >>> 2 (unsigned): bucket-major, hash-minor
+    s"""WITH d0 AS (SELECT doc_id,
+       |  CASE WHEN len(string_split(text, ' ')) < 33 THEN 0
+       |       WHEN len(string_split(text, ' ')) < 57 THEN 1
+       |       WHEN len(string_split(text, ' ')) < 77 THEN 2
+       |       ELSE 3 END AS bucket
+       |  FROM documents),
+       |$steps,
+       |k AS (SELECT doc_id, bucket,
+       |    bucket::HUGEINT * 4611686018427387904::HUGEINT + h // 4::HUGEINT AS hk
+       |  FROM hx)
+       |SELECT (row_number() OVER (ORDER BY hk, doc_id) - 1)::BIGINT AS pos,
+       |  bucket,
+       |  (hk // 1152921504606846976::HUGEINT)::BIGINT AS shard,
+       |  doc_id
+       |FROM k ORDER BY pos""".stripMargin
+  }
+
   // ---- token-budget prefix ----
 
   /** "Sample exactly B tokens" under the driver gate: shuffle order

@@ -106,6 +106,44 @@ class ShuffleOrderSpec extends SparkSpec {
     assert("row_number".r.findAllIn(plan).size >= 1 && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("curriculumOrder: bucket-major, shuffled within bucket, still a permutation") {
+    val df = input(400, 6).withColumn("bucket", (col("doc_id") % 3).cast("int"))
+    val out = ShuffleOrder.curriculumOrder(df, "doc_id", "bucket",
+      seed = 7L, bucketBits = 2, shardBits = 4).collect()
+    assert(out.map(r => r.getAs[Long]("pos")).sorted.toSeq == (0L until 400L))
+    // positions of bucket b all precede bucket b+1's
+    val ranges = out.groupBy(_.getAs[Int]("bucket")).view
+      .mapValues(rs => (rs.map(_.getAs[Long]("pos")).min,
+        rs.map(_.getAs[Long]("pos")).max))
+    Seq(0, 1).foreach(b => assert(ranges(b)._2 < ranges(b + 1)._1))
+    // within a bucket the order is the plain shuffle order of that subset
+    val sub = df.filter(col("bucket") === 1)
+    val plain = ShuffleOrder.order(sub.drop("bucket"), "doc_id", 7L, shardBits = 2)
+      .orderBy("pos").select("doc_id").as[Long].collect()
+    val curr = out.filter(_.getAs[Int]("bucket") == 1)
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    assert(curr.toSeq == plain.toSeq)
+  }
+
+  test("curriculumOrder: out-of-range bucket raises; composes with token budget") {
+    val bad = input(10, 1).withColumn("bucket", lit(9))
+    val e = intercept[Exception] {
+      ShuffleOrder.curriculumOrder(bad, "doc_id", "bucket",
+        seed = 1L, bucketBits = 2, shardBits = 4).collect()
+    }
+    assert(e.getMessage != null)
+    val df = input(100, 4)
+      .withColumn("bucket", (col("doc_id") % 2).cast("int"))
+      .withColumn("ntok", lit(5L))
+    val cut = ShuffleOrder.tokenBudget(
+      ShuffleOrder.curriculumOrderWithTokens(df, "doc_id", "bucket", "ntok",
+        seed = 7L, bucketBits = 1, shardBits = 3),
+      "ntok", budget = 120L).orderBy("pos").collect()
+    assert(cut.map(_.getAs[Long]("tok_take")).sum == 120L)
+    // the budget lands inside bucket 0 (50 docs x 5 = 250 > 120)
+    assert(cut.forall(_.getAs[Int]("bucket") == 0))
+  }
+
   test("rejects bad shardBits and colliding output columns") {
     intercept[IllegalArgumentException] {
       ShuffleOrder.order(input(10, 1), "doc_id", 1L, shardBits = 0)
