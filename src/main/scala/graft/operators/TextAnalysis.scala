@@ -465,6 +465,66 @@ object TextAnalysis {
     * Scale shape: pure per-row projection over codegen'd
     * regexp_replace/replace — zero shuffle; at 100 TB it pipelines
     * inside whole-stage codegen behind the scan, same as [[Pii]]. */
+  /** BM25 top-k retrieval — the lexical ranking function behind
+    * every search/RAG retrieval stage (Robertson–Spärck Jones;
+    * public formula): per matched term,
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) × idf`, summed per doc,
+    * top k docs. Two documented deviations keep the cross-engine
+    * hash gate honest: idf is the same RATIONAL fixed-point
+    * `10⁹ div df` as [[tfidfTopTerms]] (no un-correctly-rounded
+    * `ln`), and `dl/avgdl` is spelled `dl·N/total_len` (both
+    * operand conversions exact, one IEEE multiply + divide — the
+    * same bits on any engine, no intermediate avgdl rounding).
+    * Ranking quality is preserved: idf stays monotone in df and the
+    * tf saturation curve is untouched.
+    *
+    * Scale shape: the (doc, term, tf) table is Materialized ONCE
+    * (the tokenize pass) and doc lengths once more (two consumers
+    * each); the query filter `term IN (…)` prunes the postings
+    * BEFORE any join, so everything downstream is
+    * matched-postings-sized, not corpus-sized; per-term df and the
+    * 1-row corpus stats are broadcast; the per-doc score sum runs
+    * through DECIMAL(38,6) (order-independent — a double sum would
+    * hash differently per partitioning); top-k is one bounded
+    * TakeOrdered, ties broken on doc id. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(k >= 1, s"bad k $k")
+    import graft.queries.Exact
+    val tf = Materialize(df
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val stats = dl.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs"))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") * col("n_docs") / col("total_len")))) *
+        expr("CAST(1000000000 AS BIGINT) div df").cast("double")
+    val scored = qtf
+      .join(broadcast(qdf), "term")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_terms"), Exact.dsum(col("__c")).as("score"))
+      .orderBy(col("score").desc, col("__doc").asc)
+      .limit(k)
+    // rank over the k collected rows — bounded single-partition window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("__doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("__doc").as("doc_id"),
+        col("n_terms"), col("score"))
+  }
+
   /** Per-document n-gram familiarity — the cheap LM-free fluency
     * proxy quality pipelines run when a real language model is too
     * expensive (CCNet-style filtering at web scale): score each

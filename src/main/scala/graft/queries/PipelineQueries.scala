@@ -1899,6 +1899,43 @@ object PipelineQueries {
        |FROM hx ORDER BY pos""".stripMargin
   }
 
+  // ---- BM25 retrieval ----
+
+  /** BM25 top-20 for a 3-term query under the driver gate. The
+    * mirror replays tf, dl, the corpus stats, the rational idf and
+    * the EXACT double expression (constants 2.2/1.2/0.25/0.75 are
+    * bit-identical IEEE literals in both dialects; dl·N/total_len
+    * spelled the same), with the per-doc sum routed through
+    * DECIMAL(38,6) on both engines — so every score bit and the
+    * full ranking are value-checked. */
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+
+  val bm25Sql: String =
+    s"""WITH tf AS (SELECT doc, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc),
+       |st AS (SELECT sum(dl)::BIGINT AS total_len, count(*)::BIGINT AS n_docs
+       |       FROM dl),
+       |qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'agg')),
+       |qdf AS (SELECT term, count(*)::BIGINT AS df FROM qtf GROUP BY term),
+       |c AS (SELECT q.doc,
+       |    (q.tf::DOUBLE * 2.2) /
+       |      (q.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+       |        (d.dl::DOUBLE * s.n_docs / s.total_len)))
+       |      * (1000000000 // f.df)::DOUBLE AS contrib
+       |  FROM qtf q JOIN qdf f USING (term) JOIN dl d USING (doc), st s),
+       |g AS (SELECT doc, count(*)::BIGINT AS n_terms,
+       |        ${graft.queries.Exact.sqlSum("contrib")} AS score
+       |      FROM c GROUP BY doc)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS INT)
+       |    AS rank,
+       |  doc AS doc_id, n_terms, score
+       |FROM g ORDER BY score DESC, doc ASC LIMIT 20""".stripMargin
+
   // ---- curriculum ordering ----
 
   /** Short-to-long curriculum under the driver gate: documents

@@ -232,6 +232,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(o2(("x", "y")) == 2L)
   }
 
+  test("bm25TopK: exact scores on a hand-checked fixture, ranked") {
+    val s2d = spark
+    import s2d.implicits._
+    val df = Seq(
+      (1L, "spark spark window x"), // tf(spark)=2, tf(window)=1, dl=4
+      (2L, "spark y z w"),          // tf(spark)=1, dl=4
+      (3L, "window window a b c d") // tf(window)=2, dl=6
+    ).toDF("doc_id", "text")
+    // df(spark)=2, df(window)=2; total_len=14, n_docs=3
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "window"), k = 3).collect()
+    def contrib(tf: Long, dl: Long, dfreq: Long): Double =
+      (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 *
+        (dl.toDouble * 3 / 14))) * (1000000000L / dfreq).toDouble
+    def dsum(xs: Double*): Double =
+      xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val expect = Map(
+      1L -> dsum(contrib(2, 4, 2), contrib(1, 4, 2)),
+      2L -> dsum(contrib(1, 4, 2)),
+      3L -> dsum(contrib(2, 6, 2)))
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      expect.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1))
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") == expect(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("n_terms") == 2L)
+  }
+
+  test("bm25TopK: postings materialized once — no corpus re-scan in the plan") {
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"expected zero corpus scans after Materialize, got $scans")
+  }
+
   test("ngramFamiliarity: mean corpus frequency of a doc's bigrams, exact") {
     val s2c = spark
     import s2c.implicits._
