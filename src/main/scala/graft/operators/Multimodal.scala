@@ -246,6 +246,57 @@ object Multimodal {
     }(rowEnc)
   }
 
+  /** Aspect-ratio bucketing — the vision-training batch-prep step
+    * (SDXL-style): every decodable image is assigned to the bucket
+    * whose aspect ratio `bw:bh` is nearest its own `w:h`, so batches
+    * can be formed without mixed aspect ratios. Nearness is the
+    * EXACT rational `|w·bh − bw·h| / bh` (the common `1/h` factor
+    * cancels across buckets), compared by long cross-multiplication
+    * — no floating point, so assignment is deterministic on any
+    * platform and the DuckDB oracle replays it bit-for-bit. Ties
+    * keep the earliest bucket in the caller's list. Undecodable
+    * blobs (width/height ≤ 0) are dropped.
+    *
+    * Scale shape: decode is the per-partition batched codec pass
+    * (one codec session per partition, no shuffle); the argmin is a
+    * folded codegen `when` chain over the bucket list (pure
+    * projection); the bucket-dimension attach is a broadcast join
+    * with the `buckets.size`-row table. Zero exchanges end-to-end.
+    * Bucket dims ≤ 65536 and image dims < 2^20 keep every
+    * cross-multiplication inside a long. */
+  def aspectBucket(df: DataFrame, idCol: String, blobCol: String,
+                   buckets: Seq[(Int, Int)],
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    require(buckets.nonEmpty, "empty bucket list")
+    require(buckets.forall { case (w, h) =>
+      w > 0 && h > 0 && w <= 65536 && h <= 65536 },
+      s"bucket dims must be in (0, 65536]: $buckets")
+    val spark = df.sparkSession
+    val dec = decode(df, idCol, blobCol, codec)
+      .filter(col("width") > 0 && col("height") > 0 &&
+        col("width") < (1 << 20) && col("height") < (1 << 20))
+    val costs = buckets.map { case (bw, bh) =>
+      (abs(col("width").cast("long") * bh - lit(bw.toLong) * col("height")),
+        bh.toLong)
+    }
+    val (bi, _, _) = costs.zipWithIndex.drop(1)
+      .foldLeft((lit(0), costs.head._1, lit(costs.head._2))) {
+        case ((i0, n0, d0), ((n, d), i)) =>
+          val better = n * d0 < n0 * lit(d)
+          (when(better, lit(i)).otherwise(i0),
+            when(better, n).otherwise(n0),
+            when(better, lit(d)).otherwise(d0))
+      }
+    import spark.implicits._
+    val bdf = buckets.zipWithIndex
+      .map { case ((w, h), i) => (i, w, h) }
+      .toDF("bucket", "bucket_w", "bucket_h")
+    dec.withColumn("bucket", bi)
+      .join(broadcast(bdf), "bucket")
+      .select(col("media_id"), col("width"), col("height"),
+        col("bucket"), col("bucket_w"), col("bucket_h"))
+  }
+
   // ---- perceptual hashing (image near-dup dedup) ----
 
   /** 64-bit difference hash (dHash) of a decoded pixel matrix:

@@ -1079,6 +1079,49 @@ object PipelineQueries {
        |ORDER BY media_id, modality""".stripMargin
   }
 
+  // ---- aspect-ratio bucketing ----
+
+  private val aspectBuckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+  private val aspectDims =
+    Seq((1L, 64, 64), (2L, 80, 60), (3L, 60, 80), (4L, 96, 54),
+      (5L, 54, 96), (6L, 72, 48), (7L, 100, 100))
+
+  /** Aspect-ratio bucketing through the REAL codec path: authored
+    * images of varied dimensions are encoded (javax.imageio),
+    * re-decoded, and assigned to the rationally-nearest aspect
+    * bucket; a corrupt blob is dropped. The oracle re-derives the
+    * assignment INDEPENDENTLY from the declared dimensions with the
+    * same exact integer arithmetic (cost scaled by the bh product),
+    * so encode→decode→dims AND the argmin are both certified. */
+  def aspectBucketQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (aspectDims.map { case (id, w, h) =>
+        (id, graft.operators.MediaFixtures.customImage(w, h, "png"))
+      } :+ ((8L, "not an image".getBytes("UTF-8"))))
+      .toDF("media_id", "blob")
+    graft.operators.Multimodal.aspectBucket(media, "media_id", "blob",
+        aspectBuckets, graft.operators.Multimodal.ImageIoCodec)
+      .orderBy("media_id")
+  }
+
+  val aspectBucketSql: String = {
+    val bhProd = aspectBuckets.map(_._2.toLong).product
+    val m = aspectDims.map { case (id, w, h) => s"($id, $w, $h)" }.mkString(", ")
+    val b = aspectBuckets.zipWithIndex.map { case ((bw, bh), i) =>
+      s"($i, $bw, $bh, ${bhProd / bh})" }.mkString(", ")
+    s"""WITH m(media_id, w, h) AS (VALUES $m),
+       |b(bi, bw, bh, c) AS (VALUES $b),
+       |costed AS (SELECT m.media_id, m.w, m.h, b.bi, b.bw, b.bh,
+       |    abs(m.w * b.bh - b.bw * m.h)::BIGINT * b.c AS cost
+       |  FROM m, b),
+       |pick AS (SELECT *, row_number() OVER
+       |    (PARTITION BY media_id ORDER BY cost, bi) AS rn FROM costed)
+       |SELECT media_id::BIGINT AS media_id, w::INT AS width,
+       |  h::INT AS height, bi::INT AS bucket,
+       |  bw::INT AS bucket_w, bh::INT AS bucket_h
+       |FROM pick WHERE rn = 1 ORDER BY media_id""".stripMargin
+  }
+
   // ---- image perceptual-hash dedup ----
 
   private val dhBase: (Int, Int) => Int = MediaFixtures.patternGreen

@@ -268,6 +268,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("aspectBucket: rational nearest aspect, tie to earliest, corrupt dropped") {
+    val buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9))
+    val df = Seq(
+      (1L, MediaFixtures.customImage(64, 64, "png")),  // exact 1:1
+      (2L, MediaFixtures.customImage(80, 60, "png")),  // exact 4:3
+      (3L, MediaFixtures.customImage(96, 54, "png")),  // exact 16:9
+      (4L, MediaFixtures.customImage(60, 80, "png")),  // exact 3:4
+      (5L, "junk".getBytes("UTF-8"))                   // undecodable
+    ).toDF("media_id", "blob")
+    val got = Multimodal.aspectBucket(df, "media_id", "blob", buckets,
+        Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 3, 4L -> 2))
+    // brute-force check on a non-exact aspect: 100x70 (10:7 ≈ 1.43)
+    // cost vs (1,1)=|100-70|/1=30; (4,3)=|300-280|/3≈6.67;
+    // (3,4)=|400-210|/4=47.5; (16,9)=|900-1120|/9≈24.4 → bucket 1
+    val one = Multimodal.aspectBucket(
+      Seq((9L, MediaFixtures.customImage(100, 70, "png"))).toDF("media_id", "blob"),
+      "media_id", "blob", buckets, Multimodal.ImageIoCodec).collect()
+    assert(one.head.getInt(3) == 1)
+    // square image with (1,1) listed twice: earliest index wins
+    val tie = Multimodal.aspectBucket(
+      Seq((7L, MediaFixtures.customImage(32, 32, "png"))).toDF("media_id", "blob"),
+      "media_id", "blob", Seq((1, 1), (2, 2)), Multimodal.ImageIoCodec).collect()
+    assert(tie.head.getInt(3) == 0)
+  }
+
+  test("aspectBucket: zero exchanges — projection + broadcast only") {
+    val df = Seq((1L, MediaFixtures.customImage(16, 16, "png")))
+      .toDF("media_id", "blob")
+    val plan = Multimodal.aspectBucket(df, "media_id", "blob",
+        Seq((1, 1), (4, 3)), Multimodal.ImageIoCodec)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("hammingPairs over stored hashes equals simhash pairing semantics") {
     import graft.operators.Dedup
     val df = Seq(
