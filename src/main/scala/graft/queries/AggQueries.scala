@@ -275,12 +275,37 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** NOT quantile_cont: DuckDB interpolates `lo + (hi-lo)·frac` while
+    * Spark's Percentile computes `(hi-pos)·vlo + (pos-lo)·vhi` — the
+    * two differ in the last ulp at some magnitudes (first observed at
+    * sf1: p99 230.53 vs 230.53000000000003). The mirror replays
+    * Spark's exact expression order so the gate stays bit-identical
+    * at every scale. */
   val aggQuantilesSql: String =
-    """SELECT event_type,
-      |  quantile_cont(value, 0.5) AS p50,
-      |  quantile_cont(value, 0.95) AS p95,
-      |  quantile_cont(value, 0.99) AS p99
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH s AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |g AS (SELECT DISTINCT event_type, n FROM s),
+      |ix AS (SELECT event_type, n, p, p * (n - 1) AS pos,
+      |    CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+      |    CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+      |  FROM g, (VALUES (0.5::DOUBLE), (0.95::DOUBLE), (0.99::DOUBLE)) pp(p)),
+      |v AS (SELECT i.event_type, i.p, i.pos, i.lo, i.hi,
+      |    max(CASE WHEN s.rn = i.lo THEN s.value END) AS vlo,
+      |    max(CASE WHEN s.rn = i.hi THEN s.value END) AS vhi
+      |  FROM ix i JOIN s ON s.event_type = i.event_type
+      |    AND (s.rn = i.lo OR s.rn = i.hi)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |q AS (SELECT event_type, p,
+      |    CASE WHEN hi = lo OR vhi = vlo THEN vlo
+      |         ELSE (hi - pos) * vlo + (pos - lo) * vhi END AS qv
+      |  FROM v)
+      |SELECT event_type,
+      |  max(CASE WHEN p = 0.5 THEN qv END) AS p50,
+      |  max(CASE WHEN p = 0.95 THEN qv END) AS p95,
+      |  max(CASE WHEN p = 0.99 THEN qv END) AS p99
+      |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Druid groupBy v2 subtotalsSpec — per-dim subtotal rows + grand
     * total in ONE grouping-sets pass, oracle-matched against DuckDB's
