@@ -166,34 +166,54 @@ object EventQueries {
     * real production use: per event type, each day's value sum scored
     * against the trailing-7-day mean/std of DAILY SUMS, |z| > 2
     * flagged. The second moment is the square of each day's sum
-    * (x·x, computed AFTER the daily agg), not the day's sum of
-    * per-event squares — the latter measures within-day spread and
-    * collapses std7 to 0 under the mean7² subtraction. Both trailing
-    * moments (Σx and Σx²) ride DECIMAL through the window frame
+    * (computed AFTER the daily agg), not the day's sum of per-event
+    * squares — the latter measures within-day spread and collapses
+    * std7 to 0 under the mean7² subtraction. Both trailing moments
+    * ride EXACT integer-scaled DECIMAL through the window frame
     * (Spark streams sliding frames, DuckDB segment-trees them — only
-    * exact decimal makes the association order irrelevant; x·x is one
-    * correctly-rounded double product both engines compute
-    * identically before the decimal image), then ONE chain of
-    * correctly-rounded double ops (m=S/7, msq=SQ/7, var=msq−m·m, √,
-    * z=(x−m)/σ) that both engines execute identically — the gate
-    * hash-matches z itself, not just the flag.
+    * exact arithmetic makes the association order irrelevant), the
+    * variance numerator 7·Σxᵢ²−(Σxᵢ)² stays decimal-exact (no
+    * msq−mean² double cancellation — see the inline note on why the
+    * double-squared image diverged at sf1), and the ONE chain of
+    * correctly-rounded double ops (cast, √, ÷7·10⁶, z=(x−m)/σ) is
+    * executed identically by both engines — the gate hash-matches z
+    * itself, not just the flag, at every SF.
     * One partial-agg shuffle + a granule-count-bounded window. */
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // Integer-scaled moments: svi = sv·10⁶ as DECIMAL(19,0) — every
+    // sum/square/subtract below is EXACT decimal arithmetic, so the
+    // variance numerator N = 7·Σxᵢ² − (Σxᵢ)² (scaled 10¹²) never
+    // touches a double until the final correctly-rounded cast + √.
+    // The earlier dec(x·x) image broke at sf1: DuckDB's
+    // double→DECIMAL conversion multiplies by 10^scale IN DOUBLE, so
+    // past 2^53/10⁶ ≈ 9·10⁹ the last decimal digit diverges from
+    // Spark's exact BigDecimal conversion, and msq − mean7² amplifies
+    // that by the cancellation factor (~300 ulps of z at sf1).
+    // Bounds: svi ≤ ~10¹⁵ at sf100 → squares ≤ 10³⁰, N ≤ 7·10³⁰,
+    // comfortably inside DECIMAL(38,0).
     val daily = ev(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(sum(Exact.dec(col("value"))).as("sv"))
       .withColumn("x", col("sv").cast("double"))
-      .withColumn("sv2", Exact.dec(col("x") * col("x")))
+      .withColumn("svi",
+        (col("sv").cast(DecimalType(19, 6)) * lit(1000000L)).cast(DecimalType(19, 0)))
+      .withColumn("sv2i", col("svi") * col("svi"))
     val win = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, 0)
     val seq = Window.partitionBy("event_type").orderBy("day")
     val m = (sum(col("sv")).over(win).cast("double") / 7.0).as("mean7")
-    val msq = (sum(col("sv2")).over(win).cast("double") / 7.0)
+    val nvar = (lit(7L) * sum(col("sv2i")).over(win) -
+      sum(col("svi")).over(win).cast(DecimalType(19, 0)) *
+        sum(col("svi")).over(win).cast(DecimalType(19, 0)))
     val scored = daily
       .withColumn("__rn", row_number().over(seq))
       .withColumn("mean7", m)
-      .withColumn("std7", sqrt(greatest(msq - col("mean7") * col("mean7"), lit(0.0))))
+      // var = N/(49·10¹²) ⇒ σ = √N / (7·10⁶): one exact decimal→double
+      // cast, one correctly-rounded √, one correctly-rounded divide —
+      // bit-identical on any engine at any magnitude
+      .withColumn("std7", sqrt(nvar.cast("double")) / lit(7000000.0))
       .filter(col("__rn") >= 7)
       .withColumn("z", when(col("std7") > 0.0,
         (col("x") - col("mean7")) / col("std7")).otherwise(lit(0.0)))
@@ -211,19 +231,21 @@ object EventQueries {
       |d AS (
       |  SELECT day, event_type, sv,
       |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS x,
-      |         CAST(CAST(CAST(sv AS VARCHAR) AS DOUBLE)
-      |              * CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS DECIMAL(38,6)) AS sv2
+      |         CAST(CAST(sv AS DECIMAL(19,6)) * 1000000 AS DECIMAL(19,0)) AS svi
       |  FROM d0),
+      |d2 AS (SELECT *, svi * svi AS sv2i FROM d),
       |w AS (
       |  SELECT day, event_type, x,
       |         CAST(CAST(sum(sv) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS mean7,
-      |         CAST(CAST(sum(sv2) OVER win AS VARCHAR) AS DOUBLE) / 7.0 AS msq,
+      |         7 * sum(sv2i) OVER win
+      |           - CAST(sum(svi) OVER win AS DECIMAL(19,0))
+      |             * CAST(sum(svi) OVER win AS DECIMAL(19,0)) AS nvar,
       |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-      |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
-      |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |  FROM d2 WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
       |s AS (
       |  SELECT day, event_type, x, mean7,
-      |         sqrt(greatest(msq - mean7 * mean7, 0.0)) AS std7
+      |         sqrt(CAST(CAST(nvar AS VARCHAR) AS DOUBLE)) / 7000000.0 AS std7
       |  FROM w WHERE rn >= 7)
       |SELECT CAST(day AS TIMESTAMP) AS day, event_type, x, mean7, std7,
       |  CASE WHEN std7 > 0.0 THEN (x - mean7) / std7 ELSE 0.0 END AS z,
