@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, the
+  * standard hybrid-retrieval combiner): fuse N ranked lists by
+  * `score(d) = Σ_lists 1/(k + rank_d)` — the way search/RAG stacks
+  * merge lexical (BM25) with vector (ANN) or quality-prior rankings
+  * without score calibration. Scores here are the integer fixed-point
+  * image `10¹² div (k + rank)` summed as a long — order-equivalent to
+  * real RRF to 10⁻¹² relative quantization, and EXACT: the
+  * cross-engine gate hashes every fused score bit (a double 1/(k+r)
+  * sum would depend on association order), same rationale as
+  * tfidf/bm25's rational idf.
+  *
+  * Scale shape: inputs are top-k ranked lists — ALREADY bounded by
+  * their upstream rankers (where the scale work lives: see
+  * [[TextAnalysis.bm25TopK]], [[Similarity]]). Fusion is a unionAll
+  * of k·N rows, one tiny groupBy, one bounded TakeOrdered — nothing
+  * here ever touches corpus-sized data. Ties break on the id, making
+  * the fused ranking total and deterministic. */
+object RankFusion {
+
+  /** `rankings`: DataFrames each holding (`idCol`, `rankCol`) with
+    * rank ≥ 1. Returns top `topK` docs: (fused_rank, id, n_lists,
+    * rrf_score). Docs missing from a list simply contribute nothing
+    * for it (standard RRF). */
+  def rrf(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+          kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    require(kConst >= 0, s"bad kConst $kConst")
+    require(topK >= 1, s"bad topK $topK")
+    val contribs = rankings.map(df =>
+      df.select(col(idCol),
+        expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + CAST($rankCol AS BIGINT))")
+          .as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+    // rank over the topK collected rows — bounded single-partition window
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .select(col("fused_rank"), col(idCol), col("n_lists"), col("rrf_score"))
+  }
+}

@@ -1955,7 +1955,9 @@ object PipelineQueries {
     graft.operators.TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
       queryTerms = Seq("spark", "window", "agg"), k = 20)
 
-  val bm25Sql: String =
+  val bm25Sql: String = bm25SqlK(20)
+
+  private def bm25SqlK(k: Int): String =
     s"""WITH tf AS (SELECT doc, term, count(*)::BIGINT AS tf
        |  FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
        |        FROM documents)
@@ -1977,7 +1979,48 @@ object PipelineQueries {
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS INT)
        |    AS rank,
        |  doc AS doc_id, n_terms, score
-       |FROM g ORDER BY score DESC, doc ASC LIMIT 20""".stripMargin
+       |FROM g ORDER BY score DESC, doc ASC LIMIT $k""".stripMargin
+
+  // ---- hybrid rank fusion (RRF) ----
+
+  /** Hybrid retrieval under the driver gate: BM25 top-30 for the
+    * 3-term query fused (RRF, k=60) with a top-30 corpus-familiarity
+    * quality prior. The integer fixed-point contributions make every
+    * fused score hash-exact; the mirror composes the two
+    * already-bit-exact ranker mirrors and replays the same fusion. */
+  def hybridRankQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = graft.operators.TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "agg"), k = 30)
+      .select(col("doc_id"), col("rank"))
+    val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
+    val fam = graft.operators.TextAnalysis
+      .ngramFamiliarity(docs(s, d), "doc_id", "text")
+      .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
+      .withColumn("rank", row_number().over(famOrd))
+      .select(col("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrf(Seq(bm, fam), "doc_id", "rank",
+        kConst = 60, topK = 10)
+      .orderBy("fused_rank")
+  }
+
+  // lazy: composes ngramFamSql, declared later in this object
+  lazy val hybridRankSql: String =
+    s"""WITH bm AS (SELECT doc_id, rank FROM (${bm25SqlK(30)})),
+       |fam0 AS (SELECT doc_id, familiarity FROM ($ngramFamSql)
+       |         ORDER BY familiarity DESC, doc_id LIMIT 30),
+       |fam AS (SELECT doc_id, row_number() OVER
+       |          (ORDER BY familiarity DESC, doc_id) AS rank FROM fam0),
+       |u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM bm
+       |      UNION ALL
+       |      SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM fam),
+       |g AS (SELECT doc_id, count(*)::BIGINT AS n_lists,
+       |        sum(c)::BIGINT AS rrf_score FROM u GROUP BY doc_id),
+       |t AS (SELECT * FROM g ORDER BY rrf_score DESC, doc_id LIMIT 10)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+       |    AS fused_rank,
+       |  doc_id, n_lists, rrf_score
+       |FROM t ORDER BY fused_rank""".stripMargin
 
   // ---- curriculum ordering ----
 
