@@ -93,6 +93,45 @@ class PropertiesSpec extends org.scalatest.funsuite.AnyFunSuite {
     })
   }
 
+  test("shuffle-order shard decomposition: unsigned key order == (shard, signed) lex order") {
+    // the mathematical core of ShuffleOrder: shard = key >>> (64-b)
+    // is order-aligned with UNSIGNED key order, and within a shard
+    // (same top b >= 1 bits => same sign) SIGNED comparison agrees
+    // with unsigned — so per-shard signed sorts + shard offsets
+    // reproduce the global unsigned sort exactly
+    val gen = for {
+      k1 <- Gen.choose(Long.MinValue, Long.MaxValue)
+      k2 <- Gen.choose(Long.MinValue, Long.MaxValue)
+      b <- Gen.choose(1, 20)
+    } yield (k1, k2, b)
+    check(Prop.forAll(gen) { case (k1, k2, b) =>
+      val unsignedLess = java.lang.Long.compareUnsigned(k1, k2) < 0
+      val (s1, s2) = (k1 >>> (64 - b), k2 >>> (64 - b))
+      val lexLess = s1 < s2 || (s1 == s2 && k1 < k2)
+      unsignedLess == lexLess || k1 == k2
+    })
+  }
+
+  test("curriculum key packing is bucket-major, hash-minor in unsigned order") {
+    // key = bucket << (64-bb) | hash >>> bb: unsigned key order must
+    // equal (bucket asc, hash-top-bits unsigned asc) lexicographic
+    val gen = for {
+      h1 <- Gen.choose(Long.MinValue, Long.MaxValue)
+      h2 <- Gen.choose(Long.MinValue, Long.MaxValue)
+      bb <- Gen.choose(1, 19)
+      b1 <- Gen.choose(0L, (1L << bb) - 1)
+      b2 <- Gen.choose(0L, (1L << bb) - 1)
+    } yield (h1, h2, bb, b1, b2)
+    check(Prop.forAll(gen) { case (h1, h2, bb, b1, b2) =>
+      val k1 = (b1 << (64 - bb)) | (h1 >>> bb)
+      val k2 = (b2 << (64 - bb)) | (h2 >>> bb)
+      val keyLess = java.lang.Long.compareUnsigned(k1, k2) < 0
+      val wantLess = b1 < b2 ||
+        (b1 == b2 && java.lang.Long.compareUnsigned(h1 >>> bb, h2 >>> bb) < 0)
+      keyLess == wantLess
+    })
+  }
+
   test("dHash downscale blocks partition every pixel exactly once") {
     check(Prop.forAll(Gen.choose(9, 50), Gen.choose(8, 40)) { (w, h) =>
       var seen = 0L
