@@ -165,6 +165,22 @@ object ShuffleOrder {
     withTok.drop("__k", "__rn", "__base")
   }
 
+  /** Write [[order]]/[[curriculumOrder]] output as `numFiles` parquet
+    * files that TILE the position space: file i holds a contiguous
+    * `pos` range, rows sorted by `pos` inside it — so a training
+    * reader consuming files in name order streams the exact global
+    * permutation without ever re-sorting. One repartitionByRange on
+    * `pos` (range exchange + task-local sort); sortWithinPartitions
+    * keeps the write streaming (no buffering beyond the sort spill). */
+  def writeOrdered(ordered: DataFrame, path: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"bad numFiles $numFiles")
+    require(ordered.columns.contains("pos"), "writeOrdered needs a pos column")
+    ordered
+      .repartitionByRange(numFiles, col("pos"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Cut a corpus to EXACTLY `budget` tokens in shuffle order — the
     * "sample B tokens for this training run" step: documents are
     * taken in [[order]]'s position order until the running token

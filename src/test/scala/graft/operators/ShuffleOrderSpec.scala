@@ -144,6 +144,23 @@ class ShuffleOrderSpec extends SparkSpec {
     assert(cut.forall(_.getAs[Int]("bucket") == 0))
   }
 
+  test("writeOrdered: files tile the position space in name order") {
+    val dir = java.nio.file.Files.createTempDirectory("shuford").toString
+    val out = ShuffleOrder.order(input(300, 5), "doc_id", 7L)
+    ShuffleOrder.writeOrdered(out, dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4)
+    var next = 0L
+    files.foreach { f =>
+      val pos = spark.read.parquet(f).select("pos").as[Long].collect()
+      // contiguous ascending range continuing the previous file's
+      assert(pos.toSeq == (next until next + pos.length))
+      next += pos.length
+    }
+    assert(next == 300L)
+  }
+
   test("rejects bad shardBits and colliding output columns") {
     intercept[IllegalArgumentException] {
       ShuffleOrder.order(input(10, 1), "doc_id", 1L, shardBits = 0)
