@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic N× scale-up of a testdata dir (default 10×) for
@@ -30,16 +30,13 @@ object ScaleData {
     val dst = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     // optional 4th arg: comma-separated table subset (e.g. a
-    // documents-only dir for the doc-operator scale series — the
-    // embedding shift wraps at 64 copies, so embeddings only scale
-    // cleanly to copies <= 64)
+    // documents-only dir for the doc-operator scale series)
     val only: Set[String] = args.lift(3)
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("region", "nation", "customer", "orders", "supplier",
         "part", "lineitem", "events", "documents", "embeddings"))
-    require(!(only.contains("embeddings") && copies > 64),
-      "embedding per-copy shift wraps at 64 copies (pmod dim collision " +
-        "creates cross-copy identical vectors) - scale embeddings <= 64x")
+    require(!(only.contains("embeddings") && copies > 64 * 64),
+      "two-level embedding shift wraps at 64*64 copies - scale embeddings <= 4096x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -134,13 +131,32 @@ object ScaleData {
       val vecS = stride(embs, "vec_id")
       write("embeddings", embs.crossJoin(cp)
         .withColumn("vec_id", shift("vec_id", vecS))
-        .withColumn("embedding",
-          transform(col("embedding"), (x, i) =>
-            when(col("__copy") > 0 && i === pmod(col("__copy"), lit(64)),
-              (x + lit(0.8f)).cast("float")).otherwise(x)))
+        .withColumn("embedding", embedShift(col("embedding")))
         .drop("__copy"))
     }
 
     spark.stop()
+  }
+
+  /** Per-copy embedding perturbation: copy c > 0 gets +0.8 on dim
+    * `pmod(c, 64)` and, for c ≥ 64, an additional +1.6 on dim
+    * `pmod(c div 64, 64)` (+2.4 total when the two dims coincide).
+    * The magnitude tags the level, so the shift multiset uniquely
+    * determines `(pmod(c,64), c div 64)` and hence c — all copies up
+    * to 64·64 are pairwise distinct with L∞ separation ≥ 0.8 (far
+    * from any near-dup threshold; within-copy geometry preserved up
+    * to the shared shift). Copies < 64 take ONLY the first-level
+    * branch with the original arithmetic, so previously-built ≤64×
+    * dirs (sf1, documents-sf10) are byte-identical under this scheme.
+    * Expects the `__copy` long column in scope. */
+  private[tools] def embedShift(emb: Column): Column = {
+    val c = col("__copy")
+    val lvl1 = pmod(c, lit(64))
+    val lvl2 = pmod(expr("__copy div 64"), lit(64))
+    transform(emb, (x, i) =>
+      when(c >= 64 && i === lvl1 && i === lvl2, (x + lit(2.4f)).cast("float"))
+        .when(c > 0 && i === lvl1, (x + lit(0.8f)).cast("float"))
+        .when(c >= 64 && i === lvl2, (x + lit(1.6f)).cast("float"))
+        .otherwise(x))
   }
 }
