@@ -38,9 +38,37 @@ object Dedup {
     * otherwise) because every caller consumes it several times. */
   /** Test hook: bucketPairs over an explicit (id, bucket) band set. */
   private[graft] def pairsForTest(bands: DataFrame, maxBucketSize: Int): DataFrame =
-    bucketPairs(bands, maxBucketSize)
+    bucketPairs(bands, maxBucketSize)._1
 
-  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame = {
+  /** Rows above which a candidate-derived table must never be planned
+    * into a STATIC broadcast. Catalyst's size estimate for the pair
+    * table is the pre-materialization guess — the explode multiplicity
+    * is invisible statically, so a multi-GB pair table can look
+    * broadcastable (observed as a driver OOM at 200k correlated
+    * vectors: crowded buckets → tens of millions of candidate pairs,
+    * estimated "tiny", broadcast). ~250k rows of two longs ≈ the
+    * default 10 MB autoBroadcastJoinThreshold. */
+  private[graft] val BroadcastSafeRows = 250000L
+
+  /** Pin `d`'s next equi-join to a shuffle (sort-merge) join when its
+    * REAL cardinality exceeded the broadcast-safe budget; below it the
+    * planner keeps its static choice (tiny candidate sets broadcast,
+    * bit-identical plans to the unguarded ones). */
+  private def noStaticBroadcast(d: DataFrame, big: Boolean): DataFrame =
+    if (big) d.hint("merge") else d
+
+  /** An id set derived from a mis-estimated pair table, sized for its
+    * semi-join role: actually small → explicit broadcast (the corpus
+    * never shuffles); big → materialized + merge-hinted so the planner
+    * cannot broadcast a giant build side off the bogus estimate. */
+  private def sizedIdSet(ids: DataFrame, candidatesBig: Boolean): DataFrame =
+    if (!candidatesBig) broadcast(ids)
+    else {
+      val m = Materialize(ids)
+      if (m.count() <= BroadcastSafeRows) broadcast(m) else m.hint("merge")
+    }
+
+  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): (DataFrame, Long) = {
     // long ids take the hard-capped aggregate: buffer memory is O(cap)
     // even for a degenerate bucket holding most of the corpus (see
     // BoundedCollect — collect_list materializes the whole bucket
@@ -56,13 +84,23 @@ object Dedup {
         bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
           .filter(size(col("ids")).between(2, maxBucketSize))
           .withColumn("ids", array_sort(col("ids")))
-    Materialize(grouped
+    val m = Materialize(grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
+    // the true cardinality is one cheap pass over checkpointed blocks;
+    // every consumer keys its broadcast-vs-shuffle choice on it
+    val n = m.count()
+    if (n > BroadcastSafeRows)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"bucketPairs: $n candidate pairs exceed the broadcast-safe " +
+          s"budget ($BroadcastSafeRows) — downstream joins pinned to " +
+          "shuffle (crowded buckets; consider more planes/bands or a " +
+          "prior exact-dedup pass if this is unexpected)")
+    (m, n)
   }
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
@@ -94,12 +132,15 @@ object Dedup {
     // tiny vs the corpus, and are consumed THREE times downstream (the
     // candidate-id semi-join feeding shingleSets + each pair-side
     // join), so the LSH pipeline runs exactly once.
-    val candidates = bucketPairs(bands, maxBucketSize)
+    val (candidates, nCand) = bucketPairs(bands, maxBucketSize)
+    val big = nCand > BroadcastSafeRows
 
-    // shingle only the docs that appear in candidate pairs (broadcast
-    // semi-join) — at scale the candidate set is tiny vs the corpus
-    val candIds = candidates.select(col("a_id").as("id"))
-      .union(candidates.select(col("b_id").as("id"))).distinct()
+    // shingle only the docs that appear in candidate pairs — semi-join
+    // side sized on the REAL candidate count: small (the common case —
+    // quality corpora have few near-dups) broadcasts so the corpus
+    // never shuffles; big falls back to a shuffle semi-join
+    val candIds = sizedIdSet(candidates.select(col("a_id").as("id"))
+      .union(candidates.select(col("b_id").as("id"))).distinct(), big)
     // materialized: consumed by BOTH pair-side joins below — without
     // it the semi-join + shingling of candidate docs runs twice.
     // Repartitioned by id BEFORE the shingle projection: the semi-join
@@ -110,13 +151,16 @@ object Dedup {
     // both the shingle compute and the checkpoint write across all
     // cores, and costs one small pass over O(candidates) rows
     val shingleSets = Materialize(df
-      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .join(candIds, col(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
       .select(col("id"),
         TextFunctions.wordShingles(col("__text"), shingleN).as("sh")))
-    candidates
-      .join(shingleSets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+    // both pair-side joins guarded: a big pair table (and hence the
+    // first join's output, whose estimate inherits the bogus one) must
+    // shuffle, never broadcast-build
+    noStaticBroadcast(noStaticBroadcast(candidates, big)
+      .join(shingleSets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id")), big)
       .join(shingleSets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -157,26 +201,30 @@ object Dedup {
     val ga = bucketed(bands(corpus, corpusId, corpusText), "a_ids")
     val gb = bucketed(bands(reference, refId, refText), "b_ids")
     // materialized: the candidate set is O(cross pairs) and is consumed
-    // by the semi-joins AND both verify joins below
+    // by the semi-joins AND both verify joins below; its REAL count
+    // (one cheap checkpoint-block pass) sizes every downstream
+    // broadcast decision — the static estimate under the explode is
+    // bogus-small
     val candidates = Materialize(ga.join(gb, "bucket")
       .select(explode(expr(
         """flatten(transform(a_ids, x ->
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
+    val big = candidates.count() > BroadcastSafeRows
 
     def shingleSide(df: DataFrame, id: String, text: String,
                     keyCol: String, shCol: String): DataFrame = {
-      val ids = candidates.select(col(keyCol).as("id")).distinct()
+      val ids = sizedIdSet(candidates.select(col(keyCol).as("id")).distinct(), big)
       Materialize(df
-        .join(broadcast(ids), col(id) === ids("id"), "left_semi")
+        .join(ids, col(id) === ids("id"), "left_semi")
         .select(col(id).as(keyCol), col(text).as("__text"))
         .repartition(col(keyCol))
         .select(col(keyCol),
           TextFunctions.wordShingles(col("__text"), shingleN).as(shCol)))
     }
-    candidates
-      .join(shingleSide(corpus, corpusId, corpusText, "a_id", "a_sh"), Seq("a_id"))
+    noStaticBroadcast(noStaticBroadcast(candidates, big)
+      .join(shingleSide(corpus, corpusId, corpusText, "a_id", "a_sh"), Seq("a_id")), big)
       .join(shingleSide(reference, refId, refText, "b_id", "b_sh"), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -330,8 +378,13 @@ object Dedup {
         // non-convergence means something pathological, not "close enough")
         if (!converged) throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds; raise maxIter")
-        // at the fixed point every edge is (node, component-min root)
-        edges.select(col("src").as(idCol), col("dst").as("cluster_id"))
+        // at the fixed point every edge is (node, component-min root);
+        // the converged edge count is known — above the broadcast-safe
+        // budget the label join must shuffle (the checkpoint's static
+        // estimate can't be trusted to forbid a giant broadcast build)
+        noStaticBroadcast(
+          edges.select(col("src").as(idCol), col("dst").as("cluster_id")),
+          fp._1 > BroadcastSafeRows)
       }
 
     // roots and singletons label themselves via the left join
@@ -428,8 +481,10 @@ object Dedup {
       explode(TextFunctions.simhashKeysFromHash(
         col("sh"), numChunks, maxHamming)).as("bucket"))
 
-    bucketPairs(chunks, maxBucketSize)
-      .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+    val (candidates, nCand) = bucketPairs(chunks, maxBucketSize)
+    val big = nCand > BroadcastSafeRows
+    noStaticBroadcast(noStaticBroadcast(candidates, big)
+      .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id")), big)
       .join(docs.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxHamming)
@@ -468,10 +523,11 @@ object Dedup {
       explode(graft.functions.VectorFunctions.hyperplaneBuckets(
         col("v"), seed, numTables, numPlanes)).as("bucket"))
 
-    val candidates = bucketPairs(bands, maxBucketSize)
+    val (candidates, nCand) = bucketPairs(bands, maxBucketSize)
+    val big = nCand > BroadcastSafeRows
 
-    candidates
-      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+    noStaticBroadcast(noStaticBroadcast(candidates, big)
+      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id")), big)
       .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .withColumn("cosine", Similarity.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= minCosine)
