@@ -57,6 +57,20 @@ object Dedup {
   private def noStaticBroadcast(d: DataFrame, big: Boolean): DataFrame =
     if (big) d.hint("merge") else d
 
+  /** When the candidate table is over-budget but the per-id payload
+    * table (vectors / signatures) is itself small — decided on a REAL
+    * count, never an estimate — broadcast the payload side into the
+    * verify joins: the 10^8-row pair table then never shuffles with
+    * fat payload rows (measured at sf10: 94M candidates × two 0.5 KB
+    * vector joins). Spark's hint precedence (BROADCAST > MERGE) lets
+    * this compose with the candidates-side merge guard: the guard
+    * still forbids the catastrophic pair-table broadcast, and the
+    * payload broadcast upgrades the join when it fits. */
+  private def verifySideWrap(payload: DataFrame, candidatesBig: Boolean,
+                             rowBudget: Long): DataFrame => DataFrame =
+    if (candidatesBig && payload.count() <= rowBudget) d => broadcast(d)
+    else identity
+
   /** An id set derived from a mis-estimated pair table, sized for its
     * semi-join role: actually small → explicit broadcast (the corpus
     * never shuffles); big → materialized + merge-hinted so the planner
@@ -430,7 +444,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numChunks: Int = 6,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      verifyBroadcastRows: Long = 2000000L): DataFrame = {
     require(numChunks > maxHamming,
       "chunk bucketing is lossless only when numChunks > maxHamming")
     require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
@@ -449,7 +464,7 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"),
         TextFunctions.simhash64(split(col("__text"), " ")).as("sh")))
-    signaturePairs(docs, maxHamming, numChunks, maxBucketSize)
+    signaturePairs(docs, maxHamming, numChunks, maxBucketSize, verifyBroadcastRows)
   }
 
   /** Hamming-radius pairs over a PRE-COMPUTED 64-bit signature column
@@ -461,7 +476,8 @@ object Dedup {
     * signatures (undecodable blobs) drop out. */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int = 3, numChunks: Int = 6,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   verifyBroadcastRows: Long = 2000000L): DataFrame = {
     require(numChunks > maxHamming,
       "chunk bucketing is lossless only when numChunks > maxHamming")
     require(numChunks <= 16, "more than 16 chunks of a 64-bit signature is pointless")
@@ -469,13 +485,14 @@ object Dedup {
       .filter(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("sh"))
       .repartition(col("id")))
-    signaturePairs(docs, maxHamming, numChunks, maxBucketSize)
+    signaturePairs(docs, maxHamming, numChunks, maxBucketSize, verifyBroadcastRows)
   }
 
   /** (id, sh) → hamming ≤ maxHamming pairs (shared tail of
     * [[simhashPairs]] / [[hammingPairs]]). */
   private def signaturePairs(docs: DataFrame, maxHamming: Int,
-                             numChunks: Int, maxBucketSize: Int): DataFrame = {
+                             numChunks: Int, maxBucketSize: Int,
+                             verifyBroadcastRows: Long): DataFrame = {
     val chunks = docs.select(
       col("id"),
       explode(TextFunctions.simhashKeysFromHash(
@@ -483,9 +500,13 @@ object Dedup {
 
     val (candidates, nCand) = bucketPairs(chunks, maxBucketSize)
     val big = nCand > BroadcastSafeRows
+    // (id, sh) rows are 16 bytes: the default 2M-row budget ≈ 128 MB
+    // hashed — safe to broadcast, and docs is already materialized so
+    // the count is free
+    val wrap = verifySideWrap(docs, big, verifyBroadcastRows)
     noStaticBroadcast(noStaticBroadcast(candidates, big)
-      .join(docs.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id")), big)
-      .join(docs.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(wrap(docs.select(col("id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id")), big)
+      .join(wrap(docs.select(col("id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
@@ -515,7 +536,8 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.9, numPlanes: Int = 16, numTables: Int = 8,
-      maxBucketSize: Int = 10000, seed: Long = 42L): DataFrame = {
+      maxBucketSize: Int = 10000, seed: Long = 42L,
+      verifyBroadcastRows: Long = 500000L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
 
@@ -526,9 +548,13 @@ object Dedup {
     val (candidates, nCand) = bucketPairs(bands, maxBucketSize)
     val big = nCand > BroadcastSafeRows
 
+    // ~0.5 KB/row at dim 64: the default 500k-row budget ≈ 300 MB
+    // hashed relation — the count is one columnar scan, trivial next
+    // to an over-budget verify
+    val wrap = verifySideWrap(vecs, big, verifyBroadcastRows)
     noStaticBroadcast(noStaticBroadcast(candidates, big)
-      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id")), big)
-      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .join(wrap(vecs.select(col("id").as("a_id"), col("v").as("a_v"))), Seq("a_id")), big)
+      .join(wrap(vecs.select(col("id").as("b_id"), col("v").as("b_v"))), Seq("b_id"))
       .withColumn("cosine", Similarity.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= minCosine)
       .select("a_id", "b_id", "cosine")
