@@ -109,6 +109,21 @@ object TextFunctions {
                       weights: Option[Array[Long]] = None): Column =
     toColumn(LinearTextScore(toExpr(text), buckets, span, weights))
 
+  /** The hashed-feature bucket stream [[LinearTextScore]] scores —
+    * unigrams + adjacent bigrams, fnv64-hashed mod `buckets` — exposed
+    * as array<long> so feature STATISTICS (per-bucket counts for
+    * importance weighting, df, coverage) can be aggregated with the
+    * guarantee that they describe exactly the features inference will
+    * read (see [[FeatureBuckets]]). */
+  def featureBuckets(text: Column, buckets: Int): Column =
+    toColumn(FeatureBuckets(toExpr(text), buckets))
+
+  /** Banded byte-level Levenshtein: the edit distance when it is
+    * ≤ `maxEdits`, -1 beyond — O(len·maxEdits) per pair, not O(len²)
+    * (see [[EditDistanceWithin]]). */
+  def editDistanceWithin(a: Column, b: Column, maxEdits: Int): Column =
+    toColumn(EditDistanceWithin(toExpr(a), toExpr(b), maxEdits))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -609,6 +624,119 @@ case class LinearTextScore(child: Expression, buckets: Int, span: Int,
   }
   override protected def withNewChildInternal(c: Expression): LinearTextScore =
     copy(child = c)
+}
+
+/** The feature-bucket stream of [[LinearTextScore]], reified: for the
+  * token stream of `child` (split on single spaces, empties kept, same
+  * as the scorer) emit `remainderUnsigned(fnv64(f), buckets)` for each
+  * unigram and each adjacent bigram, as array<long>. Exists so that
+  * TRAINING-side statistics (per-bucket occurrence counts for DSIR
+  * importance weights, document frequencies, coverage audits) are
+  * computed over the EXACT feature stream the inference expression
+  * will read — one definition of "feature", shared by construction,
+  * instead of two hand-kept-in-sync tokenizations. The DuckDB mirror
+  * replays fnv1a over UTF-8 bytes in HUGEINT mod 2^64 and `% buckets`
+  * (unsigned remainder ≡ HUGEINT remainder on [0, 2^64)). Bucket
+  * count order: u₀, b₀₁, u₁, b₁₂, … — callers aggregate, so order is
+  * immaterial, but it is deterministic. */
+case class FeatureBuckets(child: Expression, buckets: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new Array[Long](2 * toks.length - 1)
+    var i = 0
+    var p = 0
+    while (i < toks.length) {
+      out(p) = java.lang.Long.remainderUnsigned(
+        TextFunctions.fnv64(UTF8String.fromString(toks(i))), buckets)
+      p += 1
+      if (i + 1 < toks.length) {
+        out(p) = java.lang.Long.remainderUnsigned(
+          TextFunctions.fnv64(
+            UTF8String.fromString(toks(i) + " " + toks(i + 1))), buckets)
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): FeatureBuckets =
+    copy(child = c)
+}
+
+/** Banded (Ukkonen) Levenshtein over UTF-8 BYTES with an edit budget:
+  * returns the exact distance when ≤ `maxEdits`, -1 beyond. Byte-level
+  * on purpose, twice over: (a) the DP band costs O(len·maxEdits)
+  * instead of O(len²) — the difference between a verify step and a
+  * blow-up when candidate texts are long; (b) DuckDB's `levenshtein`
+  * is byte-based (a 2-byte codepoint substitution counts 2), so the
+  * oracle replays this distance EXACTLY, where Spark's codepoint-based
+  * builtin would diverge on any non-ASCII pair. For ASCII text the two
+  * conventions coincide. Within the band the DP is the full Wagner-
+  * Fischer recurrence (cells outside the band pinned to maxEdits+1, a
+  * sound upper-bound cap since no path through them can win); the
+  * early row-min exit is the standard Ukkonen argument (row minima are
+  * non-decreasing). */
+case class EditDistanceWithin(left: Expression, right: Expression,
+                              maxEdits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+  require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceWithin.banded(
+      a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes, maxEdits)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): EditDistanceWithin =
+    copy(left = l, right = r)
+}
+
+object EditDistanceWithin {
+  /** Exact Levenshtein over byte arrays if ≤ k, else -1. */
+  def banded(s: Array[Byte], t: Array[Byte], k: Int): Int = {
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > k) return -1
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      // reset only the band (± the cells the next row reads): O(k)
+      java.util.Arrays.fill(cur, math.max(0, lo - 2),
+        math.min(m, hi + 2) + 1, inf)
+      if (i <= k) cur(0) = i
+      // i > k ⇒ column 0 is outside the band (cost i > k): seed at inf
+      var rowMin = if (i <= k) i else inf
+      j = lo
+      while (j <= hi) {
+        var v = prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+        val del = cur(j - 1) + 1
+        if (del < v) v = del
+        val ins = prev(j) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) <= k) prev(m) else -1
+  }
 }
 
 /** Gopher-style repetition statistics (Rae et al. 2021, appendix A1)

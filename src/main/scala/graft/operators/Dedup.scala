@@ -183,6 +183,42 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Fuzzy dedup with an EXACT edit-distance verify — the
+    * "near-duplicates that are genuinely a few edits apart" contract
+    * (crawl snapshots of the same page, templated boilerplate with a
+    * date swap), stricter than shingle Jaccard, which also fires on
+    * paraphrases and block moves. Candidates come from the same
+    * MinHash-LSH + exact-Jaccard pipeline as [[minhashPairs]] (the
+    * Jaccard ≥ `threshold` bound is part of the output contract: at
+    * r=2, b=32 the LSH miss probability at 0.8 is ≈7e-15, so the
+    * result equals the all-pairs filter `jaccard ≥ threshold AND
+    * edits ≤ maxEdits`); each surviving pair is then verified with a
+    * BANDED byte-level Levenshtein (O(len·maxEdits) per pair, -1
+    * beyond the budget — never the O(len²) full DP; see
+    * [[graft.functions.EditDistanceWithin]]).
+    *
+    * Scale shape: everything corpus-sized is inside minhashPairs
+    * (bounded buckets, guarded joins); this adds two narrow
+    * (id, text) joins sized on the VERIFIED pair set — tiny for
+    * quality corpora — and a per-pair banded DP. Output:
+    * (a_id, b_id, jaccard, edits) with edits ≤ maxEdits. */
+  def editPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxEdits: Int, threshold: Double = 0.8,
+      shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes,
+      bandRows, threshold, maxBucketSize)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    pairs
+      .join(texts.select(col("id").as("a_id"), col("__t").as("__ta")), Seq("a_id"))
+      .join(texts.select(col("id").as("b_id"), col("__t").as("__tb")), Seq("b_id"))
+      .withColumn("edits", TextFunctions.editDistanceWithin(
+        col("__ta"), col("__tb"), maxEdits))
+      .filter(col("edits") =!= -1)
+      .select("a_id", "b_id", "jaccard", "edits")
+  }
+
   /** CROSS-CORPUS MinHash dedup: near-duplicate pairs BETWEEN two
     * datasets — the "dedup the new crawl against the existing training
     * set" operation. Same banding as [[minhashPairs]] (so the same

@@ -116,6 +116,40 @@ object PipelineQueries {
       |WHERE jaccard >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Fuzzy dedup at an exact edit budget: the Jaccard ≥ 0.8 candidates
+    * verified with the banded byte Levenshtein at maxEdits = 4 — on
+    * the sf0.01 fixture 24 of the 25 near-dup pairs are genuine
+    * ≤4-edit revisions and pass; the (45,267) pair sits at 8 edits and
+    * is REJECTED, so the gate certifies both directions of the verify. */
+  def dedupEdit(s: SparkSession, d: String): DataFrame =
+    Dedup.editPairs(docs(s, d), "doc_id", "text",
+      maxEdits = 4, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  /** All-pairs `jaccard ≥ 0.8 AND levenshtein ≤ 4` — equals LSH+verify
+    * for the same miss-probability reason as [[dedupMinhashSql]];
+    * DuckDB's levenshtein is byte-based, exactly the operator's
+    * convention (see EditDistanceWithin). The edit filter applies
+    * AFTER the Jaccard cut so the quadratic DP only ever runs on the
+    * ~25 surviving pairs. */
+  val dedupEditSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id, text,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t),
+      |p AS (SELECT a_id, b_id, jaccard, ta, tb FROM (
+      |  SELECT a.doc_id a_id, b.doc_id b_id,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard,
+      |    a.text ta, b.text tb
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8)
+      |SELECT a_id, b_id, jaccard, CAST(edits AS INT) AS edits
+      |FROM (SELECT a_id, b_id, jaccard, levenshtein(ta, tb) AS edits FROM p)
+      |WHERE edits <= 4
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Cross-corpus dedup: even-doc_id docs are the "new crawl", odd
     * doc_ids the "existing training set" — near-dup pairs BETWEEN the
     * two (12 of the 25 sf0.01 near-dup pairs cross the split). */
@@ -1680,6 +1714,48 @@ object PipelineQueries {
        |  CAST(2 * len(t.t) - 1 AS BIGINT) AS n_features,
        |  s.score >= 0 AS keep
        |FROM sc s JOIN toks t ON s.doc_id = t.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  // ---- DSIR importance scoring ----
+
+  /** DSIR data selection under the hash gate: `source = 'src18'` (16
+    * docs) plays the curated target corpus; every document gets its
+    * smoothed target-vs-raw likelihood-ratio score over the hashed
+    * unigram+bigram features. The oracle re-derives the bucket
+    * statistics from the same fnv1a feature stream, re-learns the
+    * integer weight table with the same Laplace smoothing and floor
+    * division, and replays every score — so statistics, table and
+    * inference must agree feature-for-feature across engines. */
+  def dsirQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.ImportanceSelection.dsirScores(
+        docs(s, d), "doc_id", "text",
+        isTarget = col("source") === "src18", buckets = 4096)
+      .orderBy("doc_id")
+
+  val dsirSql: String = {
+    val fnvTok = SqlHash.fnv1aSql(SqlHash.utf8Codes("f"))
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    string_split(lower(text), ' ') AS t FROM documents),
+       |feat AS (SELECT doc_id, source, unnest(list_concat(t,
+       |    list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1]))) AS f
+       |  FROM toks),
+       |fh AS (SELECT doc_id, source, $fnvTok AS hu FROM feat),
+       |fb AS (SELECT doc_id, (hu % 4096::HUGEINT)::BIGINT AS b,
+       |    source = 'src18' AS tgt FROM fh),
+       |cnt AS (SELECT b,
+       |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS t,
+       |    count(*)::BIGINT AS r
+       |  FROM fb GROUP BY b),
+       |wt AS (SELECT b, 1000000 * (t + 1) // (r + 1) AS w FROM cnt),
+       |sc AS (SELECT fb.doc_id, sum(wt.w)::BIGINT AS dsir_score
+       |  FROM fb JOIN wt USING (b) GROUP BY fb.doc_id)
+       |SELECT s.doc_id,
+       |  CAST(2 * len(t.t) - 1 AS BIGINT) AS n_features,
+       |  s.dsir_score,
+       |  s.dsir_score::DOUBLE /
+       |    (CAST(2 * len(t.t) - 1 AS BIGINT) * 1000000)::DOUBLE AS dsir_avg
+       |FROM sc s JOIN toks t USING (doc_id)
        |ORDER BY s.doc_id""".stripMargin
   }
 
