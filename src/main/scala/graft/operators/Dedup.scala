@@ -207,11 +207,16 @@ object Dedup {
       maxEdits: Int, threshold: Double = 0.8,
       shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
       maxBucketSize: Int = 1000): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes,
-      bandRows, threshold, maxBucketSize)
+    // materialized + counted: the verified pair table's STATIC size
+    // estimate inherits the candidates' bogus pre-explode guess (the
+    // same trap signaturePairs guards), so the text joins below key
+    // their broadcast-vs-shuffle choice on the REAL cardinality
+    val pairs = Materialize(minhashPairs(df, idCol, textCol, shingleN,
+      numHashes, bandRows, threshold, maxBucketSize))
+    val big = pairs.count() > BroadcastSafeRows
     val texts = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-    pairs
-      .join(texts.select(col("id").as("a_id"), col("__t").as("__ta")), Seq("a_id"))
+    noStaticBroadcast(noStaticBroadcast(pairs, big)
+      .join(texts.select(col("id").as("a_id"), col("__t").as("__ta")), Seq("a_id")), big)
       .join(texts.select(col("id").as("b_id"), col("__t").as("__tb")), Seq("b_id"))
       .withColumn("edits", TextFunctions.editDistanceWithin(
         col("__ta"), col("__tb"), maxEdits))

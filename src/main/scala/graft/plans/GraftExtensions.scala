@@ -116,6 +116,16 @@ object GraftExtensions {
         LinearTextScore(t, intArg(b, "buckets"), intArg(s, "span"))
       case args => throw new IllegalArgumentException(s"linear_text_score takes 1 or 3 args, got ${args.size}")
     }
+    reg("edit_within",
+        "edit_within(a, b, maxEdits) - banded byte Levenshtein, -1 beyond the budget") {
+      case Seq(a, b, k) => EditDistanceWithin(a, b, intArg(k, "maxEdits"))
+      case args => throw new IllegalArgumentException(s"edit_within takes 3 args, got ${args.size}")
+    }
+    reg("feature_buckets",
+        "feature_buckets(text, buckets) - hashed unigram+bigram feature buckets (the linear_text_score stream)") {
+      case Seq(t, b) => FeatureBuckets(t, intArg(b, "buckets"))
+      case args => throw new IllegalArgumentException(s"feature_buckets takes 2 args, got ${args.size}")
+    }
     reg("sign_projection",
         "sign_projection(vec, k, seed) - Johnson-Lindenstrauss sign random projection") {
       case Seq(v, k) => SignProjection(v, intArg(k, "k"), 0L)

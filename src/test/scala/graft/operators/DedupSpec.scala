@@ -211,6 +211,26 @@ class DedupSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("editPairs keeps budget-edits pairs, rejects high-jaccard rewrites") {
+    val base = (0 until 50).map(i => s"w$i").mkString(" ")
+    // 2 byte substitutions: "w25" -> "x25"
+    val nearDup = base.replace("w25", "x25").replace("w26", "x26")
+    // every base shingle survives (append-only) so jaccard = 48/58 ≈
+    // 0.83 ≥ 0.8, but the appended tail costs ~70 byte edits
+    val bigInsert = base + " " + (0 until 10).map(i => s"extra$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, bigInsert))
+      .toDF("doc_id", "text")
+    val got = Dedup.editPairs(df, "doc_id", "text",
+        maxEdits = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == Set((1L, 2L, 2)))
+    // raising the budget admits the insert pair at its exact distance
+    val wide = Dedup.editPairs(df, "doc_id", "text",
+        maxEdits = 100, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(wide((1L, 3L)) == bigInsert.length - base.length)
+  }
+
   test("embedding LSH finds planted near-duplicate vectors") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)

@@ -90,6 +90,21 @@ def main(sf1, sf01):
         img0 = copy_decompose(q, load(sf1, q), ids, shifts)
         against_sf01(q, img0, load(sf01, q))
 
+    # dedup_edit: within-copy only + copy-0 == sf0.1. The per-copy
+    # images are deliberately NOT compared (the _c<i> token suffix
+    # inflates insertion edit costs, so the maxEdits gate legitimately
+    # differs per copy); copies 1..9 get a full-copy direct mirror in
+    # check_sf1_slowmirrors.py instead.
+    try:
+        ed1, ed0 = load(sf1, "q_dedup_edit"), load(sf01, "q_dedup_edit")
+        copies = ed1["a_id"] // S_DOC
+        report("q_dedup_edit: pairs stay within one copy",
+               (copies == ed1["b_id"] // S_DOC).all())
+        report("q_dedup_edit: copy-0 rows == sf0.1 output",
+               canon(ed1[ed1.a_id < S_DOC]).equals(canon(ed0)))
+    except SystemExit:
+        print("SKIP q_dedup_edit (output not present in this run)", flush=True)
+
     # line_dedup: per-copy counts must match copy 0 (token bijection
     # preserves line multiplicities); copy-0 TEXT must equal sf0.1's
     ld1, ld0 = load(sf1, "q_line_dedup"), load(sf01, "q_line_dedup")
