@@ -124,6 +124,11 @@ object TextFunctions {
   def editDistanceWithin(a: Column, b: Column, maxEdits: Int): Column =
     toColumn(EditDistanceWithin(toExpr(a), toExpr(b), maxEdits))
 
+  /** fnv64 of each adjacent word bigram → array<long>, fused (see
+    * [[BigramHashes]] for why the composed HOF + string form loses). */
+  def bigramHashes(text: Column): Column =
+    toColumn(BigramHashes(toExpr(text)))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -664,6 +669,56 @@ case class FeatureBuckets(child: Expression, buckets: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): FeatureBuckets =
+    copy(child = c)
+}
+
+/** 64-bit FNV-1a hashes of the adjacent word bigrams of the token
+  * stream (split on single spaces, empties kept): one array<long> per
+  * row, position i = fnv64(tok_i + " " + tok_i+1). Fused on purpose:
+  * the composed HOF form (`transform(sequence(...), i ->
+  * concat(toks[i], ' ', toks[i+1]))`) hits the lambda-inlining trap
+  * (SURVEY §4 — the split re-evaluates per element) AND materializes
+  * every bigram STRING only to hash or shuffle it later. Hashing at
+  * the source keeps the downstream (id, bigram) tables 8 bytes per
+  * key — at web scale that's the difference between a count shuffle
+  * that spills and one that doesn't. Hash identity stands in for
+  * string identity: two DISTINCT bigrams collide with probability
+  * ~2⁻⁶⁴ (≈ distinct-pairs/2⁶⁵ corpus-wide), and a collision in a
+  * gated run FAILS the gate loudly (counts merge high vs the
+  * string-keyed mirror) rather than passing silently. No allocation
+  * beyond the token split; hashes bytes of tok_i, ' ', tok_i+1
+  * directly — no concatenated string is built. */
+case class BigramHashes(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val out = new Array[Long](n - 1)
+    i = 0
+    while (i < n - 1) {
+      var h = 0xcbf29ce484222325L
+      val a = bytes(i)
+      var j = 0
+      while (j < a.length) { h ^= (a(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      h ^= ' '.toLong; h *= 0x100000001b3L
+      val b = bytes(i + 1)
+      j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): BigramHashes =
     copy(child = c)
 }
 

@@ -544,10 +544,22 @@ object TextAnalysis {
     * Scale shape: the exploded (doc, bigram) occurrence table is
     * token-count-sized and MATERIALIZED once for its two consumers
     * (the corpus count aggregate and the scoring join) — the
-    * re-derive-per-consumer trap would scan the corpus twice. The
-    * count aggregate is a partial-aggregating groupBy (a hot bigram
+    * re-derive-per-consumer trap would scan the corpus twice. Bigram
+    * identity is the 64-bit fnv hash, fused at the source
+    * ([[graft.functions.BigramHashes]]): the materialized table,
+    * count shuffle and scoring join all carry 8-BYTE keys instead of
+    * bigram strings (~2.5× narrower — at the 150M-occurrence scale
+    * where the string-keyed count join was measured spilling, the
+    * difference between disk and memory), and the per-row HOF
+    * re-split the composed transform() form paid is gone. Two
+    * distinct bigrams collide with probability ≈ distinct-pairs/2⁶⁵
+    * corpus-wide; the DuckDB mirror stays STRING-keyed, so any
+    * collision in a gated run fails the gate loudly (merged counts
+    * read high) instead of passing silently — hash-vs-string count
+    * equality is also spec-pinned on the fixture corpus. The count
+    * aggregate is a partial-aggregating groupBy (a hot bigram
     * combines map-side, never buffers one task); the scoring join is
-    * keyed on the bigram with both sides hash-partitioned (AQE
+    * keyed on the hash with both sides hash-partitioned (AQE
     * broadcasts the count table at small vocabularies and splits
     * skewed probe partitions beyond); the final per-doc aggregate is
     * one doc-keyed shuffle. No window ever holds a bigram's full
@@ -556,14 +568,11 @@ object TextAnalysis {
                        textCol: String): DataFrame = {
     val id = col(idCol)
     // docs with < 2 words have no transitions — excluded, matching
-    // the mirror's WHERE. sequence(0, size-2) must not see size < 2:
-    // Spark generates a DESCENDING sequence when stop < start.
+    // the mirror's WHERE (BigramHashes emits an empty array there)
     val bg = df
-      .select(id, words(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(id, explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+      .select(id, TextFunctions.bigramHashes(col(textCol)).as("bgh"))
+      .filter(size(col("bgh")) >= 1)
+      .select(id, explode(col("bgh")).as("bg"))
     val mat = Materialize(bg)
     val counts = mat.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     mat.join(counts, "bg")

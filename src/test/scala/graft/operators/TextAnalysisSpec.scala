@@ -291,6 +291,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L) == ((2L, 3L, 1.5)))
   }
 
+  test("ngramFamiliarity: hash-keyed counts equal string-keyed counts on the fixture corpus") {
+    // the operator keys bigram identity on fnv64; the mirror keys on
+    // strings. Equality holds exactly when no two distinct bigrams
+    // collide — pin it on real data so the hash substitution is sound
+    // at gate scale (a collision would also fail the driver gate
+    // loudly; this localizes the diagnosis).
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${sf("0.01")}/documents.parquet")
+    val hashed = TextAnalysis.ngramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaStrings = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    val counts = viaStrings.groupBy("bg").count()
+    val expected = viaStrings.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("count").as("sf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed == expected)
+  }
+
   test("ngramFamiliarity: one corpus scan (occurrence table materialized)") {
     val df = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = TextAnalysis.ngramFamiliarity(df, "doc_id", "text")
