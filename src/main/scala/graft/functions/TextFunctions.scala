@@ -129,6 +129,12 @@ object TextFunctions {
   def bigramHashes(text: Column): Column =
     toColumn(BigramHashes(toExpr(text)))
 
+  /** Distinct 64-bit shingle identities — the persistable dedup-verify
+    * payload (see [[ShingleHashes]]; identical hashing to
+    * [[MinHashSigText]]). */
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    toColumn(ShingleHashes(toExpr(text), shingleN))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -292,6 +298,57 @@ object MinHashSigText {
     }
     sig
   }
+}
+
+/** The DISTINCT 64-bit shingle identities of a text — fnv64 of each
+  * space-joined word n-gram, streamed word-by-word exactly as
+  * [[MinHashSigText]] hashes them (same identity ⇒ a stored shingle
+  * set and a freshly-signatured one agree by construction). This is
+  * the PERSISTABLE verify payload for index-based dedup: 8 bytes per
+  * distinct shingle instead of the shingle string, with the usual
+  * ~2⁻⁶⁴ collision bound (a collision inflates Jaccard vs a
+  * string-keyed mirror and fails the gate loudly). First-occurrence
+  * order, deterministic; Jaccard consumers use sizes only. */
+case class ShingleHashes(child: Expression, shingleN: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < shingleN) return new GenericArrayData(Array.emptyLongArray)
+    val wb = new Array[Array[Byte]](words.length)
+    var wi = 0
+    while (wi < words.length) {
+      wb(wi) = words(wi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      wi += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](words.length * 2)
+    var i = 0
+    val last = words.length - shingleN
+    while (i <= last) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        val bytes = wb(i + j)
+        var bi = 0
+        while (bi < bytes.length) {
+          h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1
+        }
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
 }
 
 /** Fused text → LSH band bucket keys: the MinHash signature is computed

@@ -288,6 +288,119 @@ object Dedup {
       .select(col("a_id").as("corpus_id"), col("b_id").as("ref_id"), col("jaccard"))
   }
 
+  /** Build and PERSIST a MinHash dedup index over a reference corpus —
+    * the incremental-dedup production shape ("dedup every new crawl
+    * against the training set"): the reference is tokenized, shingled
+    * and banded ONCE, ever; each probe batch afterwards computes only
+    * its OWN signatures (cf. [[minhashPairsAgainst]], which re-derives
+    * both sides per run — at 100 TB the reference pass dominates and
+    * is pure waste after the first run).
+    *
+    * Layout: `$path/bands` = (bucket, ids) with the per-bucket skew
+    * cap applied AT BUILD (a degenerate bucket is dropped once, not
+    * re-dropped per probe; O(cap) aggregation buffer); `$path/shingles`
+    * = (id, sh: array<long>) — the 64-bit shingle identities
+    * ([[graft.functions.ShingleHashes]], hashed exactly as the
+    * signatures hash them), 8 bytes per distinct shingle instead of
+    * the shingle text; `$path/meta` pins the banding parameters so a
+    * probe can never silently run with mismatched banding. */
+  def writeMinhashIndex(
+      reference: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numHashes, bandRows, maxBucketSize))
+      .toDF("shingleN", "numHashes", "bandRows", "maxBucketSize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    reference
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.shingleHashes(col(textCol), shingleN).as("sh"))
+      .repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    reference
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.minhashBands(
+          col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
+      .groupBy("bucket")
+      .agg(graft.functions.BoundedCollect
+        .bounded_long_list(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Probe a persisted MinHash index: near-dup pairs between a NEW
+    * batch and the indexed reference at exact Jaccard ≥ `threshold`
+    * (verified over the 64-bit shingle identities — equal to string
+    * Jaccard absent ~2⁻⁶⁴ collisions, which fail a string-keyed
+    * oracle loudly). Banding parameters come from the index meta, so
+    * probe and build cannot drift.
+    *
+    * Scale shape: the probe batch is banded and grouped to bounded
+    * per-bucket id lists; sized on its REAL count, a small probe
+    * side BROADCASTS into the bucket join — the stored band table
+    * streams map-side and the reference never shuffles (the
+    * build-once promise kept at probe time); an over-budget probe
+    * falls back to a shuffle join. Candidates are materialized and
+    * counted (the explode-estimate trap), the verify sides semi-join
+    * only candidate ids, and the stored shingle payload is read — not
+    * recomputed. Output: (corpus_id = probe id, ref_id, jaccard). */
+  def probeMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val shingleN = meta.getAs[Int]("shingleN")
+    val numHashes = meta.getAs[Int]("numHashes")
+    val bandRows = meta.getAs[Int]("bandRows")
+    val maxBucketSize = meta.getAs[Int]("maxBucketSize")
+
+    val probeGrouped = Materialize(newDocs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.minhashBands(
+          col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
+      .groupBy("bucket")
+      .agg(graft.functions.BoundedCollect
+        .bounded_long_list(col("id"), maxBucketSize).as("a_ids"))
+      .filter(col("a_ids").isNotNull))
+    val probeSmall = probeGrouped.count() <= BroadcastSafeRows
+    val pg = if (probeSmall) broadcast(probeGrouped)
+             else probeGrouped.hint("merge")
+
+    val bandsIdx = spark.read.parquet(s"$path/bands")
+    val candidates = Materialize(pg
+      .join(bandsIdx.withColumnRenamed("ids", "b_ids"), "bucket")
+      .select(explode(expr(
+        """flatten(transform(a_ids, x ->
+          |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .dropDuplicates("a_id", "b_id"))
+    val big = candidates.count() > BroadcastSafeRows
+
+    // probe-side shingles: computed, for candidate probe docs only
+    val aIds = sizedIdSet(candidates.select(col("a_id").as("id")).distinct(), big)
+    val probeSh = Materialize(newDocs
+      .join(aIds, col(idCol).cast("long") === aIds("id"), "left_semi")
+      .select(col(idCol).cast("long").as("a_id"), col(textCol).as("__text"))
+      .repartition(col("a_id"))
+      .select(col("a_id"),
+        TextFunctions.shingleHashes(col("__text"), shingleN).as("a_sh")))
+    // reference-side shingles: READ from the index, never recomputed
+    val bIds = sizedIdSet(candidates.select(col("b_id").as("id")).distinct(), big)
+    val refSh = spark.read.parquet(s"$path/shingles")
+      .join(bIds, Seq("id"), "left_semi")
+      .select(col("id").as("b_id"), col("sh").as("b_sh"))
+
+    noStaticBroadcast(noStaticBroadcast(candidates, big)
+      .join(probeSh, Seq("a_id")), big)
+      .join(refSh, Seq("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("corpus_id"), col("b_id").as("ref_id"), col("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the LSH pair
     * graph. Output: (id, cluster_id) where cluster_id = min id in the
     * component (singletons keep their id); "keep one per cluster"

@@ -180,6 +180,28 @@ object PipelineQueries {
       |WHERE jaccard >= 0.8
       |ORDER BY corpus_id, ref_id""".stripMargin
 
+  /** Incremental dedup against a PERSISTED MinHash index (build-once,
+    * probe-many — the production "dedup the new crawl" shape): odd
+    * docs are indexed once (bands + stored 64-bit shingle identities +
+    * pinned banding meta), even docs probe it. Same split and
+    * threshold as q_dedup_cross, so the SAME string-keyed all-pairs
+    * oracle applies — which also makes any shingle-hash collision a
+    * loud gate failure. Deterministic ⇒ the index build is idempotent
+    * (guarded by bands/_SUCCESS like the IVF index). */
+  def dedupIndexQ(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_mhindex_v1_$sfKey"
+    if (!new java.io.File(s"$base/bands/_SUCCESS").isFile)
+      Dedup.writeMinhashIndex(
+        docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text", base)
+    Dedup.probeMinhashIndex(s, base,
+        docs(s, d).filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("corpus_id", "ref_id")
+  }
+
+  val dedupIndexSql: String = dedupCrossSql
+
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.clusters(docs(s, d), "doc_id", "text", threshold = 0.8)
       .orderBy("doc_id")
