@@ -202,6 +202,66 @@ object PipelineQueries {
 
   val dedupIndexSql: String = dedupCrossSql
 
+  /** STREAMING incremental dedup against the persisted MinHash index:
+    * the even docs ("new crawl") staged as 4 parquet files, consumed
+    * one file per AvailableNow micro-batch, each batch probed against
+    * the odd-docs index and only no-near-dup rows appended to the
+    * sink. Batch independence (the index is fixed) makes the stream
+    * output equal the batch anti-join regardless of batch boundaries
+    * — the oracle is the plain set-difference SQL. Same build/staging
+    * sentinel protocol as q_stream_dedup. */
+  def streamIndexDedup(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val idxBase = s"${sys.props("java.io.tmpdir")}/graft_mhindex_v1_$sfKey"
+    if (!new java.io.File(s"$idxBase/bands/_SUCCESS").isFile)
+      Dedup.writeMinhashIndex(
+        docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text", idxBase)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamidx_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamidx_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingIndexDedup.run(s, src, idxBase,
+        "doc_id", "text", threshold = 0.8,
+        sinkPath = s"$staging/out", checkpoint = s"$staging/ckpt")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-index-dedup promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    s.read.parquet(s"$root/out").orderBy("doc_id")
+  }
+
+  /** Even docs minus those with an odd-side Jaccard ≥ 0.8 near-dup —
+    * the batch anti-join the stream must reproduce batch-by-batch. */
+  val streamIndexDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+      |      FROM t),
+      |dup AS (SELECT DISTINCT a.doc_id FROM s a, s b
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+      |ORDER BY doc_id""".stripMargin
+
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.clusters(docs(s, d), "doc_id", "text", threshold = 0.8)
       .orderBy("doc_id")

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming incremental dedup against a PERSISTED MinHash index —
+  * the ingest-time composition of [[graft.operators.Dedup
+  * .probeMinhashIndex]]: each micro-batch of a new-crawl stream is
+  * probed against the training-set index and only documents with NO
+  * near-duplicate in the reference survive to the sink. This is the
+  * shape a production ingest runs continuously: the reference side
+  * was banded/shingled once at index build; each batch pays only its
+  * own signatures (bounded by the batch, not the corpus).
+  *
+  * Semantics: filtering is against the FIXED reference index only —
+  * batch-vs-batch and within-batch duplicates are deliberately left
+  * to the upstream [[StreamingDedup]] stage (watermarked exact dedup)
+  * or a periodic batch pass; a stream that also appended its own
+  * survivors to the index would make results order-dependent, which
+  * breaks the exactly-reproducible contract every gated operator here
+  * keeps. Because each batch is filtered independently against a
+  * fixed index, the stream output over any file set equals the batch
+  * [[Dedup.probeMinhashIndex]] anti-join over the same rows — gated
+  * by the driver query against the same all-pairs oracle.
+  */
+object StreamingIndexDedup {
+
+  /** Run `stream` (a streaming DataFrame of documents) through
+    * index-probe dedup, appending surviving rows to a parquet sink.
+    * Returns after the stream terminates (AvailableNow-style callers
+    * await inside). Columns are passed through unchanged. */
+  def run(spark: SparkSession, stream: DataFrame, indexPath: String,
+          idCol: String, textCol: String, threshold: Double,
+          sinkPath: String, checkpoint: String): Unit = {
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          val dupIds = Dedup.probeMinhashIndex(
+              spark, indexPath, b.toDF(), idCol, textCol, threshold)
+            .select(col("corpus_id").as("__dup_id")).distinct()
+          b.join(dupIds, b(idCol).cast("long") === col("__dup_id"),
+              "left_anti")
+            .write.mode("append").parquet(sinkPath)
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+}
