@@ -129,6 +129,15 @@ object TextFunctions {
   def bigramHashes(text: Column): Column =
     toColumn(BigramHashes(toExpr(text)))
 
+  /** Each adjacent word transition as struct<bg: fnv64("w1 w2"),
+    * ctx: fnv64("w1")> → array<struct>, fused in one pass (see
+    * [[TransitionHashes]]) — the 16-byte key pair the bigram-LM
+    * scoring joins carry instead of two strings. `bg` is bit-identical
+    * to [[bigramHashes]] (the ctx hash is fnv's running state after
+    * w1, extended by ' ' + w2 for bg). */
+  def transitionHashes(text: Column): Column =
+    toColumn(TransitionHashes(toExpr(text)))
+
   /** Distinct 64-bit shingle identities — the persistable dedup-verify
     * payload (see [[ShingleHashes]]; identical hashing to
     * [[MinHashSigText]]). */
@@ -776,6 +785,52 @@ case class BigramHashes(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): BigramHashes =
+    copy(child = c)
+}
+
+/** Fused per-transition key pair for bigram-LM scoring: for each
+  * adjacent word pair (w1, w2) emit struct<bg: fnv64("w1 w2"),
+  * ctx: fnv64(w1)>. The ctx hash is fnv's running state after w1's
+  * bytes, so both keys come out of ONE byte pass per transition —
+  * and `bg` is bit-identical to [[BigramHashes]]. Splits with the
+  * same `split(text, " ", -1)` convention (empty tokens kept) so the
+  * string-keyed DuckDB mirror sees the same transition multiset. */
+case class TransitionHashes(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bg", LongType, nullable = false),
+    StructField("ctx", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    val wordHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      val a = bytes(i)
+      var j = 0
+      while (j < a.length) { h ^= (a(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      wordHash(i) = h
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      var h = wordHash(i)
+      h ^= ' '.toLong; h *= 0x100000001b3L
+      val b = bytes(i + 1)
+      var j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(h, wordHash(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TransitionHashes =
     copy(child = c)
 }
 

@@ -433,6 +433,34 @@ object Dedup {
         count(lit(1)).as("n_members"))
   }
 
+  /** Leakage-safe train/validation split: assign each document to a
+    * split by hashing its NEAR-DUP CLUSTER label, never its own id —
+    * all members of a [[clusters]] component land on the same side,
+    * so a validation document can never have a near-duplicate in
+    * train (the split-contamination mode a plain per-doc hash split
+    * silently allows; decontamination-by-construction). `valPct` of
+    * the hash buckets go to "val", the rest to "train"; the seeded
+    * hash makes the split reproducible and re-rollable per seed.
+    *
+    * Cost beyond clustering itself is a pure projection over the
+    * cluster labels (seeded xxhash64 → pmod bucket → flag): zero
+    * additional shuffles or actions at any corpus size. Buckets are
+    * uniform by avalanche, so split sizes track valPct in expectation
+    * CLUSTER-wise (the unavoidable quantization: a giant cluster
+    * moves as one unit — that is the point). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8, valPct: Int = 10,
+                       seed: Long = 7L): DataFrame = {
+    require(valPct >= 0 && valPct <= 100, s"bad valPct $valPct")
+    clusters(df, idCol, textCol, threshold = threshold)
+      .withColumn("bucket",
+        pmod(ShuffleOrder.seededHash(col("cluster_id"), seed), lit(100L))
+          .cast("int"))
+      .withColumn("split",
+        when(col("bucket") < lit(100 - valPct), lit("train"))
+          .otherwise(lit("val")))
+  }
+
   /** Connected components from an existing (a_id, b_id) pair set —
     * lets callers reuse pairs they already computed (e.g. after
     * minhashPairs) instead of re-running the LSH pipeline.

@@ -67,4 +67,44 @@ object SubstringDedup {
         (col("span_end") - col("span_start") + 1).as("span_toks"),
         col("n_dup_windows"))
   }
+
+  /** The REMOVAL step of Lee-et-al substring dedup: cut every
+    * [[duplicatedSpans]] region out of its document and re-join the
+    * surviving tokens — one row per input document with the cleaned
+    * text. Policy: EVERY duplicated occurrence is removed (the
+    * strictest variant; a keep-one-copy policy is a caller-side union
+    * of the canonical occurrence back in). Documents with no
+    * duplicated span pass through unchanged (byte-identical: split on
+    * single spaces keeps empty tokens, so re-join reproduces the
+    * original spacing).
+    *
+    * Scale shape: spans per doc aggregate to ONE sorted struct array
+    * (maximal islands are disjoint by construction, so
+    * n_removed_toks = Σ span_toks with no overlap bookkeeping); the
+    * corpus joins that doc-keyed span table once — re-joining the
+    * text beats carrying it through the window machinery. Token
+    * filtering is a single codegen HOF projection; the per-token
+    * `exists` over the span array is O(tokens·spans_per_doc) with
+    * spans_per_doc island-bounded (tiny on real corpora), never a
+    * corpus-wide operation. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            w: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, w)
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_toks")).as("n_removed_toks"))
+    df.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("kept", expr(
+        "CASE WHEN spans IS NULL THEN toks ELSE filter(toks, " +
+          "(t, i) -> NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e)) END"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("text_clean"),
+        coalesce(col("n_removed_toks"), lit(0L)).as("n_removed_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
 }

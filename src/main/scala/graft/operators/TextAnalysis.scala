@@ -582,6 +582,84 @@ object TextAnalysis {
         col("sum_freq").cast("double") / col("n_bigrams"))
   }
 
+  /** Fixed-point piecewise-linear log2 of a positive integer SQL
+    * expression, templated for both engines (only the integer-div and
+    * shift spellings differ):
+    *
+    *   lg2fp(x) = il·2²⁰ + ⌊x·2²⁰ / 2^il⌋ − 2²⁰,  il = len(bin(x))−1
+    *
+    * This is the bit-length + linear-mantissa log2: exact at powers of
+    * two, strictly monotone, absolute error ≤ 0.0861 bits, and —
+    * unlike `ln`/`log2`, which neither engine correctly rounds — every
+    * operation is integer, so Spark and DuckDB produce IDENTICAL bits
+    * and a cross-engine hash gate on LM scores is honest. The il ≥ 20
+    * branch divides instead of multiplying (⌊x·2²⁰/2^il⌋ =
+    * ⌊x/2^(il−20)⌋ exactly), so no intermediate exceeds
+    * max(x, 2⁴⁰) — overflow-free for any BIGINT count. */
+  def lg2fpSql(x: String, spark: Boolean): String = {
+    val il = s"(length(bin($x)) - 1)"
+    val one = "CAST(1 AS BIGINT)"
+    if (spark)
+      s"(CAST($il AS BIGINT) * 1048576 + CASE WHEN $il >= 20 " +
+        s"THEN ($x) div shiftleft($one, $il - 20) " +
+        s"ELSE ($x) * shiftleft($one, 20 - $il) END - 1048576)"
+    else
+      s"(CAST($il AS BIGINT) * 1048576 + CASE WHEN $il >= 20 " +
+        s"THEN ($x) // ($one << ($il - 20)) " +
+        s"ELSE ($x) * ($one << (20 - $il)) END - 1048576)"
+  }
+
+  /** Bigram-LM cross-entropy scoring — the CCNet-style "perplexity
+    * against a reference corpus" quality signal: train an add-one-
+    * smoothed bigram model on `ref`, score every document of `df` by
+    * the mean negative log2-probability of its word transitions
+    * (cross-entropy in bits/transition; ranking by it ranks by
+    * perplexity, since 2^x is monotone). p(w2|w1) = (c(w1 w2)+1) /
+    * (c(w1·)+V) with V = |context vocabulary|; unseen contexts score
+    * the uniform floor 1/V. log2 is [[lg2fpSql]]'s fixed-point
+    * piecewise-linear form, so every per-transition contribution is an
+    * exact BIGINT and per-doc scores are bit-identical cross-engine
+    * (the one double is the final sum/count division of exact longs —
+    * exact conversions below 2⁵³, i.e. up to ~10⁸ transitions/doc).
+    *
+    * Scale shape: transitions are fused 16-byte key pairs
+    * ([[TextFunctions.transitionHashes]] — bg + ctx hashes in one byte
+    * pass; the mirror stays STRING-keyed so a collision fails the gate
+    * loudly, as with ngramFamiliarity). The model is ONE map-side-
+    * combined groupBy of the reference transitions (vocab²-bounded
+    * output, never corpus-sized), MATERIALIZED once for its three
+    * consumers; c(w1·) derives from the model by a model-sized agg —
+    * no second reference scan — and V rides a 1-row broadcast
+    * crossJoin (the bounded-grid pattern), never a driver action.
+    * Scoring is two left joins against model-sized right sides (AQE
+    * broadcasts them at moderate vocabularies, hash-partitions on the
+    * 8-byte keys beyond) and ONE doc-keyed final aggregate, map-side
+    * combined. No window ever buffers a context's posting list. */
+  def bigramCrossEntropy(ref: DataFrame, df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    def trans(src: DataFrame, keep: Seq[Column]): DataFrame =
+      src.select((keep :+ explode(
+          TextFunctions.transitionHashes(col(textCol))).as("t")): _*)
+        .select(keep :+ col("t.bg").as("bg") :+ col("t.ctx").as("ctx"): _*)
+    val model = Materialize(trans(ref, Nil)
+      .groupBy(col("bg"), col("ctx")).agg(count(lit(1)).as("c12")))
+    val c1 = model.groupBy(col("ctx")).agg(sum(col("c12")).as("c1"))
+    val vDf = c1.agg(count(lit(1)).as("v"))
+    trans(df, Seq(col(idCol)))
+      .join(model.select(col("bg"), col("c12")), Seq("bg"), "left")
+      .join(c1, Seq("ctx"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("num", coalesce(col("c12"), lit(0L)) + lit(1L))
+      .withColumn("den", coalesce(col("c1"), lit(0L)) + col("v"))
+      .withColumn("lp_fp", expr(
+        s"${lg2fpSql("den", spark = true)} - ${lg2fpSql("num", spark = true)}"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("lp_fp")).as("sum_lp_fp"))
+      .withColumn("cross_entropy_bits",
+        col("sum_lp_fp").cast("double") /
+          (col("n_trans") * lit(1048576L)).cast("double"))
+  }
+
   def htmlExtract(df: DataFrame, htmlCol: String = "html",
                   outCol: String = "text_extracted"): DataFrame = {
     val stripped = htmlStripPasses.foldLeft(col(htmlCol)) {

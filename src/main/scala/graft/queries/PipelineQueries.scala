@@ -327,6 +327,47 @@ object PipelineQueries {
       |SELECT cluster_id, doc_id AS keep_id, CAST(n AS BIGINT) AS n_members
       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Cluster-hashed train/val split under the driver gate: every
+    * near-dup component lands whole on one side (val can never hold a
+    * near-duplicate of a train doc). The mirror replays the recursive
+    * components, the seeded xxhash64 (SqlHash HUGEINT steps) and the
+    * pmod bucketing, so membership AND the exact bucket of every doc
+    * are value-checked. */
+  def leakageSplitQ(s: SparkSession, d: String): DataFrame =
+    Dedup.leakageSafeSplit(docs(s, d), "doc_id", "text",
+        threshold = 0.8, valPct = 10, seed = 7L)
+      .orderBy("doc_id")
+
+  val leakageSplitSql: String = {
+    val steps = SqlHash.xxh64LongSteps("hx", "cl", "cluster_id",
+      keep = Seq("doc_id", "cluster_id"), seed = 7L, out = "h")
+    val sgn = SqlHash.toSigned("h")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+       |s AS (SELECT doc_id,
+       |        list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+       |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) sh
+       |      FROM t),
+       |e AS (SELECT a_id, b_id FROM (
+       |  SELECT a.doc_id a_id, b.doc_id b_id,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) jaccard
+       |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8),
+       |und(v, nbr) AS (SELECT a_id, b_id FROM e UNION SELECT b_id, a_id FROM e),
+       |cc(v, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT und.nbr, cc.lbl FROM cc JOIN und ON cc.v = und.v),
+       |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v),
+       |$steps,
+       |b AS (SELECT doc_id, cluster_id,
+       |        ((($sgn % 100) + 100) % 100)::INT AS bucket FROM hx)
+       |SELECT doc_id, cluster_id, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** SimHash hamming ≤ 3 pairs. The chunk-combination bucketing is
     * lossless for numChunks > maxHamming, so the engine's output must
     * EQUAL brute force — which the oracle recomputes in DuckDB from
@@ -987,7 +1028,38 @@ object PipelineQueries {
     graft.operators.SubstringDedup.duplicatedSpans(docs(s, d), "doc_id", "text", w = 8)
       .orderBy("doc_id", "span_start")
 
-  val substrDedupSql: String = {
+  /** The removal step under the driver gate: every doc's cleaned text
+    * after cutting all duplicated spans (w=8). The mirror extends the
+    * substr_dedup span replay with per-position coverage + an ordered
+    * filtered string_agg, so every byte of every cleaned document is
+    * hash-checked. */
+  def substrRemoveQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.SubstringDedup.removeDuplicatedSpans(
+        docs(s, d), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
+  val substrRemoveSql: String =
+    s"""${substrSpansCte("sp")},
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tp AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS p FROM tok),
+       |tv AS (SELECT doc_id, p, toks[p] AS w FROM tp),
+       |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p,
+       |          1 AS c FROM sp),
+       |mkd AS (SELECT tv.doc_id, tv.p, tv.w, cov.c
+       |        FROM tv LEFT JOIN cov ON tv.doc_id = cov.doc_id AND tv.p = cov.p),
+       |kept AS (SELECT doc_id,
+       |    coalesce(string_agg(w, ' ' ORDER BY p) FILTER (WHERE c IS NULL), '')
+       |      AS text_clean,
+       |    count(c)::BIGINT AS n_removed_toks
+       |  FROM mkd GROUP BY doc_id),
+       |spc AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY doc_id)
+       |SELECT k.doc_id, k.text_clean, k.n_removed_toks,
+       |  coalesce(spc.n_spans, 0)::BIGINT AS n_spans
+       |FROM kept k LEFT JOIN spc USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The shared rolling-hash span replay (see substrDedupSql), ending
+    * in a CTE named `out`(doc_id, span_start, span_end, n_dup_windows). */
+  private def substrSpansCte(out: String): String = {
     val W = 8
     val M = "18446744073709551616::HUGEINT"
     val fnv = SqlHash.fnv1aSql(SqlHash.utf8Codes("tok"))
@@ -1019,14 +1091,17 @@ object PipelineQueries {
        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
        |  FROM mk),
-       |sp AS (SELECT doc_id, min(i) AS span_start, max(i) + $W - 1 AS span_end,
-       |         count(*) AS n_dup_windows FROM gr GROUP BY doc_id, g)
+       |$out AS (SELECT doc_id, min(i) AS span_start, max(i) + $W - 1 AS span_end,
+       |         count(*) AS n_dup_windows FROM gr GROUP BY doc_id, g)""".stripMargin
+  }
+
+  val substrDedupSql: String =
+    s"""${substrSpansCte("sp")}
        |SELECT doc_id, span_start::BIGINT AS span_start,
        |  span_end::BIGINT AS span_end,
        |  (span_end - span_start + 1)::BIGINT AS span_toks,
        |  n_dup_windows
        |FROM sp ORDER BY doc_id, span_start""".stripMargin
-  }
 
   def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
@@ -2282,6 +2357,43 @@ object PipelineQueries {
        |  sum(cnt)::DOUBLE / count(*) AS familiarity
        |FROM bg JOIN c USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- bigram-LM cross-entropy (perplexity-rank quality scoring) ----
+
+  /** LM quality scoring under the driver gate: add-one bigram model
+    * trained on the odd docs, every doc scored by mean negative
+    * fixed-point log2 transition probability. Integer end-to-end
+    * (piecewise-linear log2 — see TextAnalysis.lg2fpSql), so each
+    * doc's score hash-matches the string-keyed mirror bit-for-bit;
+    * the Spark side joins on 8-byte transition hashes, so any fnv
+    * collision on real data fails this gate loudly. */
+  def lmScoreQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramCrossEntropy(
+        docs(s, d).filter(col("doc_id") % 2 === 1), docs(s, d),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  val lmScoreSql: String = {
+    def lg(x: String) = TextAnalysis.lg2fpSql(x, spark = false)
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |tr AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+       |       FROM d0, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix),
+       |m AS (SELECT bg, any_value(w1) AS w1, count(*)::BIGINT AS c12
+       |      FROM tr WHERE doc_id % 2 = 1 GROUP BY bg),
+       |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM m GROUP BY w1),
+       |v AS (SELECT count(*)::BIGINT AS v FROM c1),
+       |sc AS (SELECT tr.doc_id,
+       |         coalesce(m.c12, 0) + 1 AS num,
+       |         coalesce(c1.c1, 0) + v.v AS den
+       |       FROM tr LEFT JOIN m USING (bg)
+       |         LEFT JOIN c1 ON tr.w1 = c1.w1, v),
+       |l AS (SELECT doc_id, ${lg("den")} - ${lg("num")} AS lp FROM sc)
+       |SELECT doc_id, count(*)::BIGINT AS n_trans,
+       |  sum(lp)::BIGINT AS sum_lp_fp,
+       |  sum(lp)::DOUBLE / (count(*) * 1048576) AS cross_entropy_bits
+       |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // ---- document chunking ----
 
