@@ -126,6 +126,16 @@ object GraftExtensions {
       case Seq(t, b) => FeatureBuckets(t, intArg(b, "buckets"))
       case args => throw new IllegalArgumentException(s"feature_buckets takes 2 args, got ${args.size}")
     }
+    reg("bigram_hashes",
+        "bigram_hashes(text) - fnv64 of each adjacent word bigram") {
+      case Seq(t) => BigramHashes(t)
+      case args => throw new IllegalArgumentException(s"bigram_hashes takes 1 arg, got ${args.size}")
+    }
+    reg("transition_hashes",
+        "transition_hashes(text) - per-transition struct<bg, ctx> fnv64 pair (bigram-LM keys)") {
+      case Seq(t) => TransitionHashes(t)
+      case args => throw new IllegalArgumentException(s"transition_hashes takes 1 arg, got ${args.size}")
+    }
     reg("sign_projection",
         "sign_projection(vec, k, seed) - Johnson-Lindenstrauss sign random projection") {
       case Seq(v, k) => SignProjection(v, intArg(k, "k"), 0L)

@@ -21,7 +21,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "theta_intersect", "theta_anotb", "minhash_sig", "simhash64",
       "winnow_fingerprints", "repetition_stats", "strip_accents",
       "linear_text_score", "sign_projection", "edit_within",
-      "feature_buckets"))
+      "feature_buckets", "bigram_hashes", "transition_hashes"))
+  }
+
+  test("bigram/transition hashes work from SQL and agree on bg") {
+    val r = spark.sql(
+      "SELECT bigram_hashes('a b c') AS bg, transition_hashes('a b c') AS tr")
+      .collect()(0)
+    val bg = r.getSeq[Long](0)
+    val tr = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(bg.length == 2 && tr.length == 2)
+    assert(tr.map(_.getLong(0)) == bg) // bg fields bit-identical
+    // ctx depends only on the first word: ("a b c")'s second transition
+    // shares its ctx hash with any "b ..." transition
+    val tr2 = spark.sql("SELECT transition_hashes('b z') AS t")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tr(1).getLong(1) == tr2(0).getLong(1))
   }
 
   test("edit_within works from SQL") {
