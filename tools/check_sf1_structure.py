@@ -125,6 +125,65 @@ def main(sf1, sf01):
     report("q_doc_fingerprint: copy-0 rows == sf0.1 output",
            canon(fp1[fp1.doc_id < S_DOC]).equals(canon(fp0)))
 
+    # stream_index_dedup: survivors = even docs minus within-copy
+    # near-dups (parity survives the 5000 stride) — id sets decompose,
+    # copy-0 rows incl. text equal sf0.1's
+    si1, si0 = load(sf1, "q_stream_index_dedup"), load(sf01, "q_stream_index_dedup")
+    ids_by_copy = [set(si1[si1.doc_id // S_DOC == c].doc_id % S_DOC) for c in range(COPIES)]
+    report("q_stream_index_dedup: all copy id-images identical",
+           all(s == ids_by_copy[0] for s in ids_by_copy[1:]))
+    report("q_stream_index_dedup: copy-0 rows (incl. text) == sf0.1 output",
+           canon(si1[si1.doc_id < S_DOC]).equals(canon(si0)))
+
+    # substr_remove: window duplication is within-copy (token-disjoint
+    # copies; a cross-copy rolling-hash collision would fail loudly),
+    # so span counts decompose and copy-0 text_clean matches sf0.1
+    sr1, sr0 = load(sf1, "q_substr_remove"), load(sf01, "q_substr_remove")
+    img0 = copy_decompose("q_substr_remove(counts)",
+                          sr1[["doc_id", "n_removed_toks", "n_spans"]],
+                          ["doc_id"], ["doc_id"])
+    against_sf01("q_substr_remove(counts)", img0,
+                 sr0[["doc_id", "n_removed_toks", "n_spans"]])
+    report("q_substr_remove: copy-0 rows (incl. text_clean) == sf0.1 output",
+           canon(sr1[sr1.doc_id < S_DOC]).equals(canon(sr0)))
+
+    # leakage_split: components decompose like q_dedup_clusters, and
+    # bucket/split are VALUE-replayed for every sf1 row via a Python
+    # image of Spark's XxHash64(long, seed=7) — cluster labels shift
+    # per copy, so per-copy bucket images legitimately differ
+    ls1, ls0 = load(sf1, "q_leakage_split"), load(sf01, "q_leakage_split")
+    img0 = copy_decompose("q_leakage_split(clusters)",
+                          ls1[["doc_id", "cluster_id"]],
+                          ["doc_id", "cluster_id"], ["doc_id", "cluster_id"])
+    against_sf01("q_leakage_split(clusters)", img0,
+                 ls0[["doc_id", "cluster_id"]])
+
+    def xxh64_long(l, seed=7):
+        M = (1 << 64) - 1
+        P1, P2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+        P3, P4, P5 = 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+        def rotl(x, r):
+            return ((x << r) | (x >> (64 - r))) & M
+        acc = (seed + P5 + 8) & M
+        k1 = rotl((l & M) * P2 & M, 31) * P1 & M
+        acc = (rotl(acc ^ k1, 27) * P1 + P4) & M
+        acc = (acc ^ (acc >> 33)) * P2 & M
+        acc = (acc ^ (acc >> 29)) * P3 & M
+        return acc ^ (acc >> 32)
+
+    def bucket_of(cid):
+        h = xxh64_long(int(cid))
+        s = h - (1 << 64) if h >= (1 << 63) else h
+        return s % 100  # Python floor-mod == Spark pmod here
+    exp_bucket = ls1.cluster_id.map(bucket_of)
+    report("q_leakage_split: every sf1 bucket == pmod(xxh64(cluster_id,7),100) (Python replay)",
+           (ls1.bucket == exp_bucket).all())
+    report("q_leakage_split: split flag consistent with bucket < 90 everywhere",
+           ((ls1.split == "train") == (ls1.bucket < 90)).all())
+    report("q_leakage_split: copy-0 rows (incl. bucket/split) == sf0.1 output",
+           canon(ls1[ls1.doc_id < S_DOC]).equals(canon(ls0)))
+
     bad = [n for n, ok in results if not ok]
     print(f"== {len(results) - len(bad)}/{len(results)} structural checks passed"
           + (f", FAILED: {bad}" if bad else ""), flush=True)
