@@ -92,6 +92,12 @@ object TextFunctions {
   def dupWindowHashes(text: Column, w: Int): Column =
     toColumn(DupWindowHashes(toExpr(text), w))
 
+  /** Maximal spans (1-based struct<s,e>) of windows repeated WITHIN
+    * the document — one zero-shuffle expression pass (see
+    * [[SelfDupSpans]]); feeds self-repetition removal. */
+  def selfDupSpans(text: Column, w: Int): Column =
+    toColumn(SelfDupSpans(toExpr(text), w))
+
   /** Gopher-style repetition stats in one pass: struct<top_gram,
     * top_gram_frac, dup_gram_frac> (see [[RepetitionStats]]). */
   def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
@@ -560,17 +566,29 @@ case class DupWindowHashes(child: Expression, w: Int)
   extends UnaryExpression with CodegenFallback {
   require(w >= 1, "window must be >= 1 token")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(DupWindowHashes.hashesOf(
+      v.asInstanceOf[UTF8String].toString.split(" ", -1), w))
+  override protected def withNewChildInternal(c: Expression): DupWindowHashes = copy(child = c)
+}
+
+object DupWindowHashes {
+  /** Polynomial base — odd (a unit mod 2^64), so each Horner step is a
+    * bijection of the accumulator. Public splitmix64 gamma constant. */
+  val B: Long = 0x9e3779b97f4a7c15L
+
+  /** Rolling hash of every `w`-token window (1 per start position):
+    * the shared O(tokens) pass behind [[DupWindowHashes]] and
+    * [[SelfDupSpans]]. */
+  private[functions] def hashesOf(toks: Array[String], w: Int): Array[Long] = {
     val n = toks.length
-    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    if (n < w) return Array.emptyLongArray
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
       th(i) = TextFunctions.fnv64(UTF8String.fromString(toks(i)))
       i += 1
     }
-    val B = DupWindowHashes.B
     var bw = 1L // B^(w-1) mod 2^64
     i = 0
     while (i < w - 1) { bw *= B; i += 1 }
@@ -585,15 +603,55 @@ case class DupWindowHashes(child: Expression, w: Int)
       out(i) = acc
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): DupWindowHashes = copy(child = c)
 }
 
-object DupWindowHashes {
-  /** Polynomial base — odd (a unit mod 2^64), so each Horner step is a
-    * bijection of the accumulator. Public splitmix64 gamma constant. */
-  val B: Long = 0x9e3779b97f4a7c15L
+/** Maximal spans of tokens covered by `w`-token windows REPEATED
+  * WITHIN the same document (1-based, struct<s, e>) — the per-doc
+  * self-repetition regions (looped boilerplate, stutter artifacts).
+  * Window identity is the same rolling hash as [[DupWindowHashes]];
+  * island merge follows SubstringDedup's rule (starts merge when the
+  * next is ≤ prev + w), so the emitted spans are maximal and
+  * DISJOINT. Self-repetition is per-document local, so the whole
+  * computation — hash, count, merge — is ONE expression pass with a
+  * doc-local hashmap: zero shuffle at any corpus size (vs the
+  * corpus-wide groupBy the cross-document variant genuinely needs). */
+case class SelfDupSpans(child: Expression, w: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(w >= 1, "window must be >= 1 token")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("e", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val whs = DupWindowHashes.hashesOf(
+      v.asInstanceOf[UTF8String].toString.split(" ", -1), w)
+    if (whs.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[Long, Int](whs.length * 2)
+    whs.foreach(h => counts.merge(h, 1, Integer.sum _))
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = -1L
+    var last = -1L
+    var i = 0
+    while (i < whs.length) {
+      if (counts.get(whs(i)) >= 2) {
+        val p = i + 1L
+        if (s < 0) s = p
+        else if (p > last + w) {
+          spans += org.apache.spark.sql.catalyst.InternalRow(s, last + w - 1)
+          s = p
+        }
+        last = p
+      }
+      i += 1
+    }
+    if (s >= 0)
+      spans += org.apache.spark.sql.catalyst.InternalRow(s, last + w - 1)
+    new GenericArrayData(spans.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): SelfDupSpans =
+    copy(child = c)
 }
 
 /** Accent removal via Unicode NFD decomposition + combining-mark

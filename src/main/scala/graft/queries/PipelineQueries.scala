@@ -1040,7 +1040,48 @@ object PipelineQueries {
 
   val substrRemoveSql: String =
     s"""${substrSpansCte("sp")},
-       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |${substrRemoveTail("")}""".stripMargin
+
+  /** Decontamination-by-excision under the driver gate: benchmark
+    * probes = docs 0-4, training corpus = the rest; every corpus span
+    * whose 8-token windows all appear in a probe is cut. The mirror
+    * swaps the span CTE's duplicate rule for probe-membership and
+    * replays the same removal, hash-checking every cleaned byte. */
+  def decontamExciseQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.operators.SubstringDedup.exciseProbeSpans(
+        all.filter(col("doc_id") >= 5), "doc_id", "text",
+        all.filter(col("doc_id") < 5), "text", w = 8)
+      .orderBy("doc_id")
+  }
+
+  val decontamExciseSql: String =
+    s"""${substrSpansCte("sp",
+           dup = "SELECT DISTINCT wh FROM wv WHERE doc_id < 5",
+           stWhere = " AND doc_id >= 5")},
+       |${substrRemoveTail(" WHERE doc_id >= 5")}""".stripMargin
+
+  /** Self-repetition removal under the driver gate (w=3 — the
+    * fixture's intra-doc repeats live at small windows; real corpora
+    * run larger w): zero-shuffle per-doc span expression, every
+    * cleaned byte hash-checked against the per-doc dup-rule replay. */
+  def selfRepeatQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.SubstringDedup.removeSelfRepeatedSpans(
+        docs(s, d), "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+
+  val selfRepeatSql: String =
+    s"""${substrSpansCte("sp", w = 3,
+           dup = "SELECT doc_id, wh FROM wv GROUP BY doc_id, wh HAVING count(*) >= 2",
+           st = "SELECT wv.doc_id, wv.i FROM wv JOIN dup" +
+             " ON wv.doc_id = dup.doc_id AND wv.wh = dup.wh")},
+       |${substrRemoveTail("")}""".stripMargin
+
+  /** The shared removal tail over a span CTE named `sp`: per-position
+    * coverage + ordered filtered string_agg (see substrRemoveSql). */
+  private def substrRemoveTail(docWhere: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents$docWhere),
        |tp AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS p FROM tok),
        |tv AS (SELECT doc_id, p, toks[p] AS w FROM tp),
        |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p,
@@ -1058,9 +1099,14 @@ object PipelineQueries {
        |FROM kept k LEFT JOIN spc USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** The shared rolling-hash span replay (see substrDedupSql), ending
-    * in a CTE named `out`(doc_id, span_start, span_end, n_dup_windows). */
-  private def substrSpansCte(out: String): String = {
-    val W = 8
+    * in a CTE named `out`(doc_id, span_start, span_end, n_dup_windows).
+    * `dup` is the flagged-window-hash rule (default: corpus occurrence
+    * ≥ 2; excision passes probe membership); `stWhere` further
+    * restricts which docs' window starts are flagged. */
+  private def substrSpansCte(out: String, w: Int = 8,
+      dup: String = "SELECT wh FROM wv GROUP BY wh HAVING count(*) >= 2",
+      stWhere: String = "", st: String = null): String = {
+    val W = w
     val M = "18446744073709551616::HUGEINT"
     val fnv = SqlHash.fnv1aSql(SqlHash.utf8Codes("tok"))
     val horner =
@@ -1081,8 +1127,9 @@ object PipelineQueries {
        |  FROM ths),
        |wv0 AS (SELECT doc_id, whs, unnest(range(1, len(whs)+1)) AS i FROM w0),
        |wv AS (SELECT doc_id, i, whs[i] AS wh FROM wv0),
-       |dup AS (SELECT wh FROM wv GROUP BY wh HAVING count(*) >= 2),
-       |st AS (SELECT doc_id, i FROM wv WHERE wh IN (SELECT wh FROM dup)),
+       |dup AS ($dup),
+       |st AS (${Option(st).getOrElse(
+             s"SELECT doc_id, i FROM wv WHERE wh IN (SELECT wh FROM dup)$stWhere")}),
        |mk AS (SELECT doc_id, i,
        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
        |           OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $W

@@ -34,6 +34,49 @@ class SubstrRemoveSpec extends SparkSpec {
     assert(out(1L) == "" && out(2L) == "")
   }
 
+  test("excision: probe-matched run cut, probe-free doc byte-identical") {
+    val run = (1 to 8).map(i => s"bench$i").mkString(" ")
+    val probes = Seq((100L, s"intro $run outro")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"pre1 pre2 $run post1"),
+      (2L, "c1 c2 c3 c4  c5 c6 c7 c8 c9") // double space preserved
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.exciseProbeSpans(
+        corpus, "doc_id", "text", probes, "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("pre1 pre2 post1", 8L, 1L)))
+    assert(out(2L) == (("c1 c2 c3 c4  c5 c6 c7 c8 c9", 0L, 0L)))
+  }
+
+  test("excision spans == corpus windows whose hash is in the probe set (fixture)") {
+    val all = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val probes = all.filter($"doc_id" < 5)
+    val corpus = all.filter($"doc_id" >= 5)
+    import graft.functions.TextFunctions
+    val probeWh = probes
+      .select(explode(TextFunctions.dupWindowHashes($"text", 8)).as("wh"))
+      .collect().map(_.getLong(0)).toSet
+    val expectedStarts = corpus
+      .select($"doc_id", posexplode(TextFunctions.dupWindowHashes($"text", 8)))
+      .collect().collect {
+        case r if probeWh(r.getLong(2)) => (r.getLong(0), r.getInt(1) + 1L)
+      }.toSet
+    val spans = SubstringDedup.probeMatchedSpans(
+      corpus, "doc_id", "text", probes, "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every expected start is covered by exactly one reported span,
+    // and every span is wholly justified by expected starts
+    val coveredStarts = spans.flatMap { case (id, s, e) =>
+      (s to e - 7).map(id -> _) }.toSet
+    assert(expectedStarts.subsetOf(coveredStarts))
+    assert(spans.nonEmpty) // the check is live on the fixture
+    for ((id, s, e) <- spans) {
+      assert(expectedStarts((id, s)) && expectedStarts((id, e - 7)))
+    }
+  }
+
   test("cleaned text == tokens minus duplicatedSpans coverage, on the fixture") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")
