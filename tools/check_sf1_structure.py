@@ -37,6 +37,13 @@ def load(out, q):
 
 
 def canon(df):
+    # ScaleData recomputes passthrough int columns (e.g. n_chars) via
+    # Spark length() -> int32 where the source data is int64; widths
+    # are a generation artifact, values are what we compare
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
     return df[sorted(df.columns)].sort_values(by=sorted(df.columns)).reset_index(drop=True)
 
 
@@ -157,6 +164,15 @@ def main(sf1, sf01):
                           ["doc_id", "cluster_id"], ["doc_id", "cluster_id"])
     against_sf01("q_leakage_split(clusters)", img0,
                  ls0[["doc_id", "cluster_id"]])
+
+    # grounding chain: leakage_split's labels ARE q_dedup_clusters'
+    # (which check_clusters_unionfind verifies independently from the
+    # minhash pairs) — tie them at both SFs
+    for tag, ls, d in (("sf1", ls1, sf1), ("sf0.1", ls0, sf01)):
+        cl = load(d, "q_dedup_clusters")
+        report(f"q_leakage_split: {tag} labels == q_dedup_clusters output",
+               canon(ls[["doc_id", "cluster_id"]]).equals(
+                 canon(cl[["doc_id", "cluster_id"]])))
 
     def xxh64_long(l, seed=7):
         M = (1 << 64) - 1
