@@ -113,7 +113,8 @@ object TextFunctions {
   def linearTextScore(text: Column, buckets: Int = 1 << 16,
                       span: Int = 61,
                       weights: Option[Array[Long]] = None): Column =
-    toColumn(LinearTextScore(toExpr(text), buckets, span, weights))
+    toColumn(LinearTextScore(toExpr(text), buckets, span,
+      weights.map(w => scala.collection.immutable.ArraySeq.unsafeWrapArray(w))))
 
   /** The hashed-feature bucket stream [[LinearTextScore]] scores —
     * unigrams + adjacent bigrams, fnv64-hashed mod `buckets` — exposed
@@ -714,7 +715,7 @@ object StripAccents {
   * beyond the token split, real codegen (static call, no
   * CodegenFallback). */
 case class LinearTextScore(child: Expression, buckets: Int, span: Int,
-                           weights: Option[Array[Long]] = None)
+                           weights: Option[IndexedSeq[Long]] = None)
   extends UnaryExpression {
   require(buckets > 0 && span > 0, "buckets and span must be positive")
   require(weights.forall(_.length == buckets),
@@ -731,7 +732,11 @@ case class LinearTextScore(child: Expression, buckets: Int, span: Int,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
-  @transient private lazy val wtab: Array[Long] = weights.orNull
+  // the IndexedSeq param gives the case class STRUCTURAL equality
+  // (Array equality is by reference — two plans built with equal
+  // tables would never compare equal, defeating canonicalization and
+  // subexpression elimination); the hot loop reads a flat Array copy
+  @transient private lazy val wtab: Array[Long] = weights.map(_.toArray).orNull
 
   private def weight(h: Long): Long = {
     val b = java.lang.Long.remainderUnsigned(h, buckets)
@@ -909,7 +914,9 @@ case class EditDistanceWithin(left: Expression, right: Expression,
                               maxEdits: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with CodegenFallback {
-  require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+  // < MaxValue: banded() computes inf = k + 1, which must not overflow
+  require(maxEdits >= 0 && maxEdits < Int.MaxValue,
+    s"maxEdits must be in [0, ${Int.MaxValue}), got $maxEdits")
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -923,11 +930,14 @@ case class EditDistanceWithin(left: Expression, right: Expression,
 }
 
 object EditDistanceWithin {
-  /** Exact Levenshtein over byte arrays if ≤ k, else -1. */
-  def banded(s: Array[Byte], t: Array[Byte], k: Int): Int = {
+  /** Exact Levenshtein over byte arrays if ≤ k0, else -1. */
+  def banded(s: Array[Byte], t: Array[Byte], k0: Int): Int = {
     val n = s.length
     val m = t.length
-    if (math.abs(n - m) > k) return -1
+    if (math.abs(n - m) > k0) return -1
+    // distance ≤ max(n, m) always, so capping the budget there keeps
+    // the semantics AND keeps inf = k + 1 overflow-free for any k0
+    val k = math.min(k0, math.max(n, m))
     val inf = k + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)

@@ -32,10 +32,15 @@ object RankFusion {
     require(rankings.nonEmpty, "no rankings to fuse")
     require(kConst >= 0, s"bad kConst $kConst")
     require(topK >= 1, s"bad topK $topK")
+    require(idCol != "__r" && idCol != "__c",
+      s"idCol collides with an internal column name: $idCol")
+    // the rank column is re-aliased to a fixed internal name BEFORE the
+    // expr() — interpolating a caller-supplied column name into a SQL
+    // string breaks (or silently misresolves) on non-identifier names
     val contribs = rankings.map(df =>
-      df.select(col(idCol),
-        expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + CAST($rankCol AS BIGINT))")
-          .as("__c")))
+      df.select(col(idCol), col(rankCol).cast("long").as("__r"))
+        .select(col(idCol),
+          expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)").as("__c")))
     val fused = contribs.reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))

@@ -108,8 +108,16 @@ object ShuffleOrder {
                         bucket: Option[(String, Int)] = None): DataFrame = {
     require(shardBits >= 1 && shardBits <= 20,
       s"shardBits must be in [1,20], got $shardBits")
-    require(!df.columns.contains("pos") && !df.columns.contains("shard"),
-      "input already has a pos/shard column")
+    // reject EVERY output and internal working column, not just
+    // pos/shard — an input carrying __k/__rn/… (e.g. re-ordering a
+    // previously ordered table) would be silently overwritten/dropped
+    val reserved = Seq("pos", "shard", "__k", "__rn", "__base", "__ct",
+      "__tbase") ++ (if (ntokCol.isDefined) Seq("tok_start") else Nil)
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns collide with ShuffleOrder internals: " +
+        s"${clash.toSeq.sorted.mkString(", ")} — rename or drop them " +
+        "(re-ordering ordered output: drop pos/shard/tok_start first)")
     val hash = seededHash(col(idCol).cast("long"), seed)
     // curriculum key: bucket in the TOP bucketBits bits, hash's top
     // bits below — unsigned key order = (bucket asc, hash asc)

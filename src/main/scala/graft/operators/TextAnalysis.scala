@@ -525,6 +525,67 @@ object TextAnalysis {
         col("n_terms"), col("score"))
   }
 
+  /** Multi-query BM25 top-k — [[bm25TopK]] for a TABLE of queries
+    * (`queryIdCol`, `termCol`), the retrieval-stage shape: a RAG/eval
+    * batch serves thousands of queries off ONE corpus read, where
+    * looping the single-query operator would re-tokenize and re-scan
+    * the corpus per query. Scoring is identical per query (same
+    * saturation curve, rational fixed-point idf, DECIMAL sum), with
+    * `df` counted over the corpus per term — so for any one query the
+    * result rows equal [[bm25TopK]]'s (spec-pinned).
+    *
+    * Scale shape: tf and dl Materialize ONCE (the only corpus-sized
+    * passes); the postings prune to the UNION of all query terms via
+    * one broadcast semi-join BEFORE any scoring join, so everything
+    * downstream is matched-postings × queries-per-term sized; per-term
+    * df and the 1-row corpus stats broadcast; the query fan-out join
+    * is against the (tiny, broadcast) query table; the per-query
+    * top-k is `rank ≤ k` over a (query, doc) window, which plans as
+    * WindowGroupLimit — bounded per-task heaps, never a per-query
+    * sort of the corpus. Duplicate (query, term) rows are collapsed
+    * (a term contributes once per query, as in [[bm25TopK]]). */
+  def bm25TopKMulti(df: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String, termCol: String,
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    import graft.queries.Exact
+    val tf = Materialize(df
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val stats = dl.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs"))
+    val q = queries
+      .select(col(queryIdCol).cast("long").as("__q"), col(termCol).as("term"))
+      .distinct()
+    // ONE postings prune on the union of every query's terms — the
+    // per-query corpus re-scan a bm25TopK loop would pay is gone
+    val qtf = tf.join(broadcast(q.select("term").distinct()),
+      Seq("term"), "left_semi")
+    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") * col("n_docs") / col("total_len")))) *
+        expr("CAST(1000000000 AS BIGINT) div df").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__q").orderBy(col("score").desc, col("__doc").asc)
+    qtf
+      .join(broadcast(qdf), "term")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "term") // fan out to (query, doc, term)
+      .withColumn("__c", contrib)
+      .groupBy(col("__q"), col("__doc"))
+      .agg(count(lit(1)).as("n_terms"), Exact.dsum(col("__c")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("rank"),
+        col("__doc").as("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Per-document n-gram familiarity — the cheap LM-free fluency
     * proxy quality pipelines run when a real language model is too
     * expensive (CCNet-style filtering at web scale): score each
@@ -637,20 +698,43 @@ object TextAnalysis {
     * combined. No window ever buffers a context's posting list. */
   def bigramCrossEntropy(ref: DataFrame, df: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    def trans(src: DataFrame, keep: Seq[Column]): DataFrame =
-      src.select((keep :+ explode(
-          TextFunctions.transitionHashes(col(textCol))).as("t")): _*)
-        .select(keep :+ col("t.bg").as("bg") :+ col("t.ctx").as("ctx"): _*)
-    val model = Materialize(trans(ref, Nil)
+    val model = Materialize(lmTransitions(ref, textCol, Nil)
       .groupBy(col("bg"), col("ctx")).agg(count(lit(1)).as("c12")))
     val c1 = model.groupBy(col("ctx")).agg(sum(col("c12")).as("c1"))
     val vDf = c1.agg(count(lit(1)).as("v"))
-    trans(df, Seq(col(idCol)))
+    scoreAgainstLm(df, idCol, textCol, model, c1, vDf)
+  }
+
+  /** The fused (bg, ctx) transition stream of `textCol` — shared by
+    * the inline trainer, the index builder and the scorer so the three
+    * cannot drift on tokenization. */
+  private def lmTransitions(src: DataFrame, textCol: String,
+                            keep: Seq[Column]): DataFrame =
+    src.select((keep :+ explode(
+        TextFunctions.transitionHashes(col(textCol))).as("t")): _*)
+      .select(keep :+ col("t.bg").as("bg") :+ col("t.ctx").as("ctx"): _*)
+
+  /** Scoring tail shared by [[bigramCrossEntropy]] (model derived
+    * inline) and [[scoreWithLmIndex]] (model read from parquet):
+    * identical joins and arithmetic, so indexed ≡ inline scores by
+    * construction. `model` = (bg, c12), `c1` = (ctx, c1), `vDf` = one
+    * (v) row. */
+  private def scoreAgainstLm(df: DataFrame, idCol: String, textCol: String,
+                             model: DataFrame, c1: DataFrame,
+                             vDf: DataFrame): DataFrame =
+    lmTransitions(df, textCol, Seq(col(idCol)))
       .join(model.select(col("bg"), col("c12")), Seq("bg"), "left")
       .join(c1, Seq("ctx"), "left")
       .crossJoin(broadcast(vDf))
       .withColumn("num", coalesce(col("c12"), lit(0L)) + lit(1L))
-      .withColumn("den", coalesce(col("c1"), lit(0L)) + col("v"))
+      // degenerate model guard: an empty / all-short reference gives
+      // V = 0, den = 0, and lg2fp's bin(0) path would emit nonsense
+      // (negative cross-entropy) — fail loudly instead
+      .withColumn("den",
+        when(col("v") === 0L, raise_error(lit(
+          "bigramCrossEntropy: reference corpus contributes no word " +
+            "transitions (V = 0) — cannot train a bigram model")))
+          .otherwise(coalesce(col("c1"), lit(0L)) + col("v")))
       .withColumn("lp_fp", expr(
         s"${lg2fpSql("den", spark = true)} - ${lg2fpSql("num", spark = true)}"))
       .groupBy(col(idCol))
@@ -658,6 +742,75 @@ object TextAnalysis {
       .withColumn("cross_entropy_bits",
         col("sum_lp_fp").cast("double") /
           (col("n_trans") * lit(1048576L)).cast("double"))
+
+  /** Tokenization convention pinned into the LM index meta — a probe
+    * against an index built under a different convention must fail
+    * loudly, not score garbage. */
+  private[graft] val LmTokenization = "split-space-fnv64-transitions-v1"
+
+  /** Build and PERSIST the add-one bigram LM — build-once/score-many
+    * parity with [[graft.operators.Dedup.writeMinhashIndex]]: the
+    * reference corpus is tokenized and aggregated ONCE, ever; each
+    * later scoring batch (or streaming micro-batch) pays only its own
+    * transitions. [[bigramCrossEntropy]] re-trains on `ref` every
+    * call — pure waste after the first run when the reference is the
+    * fixed quality corpus it usually is.
+    *
+    * Layout: `$path/model` = (bg, ctx, c12) — the vocab²-bounded
+    * transition counts (8-byte fused keys, same as inline);
+    * `$path/ctx` = (ctx, c1) context totals; `$path/meta` pins V and
+    * the tokenization convention. The model aggregation is the only
+    * reference-sized pass; V is one bounded count over the
+    * model-sized ctx table. */
+  def writeLmIndex(ref: DataFrame, textCol: String, path: String): Unit = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val model = Materialize(lmTransitions(ref, textCol, Nil)
+      .groupBy(col("bg"), col("ctx")).agg(count(lit(1)).as("c12")))
+    model.write.mode("overwrite").parquet(s"$path/model")
+    val c1 = model.groupBy(col("ctx")).agg(sum(col("c12")).as("c1"))
+    c1.write.mode("overwrite").parquet(s"$path/ctx")
+    val v = spark.read.parquet(s"$path/ctx").count()
+    require(v > 0, "writeLmIndex: reference corpus contributes no word " +
+      "transitions (V = 0) — cannot train a bigram model")
+    Seq((v, LmTokenization)).toDF("v", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents against a PERSISTED bigram LM (the
+    * [[writeLmIndex]] layout) — identical joins and arithmetic to
+    * [[bigramCrossEntropy]] via the shared scoring tail, so indexed ≡
+    * inline scores bit-for-bit (spec-pinned). The reference corpus is
+    * never touched: the plan reads only `model`/`ctx` parquet (both
+    * model-sized — AQE broadcasts them at moderate vocabularies) plus
+    * the documents being scored. Meta is ONE bounded driver read per
+    * call; streaming callers should hoist it via [[readLmMeta]] +
+    * [[scoreWithLmState]]. */
+  def scoreWithLmIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithLmState(spark, path, readLmMeta(spark, path), df, idCol, textCol)
+
+  /** The driver-side LM index state: V (for add-one smoothing), read
+    * once — streaming callers keep it across micro-batches instead of
+    * re-reading `meta/` per batch. */
+  def readLmMeta(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val tok = meta.getAs[String]("tokenization")
+    require(tok == LmTokenization,
+      s"LM index at $path uses tokenization '$tok'; this build scores " +
+        s"'$LmTokenization' — rebuild the index")
+    meta.getAs[Long]("v")
+  }
+
+  /** [[scoreWithLmIndex]] with the meta already read (`v` from
+    * [[readLmMeta]]) — the per-batch body for streaming scorers. */
+  def scoreWithLmState(spark: org.apache.spark.sql.SparkSession, path: String,
+                       v: Long, df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    import spark.implicits._
+    val model = spark.read.parquet(s"$path/model")
+    val c1 = spark.read.parquet(s"$path/ctx")
+    scoreAgainstLm(df, idCol, textCol, model, c1, Seq(v).toDF("v"))
   }
 
   def htmlExtract(df: DataFrame, htmlCol: String = "html",

@@ -2261,6 +2261,60 @@ object PipelineQueries {
        |  doc AS doc_id, n_terms, score
        |FROM g ORDER BY score DESC, doc ASC LIMIT $k""".stripMargin
 
+  /** The q_bm25_multi query batch: three queries of 3/2/4 terms —
+    * query 0 is EXACTLY q_bm25's query, so the single-query operator's
+    * rows must reappear verbatim inside the multi output (spec-pinned
+    * equality, and both are independently oracle-gated here). */
+  val bm25MultiQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "window", 0L -> "agg",
+    1L -> "hash", 1L -> "join",
+    2L -> "vector", 2L -> "stream", 2L -> "sort", 2L -> "query")
+
+  /** Multi-query BM25 under the driver gate: one corpus read, three
+    * queries scored per (query, doc), per-query top-10 via
+    * WindowGroupLimit. The mirror replays the same pruned-postings →
+    * per-query contribution → DECIMAL sum pipeline with the query
+    * table inlined as VALUES, so every score bit of every query's
+    * ranking is value-checked. */
+  def bm25MultiQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.TextAnalysis.bm25TopKMulti(docs(s, d), "doc_id", "text",
+        bm25MultiQueries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25MultiSql: String = {
+    val values = bm25MultiQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH tf AS (SELECT doc, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc),
+       |st AS (SELECT sum(dl)::BIGINT AS total_len, count(*)::BIGINT AS n_docs
+       |       FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |qtf AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+       |qdf AS (SELECT term, count(*)::BIGINT AS df FROM qtf GROUP BY term),
+       |c AS (SELECT q.query_id, t.doc,
+       |    (t.tf::DOUBLE * 2.2) /
+       |      (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+       |        (d.dl::DOUBLE * s.n_docs / s.total_len)))
+       |      * (1000000000 // f.df)::DOUBLE AS contrib
+       |  FROM qtf t JOIN qdf f USING (term) JOIN dl d USING (doc)
+       |    JOIN q ON q.term = t.term, st s),
+       |g AS (SELECT query_id, doc, count(*)::BIGINT AS n_terms,
+       |        ${graft.queries.Exact.sqlSum("contrib")} AS score
+       |      FROM c GROUP BY query_id, doc),
+       |r AS (SELECT query_id, doc, n_terms, score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc ASC) AS INT) AS rank
+       |      FROM g)
+       |SELECT query_id::BIGINT AS query_id, rank, doc AS doc_id, n_terms, score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- hybrid rank fusion (RRF) ----
 
   /** Hybrid retrieval under the driver gate: BM25 top-30 for the
@@ -2419,6 +2473,26 @@ object PipelineQueries {
         docs(s, d).filter(col("doc_id") % 2 === 1), docs(s, d),
         "doc_id", "text")
       .orderBy("doc_id")
+
+  /** LM scoring against a PERSISTED bigram model (build-once/
+    * score-many — the dedup_index shape for quality scoring): the
+    * odd-docs model is written once (transition counts + context
+    * totals + pinned V/tokenization meta) and every call after reads
+    * it instead of re-training. Same model, same scoring tail as
+    * q_lm_score, so the SAME oracle applies — and the spec pins
+    * indexed ≡ inline bit-for-bit with the reference corpus absent
+    * from the scoring plan. */
+  def lmScoreIndexedQ(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lmindex_v1_$sfKey"
+    if (!new java.io.File(s"$base/meta/_SUCCESS").isFile)
+      TextAnalysis.writeLmIndex(
+        docs(s, d).filter(col("doc_id") % 2 === 1), "text", base)
+    TextAnalysis.scoreWithLmIndex(s, base, docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  lazy val lmScoreIndexedSql: String = lmScoreSql
 
   val lmScoreSql: String = {
     def lg(x: String) = TextAnalysis.lg2fpSql(x, spark = false)

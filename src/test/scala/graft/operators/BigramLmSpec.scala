@@ -91,6 +91,62 @@ class BigramLmSpec extends SparkSpec {
     assert(hashed == strKeyed)
   }
 
+  test("persisted LM index: indexed scores ≡ inline scores, reference absent from the scoring plan") {
+    val docs = graft.Tables.documents(spark, sf()).select("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 1)
+    val base = java.nio.file.Files.createTempDirectory("lmidx").toString
+    TextAnalysis.writeLmIndex(ref, "text", base)
+
+    val indexed = TextAnalysis.scoreWithLmIndex(spark, base, docs, "doc_id", "text")
+    val inline = TextAnalysis.bigramCrossEntropy(ref, docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(indexed) == rows(inline)) // bit-for-bit, double included
+
+    // build-once kept at score time: the scoring plan reads model/ctx
+    // parquet + the scored corpus — NO fourth relation re-deriving the
+    // model from the reference (leaf count on the optimized logical
+    // plan; the executed-plan string double-prints under AQE)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains(base), s"plan does not read the index:\n$plan")
+    val leaves = indexed.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 4, // docs + model + ctx + the 1-row v relation
+      s"expected 4 leaves (docs, model, ctx, v), got ${leaves.size}:\n$plan")
+
+    // meta is a bounded driver read, hoistable for streaming: scoring
+    // with pre-read state works with meta/ DELETED from disk
+    val v = TextAnalysis.readLmMeta(spark, base)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/meta"))
+    val stateScored = TextAnalysis.scoreWithLmState(spark, base, v, docs, "doc_id", "text")
+    assert(rows(stateScored) == rows(inline))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("LM index meta pins tokenization; degenerate reference fails the build loudly") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("lmidx2").toString
+    TextAnalysis.writeLmIndex(docs, "text", base)
+    // corrupt the tokenization pin -> probe must refuse
+    val s2h = spark
+    import s2h.implicits._
+    Seq((3L, "some-other-tokenizer")).toDF("v", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.readLmMeta(spark, base)
+    }
+    assert(e.getMessage.contains("tokenization"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+
+    // all-short reference: zero transitions -> loud build failure
+    val short = Seq((1L, "solo"), (2L, "x")).toDF("doc_id", "text")
+    val base2 = java.nio.file.Files.createTempDirectory("lmidx3").toString
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.writeLmIndex(short, "text", base2)
+    }
+    assert(e2.getMessage.contains("V = 0"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base2))
+  }
+
   test("one reference scan: the model is materialized for its consumers") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

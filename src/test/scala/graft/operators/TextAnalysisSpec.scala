@@ -270,6 +270,71 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scans == 0, s"expected zero corpus scans after Materialize, got $scans")
   }
 
+  test("bm25TopKMulti: per-query rows equal bm25TopK's for the same query") {
+    val s2e = spark
+    import s2e.implicits._
+    val df = spark.read.parquet(s"${sf("0.01")}/documents.parquet")
+    val queries = Seq(0L -> "spark", 0L -> "window", 0L -> "agg",
+      1L -> "hash", 1L -> "join").toDF("query_id", "term")
+    val multi = TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+        queries, "query_id", "term", k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.map(r =>
+        (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toSet).toMap
+    def single(terms: Seq[String]) =
+      TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toSet
+    assert(multi(0L) == single(Seq("spark", "window", "agg")))
+    assert(multi(1L) == single(Seq("hash", "join")))
+  }
+
+  test("bm25TopKMulti: duplicate (query, term) rows collapse; exact fixture scores") {
+    val s2f = spark
+    import s2f.implicits._
+    val df = Seq(
+      (1L, "spark spark window x"), // tf(spark)=2, tf(window)=1, dl=4
+      (2L, "spark y z w"),          // tf(spark)=1, dl=4
+      (3L, "window window a b c d") // tf(window)=2, dl=6
+    ).toDF("doc_id", "text")
+    val queries = Seq(7L -> "spark", 7L -> "spark", 7L -> "window",
+      8L -> "window").toDF("query_id", "term")
+    val out = TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      queries, "query_id", "term", k = 3).collect()
+    def contrib(tf: Long, dl: Long, dfreq: Long): Double =
+      (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 *
+        (dl.toDouble * 3 / 14))) * (1000000000L / dfreq).toDouble
+    def dsum(xs: Double*): Double =
+      xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      -> r.getAs[Double]("score")).toMap
+    // query 7: duplicate 'spark' row contributes ONCE (as in bm25TopK)
+    assert(got((7L, 1L)) == dsum(contrib(2, 4, 2), contrib(1, 4, 2)))
+    assert(got((7L, 2L)) == dsum(contrib(1, 4, 2)))
+    assert(got((7L, 3L)) == dsum(contrib(2, 6, 2)))
+    assert(got((8L, 1L)) == dsum(contrib(1, 4, 2)))
+    assert(got((8L, 3L)) == dsum(contrib(2, 6, 2)))
+    assert(!got.contains((8L, 2L))) // doc 2 has no 'window'
+  }
+
+  test("bm25TopKMulti: one tf scan, per-query WindowGroupLimit heaps") {
+    val s2g = spark
+    import s2g.implicits._
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+    val queries = Seq(0L -> "spark", 1L -> "window").toDF("query_id", "term")
+    val q = TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      queries, "query_id", "term", k = 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"plan lacks WindowGroupLimit:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected zero corpus scans after Materialize, got $scans:\n$plan")
+  }
+
   test("ngramFamiliarity: mean corpus frequency of a doc's bigrams, exact") {
     val s2c = spark
     import s2c.implicits._
