@@ -805,6 +805,68 @@ object PipelineQueries {
 
   val annIvfIndexedSql: String = annIvfSql
 
+  /** SQ8-quantized PERSISTED IVF index (build-once, probe-many at 4×
+    * less storage than float32 — the 100 TB serving path where the
+    * index must FIT): cell routing identical to q_ann_ivf
+    * (full-precision centroids), stored vectors are SQ8 codes, probes
+    * score by the dequantized (ADC) cosine under the bounds pinned in
+    * the index meta. The mirror composes q_ann_ivf's routing CTEs
+    * with q_ann_quantized's reconstruction CTEs — every routed cell
+    * and every ADC score bit is value-checked. */
+  def annIvfSq8(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfsq8_v1_$sfKey"
+    if (!new java.io.File(s"$base/meta/_SUCCESS").isFile)
+      Similarity.writeIvfIndexSq8(embs(s, d), "vec_id", "embedding", base, cells = 16)
+    Similarity.queryIvfIndexSq8(s, base,
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfSq8Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, cell FROM (
+      |  SELECT d.vec_id, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c) WHERE r = 1),
+      |probe AS (SELECT q_id, cell FROM (
+      |  SELECT d.vec_id q_id, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c WHERE d.vec_id < 5) WHERE r <= 4),
+      |e AS (SELECT vec_id, j, v[j] AS x
+      |      FROM v, LATERAL (SELECT unnest(range(1, len(v)+1)) AS j) t),
+      |stats AS (SELECT j, min(x) lo, max(x) hi FROM e GROUP BY j),
+      |rec AS (SELECT vec_id, list(lo + (code + 0.5) * (hi - lo) / 255.0 ORDER BY j) AS rv
+      |  FROM (SELECT vec_id, j, lo, hi,
+      |          CASE WHEN hi = lo THEN 0
+      |               ELSE least(255, greatest(0,
+      |                      floor((x - lo) * 255.0 / (hi - lo))))::BIGINT
+      |          END AS code
+      |        FROM e JOIN stats USING (j))
+      |  GROUP BY vec_id),
+      |dr AS (SELECT vec_id, rv,
+      |         sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM rec),
+      |s AS (SELECT p.q_id, a.vec_id n_id,
+      |        list_sum(list_transform(list_zip(q.rv, n.rv), x -> x[1]*x[2]))
+      |          / (q.nrm * n.nrm) qcos
+      |      FROM probe p JOIN asg a USING (cell)
+      |        JOIN dr q ON q.vec_id = p.q_id
+      |        JOIN dr n ON n.vec_id = a.vec_id
+      |      WHERE a.vec_id != p.q_id),
+      |r AS (SELECT q_id, n_id, qcos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) rank
+      |      FROM s)
+      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** SQ8-quantized ANN: per-dimension corpus min/max bounds, one
     * unsigned byte per dimension (BINARY codes — 4× smaller than
     * float32), ranked by the dequantized (ADC) cosine. Every step —

@@ -30,16 +30,34 @@ object StreamingIndexDedup {
   /** Run `stream` (a streaming DataFrame of documents) through
     * index-probe dedup, appending surviving rows to a parquet sink.
     * Returns after the stream terminates (AvailableNow-style callers
-    * await inside). Columns are passed through unchanged. */
+    * await inside). Columns are passed through unchanged.
+    *
+    * The index state — meta parameters and the band/shingle read
+    * plans — is loaded ONCE before the stream starts and reused by
+    * every micro-batch ([[Dedup.loadMinhashIndex]] +
+    * [[Dedup.probeMinhashIndexWith]]): a continuous ingest at
+    * seconds-level triggers pays zero fixed per-batch driver work for
+    * the index side (previously a meta parquet job + two re-planned
+    * reads per batch). */
   def run(spark: SparkSession, stream: DataFrame, indexPath: String,
           idCol: String, textCol: String, threshold: Double,
           sinkPath: String, checkpoint: String): Unit = {
+    val indexState = Dedup.loadMinhashIndex(spark, indexPath)
+    runWithState(indexState, stream, idCol, textCol, threshold,
+      sinkPath, checkpoint)
+  }
+
+  /** [[run]] with the index state already loaded — callers sharing one
+    * index across several streams load it once for all of them. */
+  def runWithState(indexState: Dedup.MinhashIndexState, stream: DataFrame,
+                   idCol: String, textCol: String, threshold: Double,
+                   sinkPath: String, checkpoint: String): Unit = {
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
         try {
-          val dupIds = Dedup.probeMinhashIndex(
-              spark, indexPath, b.toDF(), idCol, textCol, threshold)
+          val dupIds = Dedup.probeMinhashIndexWith(
+              indexState, b.toDF(), idCol, textCol, threshold)
             .select(col("corpus_id").as("__dup_id")).distinct()
           b.join(dupIds, b(idCol).cast("long") === col("__dup_id"),
               "left_anti")

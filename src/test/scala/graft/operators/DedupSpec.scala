@@ -231,6 +231,29 @@ class DedupSpec extends SparkSpec {
     assert(wide((1L, 3L)) == bigInsert.length - base.length)
   }
 
+  test("editPairsFromCandidates over precomputed minhashPairs ≡ editPairs; extra columns pass through") {
+    val docs = graft.Tables.documents(spark, sf("0.01")).select("doc_id", "text")
+    // the caller already ran LSH — composing the verify stage over its
+    // output must equal the fused operator
+    val candidates = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val composed = Dedup.editPairsFromCandidates(
+        candidates, docs, "doc_id", "text", maxEdits = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("edits"))).toSet
+    val fused = Dedup.editPairs(docs, "doc_id", "text",
+        maxEdits = 4, threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("edits"))).toSet
+    assert(composed == fused && composed.nonEmpty)
+    // caller-supplied extra columns survive the verify
+    val tagged = Dedup.editPairsFromCandidates(
+        candidates.withColumn("tag", lit("x")),
+        docs, "doc_id", "text", maxEdits = 4)
+    assert(tagged.columns.contains("tag") && tagged.columns.contains("edits"))
+  }
+
   test("embedding LSH finds planted near-duplicate vectors") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)

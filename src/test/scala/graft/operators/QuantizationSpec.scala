@@ -99,6 +99,96 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 IVF index: codes stored (4× smaller), routing == float index, deterministic probes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    try {
+      Similarity.writeIvfIndexSq8(embs, "vec_id", "embedding", dir, cells = 16)
+      // the stored payload IS the code column (BINARY, 1 byte/dim) —
+      // the 4×-vs-float32 storage claim is structural
+      val idx = spark.read.parquet(s"$dir/cells")
+      assert(idx.schema("code").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(!idx.columns.contains("n_v"), "float vectors must not be stored")
+      // stored codes equal withCodes under the meta bounds, and the
+      // cell routing equals the FLOAT index's assignment
+      val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+      val los = meta.getSeq[Double](meta.fieldIndex("los"))
+      val his = meta.getSeq[Double](meta.fieldIndex("his"))
+      val (flos, fhis) = Quantization.fitBounds(embs, "embedding")
+      assert(los == flos && his == fhis)
+      val stored = idx.collect().map(r => r.getAs[Long]("n_id") ->
+        (r.getAs[Array[Byte]]("code").toSeq,
+          r.getAs[Number]("cell").longValue())).toMap
+      val wantCodes = Quantization.withCodes(embs, "vec_id", "embedding", los, his)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(stored.view.mapValues(_._1).toMap == wantCodes)
+      val dirF = java.nio.file.Files.createTempDirectory("ivff").toString
+      try {
+        Similarity.writeIvfIndex(embs, "vec_id", "embedding", dirF, cells = 16)
+        val floatCells = spark.read.parquet(s"$dirF/cells")
+          .collect().map(r => r.getAs[Long]("n_id") ->
+            r.getAs[Number]("cell").longValue()).toMap
+        assert(stored.view.mapValues(_._2).toMap == floatCells)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirF))
+      // probing twice is bit-identical (deterministic index + ADC)
+      val q = Similarity.prepareQueries(embs.filter($"vec_id" < 3), "vec_id", "embedding")
+      def probe() = Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val p1 = probe()
+      assert(p1 == probe() && p1.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("SQ8 IVF probe: recall ≥ 7/10 vs full-precision brute force, ≤ nprobe partitions read") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8b").toString
+    try {
+      Similarity.writeIvfIndexSq8(embs, "vec_id", "embedding", dir, cells = 16)
+      val all = inMemory
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val q = Similarity.prepareQueries(embs.filter($"vec_id" < 3), "vec_id", "embedding")
+      val got = Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      (0L until 3L).foreach { qid =>
+        val exact = all.keys.filter(_ != qid).toSeq
+          .map(n => (n, cos(all(qid), all(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(10).map(_._1).toSet
+        val overlap = got(qid).count(exact)
+        assert(overlap >= 7, s"recall too low for query $qid: $overlap/10")
+      }
+      // one query × nprobe=4 → ≤4 of 16 cell partitions scanned
+      val q1 = Similarity.prepareQueries(embs.filter($"vec_id" === 0), "vec_id", "embedding")
+      val plan = Similarity.queryIvfIndexSq8(spark, dir, q1, k = 10, nprobe = 4)
+        .queryExecution.sparkPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+      }
+      assert(scans.nonEmpty, s"no index scan found:\n$plan")
+      val static = scans.head.partitionFilters
+        .filterNot(_.toString.contains("dynamicpruning"))
+      assert(static.nonEmpty, "expected a static cell IN-list partition filter")
+      val parts = scans.head.relation.location.listFiles(
+        static, scans.head.dataFilters).length
+      assert(parts <= 4, s"expected ≤4 pruned cell partitions, scanned $parts")
+      // format pin: a probe against a foreign/corrupt meta fails loudly
+      Seq(("x", "y", "not-sq8")).toDF("los", "his", "format")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.queryIvfIndexSq8(spark, dir, q1, k = 10, nprobe = 4)
+      }
+      assert(e.getMessage.contains("format"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("byteDot is the exact integer dot of code vectors") {
     val all = inMemory
     val ref = refCodes(all)

@@ -39,4 +39,44 @@ class StreamingIndexDedupSpec extends SparkSpec {
       assert(got == expected, s"batching=$nFiles")
     }
   }
+
+  test("index state is hoisted: zero meta reads during the stream (meta deleted after load)") {
+    val docs = Tables.documents(spark, sf())
+    val idx = tmp("idx2")
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+
+    val newDocs = docs.filter(col("doc_id") % 2 === 0)
+    // batch truth computed BEFORE the meta deletion
+    val dupIds = Dedup.probeMinhashIndex(
+        spark, idx, newDocs, "doc_id", "text", threshold = 0.8)
+      .select(col("corpus_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = newDocs.collect().map(_.getAs[Long]("doc_id")).toSet -- dupIds
+
+    // the parameterized probe form equals the self-reading form
+    val st = Dedup.loadMinhashIndex(spark, idx)
+    val viaState = Dedup.probeMinhashIndexWith(
+        st, newDocs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPath = Dedup.probeMinhashIndex(
+        spark, idx, newDocs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaState == viaPath && viaState.nonEmpty)
+
+    // delete meta/ — a stream that still read it per batch would fail;
+    // the hoisted state must carry the whole run (3 micro-batches)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/meta"))
+    val base = tmp("runhoist")
+    newDocs.repartition(3).write.parquet(s"$base/stage")
+    val schema = spark.read.parquet(s"$base/stage").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+    StreamingIndexDedup.runWithState(st, src, "doc_id", "text", 0.8,
+      s"$base/out", s"$base/ckpt")
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected)
+  }
 }
