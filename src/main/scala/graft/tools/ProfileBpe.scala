@@ -26,7 +26,19 @@ object ProfileBpe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
-    val docs = Tables.documents(spark, sfDir).select("text")
+    // "compound" mode pairs adjacent words into w1+w2 tokens: the
+    // synthetic corpus has only ~310 distinct words (merge supply dries
+    // up near ~400 merges/copy tier), so squaring the vocabulary is how
+    // the loop gets driven to a REAL 8k+ merge depth on this data
+    val raw = Tables.documents(spark, sfDir).select("text")
+    val docs =
+      if (args.length > 1 && args(1) == "compound")
+        raw.selectExpr(
+          """array_join(transform(
+            |  sequence(0, (size(split(text, ' ')) div 2) - 1),
+            |  i -> concat(split(text, ' ')[2*i], '+', split(text, ' ')[2*i+1])),
+            |' ') AS text""".stripMargin)
+      else raw
     val nDocs = docs.count()
     val t0 = System.nanoTime()
     val merges = BpeTrainer.bpeMerges(docs, "text", numMerges)
