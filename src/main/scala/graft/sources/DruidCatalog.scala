@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-surface catalog over a Druid deep-storage tree — the
+  * `SELECT … FROM druid.<datasource>` convenience on top of the
+  * `druid-segments` DataSource V2 (every scan capability — descriptor
+  * discovery, timeline overshadow resolution, dictionary-predicate
+  * segment pruning, grouped-aggregate pushdown — is the Table's, not
+  * the catalog's; this class only resolves names).
+  *
+  * Wire-up:
+  * {{{
+  *   spark.sql.catalog.druid      = graft.sources.DruidCatalog
+  *   spark.sql.catalog.druid.root = /path/to/deep-storage
+  * }}}
+  * then `spark.sql("SELECT host, sum(hits) FROM druid.events GROUP BY host")`.
+  *
+  * Tables are the DATASOURCES discovered under the root (the same
+  * one-listing planning cost as the reference's overlord segment-list
+  * action — DruidInputFormat.java:64-115); the catalog is read-only at
+  * the DDL level (segments are written by ingestion via the writer
+  * path, never by CREATE TABLE). Resolution cost: `loadTable` runs
+  * descriptor discovery + union-schema inference for the named
+  * datasource — the same work `spark.read.format("druid-segments")`
+  * does; Spark caches the resolved table per query. */
+class DruidCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"DruidCatalog '$name' needs spark.sql.catalog.$name.root = <deep-storage root>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def requireTopLevel(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty)
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireTopLevel(namespace)
+    DruidDeepStorage.discover(SparkSession.active, root)
+      .map(_.dataSource).distinct.sorted
+      .map(ds => Identifier.of(Array.empty[String], ds)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty &&
+      DruidDeepStorage.discover(SparkSession.active, root)
+        .exists(_.dataSource == ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    val opts = new CaseInsensitiveStringMap(
+      util.Map.of("path", root, "dataSource", ident.name()))
+    val provider = new DruidSegmentsDataSource
+    provider.getTable(provider.inferSchema(opts), Array.empty[Transform],
+      opts.asCaseSensitiveMap())
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"DruidCatalog is read-only at the DDL level: $op is not supported — " +
+        "segments are created by the ingestion/writer path " +
+        "(df.write.format(\"druid-segments\"))")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

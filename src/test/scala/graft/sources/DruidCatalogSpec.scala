@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import DruidSegmentWriter._
+
+/** `SELECT … FROM druid.<datasource>` — the TableCatalog resolves
+  * names to the SAME DataSource V2 table the format reader builds, so
+  * every scan capability (overshadow resolution, dictionary pruning,
+  * pushdown) rides along for free. */
+class DruidCatalogSpec extends SparkSpec {
+
+  private val day = 24 * 3600 * 1000L
+  private val t0 = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+
+  private def writeSegment(dir: File, ds: String, version: String = "v1",
+                           hosts: Seq[String] = Seq("a", "b", "c")): Unit =
+    DruidSegmentWriter.write(dir, ds,
+      hosts.indices.map(i => t0 + i * 1000L),
+      Seq(StrDim("host", hosts),
+        LongMet("hits", (1 to hosts.size).map(_ * 10L))),
+      t0, t0 + day, version = version)
+
+  test("SQL over the catalog: name resolution, projection, aggregation, listTables") {
+    val root = Files.createTempDirectory("druidcat").toFile
+    writeSegment(new File(root, "seg1"), "events")
+    writeSegment(new File(root, "m1"), "metrics", hosts = Seq("x", "y"))
+    spark.conf.set("spark.sql.catalog.druidcat", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidcat.root", root.getAbsolutePath)
+    try {
+      val rows = spark.sql(
+        "SELECT host, hits FROM druidcat.events ORDER BY hits").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("a", 10L), ("b", 20L), ("c", 30L)))
+      // aggregation through the same pushdown-capable table
+      val agg = spark.sql(
+        "SELECT count(*) AS n, sum(hits) AS s FROM druidcat.metrics").collect()(0)
+      assert(agg.getLong(0) == 2L && agg.getLong(1) == 30L)
+      // the catalog lists the discovered datasources
+      val cat = spark.sessionState.catalogManager.catalog("druidcat")
+        .asInstanceOf[DruidCatalog]
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq ==
+        Seq("events", "metrics"))
+      // unknown table fails at analysis, loudly
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM druidcat.nope").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("nope"))
+      // DDL is refused — segments come from the writer path only
+      intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE druidcat.events")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidcat")
+      spark.conf.unset("spark.sql.catalog.druidcat.root")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
+  test("overshadowing and dictionary pruning ride through the SQL surface") {
+    val root = Files.createTempDirectory("druidcat2").toFile
+    writeSegment(new File(root, "g1"), "events", version = "v1")
+    writeSegment(new File(root, "g2"), "events", version = "v2",
+      hosts = Seq("p", "q", "r"))
+    spark.conf.set("spark.sql.catalog.druidcat2", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidcat2.root", root.getAbsolutePath)
+    try {
+      // only the v2 generation is visible — timeline resolution applies
+      val hosts = spark.sql("SELECT host FROM druidcat2.events").collect()
+        .map(_.getString(0)).toSet
+      assert(hosts == Set("p", "q", "r"))
+      // dictionary filter prunes down to matching rows
+      val one = spark.sql(
+        "SELECT host, hits FROM druidcat2.events WHERE host = 'q'").collect()
+      assert(one.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("q", 20L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidcat2")
+      spark.conf.unset("spark.sql.catalog.druidcat2.root")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+}
