@@ -51,4 +51,39 @@ object RankFusion {
     fused.withColumn("fused_rank", row_number().over(w))
       .select(col("fused_rank"), col(idCol), col("n_lists"), col("rrf_score"))
   }
+
+  /** [[rrf]] PER GROUP — the multi-query hybrid-retrieval combiner:
+    * each ranking carries (`groupCol`, `idCol`, `rankCol`) rows (e.g.
+    * per-query BM25 top-k from
+    * [[TextAnalysis.bm25TopKMulti]] beside a per-query ANN list or a
+    * replicated quality prior), and fusion runs independently within
+    * each group. Same integer fixed-point contributions, same
+    * (score desc, id asc) total order.
+    *
+    * Scale shape: inputs are per-group top-k lists — k·N·groups rows,
+    * bounded by their upstream rankers; the fuse is one
+    * (group, id)-keyed map-side-combined groupBy and the per-group
+    * `rank ≤ topK` plans as WindowGroupLimit (bounded heaps), never a
+    * per-group sort of anything corpus-sized. */
+  def rrfGrouped(rankings: Seq[DataFrame], groupCol: String, idCol: String,
+                 rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    require(kConst >= 0, s"bad kConst $kConst")
+    require(topK >= 1, s"bad topK $topK")
+    require(!Seq(groupCol, idCol).exists(Set("__r", "__c")),
+      s"column collides with an internal name: $groupCol/$idCol")
+    val contribs = rankings.map(df =>
+      df.select(col(groupCol), col(idCol), col(rankCol).cast("long").as("__r"))
+        .select(col(groupCol), col(idCol),
+          expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)").as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col(groupCol), col("fused_rank"), col(idCol),
+        col("n_lists"), col("rrf_score"))
+  }
 }

@@ -2345,7 +2345,10 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  val bm25MultiSql: String = {
+  val bm25MultiSql: String = bm25MultiSqlK(10) +
+    "\nORDER BY query_id, rank"
+
+  private def bm25MultiSqlK(k: Int): String = {
     val values = bm25MultiQueries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH tf AS (SELECT doc, term, count(*)::BIGINT AS tf
@@ -2374,7 +2377,7 @@ object PipelineQueries {
        |          ORDER BY score DESC, doc ASC) AS INT) AS rank
        |      FROM g)
        |SELECT query_id::BIGINT AS query_id, rank, doc AS doc_id, n_terms, score
-       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |FROM r WHERE rank <= $k""".stripMargin
   }
 
   // ---- hybrid rank fusion (RRF) ----
@@ -2417,6 +2420,58 @@ object PipelineQueries {
        |    AS fused_rank,
        |  doc_id, n_lists, rrf_score
        |FROM t ORDER BY fused_rank""".stripMargin
+
+  /** Multi-query hybrid retrieval under the driver gate: per-query
+    * BM25 top-30 lists (q_bm25_multi's 3-query batch) fused per query
+    * (RankFusion.rrfGrouped) with the corpus-familiarity quality
+    * prior (top-30, replicated per query — bounded crossJoin of two
+    * tiny tables). Integer fixed-point contributions ⇒ every fused
+    * score of every query hash-exact; the mirror composes the two
+    * bit-exact ranker mirrors and replays the grouped fusion. */
+  def hybridMultiQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val queries = bm25MultiQueries.toDF("query_id", "term")
+    val bm = graft.operators.TextAnalysis.bm25TopKMulti(
+        docs(s, d), "doc_id", "text", queries, "query_id", "term", k = 30)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
+    val fam0 = graft.operators.TextAnalysis
+      .ngramFamiliarity(docs(s, d), "doc_id", "text")
+      .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
+      .withColumn("rank", row_number().over(famOrd))
+      .select(col("doc_id"), col("rank"))
+    val qids = queries.select(col("query_id")).distinct()
+    val fam = fam0.crossJoin(broadcast(qids))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrfGrouped(Seq(bm, fam),
+        "query_id", "doc_id", "rank", kConst = 60, topK = 10)
+      .orderBy("query_id", "fused_rank")
+  }
+
+  lazy val hybridMultiSql: String = {
+    val values = bm25MultiQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH bm AS (SELECT query_id, doc_id, rank FROM (${bm25MultiSqlK(30)})),
+       |fam0 AS (SELECT doc_id, familiarity FROM ($ngramFamSql)
+       |         ORDER BY familiarity DESC, doc_id LIMIT 30),
+       |fam1 AS (SELECT doc_id, row_number() OVER
+       |          (ORDER BY familiarity DESC, doc_id) AS rank FROM fam0),
+       |qv(query_id, term) AS (VALUES $values),
+       |q AS (SELECT DISTINCT query_id::BIGINT AS query_id FROM qv),
+       |fam AS (SELECT q.query_id, f.doc_id, f.rank FROM fam1 f, q),
+       |u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM bm
+       |      UNION ALL
+       |      SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM fam),
+       |g AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_lists,
+       |        sum(c)::BIGINT AS rrf_score FROM u GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, n_lists, rrf_score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+       |      FROM g)
+       |SELECT query_id, fused_rank, doc_id, n_lists, rrf_score
+       |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
+  }
 
   // ---- curriculum ordering ----
 

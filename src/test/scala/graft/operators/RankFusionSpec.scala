@@ -34,4 +34,51 @@ class RankFusionSpec extends SparkSpec {
       RankFusion.rrf(Seq.empty, "doc_id", "rank")
     }
   }
+
+  private def grouped(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "doc_id", "rank")
+
+  test("rrfGrouped: per-group fusion equals per-group rrf; WindowGroupLimit plan") {
+    val a = grouped((0L, 1L, 1), (0L, 2L, 2), (1L, 7L, 1), (1L, 8L, 2))
+    val b = grouped((0L, 2L, 1), (0L, 3L, 2), (1L, 8L, 1))
+    val out = RankFusion.rrfGrouped(Seq(a, b), "query_id", "doc_id", "rank",
+      kConst = 60, topK = 10)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4, t._5)).toSeq).toMap
+    // truth: per-group, run the single-list rrf on that group's slices
+    for (g <- Seq(0L, 1L)) {
+      val want = RankFusion.rrf(
+          Seq(a.filter($"query_id" === g).drop("query_id"),
+            b.filter($"query_id" === g).drop("query_id")),
+          "doc_id", "rank", kConst = 60, topK = 10)
+        .orderBy("fused_rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got(g) == want, s"group $g")
+    }
+    // plan shape on a parquet-backed input (a LocalRelation with a
+    // known tiny row count doesn't trigger the rewrite): the per-group
+    // rank <= topK must plan as WindowGroupLimit bounded heaps
+    val dir = java.nio.file.Files.createTempDirectory("rrfg").toString
+    try {
+      a.unionByName(b).write.mode("overwrite").parquet(dir)
+      val fromDisk = spark.read.parquet(dir)
+      val plan = RankFusion.rrfGrouped(Seq(fromDisk, fromDisk),
+          "query_id", "doc_id", "rank", topK = 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"plan lacks WindowGroupLimit:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("rrfGrouped: per-group tie-break and topK bound") {
+    val a = grouped((0L, 10L, 1), (0L, 5L, 2))
+    val b = grouped((0L, 5L, 1), (0L, 10L, 2))
+    val out = RankFusion.rrfGrouped(Seq(a, b), "query_id", "doc_id", "rank",
+      topK = 1).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 5L)
+  }
 }
