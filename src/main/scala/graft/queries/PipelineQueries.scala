@@ -2611,6 +2611,51 @@ object PipelineQueries {
 
   lazy val lmScoreIndexedSql: String = lmScoreSql
 
+  /** STREAMING LM quality scoring against the persisted model: all
+    * docs staged as 4 parquet files, one file per AvailableNow
+    * micro-batch, each batch scored against the odd-docs model and
+    * appended to the sink. The model is FIXED ⇒ batches score
+    * independently ⇒ stream output ≡ batch scoring for ANY batch
+    * boundaries — the SAME oracle as q_lm_score gates it. Same
+    * build/staging sentinel protocol as q_stream_index_dedup. */
+  def streamLmScore(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val idxBase = s"${sys.props("java.io.tmpdir")}/graft_lmindex_v1_$sfKey"
+    if (!new java.io.File(s"$idxBase/meta/_SUCCESS").isFile)
+      TextAnalysis.writeLmIndex(
+        docs(s, d).filter(col("doc_id") % 2 === 1), "text", idxBase)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamlm_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamlm_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      docs(s, d).select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingLmScore.run(s, src, idxBase,
+        "doc_id", "text", sinkPath = s"$staging/out",
+        checkpoint = s"$staging/ckpt")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-lm-score promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    s.read.parquet(s"$root/out").orderBy("doc_id")
+  }
+
+  lazy val streamLmScoreSql: String = lmScoreSql
+
   val lmScoreSql: String = {
     def lg(x: String) = TextAnalysis.lg2fpSql(x, spark = false)
     s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
