@@ -254,6 +254,36 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
+  /** Full-precision RE-RANK of a bounded candidate list — the second
+    * stage of every quantized/ANN retrieval stack: a cheap proxy
+    * ranker ([[Quantization.quantizedTopK]], [[queryIvfIndexSq8]],
+    * an inverted index) nominates `candidates` (q_id, n_id) pairs,
+    * and this re-scores ONLY those pairs with exact cosine over the
+    * full-precision vectors, emitting the per-query top `k`.
+    *
+    * Scale shape: candidates are bounded by the upstream ranker
+    * (queries × k₀ rows) and BROADCAST into the corpus vector join —
+    * the corpus never shuffles and only candidate vectors are read
+    * into the score; queries broadcast as usual; `rank ≤ k` plans as
+    * WindowGroupLimit. Self-pairs are excluded (as in every ranker
+    * here); ties break on neighbor id. */
+  def rerankCandidates(
+      corpus: DataFrame, queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val q = queries.select(col("q_id"), col("q_v"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    broadcast(candidates.select(col("q_id"), col("n_id")).distinct())
+      .join(c, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   /** Build and PERSIST an SQ8-QUANTIZED IVF index — [[writeIvfIndex]]
     * composed with [[Quantization]]: cell routing is identical
     * (full-precision nearest-centroid assignment, so the index is

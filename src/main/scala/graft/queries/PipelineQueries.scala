@@ -880,8 +880,11 @@ object PipelineQueries {
       .quantizedTopK(embs(s, d), queriesDf(s, d), "vec_id", "embedding", k = 10)
       .orderBy("q_id", "rank")
 
-  val annQuantizedSql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  val annQuantizedSql: String = annQuantizedSqlK(10) +
+    "\nORDER BY q_id, rank"
+
+  private def annQuantizedSqlK(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |           FROM embeddings),
       |e AS (SELECT vec_id, j, v[j] AS x
       |      FROM v, LATERAL (SELECT unnest(range(1, len(v)+1)) AS j) t),
@@ -903,8 +906,40 @@ object PipelineQueries {
       |r AS (SELECT q_id, n_id, qcos,
       |        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) rank
       |      FROM s)
-      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
-      |ORDER BY q_id, rank""".stripMargin
+      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= $k""".stripMargin
+
+  /** Two-stage retrieval under the driver gate — THE production ANN
+    * shape: the SQ8 proxy ranker nominates top-30 candidates per
+    * query, and ONLY those pairs re-score with exact full-precision
+    * cosine for the final top-10. The mirror composes the quantized
+    * mirror (k=30) with an exact-cosine re-rank over the candidate
+    * pairs, so nomination AND re-ranking are value-checked end-to-end. */
+  def annRerank(s: SparkSession, d: String): DataFrame = {
+    val cand = graft.operators.Quantization
+      .quantizedTopK(embs(s, d), queriesDf(s, d), "vec_id", "embedding", k = 30)
+    Similarity.rerankCandidates(embs(s, d),
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        cand, "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val annRerankSql: String =
+    s"""WITH cand AS (SELECT q_id, n_id FROM (${annQuantizedSqlK(30)})),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |      FROM embeddings),
+       |fd AS (SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+       |s AS (SELECT c.q_id, c.n_id,
+       |        list_sum(list_transform(list_zip(q.v, n.v), p -> p[1]*p[2]))
+       |          / (q.nrm * n.nrm) cosine
+       |      FROM cand c JOIN fd q ON q.vec_id = c.q_id
+       |        JOIN fd n ON n.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, n_id) rank
+       |      FROM s)
+       |SELECT q_id, n_id, rank, cosine FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   // ---- text analysis ----
 

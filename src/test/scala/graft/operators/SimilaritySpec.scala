@@ -261,6 +261,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerankCandidates: exact cosine over nominated pairs only; candidates broadcast") {
+    val q = Similarity.prepareQueries(embs.filter($"vec_id" < 3), "vec_id", "embedding")
+    val cand = Quantization.quantizedTopK(
+      embs, embs.filter($"vec_id" < 3), "vec_id", "embedding", k = 30)
+    val out = Similarity.rerankCandidates(embs, q, cand, "vec_id", "embedding", k = 10)
+    val got = out.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+      .toMap
+    // truth: per query, exact cosine over EXACTLY the nominated set
+    val all = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nominated = cand.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 3L).foreach { qid =>
+      val want = nominated(qid).filter(_ != qid).toSeq
+        .map(n => (n, cos(all(qid), all(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(10)
+      assert(got(qid) == want, s"query $qid")
+    }
+    // scale shape: the bounded candidate list is the broadcast side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+  }
+
   test("IVF index probe scans ONLY the probed cell partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     try {
