@@ -262,19 +262,27 @@ object Similarity {
     * full-precision vectors, emitting the per-query top `k`.
     *
     * Scale shape: candidates are bounded by the upstream ranker
-    * (queries × k₀ rows) and BROADCAST into the corpus vector join —
-    * the corpus never shuffles and only candidate vectors are read
-    * into the score; queries broadcast as usual; `rank ≤ k` plans as
-    * WindowGroupLimit. Self-pairs are excluded (as in every ranker
-    * here); ties break on neighbor id. */
+    * (queries × k₀ rows); they are Materialized and sized on their
+    * REAL count (the Dedup idiom — a proxy ranker's output estimate
+    * is not trustworthy): within the broadcast-safe budget they
+    * broadcast into the corpus vector join, so the corpus never
+    * shuffles and only candidate vectors feed the score; a huge query
+    * batch (count over budget) falls back to a shuffle join instead
+    * of a driver-OOM broadcast. Queries broadcast as usual; `rank ≤ k`
+    * plans as WindowGroupLimit. Self-pairs are excluded (as in every
+    * ranker here); ties break on neighbor id. */
   def rerankCandidates(
       corpus: DataFrame, queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"bad k $k")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val q = queries.select(col("q_id"), col("q_v"))
+    val cand = Materialize(candidates.select(col("q_id"), col("n_id")).distinct())
+    val candSized =
+      if (cand.count() <= Dedup.BroadcastSafeRows) broadcast(cand)
+      else cand.hint("merge")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    broadcast(candidates.select(col("q_id"), col("n_id")).distinct())
+    candSized
       .join(c, Seq("n_id"))
       .join(broadcast(q), Seq("q_id"))
       .filter(col("q_id") =!= col("n_id"))

@@ -803,13 +803,26 @@ object TextAnalysis {
   }
 
   /** [[scoreWithLmIndex]] with the meta already read (`v` from
-    * [[readLmMeta]]) — the per-batch body for streaming scorers. */
+    * [[readLmMeta]]) — constructs the model/ctx readers fresh; batch
+    * callers use this. Streaming callers hoist the READERS too via
+    * [[scoreWithLm]] (a reader carries the file listing — rebuilt per
+    * micro-batch it is wasted fixed driver work, the same class of
+    * overhead the meta hoist removes). */
   def scoreWithLmState(spark: org.apache.spark.sql.SparkSession, path: String,
                        v: Long, df: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
+                       textCol: String): DataFrame =
+    scoreWithLm(spark.read.parquet(s"$path/model"),
+      spark.read.parquet(s"$path/ctx"), v, df, idCol, textCol)
+
+  /** Scoring over caller-held model state: `model` = (bg, ctx, c12)
+    * and `c1` = (ctx, c1) DataFrames (from the [[writeLmIndex]]
+    * layout, constructed ONCE by the caller), `v` from [[readLmMeta]].
+    * The per-micro-batch body for streaming scorers — zero per-batch
+    * index-side driver work. */
+  def scoreWithLm(model: DataFrame, c1: DataFrame, v: Long, df: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val spark = model.sparkSession
     import spark.implicits._
-    val model = spark.read.parquet(s"$path/model")
-    val c1 = spark.read.parquet(s"$path/ctx")
     scoreAgainstLm(df, idCol, textCol, model, c1, Seq(v).toDF("v"))
   }
 

@@ -32,14 +32,18 @@ object StreamingLmScore {
       stream, indexPath, idCol, textCol, sinkPath, checkpoint)
 
   /** [[run]] with the meta state (`v`) already read — callers sharing
-    * one model across several streams read it once for all of them. */
+    * one model across several streams read it once for all of them.
+    * The model/ctx READERS are also constructed once here (file
+    * listing + plan), so a micro-batch pays zero fixed index-side
+    * driver work. */
   def runWithState(spark: SparkSession, v: Long, stream: DataFrame,
                    indexPath: String, idCol: String, textCol: String,
                    sinkPath: String, checkpoint: String): Unit = {
+    val model = spark.read.parquet(s"$indexPath/model")
+    val c1 = spark.read.parquet(s"$indexPath/ctx")
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        TextAnalysis.scoreWithLmState(
-            spark, indexPath, v, batch.toDF(), idCol, textCol)
+        TextAnalysis.scoreWithLm(model, c1, v, batch.toDF(), idCol, textCol)
           .write.mode("append").parquet(sinkPath)
         ()
       }
