@@ -113,8 +113,10 @@ object TextFunctions {
   def linearTextScore(text: Column, buckets: Int = 1 << 16,
                       span: Int = 61,
                       weights: Option[Array[Long]] = None): Column =
+    // defensive copy: the expression's structural-equality contract
+    // must not alias a caller-held mutable buffer
     toColumn(LinearTextScore(toExpr(text), buckets, span,
-      weights.map(w => scala.collection.immutable.ArraySeq.unsafeWrapArray(w))))
+      weights.map(w => scala.collection.immutable.ArraySeq.unsafeWrapArray(w.clone()))))
 
   /** The hashed-feature bucket stream [[LinearTextScore]] scores —
     * unigrams + adjacent bigrams, fnv64-hashed mod `buckets` — exposed

@@ -49,27 +49,42 @@ class DruidCatalog extends TableCatalog {
     if (namespace.nonEmpty)
       throw new NoSuchNamespaceException(catalogName +: namespace)
 
+  /** ONE recursive listing; a root that does not exist yet (a fresh
+    * deep-storage tree before its first ingest — a state the writer
+    * path supports) reads as "no tables", per the catalog contract
+    * (tableExists → false, listTables → empty, loadTable →
+    * NoSuchTableException), never a raw FileNotFoundException out of
+    * analysis. */
+  private def safeDiscover(): Seq[SegmentDescriptor] =
+    try DruidDeepStorage.discover(SparkSession.active, root)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireTopLevel(namespace)
-    DruidDeepStorage.discover(SparkSession.active, root)
+    safeDiscover()
       .map(_.dataSource).distinct.sorted
       .map(ds => Identifier.of(Array.empty[String], ds)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty &&
-      DruidDeepStorage.discover(SparkSession.active, root)
-        .exists(_.dataSource == ident.name())
+      safeDiscover().exists(_.dataSource == ident.name())
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
+    // one discovery serves BOTH the existence check and schema
+    // inference — resolution costs a single tree listing on our side
+    // (an object-store tree with thousands of segments pays per LIST)
+    val segs =
+      if (ident.namespace().isEmpty)
+        safeDiscover().filter(_.dataSource == ident.name())
+      else Seq.empty
+    if (segs.isEmpty)
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
     val opts = new CaseInsensitiveStringMap(
       util.Map.of("path", root, "dataSource", ident.name()))
-    val provider = new DruidSegmentsDataSource
-    provider.getTable(provider.inferSchema(opts), Array.empty[Transform],
-      opts.asCaseSensitiveMap())
+    new DruidSegmentsTable(
+      DruidSegmentsDataSource.visibleSchema(SparkSession.active, segs), opts)
   }
 
   private def readOnly(op: String): Nothing =

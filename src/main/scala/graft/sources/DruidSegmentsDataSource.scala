@@ -81,17 +81,7 @@ class DruidSegmentsDataSource extends TableProvider with DataSourceRegister {
         case _: IllegalArgumentException => return StructType(Nil)
         case _: java.io.FileNotFoundException => return StructType(Nil)
       }
-    // UNION schema across TIMELINE-VISIBLE segments: Druid datasources
-    // evolve their dimension set per-interval, so no single segment is
-    // authoritative — but overshadowed generations can never be read,
-    // so they neither widen the schema nor get to fail the
-    // type-conflict check. Columns a segment lacks decode as null
-    // there; conflicting types fail loudly
-    // (DruidSegmentReader.unionSchema). Probes are cached per path
-    // (segments are immutable).
-    val visible = VersionedTimeline.resolve(segs, Long.MinValue, Long.MaxValue)
-      .map(_.segment.path).distinct
-    DruidSegmentReader.unionSchema(spark, visible)
+    DruidSegmentsDataSource.visibleSchema(spark, segs)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -106,6 +96,24 @@ private[sources] object DruidSegmentsDataSource {
     * itself (and Spark-side grouping is already exact) — the same
     * conservatism Druid's own groupBy planner applies. */
   val MaxGroupDims = 4
+
+  /** UNION schema across TIMELINE-VISIBLE segments of an
+    * already-discovered descriptor set: Druid datasources evolve their
+    * dimension set per-interval, so no single segment is
+    * authoritative — but overshadowed generations can never be read,
+    * so they neither widen the schema nor get to fail the
+    * type-conflict check. Columns a segment lacks decode as null
+    * there; conflicting types fail loudly
+    * (DruidSegmentReader.unionSchema). Probes are cached per path
+    * (segments are immutable). Taking descriptors — not a path — lets
+    * [[DruidCatalog.loadTable]] reuse ITS discovery instead of
+    * re-listing the tree. */
+  private[sources] def visibleSchema(
+      spark: SparkSession, segs: Seq[SegmentDescriptor]): StructType = {
+    val visible = VersionedTimeline.resolve(segs, Long.MinValue, Long.MaxValue)
+      .map(_.segment.path).distinct
+    DruidSegmentReader.unionSchema(spark, visible)
+  }
 
   /** Driver-side descriptor discovery + dataSource filter (one
     * recursive listing — the same O(#segments) planning cost as the

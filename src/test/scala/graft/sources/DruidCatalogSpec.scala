@@ -59,6 +59,26 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("missing deep-storage root: catalog contract, not FileNotFoundException") {
+    val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
+    spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidcat3.root", gone.getAbsolutePath)
+    try {
+      val cat = spark.sessionState.catalogManager.catalog("druidcat3")
+        .asInstanceOf[DruidCatalog]
+      assert(cat.listTables(Array.empty).isEmpty)
+      assert(!cat.tableExists(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "t")))
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM druidcat3.t").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("t"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidcat3")
+      spark.conf.unset("spark.sql.catalog.druidcat3.root")
+    }
+  }
+
   test("overshadowing and dictionary pruning ride through the SQL surface") {
     val root = Files.createTempDirectory("druidcat2").toFile
     writeSegment(new File(root, "g1"), "events", version = "v1")
