@@ -489,9 +489,11 @@ object TextAnalysis {
     * TakeOrdered, ties broken on doc id. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k >= 1, s"bad k $k")
+    require(maxDf >= 1, s"bad maxDf $maxDf")
     import graft.queries.Exact
     val tf = Materialize(df
       .select(col(idCol).cast("long").as("__doc"),
@@ -501,8 +503,21 @@ object TextAnalysis {
     val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(sum(col("dl")).as("total_len"),
       count(lit(1)).as("n_docs"))
-    val qtf = tf.filter(col("term").isin(queryTerms: _*))
-    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // maxDf is the hot-term guard: a stopword-grade term matches most
+    // of the corpus yet contributes ≈0 idf — at web scale its postings
+    // dominate the scoring join for nothing. The cut applies BEFORE
+    // the scoring joins (semi-join on the surviving term set), so
+    // guarded terms never fan out. Default = no cut (exact classic
+    // BM25 — and exactly the original pushed-down isin plan).
+    val qtfAll = tf.filter(col("term").isin(queryTerms: _*))
+    val qdf0 = qtfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (qtf, qdf) =
+      if (maxDf == Long.MaxValue) (qtfAll, qdf0)
+      else {
+        val cut = qdf0.filter(col("df") <= maxDf)
+        (qtfAll.join(broadcast(cut.select("term")), Seq("term"), "left_semi"),
+          cut)
+      }
     val contrib =
       (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
@@ -546,8 +561,10 @@ object TextAnalysis {
     * (a term contributes once per query, as in [[bm25TopK]]). */
   def bm25TopKMulti(df: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, queryIdCol: String, termCol: String,
-                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"bad k $k")
+    require(maxDf >= 1, s"bad maxDf $maxDf")
     import graft.queries.Exact
     val tf = Materialize(df
       .select(col(idCol).cast("long").as("__doc"),
@@ -562,9 +579,21 @@ object TextAnalysis {
       .distinct()
     // ONE postings prune on the union of every query's terms — the
     // per-query corpus re-scan a bm25TopK loop would pay is gone
-    val qtf = tf.join(broadcast(q.select("term").distinct()),
+    val qtfAll = tf.join(broadcast(q.select("term").distinct()),
       Seq("term"), "left_semi")
-    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qdf0 = qtfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // hot-term guard (see bm25TopK): in the MULTI form a stopword
+    // shared by thousands of queries multiplies its corpus-wide
+    // postings by every query carrying it — the one quadratic-ish
+    // surface this operator has. Terms over maxDf (≈0 idf anyway) are
+    // cut before the query fan-out. Default = no cut.
+    val (qtf, qdf) =
+      if (maxDf == Long.MaxValue) (qtfAll, qdf0)
+      else {
+        val cut = qdf0.filter(col("df") <= maxDf)
+        (qtfAll.join(broadcast(cut.select("term")), Seq("term"), "left_semi"),
+          cut)
+      }
     val contrib =
       (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +

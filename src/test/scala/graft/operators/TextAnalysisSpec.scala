@@ -319,6 +319,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains((8L, 2L))) // doc 2 has no 'window'
   }
 
+  test("bm25 maxDf hot-term guard: over-df terms cut before fan-out; default exact") {
+    val s2h = spark
+    import s2h.implicits._
+    val df = Seq(
+      (1L, "the spark engine the"), // "the" in every doc (df=3)
+      (2L, "the fast spark"),
+      (3L, "the slow flink")
+    ).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    // cutting df > 2 removes "the" entirely: result == querying without it
+    val guarded = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("the", "spark"), k = 3, maxDf = 2L)
+    val withoutHot = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark"), k = 3)
+    assert(rows(guarded) == rows(withoutHot) && rows(guarded).nonEmpty)
+    // default keeps classic BM25: "the" contributes for every doc
+    val full = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("the", "spark"), k = 3)
+    assert(full.collect().length == 3)
+    assert(full.collect().forall(_.getAs[Long]("n_terms") >= 1))
+    // multi form: the same cut applies per query
+    val queries = Seq(0L -> "the", 0L -> "spark", 1L -> "the")
+      .toDF("query_id", "term")
+    val multi = TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      queries, "query_id", "term", k = 3, maxDf = 2L).collect()
+    // query 1 was only the hot term -> no results at all after the cut
+    assert(!multi.exists(_.getAs[Long]("query_id") == 1L))
+    assert(multi.filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet ==
+      rows(withoutHot))
+  }
+
   test("bm25TopKMulti: one tf scan, per-query WindowGroupLimit heaps") {
     val s2g = spark
     import s2g.implicits._
