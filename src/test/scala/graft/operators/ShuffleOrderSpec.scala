@@ -168,5 +168,28 @@ class ShuffleOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ShuffleOrder.order(input(10, 1).withColumn("pos", lit(0)), "doc_id", 1L)
     }
+    // internal working columns are reserved too — an input carrying
+    // them would be silently overwritten/dropped, not renamed
+    for (c <- Seq("__k", "__rn", "__base", "__ct", "__tbase"))
+      intercept[IllegalArgumentException] {
+        ShuffleOrder.order(input(10, 1).withColumn(c, lit(0)), "doc_id", 1L)
+      }
+    // tok_start is reserved only when tokens are requested
+    ShuffleOrder.order(
+      input(10, 1).withColumn("tok_start", lit(0)), "doc_id", 1L).collect()
+    intercept[IllegalArgumentException] {
+      ShuffleOrder.orderWithTokens(
+        input(10, 1).withColumn("tok_start", lit(0))
+          .withColumn("ntok", lit(1L)),
+        "doc_id", "ntok", 1L)
+    }
+    // re-ordering previously ordered output: drop the outputs first
+    val once = ShuffleOrder.order(input(10, 1), "doc_id", 1L)
+    intercept[IllegalArgumentException] {
+      ShuffleOrder.order(once, "doc_id", 2L)
+    }
+    val again = ShuffleOrder.order(once.drop("pos", "shard"), "doc_id", 2L)
+    assert(again.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L))
   }
 }
