@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * the fused ranking total and deterministic. */
 object RankFusion {
 
+  /** Rank values must be ≥ 1 (ranked lists are 1-based here and in
+    * every upstream ranker). Enforced at RUNTIME, loudly: with
+    * kConst = 0 a rank of 0 would make the integer div emit NULL and
+    * silently drop that list's contribution from rrf_score while
+    * still counting it in n_lists — a bad rank column must fail the
+    * job, not skew fused scores. */
+  private def rankContrib(kConst: Int): Column =
+    when(col("__r") < 1L, raise_error(concat(
+        lit("rrf: rank must be >= 1, got "), col("__r").cast("string"))))
+      .otherwise(expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)"))
+
   /** `rankings`: DataFrames each holding (`idCol`, `rankCol`) with
     * rank ≥ 1. Returns top `topK` docs: (fused_rank, id, n_lists,
     * rrf_score). Docs missing from a list simply contribute nothing
@@ -39,8 +50,7 @@ object RankFusion {
     // string breaks (or silently misresolves) on non-identifier names
     val contribs = rankings.map(df =>
       df.select(col(idCol), col(rankCol).cast("long").as("__r"))
-        .select(col(idCol),
-          expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)").as("__c")))
+        .select(col(idCol), rankContrib(kConst).as("__c")))
     val fused = contribs.reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))
@@ -74,8 +84,7 @@ object RankFusion {
       s"column collides with an internal name: $groupCol/$idCol")
     val contribs = rankings.map(df =>
       df.select(col(groupCol), col(idCol), col(rankCol).cast("long").as("__r"))
-        .select(col(groupCol), col(idCol),
-          expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)").as("__c")))
+        .select(col(groupCol), col(idCol), rankContrib(kConst).as("__c")))
     val fused = contribs.reduce(_ unionByName _)
       .groupBy(col(groupCol), col(idCol))
       .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_score"))

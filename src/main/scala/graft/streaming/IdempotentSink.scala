@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Replay-safe parquet append for `foreachBatch` sinks — the
+  * batch-id marker idiom [[StreamingDruidIngest]] established, shared
+  * so every non-Druid streaming sink gets the same delivery contract
+  * instead of a bare `mode("append")` (which DUPLICATES a batch's
+  * rows when a crash lands between the append and the checkpoint
+  * commit and the batch replays).
+  *
+  * Contract: at-least-once across driver crashes, with replays
+  * suppressed by a per-batch marker under `<sink>/_batches/<batchId>`
+  * written AFTER the append commits. A crash exactly between the
+  * append and the marker still re-appends on restart (the same
+  * residual window StreamingDruidIngest documents — closing it needs
+  * a transactional sink, which plain parquet is not); a crash
+  * anywhere else — including the common one, between the append and
+  * the CHECKPOINT commit — replays into an existing marker and is
+  * skipped, holding each row exactly once. The `_batches/` directory
+  * starts with an underscore, so parquet readers of the sink ignore
+  * it (Spark hides `_`/`.`-prefixed paths from file indexes).
+  *
+  * foreachBatch content determinism is on the source (true for the
+  * file and Kafka sources replaying from checkpointed offsets): a
+  * replayed batchId re-presents the same rows, so skipping it is
+  * sound. */
+object IdempotentSink {
+
+  /** Append `df` to the parquet directory `sinkPath` exactly once per
+    * `batchId`: a replayed micro-batch whose marker exists is a
+    * no-op. Call from inside `foreachBatch` with its batchId. */
+  def appendOnce(df: DataFrame, sinkPath: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$sinkPath/_batches/$batchId")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      df.write.mode("append").parquet(sinkPath)
+      fs.create(marker, true).close()
+    }
+  }
+}

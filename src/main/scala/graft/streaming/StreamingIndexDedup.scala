@@ -24,6 +24,12 @@ import graft.operators.Dedup
   * fixed index, the stream output over any file set equals the batch
   * [[Dedup.probeMinhashIndex]] anti-join over the same rows — gated
   * by the driver query against the same all-pairs oracle.
+  *
+  * Delivery: replay-safe via [[IdempotentSink]] — a micro-batch that
+  * crashed after its append but before the checkpoint commit is
+  * skipped on replay (marker under `<sink>/_batches/`), so the sink
+  * holds each surviving row once; only the marker idiom's residual
+  * window (crash exactly between append and marker) can re-append.
   */
 object StreamingIndexDedup {
 
@@ -53,15 +59,18 @@ object StreamingIndexDedup {
                    idCol: String, textCol: String, threshold: Double,
                    sinkPath: String, checkpoint: String): Unit = {
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         try {
           val dupIds = Dedup.probeMinhashIndexWith(
               indexState, b.toDF(), idCol, textCol, threshold)
             .select(col("corpus_id").as("__dup_id")).distinct()
-          b.join(dupIds, b(idCol).cast("long") === col("__dup_id"),
-              "left_anti")
-            .write.mode("append").parquet(sinkPath)
+          // replay-safe: a crash-replayed batch must not duplicate its
+          // surviving rows in the sink (IdempotentSink marker contract)
+          IdempotentSink.appendOnce(
+            b.join(dupIds, b(idCol).cast("long") === col("__dup_id"),
+              "left_anti"),
+            sinkPath, batchId)
         } finally b.unpersist()
         ()
       }

@@ -18,7 +18,13 @@ import graft.operators.TextAnalysis
   * The driver-side index state (V and the tokenization pin) loads
   * ONCE at stream start via [[TextAnalysis.readLmMeta]]; micro-batches
   * call the state-passing scorer, so a continuous ingest pays zero
-  * fixed per-batch meta reads. */
+  * fixed per-batch meta reads.
+  *
+  * Delivery: replay-safe via [[IdempotentSink]] — a micro-batch that
+  * crashed after its append but before the checkpoint commit is
+  * skipped on replay (marker under `<sink>/_batches/`), so the sink
+  * holds each score row once; only the marker idiom's residual window
+  * (crash exactly between append and marker) can re-append. */
 object StreamingLmScore {
 
   /** Score `stream` (a streaming DataFrame of documents) against the
@@ -42,9 +48,12 @@ object StreamingLmScore {
     val model = spark.read.parquet(s"$indexPath/model")
     val c1 = spark.read.parquet(s"$indexPath/ctx")
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        TextAnalysis.scoreWithLm(model, c1, v, batch.toDF(), idCol, textCol)
-          .write.mode("append").parquet(sinkPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // replay-safe: a crash-replayed batch must not duplicate its
+        // score rows in the sink (IdempotentSink marker contract)
+        IdempotentSink.appendOnce(
+          TextAnalysis.scoreWithLm(model, c1, v, batch.toDF(), idCol, textCol),
+          sinkPath, batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -81,4 +81,20 @@ class RankFusionSpec extends SparkSpec {
       topK = 1).collect()
     assert(out.length == 1 && out.head.getLong(2) == 5L)
   }
+
+  test("a rank < 1 fails loudly instead of silently dropping its contribution") {
+    // with kConst=0 and rank=0 the integer div would emit NULL and the
+    // list's contribution would vanish from rrf_score while n_lists
+    // still counted it — must raise, in both forms
+    val bad = ranking((10L, 1), (5L, 0))
+    val e = intercept[Exception] {
+      RankFusion.rrf(Seq(bad), "doc_id", "rank", kConst = 0).collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"), e.getMessage)
+    val badG = grouped((0L, 10L, 1), (0L, 5L, -60))
+    val eg = intercept[Exception] {
+      RankFusion.rrfGrouped(Seq(badG), "query_id", "doc_id", "rank").collect()
+    }
+    assert(eg.getMessage.contains("rank must be >= 1"), eg.getMessage)
+  }
 }
