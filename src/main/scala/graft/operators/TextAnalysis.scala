@@ -487,47 +487,57 @@ object TextAnalysis {
     * through DECIMAL(38,6) (order-independent — a double sum would
     * hash differently per partitioning); top-k is one bounded
     * TakeOrdered, ties broken on doc id. */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String], k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75,
-               maxDf: Long = Long.MaxValue): DataFrame = {
+  /** The BM25 corpus passes shared by the inline operators and the
+    * index BUILD: per-(doc, term) frequency and per-doc length — the
+    * only corpus-sized work in any BM25 path. */
+  private def bm25Tf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__doc"),
+        explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-term BM25 contribution (classic saturation curve × the
+    * rational fixed-point idf) — ONE definition for every path. */
+  private def bm25Contrib(k1: Double, b: Double): Column =
+    (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl").cast("double") * col("n_docs") / col("total_len")))) *
+      expr("CAST(1000000000 AS BIGINT) div df").cast("double")
+
+  /** maxDf hot-term guard shared by all paths: a stopword-grade term
+    * matches most of the corpus yet contributes ≈0 idf — at web scale
+    * its postings dominate the scoring join for nothing. The cut
+    * applies BEFORE the scoring joins (semi-join on the surviving term
+    * set), so guarded terms never fan out. Default = no cut (exact
+    * classic BM25). */
+  private def bm25MaxDfCut(qtfAll: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
+    val qdf0 = qtfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    if (maxDf == Long.MaxValue) (qtfAll, qdf0)
+    else {
+      val cut = qdf0.filter(col("df") <= maxDf)
+      (qtfAll.join(broadcast(cut.select("term")), Seq("term"), "left_semi"),
+        cut)
+    }
+  }
+
+  /** Single-query scoring TAIL over corpus state `(tf, dl, stats)` —
+    * shared verbatim by [[bm25TopK]] (state derived inline) and
+    * [[scoreWithBm25State]] (state read from the persisted index), so
+    * indexed ≡ inline scores bit-for-bit by construction. */
+  private def bm25ScoreSingle(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                              queryTerms: Seq[String], k: Int,
+                              k1: Double, b: Double, maxDf: Long): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k >= 1, s"bad k $k")
     require(maxDf >= 1, s"bad maxDf $maxDf")
     import graft.queries.Exact
-    val tf = Materialize(df
-      .select(col(idCol).cast("long").as("__doc"),
-        explode(words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf")))
-    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
-    val stats = dl.agg(sum(col("dl")).as("total_len"),
-      count(lit(1)).as("n_docs"))
-    // maxDf is the hot-term guard: a stopword-grade term matches most
-    // of the corpus yet contributes ≈0 idf — at web scale its postings
-    // dominate the scoring join for nothing. The cut applies BEFORE
-    // the scoring joins (semi-join on the surviving term set), so
-    // guarded terms never fan out. Default = no cut (exact classic
-    // BM25 — and exactly the original pushed-down isin plan).
     val qtfAll = tf.filter(col("term").isin(queryTerms: _*))
-    val qdf0 = qtfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val (qtf, qdf) =
-      if (maxDf == Long.MaxValue) (qtfAll, qdf0)
-      else {
-        val cut = qdf0.filter(col("df") <= maxDf)
-        (qtfAll.join(broadcast(cut.select("term")), Seq("term"), "left_semi"),
-          cut)
-      }
-    val contrib =
-      (col("tf").cast("double") * lit(k1 + 1.0)) /
-        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
-          lit(b) * (col("dl").cast("double") * col("n_docs") / col("total_len")))) *
-        expr("CAST(1000000000 AS BIGINT) div df").cast("double")
+    val (qtf, qdf) = bm25MaxDfCut(qtfAll, maxDf)
     val scored = qtf
       .join(broadcast(qdf), "term")
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
-      .withColumn("__c", contrib)
+      .withColumn("__c", bm25Contrib(k1, b))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_terms"), Exact.dsum(col("__c")).as("score"))
       .orderBy(col("score").desc, col("__doc").asc)
@@ -538,6 +548,17 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("__doc").as("doc_id"),
         col("n_terms"), col("score"))
+  }
+
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    val tf = Materialize(bm25Tf(df, idCol, textCol))
+    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val stats = dl.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs"))
+    bm25ScoreSingle(tf, dl, stats, queryTerms, k, k1, b, maxDf)
   }
 
   /** Multi-query BM25 top-k — [[bm25TopK]] for a TABLE of queries
@@ -563,17 +584,24 @@ object TextAnalysis {
                     queries: DataFrame, queryIdCol: String, termCol: String,
                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                     maxDf: Long = Long.MaxValue): DataFrame = {
-    require(k >= 1, s"bad k $k")
-    require(maxDf >= 1, s"bad maxDf $maxDf")
-    import graft.queries.Exact
-    val tf = Materialize(df
-      .select(col(idCol).cast("long").as("__doc"),
-        explode(words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf")))
+    val tf = Materialize(bm25Tf(df, idCol, textCol))
     val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(sum(col("dl")).as("total_len"),
       count(lit(1)).as("n_docs"))
+    bm25ScoreMulti(tf, dl, stats, queries, queryIdCol, termCol, k, k1, b, maxDf)
+  }
+
+  /** Multi-query scoring TAIL over corpus state `(tf, dl, stats)` —
+    * shared verbatim by [[bm25TopKMulti]] (state derived inline) and
+    * [[scoreWithBm25StateMulti]] (state read from the persisted
+    * index), so indexed ≡ inline scores bit-for-bit by construction. */
+  private def bm25ScoreMulti(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                             queries: DataFrame, queryIdCol: String,
+                             termCol: String, k: Int, k1: Double, b: Double,
+                             maxDf: Long): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(maxDf >= 1, s"bad maxDf $maxDf")
+    import graft.queries.Exact
     val q = queries
       .select(col(queryIdCol).cast("long").as("__q"), col(termCol).as("term"))
       .distinct()
@@ -581,24 +609,12 @@ object TextAnalysis {
     // per-query corpus re-scan a bm25TopK loop would pay is gone
     val qtfAll = tf.join(broadcast(q.select("term").distinct()),
       Seq("term"), "left_semi")
-    val qdf0 = qtfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // hot-term guard (see bm25TopK): in the MULTI form a stopword
+    // hot-term guard (see bm25MaxDfCut): in the MULTI form a stopword
     // shared by thousands of queries multiplies its corpus-wide
     // postings by every query carrying it — the one quadratic-ish
     // surface this operator has. Terms over maxDf (≈0 idf anyway) are
     // cut before the query fan-out. Default = no cut.
-    val (qtf, qdf) =
-      if (maxDf == Long.MaxValue) (qtfAll, qdf0)
-      else {
-        val cut = qdf0.filter(col("df") <= maxDf)
-        (qtfAll.join(broadcast(cut.select("term")), Seq("term"), "left_semi"),
-          cut)
-      }
-    val contrib =
-      (col("tf").cast("double") * lit(k1 + 1.0)) /
-        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
-          lit(b) * (col("dl").cast("double") * col("n_docs") / col("total_len")))) *
-        expr("CAST(1000000000 AS BIGINT) div df").cast("double")
+    val (qtf, qdf) = bm25MaxDfCut(qtfAll, maxDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__q").orderBy(col("score").desc, col("__doc").asc)
     qtf
@@ -606,7 +622,7 @@ object TextAnalysis {
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "term") // fan out to (query, doc, term)
-      .withColumn("__c", contrib)
+      .withColumn("__c", bm25Contrib(k1, b))
       .groupBy(col("__q"), col("__doc"))
       .agg(count(lit(1)).as("n_terms"), Exact.dsum(col("__c")).as("score"))
       .withColumn("rank", row_number().over(w))
@@ -614,6 +630,127 @@ object TextAnalysis {
       .select(col("__q").as("query_id"), col("rank"),
         col("__doc").as("doc_id"), col("n_terms"), col("score"))
   }
+
+  /** Tokenization convention pinned into the BM25 index meta — a
+    * probe against an index built under a different convention must
+    * fail loudly, not score garbage. */
+  private[graft] val Bm25Tokenization = "split-space-fnv-free-v1"
+
+  /** Build and PERSIST the BM25 index — build-once/score-many parity
+    * with [[writeLmIndex]] / [[graft.operators.Dedup.writeMinhashIndex]]
+    * / [[graft.operators.Similarity.writeIvfIndexSq8]]: the corpus is
+    * tokenized and aggregated ONCE, ever; each later probe (a query, a
+    * query batch, a streaming micro-batch of queries) pays only its
+    * matched postings. [[bm25TopK]]/[[bm25TopKMulti]] re-tokenize the
+    * corpus every CALL — pure waste after the first run on the fixed
+    * serving corpus lexical retrieval usually runs against.
+    *
+    * Layout: `$path/postings` = (term, __doc, tf), clustered on term
+    * (repartition + sortWithinPartitions) so a probe's term filter
+    * prunes parquet row groups by min/max stats instead of scanning
+    * the vocabulary — partitionBy(term) would mint a vocab-sized
+    * directory tree, the small-files failure mode; `$path/dl` =
+    * (__doc, dl) doc lengths; `$path/meta` pins n_docs, total_len,
+    * the SCORING parameters (k1, b — one index serves one scoring
+    * config, so every consumer ranks identically), and the
+    * tokenization convention. Meta is written LAST: its _SUCCESS is
+    * the build-complete sentinel. */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+                     path: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = Materialize(bm25Tf(df, idCol, textCol))
+    tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/dl")
+    val st = spark.read.parquet(s"$path/dl")
+      .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
+      .collect()(0)
+    val nDocs = st.getLong(1)
+    // check BEFORE touching total_len: over an empty corpus the sum is
+    // NULL and the gate must be the loud require, not a null unbox
+    require(nDocs > 0, "writeBm25Index: corpus contributes no non-empty " +
+      "terms — cannot build a BM25 index")
+    val totalLen = st.getLong(0)
+    Seq((nDocs, totalLen, k1, b, Bm25Tokenization))
+      .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Driver-side BM25 index state: the postings/dl READERS (file
+    * listing + plan, constructed once) plus the meta-pinned corpus
+    * stats and scoring parameters — streaming callers keep it across
+    * micro-batches instead of re-reading `meta/` and re-planning the
+    * index side per batch (the [[readLmMeta]]/[[scoreWithLmState]]
+    * hoist, uniformly). */
+  final case class Bm25IndexState(postings: DataFrame, dl: DataFrame,
+                                  nDocs: Long, totalLen: Long,
+                                  k1: Double, b: Double) {
+    /** The 1-row (total_len, n_docs) stats relation the scoring tails
+      * crossJoin — identical values to the inline `dl.agg(...)`, so
+      * the shared tails score identically. */
+    private[graft] def stats: DataFrame = {
+      val spark = postings.sparkSession
+      import spark.implicits._
+      Seq((totalLen, nDocs)).toDF("total_len", "n_docs")
+    }
+  }
+
+  /** Load the [[writeBm25Index]] state: ONE bounded meta read (refuses
+    * loudly on a tokenization-convention mismatch), readers
+    * constructed once. The corpus is never touched — every probe plan
+    * reads only `postings`/`dl` parquet (spec-pinned). */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Bm25IndexState = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val tok = meta.getAs[String]("tokenization")
+    require(tok == Bm25Tokenization,
+      s"BM25 index at $path uses tokenization '$tok'; this build scores " +
+        s"'$Bm25Tokenization' — rebuild the index")
+    Bm25IndexState(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/dl"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"),
+      meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
+  }
+
+  /** Single-query probe of a persisted BM25 index — identical joins
+    * and arithmetic to [[bm25TopK]] via the shared scoring tail, under
+    * the index's meta-pinned k1/b. Only matched postings flow: the
+    * term filter pushes down to the term-clustered postings parquet. */
+  def scoreWithBm25Index(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queryTerms: Seq[String], k: Int = 10,
+                         maxDf: Long = Long.MaxValue): DataFrame =
+    scoreWithBm25State(loadBm25Index(spark, path), queryTerms, k, maxDf)
+
+  /** [[scoreWithBm25Index]] over caller-held state — the per-batch
+    * body for streaming probes ([[graft.streaming.StreamingBm25Score]]):
+    * zero per-batch index-side driver work. */
+  def scoreWithBm25State(state: Bm25IndexState, queryTerms: Seq[String],
+                         k: Int = 10, maxDf: Long = Long.MaxValue): DataFrame =
+    bm25ScoreSingle(state.postings, state.dl, state.stats,
+      queryTerms, k, state.k1, state.b, maxDf)
+
+  /** Multi-query probe of a persisted BM25 index — [[bm25TopKMulti]]'s
+    * tail over the persisted state: one postings prune on the union of
+    * the batch's terms, per-query WindowGroupLimit top-k, and the
+    * corpus never re-tokenizes. */
+  def scoreWithBm25IndexMulti(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame,
+                              queryIdCol: String, termCol: String,
+                              k: Int = 10,
+                              maxDf: Long = Long.MaxValue): DataFrame =
+    scoreWithBm25StateMulti(loadBm25Index(spark, path), queries,
+      queryIdCol, termCol, k, maxDf)
+
+  /** [[scoreWithBm25IndexMulti]] over caller-held state. */
+  def scoreWithBm25StateMulti(state: Bm25IndexState, queries: DataFrame,
+                              queryIdCol: String, termCol: String,
+                              k: Int = 10,
+                              maxDf: Long = Long.MaxValue): DataFrame =
+    bm25ScoreMulti(state.postings, state.dl, state.stats,
+      queries, queryIdCol, termCol, k, state.k1, state.b, maxDf)
 
   /** Per-document n-gram familiarity — the cheap LM-free fluency
     * proxy quality pipelines run when a real language model is too

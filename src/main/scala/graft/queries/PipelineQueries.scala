@@ -2415,6 +2415,72 @@ object PipelineQueries {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** PERSISTED-BM25-INDEX probe under the driver gate: the index is
+    * built ONCE over the full documents corpus (sentinel-guarded, the
+    * same protocol as q_lm_score_indexed), then the q_bm25 query runs
+    * as a pure index probe — the corpus is never re-tokenized (the
+    * probe plan reads only postings/dl parquet, spec-pinned). The
+    * shared scoring tail makes indexed ≡ inline bit-for-bit, so the
+    * SAME mirror as q_bm25 gates every score bit. */
+  def bm25IndexedQ(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bm25index_v1_$sfKey"
+    if (!new java.io.File(s"$base/meta/_SUCCESS").isFile)
+      TextAnalysis.writeBm25Index(docs(s, d), "doc_id", "text", base)
+    TextAnalysis.scoreWithBm25Index(s, base,
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+  }
+
+  val bm25IndexedSql: String = bm25Sql
+
+  /** STREAMING BM25 serving against the persisted index: the
+    * q_bm25_multi query batch staged as one parquet FILE PER QUERY,
+    * one file per AvailableNow micro-batch (queries are the streaming
+    * unit — a query's term rows must arrive within one batch), each
+    * batch scored as a pure index probe and appended replay-safe to
+    * the sink. The index is FIXED ⇒ per-query results are
+    * batch-boundary-independent ⇒ stream output ≡ the batch
+    * multi-query operator — the SAME mirror as q_bm25_multi gates it.
+    * Same build/staging sentinel protocol as q_stream_lm_score. */
+  def streamBm25(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val idxBase = s"${sys.props("java.io.tmpdir")}/graft_bm25index_v1_$sfKey"
+    if (!new java.io.File(s"$idxBase/meta/_SUCCESS").isFile)
+      TextAnalysis.writeBm25Index(docs(s, d), "doc_id", "text", idxBase)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streambm25_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streambm25_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      // one file per query_id = one micro-batch per whole query
+      for (qid <- bm25MultiQueries.map(_._1).distinct)
+        bm25MultiQueries.filter(_._1 == qid).toDF("query_id", "term")
+          .coalesce(1).write.mode("append").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingBm25Score.run(s, src, idxBase,
+        "query_id", "term", k = 10,
+        sinkPath = s"$staging/out", checkpoint = s"$staging/ckpt")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-bm25 promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    s.read.parquet(s"$root/out").orderBy("query_id", "rank")
+  }
+
+  val streamBm25Sql: String = bm25MultiSql
+
   // ---- hybrid rank fusion (RRF) ----
 
   /** Hybrid retrieval under the driver gate: BM25 top-30 for the
