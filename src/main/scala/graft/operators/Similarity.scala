@@ -310,13 +310,22 @@ object Similarity {
     * _SUCCESS is the build-complete sentinel. */
   def writeIvfIndexSq8(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      cells: Int = 0, centroids0: Option[DataFrame] = None): Unit = {
+      cells: Int = 0, centroids0: Option[DataFrame] = None,
+      bounds0: Option[(Seq[Double], Seq[Double])] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val nCells = if (cells > 0) cells else autoCells(c.count())
     val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
-    val (los, his) = Quantization.fitBounds(c, "n_v")
+    // bounds0 = PINNED quantization bounds (the production build: pin
+    // bounds known to cover current AND expected future data, so
+    // appendToIvfIndexSq8 increments fit under them). A pinned build
+    // keeps the invariant "stored codes are never clamped": a corpus
+    // vector outside the pinned bounds would quantize lossier than a
+    // fit-bounds rebuild — refused loudly, same as at append time.
+    val (los, his) = bounds0.getOrElse(Quantization.fitBounds(c, "n_v"))
+    if (bounds0.isDefined)
+      requireWithinBounds(c, los, his, "writeIvfIndexSq8(bounds0)")
     centroidDf(spark, cents)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCells(c, cents)
@@ -326,6 +335,75 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     Seq((los, his, "sq8-v1")).toDF("los", "his", "format")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** ONE dim-bounded pass asserting every vector of `c` (column n_v)
+    * lies inside the per-dimension [los, his] box; refuses loudly
+    * with the offending dimensions otherwise. */
+  private def requireWithinBounds(c: DataFrame, los: Seq[Double],
+                                  his: Seq[Double], who: String): Unit = {
+    val (nlo, nhi) = Quantization.fitBounds(c, "n_v")
+    if (nlo.isEmpty) return // no rows — nothing can drift
+    require(nlo.length == los.length,
+      s"$who: dimension mismatch — index is ${los.length}-d, " +
+        s"vectors are ${nlo.length}-d")
+    val drift = los.indices.filter(d => nlo(d) < los(d) || nhi(d) > his(d))
+    require(drift.isEmpty,
+      s"$who: vectors exceed the pinned SQ8 bounds in dimension(s) " +
+        s"${drift.take(8).mkString(", ")} — their codes would CLAMP and " +
+        "scores would drift vs a fit-bounds rebuild; rebuild the index " +
+        "(writeIvfIndexSq8) with bounds covering the new data")
+  }
+
+  /** APPEND new vectors to a persisted float IVF index — the write
+    * side of build-once/probe-many: a daily crawl adding vectors pays
+    * one assignment pass over the INCREMENT (routed against the
+    * stored centroids, the same fused per-row argmax as the build)
+    * plus an append into the existing `cells/` partitions, never a
+    * full-corpus re-shuffle ([[writeIvfIndex]] is mode("overwrite") —
+    * a rebuild). Probes are unchanged: partition pruning still reads
+    * ≤ nprobe cell directories; the new files simply join their
+    * cells. Cell balance degrades as the data distribution drifts
+    * from the build-time centroids — rebuild (or re-fit centroids)
+    * on a slower cadence, the standard IVF maintenance split. */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    assignToCells(c, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** APPEND new vectors to a persisted SQ8 IVF index
+    * ([[writeIvfIndexSq8]] layout): the increment routes against the
+    * stored full-precision centroids and quantizes under the META
+    * bounds — so an appended vector's code is bit-identical to what a
+    * from-scratch rebuild on (build ∪ increment) under the same
+    * centroids and bounds would store (spec-pinned), and probes need
+    * no new code path. Vectors OUTSIDE the pinned bounds are refused
+    * loudly (their codes would clamp and drift vs a rebuild) — bounds
+    * drift means the quantization config no longer covers the data,
+    * which is a rebuild, not an append. Meta is untouched: bounds,
+    * format tag and centroids stay the build's, which is exactly what
+    * makes the probe ≡ rebuild equivalence hold. */
+  def appendToIvfIndexSq8(newVecs: DataFrame, idCol: String, vecCol: String,
+                          path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val format = meta.getAs[String]("format")
+    require(format == "sq8-v1",
+      s"index at $path has format '$format'; this build appends 'sq8-v1'")
+    val los = meta.getSeq[Double](meta.fieldIndex("los"))
+    val his = meta.getSeq[Double](meta.fieldIndex("his"))
+    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    requireWithinBounds(c, los, his, "appendToIvfIndexSq8")
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    assignToCells(c, cents)
+      .select(col("n_id"),
+        graft.functions.Quantize.int8(col("n_v"), los, his).as("code"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Probe a persisted SQ8 IVF index: cell routing is FULL-precision

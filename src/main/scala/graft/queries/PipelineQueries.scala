@@ -867,6 +867,51 @@ object PipelineQueries {
       |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** INCREMENTAL SQ8 IVF index under the driver gate — the write-side
+    * production shape: the index is built on 3/4 of the corpus
+    * (vec_id % 4 ≠ 0) with centroids and bounds PINNED from the full
+    * expected distribution (the production stance: quantization
+    * config covers current and future data), then the remaining 1/4
+    * arrives as an increment via appendToIvfIndexSq8 — routed against
+    * the STORED centroids, quantized under the META bounds, appended
+    * into the existing cells/ partitions with no corpus re-shuffle.
+    * Because centroids and bounds are identical to a full build, the
+    * probe over (build ∪ append) must equal q_ann_ivf_sq8's full-build
+    * answer — the SAME mirror value-checks every routed cell and ADC
+    * score bit of the appended index. Build+append run once behind a
+    * marker (the partial-state hazard is a crash between build and
+    * append, so the marker is written LAST and a missing marker wipes
+    * and redoes the whole sequence). */
+  def annIvfAppend(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfsq8app_v1_$sfKey"
+    if (!new java.io.File(s"$base/_APPENDED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val all = embs(s, d)
+      val prepared = Similarity.prepareQueries(all, "vec_id", "embedding")
+        .select(col("q_id").as("n_id"), col("q_v").as("n_v"))
+      val bounds = graft.operators.Quantization.fitBounds(prepared, "n_v")
+      Similarity.writeIvfIndexSq8(
+        all.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        s"$base/idx", cells = 16,
+        centroids0 = Some(
+          prepared.orderBy(col("n_id")).limit(16)
+            .select(col("n_id").as("c_id"), col("n_v").as("c_v"))),
+        bounds0 = Some(bounds))
+      Similarity.appendToIvfIndexSq8(
+        all.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        s"$base/idx")
+      require(new java.io.File(base, "_APPENDED").createNewFile())
+    }
+    Similarity.queryIvfIndexSq8(s, s"$base/idx",
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfAppendSql: String = annIvfSq8Sql
+
   /** SQ8-quantized ANN: per-dimension corpus min/max bounds, one
     * unsigned byte per dimension (BINARY codes — 4× smaller than
     * float32), ranked by the dequantized (ADC) cosine. Every step —
