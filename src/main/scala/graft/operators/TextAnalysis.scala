@@ -636,6 +636,25 @@ object TextAnalysis {
     * fail loudly, not score garbage. */
   private[graft] val Bm25Tokenization = "split-space-fnv-free-v1"
 
+  /** The RECOMMENDED production `maxDf` for the serving paths:
+    * `n_docs / 2` — the point where classic BM25 idf
+    * `log((N - df + 0.5) / (df + 0.5))` turns NEGATIVE, i.e. the term
+    * is in more documents than not and carries no selectivity. The
+    * rational fixed-point idf used here keeps such terms merely
+    * near-zero instead of negative, so cutting them perturbs rankings
+    * only where near-zero noise was the tiebreak (ranking invariance
+    * on non-hot queries is spec-pinned — a query with no over-half
+    * term scores IDENTICALLY under the cut). What the cut buys is the
+    * fan-out bound: with `df ≤ N/2` no term's postings exceed half
+    * the corpus, so the multi-query scoring join is bounded by
+    * matched-selective-postings × queries rather than
+    * corpus × stopword-queries — at web scale the difference between
+    * a bounded serving join and one hot term dragging the whole
+    * corpus through every query that mentions it. Default remains
+    * NO cut (exact classic BM25): selectivity loss is a product
+    * decision the caller opts into. */
+  def bm25RecommendedMaxDf(nDocs: Long): Long = math.max(1L, nDocs / 2)
+
   /** Build and PERSIST the BM25 index — build-once/score-many parity
     * with [[writeLmIndex]] / [[graft.operators.Dedup.writeMinhashIndex]]
     * / [[graft.operators.Similarity.writeIvfIndexSq8]]: the corpus is

@@ -35,12 +35,31 @@ class DruidCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var listingTtlNanos: Long = _
+
+  /** (expiry deadline, listing) — the discovery cache. A SHOW TABLES
+    * loop or a multi-table query resolves several names back-to-back;
+    * without the cache each resolution re-LISTs the deep-storage tree
+    * (an object store charges and throttles per LIST, and a tree with
+    * thousands of segments makes each one slow). Staleness bound =
+    * the TTL: a segment published inside the window is invisible
+    * until expiry or [[invalidateTable]] — the same lag a Druid
+    * broker's periodic segment-view poll has. */
+  @volatile private var cachedListing: (Long, Seq[SegmentDescriptor]) = _
+
+  /** Count of ACTUAL tree listings — observability + spec hook. */
+  private[sources] val listingCount = new java.util.concurrent.atomic.AtomicLong
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"DruidCatalog '$name' needs spark.sql.catalog.$name.root = <deep-storage root>"))
+    // 0 disables caching (every resolution re-LISTs — the pre-cache
+    // behavior); default 30 s, the usual object-store listing-cache
+    // order of magnitude
+    listingTtlNanos = Option(options.get("listingTtlMs"))
+      .map(_.toLong).getOrElse(30000L) * 1000000L
   }
 
   override def name(): String = catalogName
@@ -49,15 +68,32 @@ class DruidCatalog extends TableCatalog {
     if (namespace.nonEmpty)
       throw new NoSuchNamespaceException(catalogName +: namespace)
 
-  /** ONE recursive listing; a root that does not exist yet (a fresh
-    * deep-storage tree before its first ingest — a state the writer
-    * path supports) reads as "no tables", per the catalog contract
-    * (tableExists → false, listTables → empty, loadTable →
-    * NoSuchTableException), never a raw FileNotFoundException out of
-    * analysis. */
-  private def safeDiscover(): Seq[SegmentDescriptor] =
-    try DruidDeepStorage.discover(SparkSession.active, root)
-    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  /** ONE recursive listing (memoized for `listingTtlMs`); a root that
+    * does not exist yet (a fresh deep-storage tree before its first
+    * ingest — a state the writer path supports) reads as "no tables",
+    * per the catalog contract (tableExists → false, listTables →
+    * empty, loadTable → NoSuchTableException), never a raw
+    * FileNotFoundException out of analysis. */
+  private def safeDiscover(): Seq[SegmentDescriptor] = {
+    val now = System.nanoTime()
+    val cached = cachedListing
+    if (listingTtlNanos > 0 && cached != null && now < cached._1)
+      cached._2
+    else {
+      listingCount.incrementAndGet()
+      val segs =
+        try DruidDeepStorage.discover(SparkSession.active, root)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      cachedListing = (now + listingTtlNanos, segs)
+      segs
+    }
+  }
+
+  /** Drop the cached listing — call after publishing segments to make
+    * them visible before the TTL expires. Spark invokes this on
+    * `REFRESH TABLE <catalog>.<ds>`. */
+  override def invalidateTable(ident: Identifier): Unit =
+    cachedListing = null
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireTopLevel(namespace)

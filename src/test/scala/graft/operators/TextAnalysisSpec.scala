@@ -352,6 +352,44 @@ class TextAnalysisSpec extends SparkSpec {
       rows(withoutHot))
   }
 
+  test("bm25RecommendedMaxDf: idf≈0 threshold cuts only over-half terms; non-hot rankings invariant") {
+    val s2h = spark
+    import s2h.implicits._
+    // 4 docs: "the" df=4 (hot, > 4/2), "data" df=2 (= n/2, KEPT),
+    // "spark"/"flink" df=1 (selective)
+    val df = Seq(
+      (1L, "the spark data engine"),
+      (2L, "the fast data pipeline"),
+      (3L, "the slow flink job"),
+      (4L, "the other corpus doc")
+    ).toDF("doc_id", "text")
+    assert(TextAnalysis.bm25RecommendedMaxDf(4L) == 2L)
+    assert(TextAnalysis.bm25RecommendedMaxDf(1L) == 1L) // floor at 1
+    val queries = Seq(
+      0L -> "spark", 0L -> "data",            // no hot term
+      1L -> "the", 1L -> "flink", 1L -> "data" // hot term present
+    ).toDF("query_id", "term")
+    def byQuery(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues(_.toSet).toMap
+    val cut = byQuery(TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      queries, "query_id", "term", k = 4,
+      maxDf = TextAnalysis.bm25RecommendedMaxDf(4L)))
+    val exact = byQuery(TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      queries, "query_id", "term", k = 4))
+    // a query with no over-half term is bit-identical under the cut
+    // (df = n/2 terms like "data" are kept — the cut is df > n/2)
+    assert(cut(0L) == exact(0L) && cut(0L).nonEmpty)
+    // the hot-term query keeps its selective terms; "the" is gone =
+    // result equals querying without it
+    val noHot = byQuery(TextAnalysis.bm25TopKMulti(df, "doc_id", "text",
+      Seq(1L -> "flink", 1L -> "data").toDF("query_id", "term"),
+      "query_id", "term", k = 4))
+    assert(cut(1L) == noHot(1L))
+  }
+
   test("bm25TopKMulti: one tf scan, per-query WindowGroupLimit heaps") {
     val s2g = spark
     import s2g.implicits._

@@ -59,6 +59,41 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("listing cache: ONE tree LIST serves listTables + tableExists + loadTable; invalidate re-LISTs; ttl=0 disables") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = Files.createTempDirectory("druidcat4").toFile
+    writeSegment(new File(root, "seg1"), "events")
+    try {
+      val cat = new DruidCatalog
+      cat.initialize("c", new CaseInsensitiveStringMap(
+        java.util.Map.of("root", root.getAbsolutePath)))
+      assert(cat.listingCount.get == 0)
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq == Seq("events"))
+      assert(cat.tableExists(Identifier.of(Array.empty, "events")))
+      cat.loadTable(Identifier.of(Array.empty, "events"))
+      assert(cat.listingCount.get == 1,
+        s"expected one LIST across the session's resolutions, got ${cat.listingCount.get}")
+      // a datasource published inside the TTL window is invisible
+      // until invalidation — the documented staleness bound
+      writeSegment(new File(root, "m1"), "metrics", hosts = Seq("x"))
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq == Seq("events"))
+      cat.invalidateTable(Identifier.of(Array.empty, "events"))
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq ==
+        Seq("events", "metrics"))
+      assert(cat.listingCount.get == 2)
+
+      val cat0 = new DruidCatalog
+      cat0.initialize("c0", new CaseInsensitiveStringMap(java.util.Map.of(
+        "root", root.getAbsolutePath, "listingTtlMs", "0")))
+      cat0.listTables(Array.empty)
+      cat0.listTables(Array.empty)
+      assert(cat0.listingCount.get == 2, "ttl=0 must re-LIST per call")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("missing deep-storage root: catalog contract, not FileNotFoundException") {
     val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
     spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)
