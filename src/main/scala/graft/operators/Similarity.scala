@@ -406,6 +406,155 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Build and PERSIST a PRODUCT-QUANTIZED IVF index —
+    * [[writeIvfIndexSq8]]'s layout with PQ codes in place of SQ8:
+    * cell routing identical (full-precision nearest-centroid
+    * assignment against stored unquantized centroids), but `cells/`
+    * stores `m` BYTES per vector (one code per subspace —
+    * [[graft.functions.Pq]]), 32× smaller than float32 at D=64/m=8
+    * where SQ8 gives 4×: the regime where even the SQ8 index no
+    * longer fits its store. The codebook defaults to the
+    * deterministic [[Quantization.trainPqCodebook]] (SQL-mirrorable);
+    * pass a k-means-refined `codebook0` for data-adaptive quality.
+    *
+    * Layout: `$path/cells/cell=<c_id>/…` (n_id, code BINARY),
+    * `$path/centroids` (c_id, c_v — full precision, tiny),
+    * `$path/codebook` (j, c, sub) — m × ks rows,
+    * `$path/meta` (m, ks, sub_dim, format = "pq-m<m>-v1"). Meta is
+    * written LAST: its _SUCCESS is the build-complete sentinel, and
+    * the format tag refuses probes from a build with different PQ
+    * geometry. */
+  def writeIvfIndexPq(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 0, m: Int = 8, ks: Int = 256,
+      centroids0: Option[DataFrame] = None,
+      codebook0: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val nCells = if (cells > 0) cells else autoCells(c.count())
+    val cents = collectCentroids(centroids0.getOrElse(defaultCentroids(c, nCells)))
+    val codebook = codebook0.getOrElse(
+      Quantization.trainPqCodebook(corpus, idCol, vecCol, m, ks))
+    require(codebook.length == m,
+      s"writeIvfIndexPq: codebook has ${codebook.length} subspaces, m = $m")
+    centroidDf(spark, cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCells(c, cents)
+      .select(col("n_id"),
+        graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    codebook.zipWithIndex
+      .flatMap { case (entries, j) =>
+        entries.zipWithIndex.map { case (sub, cc) => (j, cc, sub) } }
+      .toDF("j", "c", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, codebook.head.length, codebook.head.head.length, s"pq-m$m-v1"))
+      .toDF("m", "ks", "sub_dim", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load the persisted PQ meta + codebook, verifying the format tag
+    * and the stored geometry. Bounded: one 1-row meta read + m × ks
+    * codebook rows. */
+  private def readPqIndexState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    // format FIRST: probing a non-PQ index (e.g. sq8-v1) must refuse
+    // on the tag, not trip over the missing PQ geometry columns
+    val format = meta.getAs[String]("format")
+    require(format.matches("pq-m\\d+-v1"),
+      s"index at $path has format '$format'; this build probes 'pq-m<m>-v1'")
+    val m = meta.getAs[Int]("m")
+    val ks = meta.getAs[Int]("ks")
+    val subDim = meta.getAs[Int]("sub_dim")
+    require(format == s"pq-m$m-v1",
+      s"index at $path has format '$format'; its meta says m = $m — " +
+        "corrupt or cross-version index")
+    val codebook = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("j"), col("c")).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
+        r.getSeq[Double](r.fieldIndex("sub"))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    require(codebook.length == m &&
+        codebook.forall(e => e.length == ks && e.forall(_.length == subDim)),
+      s"index at $path: codebook shape does not match its meta " +
+        s"(expected $m x $ks x $subDim)")
+    codebook
+  }
+
+  /** Probe a persisted PQ IVF index: cell routing is FULL-precision
+    * (as in [[queryIvfIndexSq8]] — centroids stored unquantized),
+    * candidate scoring is the ASYMMETRIC distance computation of the
+    * PQ paper: the full-precision query against each candidate's
+    * codebook reconstruction ([[graft.functions.Pq.adcCosine]]),
+    * exactly-rounded IEEE so every score bit is mirrorable
+    * cross-engine. Partition pruning identical to [[queryIvfIndex]] —
+    * at most queries × nprobe cell directories are read. Ranking is a
+    * proxy (coarser than SQ8 — 32× compression buys that); production
+    * re-ranks survivors with full-precision vectors
+    * ([[rerankCandidates]] composes). */
+  def queryIvfIndexPq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val codebook = readPqIndexState(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val index = spark.read.parquet(s"$path/cells")
+
+    // same collected-probe shape as queryIvfIndex: the IN-list literal
+    // gives the scan a STATIC partition filter; the local relation
+    // broadcast-joins instead of re-running the centroid window
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probeRows = queries.select(col("q_id"), col("q_v"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", cosine(col("q_v"), col("c_v")))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+      .collect()
+    val probeSchema = StructType(Seq(
+      StructField("q_id", queries.schema("q_id").dataType),
+      StructField("q_v", queries.schema("q_v").dataType),
+      StructField("cell", centroids.schema("c_id").dataType)))
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val probedCells = probeRows.map(_.getLong(2)).distinct.toSeq
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    index.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qcos",
+        graft.functions.Pq.adcCosine(col("q_v"), col("code"), codebook))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "qcos")
+  }
+
+  /** APPEND new vectors to a persisted PQ IVF index — the
+    * [[appendToIvfIndexSq8]] analogue: the increment routes against
+    * the stored centroids and encodes under the STORED codebook (so
+    * appended codes are bit-identical to a rebuild on the union under
+    * the same centroids + codebook; a dimension mismatch refuses
+    * loudly inside the encode). PQ has no bounds to drift — codebook
+    * coverage degrades smoothly as the distribution moves, which is a
+    * recall concern for the periodic rebuild cadence, not a
+    * correctness refusal. */
+  def appendToIvfIndexPq(newVecs: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val codebook = readPqIndexState(spark, path)
+    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    assignToCells(c, cents)
+      .select(col("n_id"),
+        graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a persisted SQ8 IVF index: cell routing is FULL-precision
     * (query × broadcast centroid cosine — centroids are stored
     * unquantized, the standard IVF-SQ8 shape), candidate scoring is

@@ -912,6 +912,74 @@ object PipelineQueries {
 
   val annIvfAppendSql: String = annIvfSq8Sql
 
+  /** PRODUCT-QUANTIZED persisted IVF index (build-once, probe-many at
+    * 32× less storage than float32 — m=8 one-byte codes for 64 dims,
+    * the regime past SQ8's 4×): cell routing identical to q_ann_ivf
+    * (full-precision centroids), stored vectors are PQ codes under the
+    * deterministic lowest-id codebook, probes score by the ASYMMETRIC
+    * distance computation of the PQ paper (full-precision query vs
+    * codebook reconstruction). The mirror derives the identical
+    * codebook (ORDER BY vec_id LIMIT ks), replays the per-subspace
+    * argmin encode, reconstructs, and folds the same cosine — every
+    * code and every ADC score bit is value-checked. */
+  def annPq(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_v1_$sfKey"
+    if (!new java.io.File(s"$base/meta/_SUCCESS").isFile)
+      Similarity.writeIvfIndexPq(embs(s, d), "vec_id", "embedding", base,
+        cells = 16, m = 8, ks = 16)
+    Similarity.queryIvfIndexPq(s, base,
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annPqSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings),
+      |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
+      |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, cell FROM (
+      |  SELECT d.vec_id, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c) WHERE r = 1),
+      |probe AS (SELECT q_id, cell FROM (
+      |  SELECT d.vec_id q_id, c.c_id cell,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
+      |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
+      |  FROM d, cent c WHERE d.vec_id < 5) WHERE r <= 4),
+      |cb0 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16),
+      |cbi AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM cb0),
+      |cb AS (SELECT t.j, cbi.c, cbi.v[t.j*8+1 : t.j*8+8] AS sub
+      |       FROM cbi, LATERAL (SELECT unnest(range(0, 8)) AS j) t),
+      |subs AS (SELECT vec_id, t.j, v[t.j*8+1 : t.j*8+8] AS sub
+      |         FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) t),
+      |enc AS (SELECT vec_id, j, c FROM (
+      |    SELECT s.vec_id, s.j, cb.c,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |        list_sum(list_transform(list_zip(s.sub, cb.sub),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cb.c ASC) r
+      |    FROM subs s JOIN cb ON cb.j = s.j) WHERE r = 1),
+      |rec AS (SELECT e.vec_id, flatten(list(cb.sub ORDER BY e.j)) AS rv
+      |        FROM enc e JOIN cb ON cb.j = e.j AND cb.c = e.c
+      |        GROUP BY e.vec_id),
+      |sc AS (SELECT p.q_id, a.vec_id n_id,
+      |        list_sum(list_transform(list_zip(q.v, n.rv), x -> x[1]*x[2]))
+      |          / (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+      |             sqrt(list_sum(list_transform(n.rv, x -> x*x)))) qcos
+      |      FROM probe p JOIN asg a USING (cell)
+      |        JOIN v q ON q.vec_id = p.q_id
+      |        JOIN rec n ON n.vec_id = a.vec_id
+      |      WHERE a.vec_id != p.q_id),
+      |r AS (SELECT q_id, n_id, qcos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) rank
+      |      FROM sc)
+      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** SQ8-quantized ANN: per-dimension corpus min/max bounds, one
     * unsigned byte per dimension (BINARY codes — 4× smaller than
     * float32), ranked by the dequantized (ADC) cosine. Every step —

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode correctness on a hand-checked
+  * fixture, ADC scoring vs an in-Scala reference, recall floor vs
+  * exact cosine, and the persisted IVF-PQ index conventions
+  * (format-tag refusal, append ≡ rebuild). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = graft.Tables.embeddings(spark, sf())
+    .select("vec_id", "embedding")
+
+  test("pqEncode: hand-checked codes; ties break to the lowest code") {
+    // 2 subspaces of 2 dims; codebook from the 2 lowest-id vectors
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),  // codebook entry 0
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),  // codebook entry 1
+      (2L, Array(0.1f, 0.0f, 0.1f, 0.0f)),  // sub0 near e0, sub1 near e1
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f))   // equidistant -> code 0 both
+    ).toDF("vec_id", "embedding")
+    val cb = Quantization.trainPqCodebook(df, "vec_id", "embedding", m = 2, ks = 2)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).length == 2)
+    val codes = df.select($"vec_id",
+        graft.functions.Pq.encode(
+          transform($"embedding", x => x.cast("double")), cb).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(codes(0L).toSeq == Seq[Byte](0, 0))
+    assert(codes(1L).toSeq == Seq[Byte](1, 1))
+    assert(codes(2L).toSeq == Seq[Byte](0, 1))
+    assert(codes(3L).toSeq == Seq[Byte](0, 0)) // tie -> lowest code
+  }
+
+  test("pqTopK: ADC scores equal an in-Scala reconstruction reference; recall floor vs exact") {
+    val corpus = embs
+    val queries = corpus.filter($"vec_id" < 5)
+    val m = 8; val ks = 16; val k = 10
+    val got = Quantization.pqTopK(corpus, queries, "vec_id", "embedding",
+      m = m, ks = ks, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    // independent truth: reconstruct + cosine in plain Scala
+    val cb = Quantization.trainPqCodebook(corpus, "vec_id", "embedding", m, ks)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val sub = cb(0)(0).length
+    def encode(v: Array[Double]): Array[Int] =
+      (0 until m).map { j =>
+        (0 until cb(j).length).minBy { c =>
+          var acc = 0.0
+          for (t <- 0 until sub) {
+            val d = v(j * sub + t) - cb(j)(c)(t); acc += d * d
+          }
+          (acc, c)
+        }
+      }.toArray
+    def adc(q: Array[Double], codes: Array[Int]): Double = {
+      var dot = 0.0; var nq = 0.0; var nr = 0.0
+      for (j <- 0 until m; t <- 0 until sub) {
+        val xq = q(j * sub + t); val xr = cb(j)(codes(j))(t)
+        dot += xq * xr; nq += xq * xq; nr += xr * xr
+      }
+      dot / (math.sqrt(nq) * math.sqrt(nr))
+    }
+    val allCodes = vecs.view.mapValues(encode).toMap
+    val want = vecs.keys.filter(_ < 5).flatMap { qid =>
+      vecs.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, adc(vecs(qid), allCodes(nid))))
+        .sortBy { case (nid, s) => (-s, nid) }.take(k).zipWithIndex
+        .map { case ((nid, s), i) => (qid, nid, i + 1, s) }
+    }.toSet
+    assert(got.toSet == want) // every code + every ADC score bit
+
+    // recall floors vs exact cosine. Raw PQ@10 is a COARSE proxy (32×
+    // compression, 16-entry deterministic codebook — measured 0.36 on
+    // this fixture): floor it low, honestly. The PRODUCTION shape is
+    // two-stage — PQ nominates a wider k₀, exact cosine re-ranks
+    // (measured 0.36/0.64/0.74/0.90 at k₀=10/30/50/100 here,
+    // tools/PqRecall) — floor the served composition high.
+    val exact = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding",
+      k = k).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count { case (q, n, _, _) => exact((q, n)) }.toDouble /
+      exact.size
+    assert(recall >= 0.25, f"raw PQ recall vs exact fell to $recall%.2f")
+    val twoStage = Similarity.rerankCandidates(corpus,
+        Similarity.prepareQueries(queries, "vec_id", "embedding"),
+        Quantization.pqTopK(corpus, queries, "vec_id", "embedding",
+          m = m, ks = ks, k = 100),
+        "vec_id", "embedding", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = twoStage.count(exact).toDouble / exact.size
+    assert(recall2 >= 0.8,
+      f"two-stage (PQ-nominate k0=100 + exact re-rank) recall fell to $recall2%.2f")
+  }
+
+  test("persisted IVF-PQ: probe == inline composition; append == rebuild; format tag refuses") {
+    val all = embs
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val full = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.writeIvfIndexPq(all, "vec_id", "embedding", full,
+      cells = 16, m = 8, ks = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val fullProbe = rows(Similarity.queryIvfIndexPq(spark, full, q,
+      k = 10, nprobe = 4))
+    assert(fullProbe.nonEmpty)
+
+    // append parity: build on 3/4 + append 1/4 under the SAME
+    // centroids + codebook == the full build (both derived from the
+    // full corpus's lowest ids, which the 3/4 split must be given
+    // explicitly — the production pinned-config stance)
+    val prepared = Similarity.prepareQueries(all, "vec_id", "embedding")
+      .select($"q_id".as("n_id"), $"q_v".as("n_v"))
+    val cents = prepared.orderBy($"n_id").limit(16)
+      .select($"n_id".as("c_id"), $"n_v".as("c_v"))
+    val cb = Quantization.trainPqCodebook(all, "vec_id", "embedding", 8, 16)
+    val incr = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    Similarity.writeIvfIndexPq(all.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", incr, cells = 16, m = 8, ks = 16,
+      centroids0 = Some(cents), codebook0 = Some(cb))
+    Similarity.appendToIvfIndexPq(all.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", incr)
+    assert(rows(Similarity.queryIvfIndexPq(spark, incr, q,
+      k = 10, nprobe = 4)) == fullProbe)
+
+    // format-tag refusal: an SQ8 probe of a PQ index (and vice versa)
+    // must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndexSq8(spark, full, q)
+    }
+    assert(e.getMessage.contains("format"), e.getMessage)
+    val sq8 = java.nio.file.Files.createTempDirectory("ivfsq8x").toString
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", sq8, cells = 16)
+    val e2 = intercept[Exception] {
+      Similarity.queryIvfIndexPq(spark, sq8, q).collect()
+    }
+    assert(e2.getMessage.contains("format") || e2.getMessage.contains("pq"),
+      e2.getMessage)
+    for (p <- Seq(full, incr, sq8))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
+}
