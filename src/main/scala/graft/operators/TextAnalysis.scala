@@ -697,6 +697,63 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** APPEND new documents to a persisted BM25 index — incremental
+    * lexical-index maintenance, the [[graft.operators.Similarity
+    * .appendToIvfIndexSq8]] analogue: the increment tokenizes ONCE
+    * (its own size, never the corpus), its postings and lengths
+    * append into the existing layout, and the corpus stats in meta
+    * are replaced by the EXACT integer sums (old + increment) — so
+    * probes over (build ∪ append) are bit-identical to a from-scratch
+    * rebuild on the union (spec-pinned): BM25's global state is just
+    * (n_docs, total_len), and integer addition is exact. Scoring
+    * params and the tokenization convention stay the build's
+    * (tokenization mismatch refuses loudly — same pin as probes).
+    *
+    * Doc ids already present in the index are REFUSED (one bounded
+    * semi-join against the stored lengths): an overlapping id would
+    * double its dl row and postings, silently corrupting every score.
+    * Re-ingesting a changed document is a rebuild (or a delete path),
+    * not an append. Crash window: an append that dies between the
+    * postings/dl append and the meta rewrite leaves stats stale and a
+    * RETRY would double the increment — automated ingest should guard
+    * appends with a batch marker ([[graft.streaming.IdempotentSink]]'s
+    * idiom), the same discipline as the streaming sinks. */
+  def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val tok = meta.getAs[String]("tokenization")
+    require(tok == Bm25Tokenization,
+      s"BM25 index at $path uses tokenization '$tok'; this build appends " +
+        s"'$Bm25Tokenization' — rebuild the index")
+    val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
+    val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val overlap = spark.read.parquet(s"$path/dl")
+      .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
+    require(overlap == 0,
+      s"appendToBm25Index: $overlap doc id(s) already exist in the index " +
+        "at " + path + " — an overlapping id would double-count its " +
+        "postings; re-ingesting changed documents is a rebuild, not an append")
+    val st = dlInc.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs")).collect()(0)
+    val incDocs = st.getLong(1)
+    if (incDocs == 0) return // empty increment — nothing to merge
+    val incLen = st.getLong(0)
+    tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
+      .write.mode("append").parquet(s"$path/postings")
+    dlInc.write.mode("append").parquet(s"$path/dl")
+    Seq((meta.getAs[Long]("n_docs") + incDocs,
+        meta.getAs[Long]("total_len") + incLen,
+        meta.getAs[Double]("k1"), meta.getAs[Double]("b"), tok))
+      .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // drop any file-listing caches this session holds for the mutated
+    // paths — a same-session probe must see the merged index
+    for (p <- Seq("postings", "dl", "meta"))
+      spark.catalog.refreshByPath(s"$path/$p")
+  }
+
   /** Driver-side BM25 index state: the postings/dl READERS (file
     * listing + plan, constructed once) plus the meta-pinned corpus
     * stats and scoring parameters — streaming callers keep it across

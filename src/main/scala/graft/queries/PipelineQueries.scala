@@ -2546,6 +2546,36 @@ object PipelineQueries {
 
   val bm25IndexedSql: String = bm25Sql
 
+  /** INCREMENTAL BM25 index under the driver gate — the write-side
+    * analogue of q_ann_ivf_append for lexical retrieval: the index is
+    * built on 3/4 of the corpus (doc_id % 4 ≠ 0), the remaining 1/4
+    * arrives via appendToBm25Index (postings + lengths appended, meta
+    * stats replaced by the exact integer sums), and the q_bm25 query
+    * probes the merged index. Integer stat merging makes the merged
+    * index bit-identical to a full build, so the SAME full-corpus
+    * mirror value-checks every score bit. Build+append run once
+    * behind a marker written LAST (a missing marker wipes and redoes
+    * the sequence — the documented append crash window). */
+  def bm25Append(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bm25app_v1_$sfKey"
+    if (!new java.io.File(s"$base/_APPENDED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      TextAnalysis.writeBm25Index(
+        docs(s, d).filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+        s"$base/idx")
+      TextAnalysis.appendToBm25Index(
+        docs(s, d).filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        s"$base/idx")
+      require(new java.io.File(base, "_APPENDED").createNewFile())
+    }
+    TextAnalysis.scoreWithBm25Index(s, s"$base/idx",
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+  }
+
+  val bm25AppendSql: String = bm25Sql
+
   /** STREAMING BM25 serving against the persisted index: the
     * q_bm25_multi query batch staged as one parquet FILE PER QUERY,
     * one file per AvailableNow micro-batch (queries are the streaming

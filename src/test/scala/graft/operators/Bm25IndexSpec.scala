@@ -94,6 +94,51 @@ class Bm25IndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("BM25"), e2.getMessage)
   }
 
+  test("append == rebuild on the union, bit-for-bit; overlap / empty / tokenization discipline") {
+    val incr = java.nio.file.Files.createTempDirectory("bm25app").toString
+    TextAnalysis.writeBm25Index(corpus.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", incr)
+    TextAnalysis.appendToBm25Index(corpus.filter($"doc_id" % 4 === 0),
+      "doc_id", "text", incr)
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    TextAnalysis.writeBm25Index(corpus, "doc_id", "text", full)
+    // merged == rebuilt: every score bit (integer stat merge is exact)
+    assert(rows(TextAnalysis.scoreWithBm25Index(spark, incr, terms, k = 20))
+      == rows(TextAnalysis.scoreWithBm25Index(spark, full, terms, k = 20)))
+    val queries = PipelineQueriesBm25Fixture.queries.toDF("query_id", "term")
+    assert(rowsM(TextAnalysis.scoreWithBm25IndexMulti(
+        spark, incr, queries, "query_id", "term", k = 10))
+      == rowsM(TextAnalysis.scoreWithBm25IndexMulti(
+        spark, full, queries, "query_id", "term", k = 10)))
+
+    // an overlapping doc id would double-count — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(corpus.limit(3), "doc_id", "text", incr)
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+
+    // empty increment is a no-op (stats untouched)
+    val before = TextAnalysis.loadBm25Index(spark, incr)
+    TextAnalysis.appendToBm25Index(corpus.filter($"doc_id" < 0),
+      "doc_id", "text", incr)
+    val after = TextAnalysis.loadBm25Index(spark, incr)
+    assert((after.nDocs, after.totalLen) == (before.nDocs, before.totalLen))
+
+    // tokenization pin guards the append path too
+    Seq((2L, 5L, 1.2, 0.75, "some-other-tokenizer"))
+      .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$incr/meta")
+    spark.catalog.refreshByPath(s"$incr/meta")
+    val e2 = intercept[Exception] {
+      TextAnalysis.appendToBm25Index(
+        Seq((900L, "brand new doc")).toDF("doc_id", "text"),
+        "doc_id", "text", incr)
+    }
+    assert(e2.getMessage.contains("tokenization"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incr))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(full))
+  }
+
   test("streaming serving: stream output == batch multi-scoring; state hoisted (meta deleted after load)") {
     val base = java.nio.file.Files.createTempDirectory("bm25idx4").toString
     TextAnalysis.writeBm25Index(corpus, "doc_id", "text", base)
