@@ -21,6 +21,11 @@ def connect_views(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        # partial SF dirs (e.g. a docs+embeddings-only sf10 ladder dir)
+        # get views only for the tables they carry — a mirror touching
+        # a missing table then fails on the missing VIEW, loudly
+        if not os.path.exists(p):
+            continue
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
