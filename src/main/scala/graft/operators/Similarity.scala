@@ -388,20 +388,43 @@ object Similarity {
     * format tag and centroids stay the build's, which is exactly what
     * makes the probe ≡ rebuild equivalence hold. */
   def appendToIvfIndexSq8(newVecs: DataFrame, idCol: String, vecCol: String,
-                          path: String): Unit = {
-    val spark = newVecs.sparkSession
+                          path: String): Unit =
+    appendToIvfIndexSq8With(
+      loadIvfSq8AppendState(newVecs.sparkSession, path),
+      newVecs, idCol, vecCol, path)
+
+  /** Driver-side SQ8 append state: the meta-pinned bounds + the
+    * collected centroid table, read ONCE — streaming appenders
+    * ([[graft.streaming.StreamingIvfAppend]]) keep it across
+    * micro-batches instead of re-reading meta/centroids per batch
+    * (the same hoist discipline as every other streaming index
+    * consumer here). */
+  final case class IvfSq8AppendState(los: Seq[Double], his: Seq[Double],
+                                     cents: Array[(Long, Seq[Double])])
+
+  def loadIvfSq8AppendState(spark: org.apache.spark.sql.SparkSession,
+                            path: String): IvfSq8AppendState = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build appends 'sq8-v1'")
-    val los = meta.getSeq[Double](meta.fieldIndex("los"))
-    val his = meta.getSeq[Double](meta.fieldIndex("his"))
+    IvfSq8AppendState(
+      meta.getSeq[Double](meta.fieldIndex("los")),
+      meta.getSeq[Double](meta.fieldIndex("his")),
+      collectCentroids(spark.read.parquet(s"$path/centroids")))
+  }
+
+  /** [[appendToIvfIndexSq8]] over caller-held state — the per-batch
+    * body for streaming appends: zero per-batch index-side driver
+    * work beyond the increment's own bounded drift check. */
+  def appendToIvfIndexSq8With(state: IvfSq8AppendState, newVecs: DataFrame,
+                              idCol: String, vecCol: String,
+                              path: String): Unit = {
     val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    requireWithinBounds(c, los, his, "appendToIvfIndexSq8")
-    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
-    assignToCells(c, cents)
+    requireWithinBounds(c, state.los, state.his, "appendToIvfIndexSq8")
+    assignToCells(c, state.cents)
       .select(col("n_id"),
-        graft.functions.Quantize.int8(col("n_v"), los, his).as("code"),
+        graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
         col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }

@@ -912,6 +912,51 @@ object PipelineQueries {
 
   val annIvfAppendSql: String = annIvfSq8Sql
 
+  /** STREAMING incremental ANN index maintenance under the driver
+    * gate — q_ann_ivf_append's increment arriving as a STREAM: the
+    * index is built on 3/4 of the corpus (pinned centroids + bounds
+    * from the full distribution, as in q_ann_ivf_append), the
+    * remaining 1/4 streams in as 3 AvailableNow micro-batches, each
+    * appended into cells/ by StreamingIvfAppend (state hoisted,
+    * replay-safe batch markers). Per-vector cell assignment makes the
+    * final index batch-boundary-independent, so the probe over the
+    * streamed index must STILL equal the full-build answer — the SAME
+    * full-corpus SQ8 mirror value-checks it. */
+  def streamIvfAppend(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfsq8stream_v1_$sfKey"
+    if (!new java.io.File(s"$base/_STREAMED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val all = embs(s, d)
+      val prepared = Similarity.prepareQueries(all, "vec_id", "embedding")
+        .select(col("q_id").as("n_id"), col("q_v").as("n_v"))
+      val bounds = graft.operators.Quantization.fitBounds(prepared, "n_v")
+      Similarity.writeIvfIndexSq8(
+        all.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        s"$base/idx", cells = 16,
+        centroids0 = Some(
+          prepared.orderBy(col("n_id")).limit(16)
+            .select(col("n_id").as("c_id"), col("n_v").as("c_v"))),
+        bounds0 = Some(bounds))
+      all.filter(col("vec_id") % 4 === 0)
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$base/stage")
+      val schema = s.read.parquet(s"$base/stage").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+      graft.streaming.StreamingIvfAppend.run(s, src, s"$base/idx",
+        "vec_id", "embedding", s"$base/ckpt")
+      require(new java.io.File(base, "_STREAMED").createNewFile())
+    }
+    Similarity.queryIvfIndexSq8(s, s"$base/idx",
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val streamIvfAppendSql: String = annIvfSq8Sql
+
   /** PRODUCT-QUANTIZED persisted IVF index (build-once, probe-many at
     * 32× less storage than float32 — m=8 one-byte codes for 64 dims,
     * the regime past SQ8's 4×): cell routing identical to q_ann_ivf

@@ -30,13 +30,21 @@ object IdempotentSink {
   /** Append `df` to the parquet directory `sinkPath` exactly once per
     * `batchId`: a replayed micro-batch whose marker exists is a
     * no-op. Call from inside `foreachBatch` with its batchId. */
-  def appendOnce(df: DataFrame, sinkPath: String, batchId: Long): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$sinkPath/_batches/$batchId")
-    val fs = marker.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+  def appendOnce(df: DataFrame, sinkPath: String, batchId: Long): Unit =
+    oncePerBatch(df.sparkSession, s"$sinkPath/_batches", batchId) {
       df.write.mode("append").parquet(sinkPath)
+    }
+
+  /** The marker idiom for ANY effectful per-batch body (an index
+    * append, a segment publish): run `body` unless `markerDir`
+    * already holds this batchId's marker; write the marker AFTER the
+    * body commits. Same residual window as [[appendOnce]]. */
+  def oncePerBatch(spark: org.apache.spark.sql.SparkSession,
+                   markerDir: String, batchId: Long)(body: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      body
       fs.create(marker, true).close()
     }
   }
