@@ -95,6 +95,38 @@ class PqSpec extends SparkSpec {
       f"two-stage (PQ-nominate k0=100 + exact re-rank) recall fell to $recall2%.2f")
   }
 
+  test("PqEncode/PqAdcCosine codegen path is equivalent to interpreted eval (and is real codegen)") {
+    import graft.functions.{Pq, PqAdcCosine, PqEncode}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(-0.5, 0.25)),
+      Seq(Seq(0.5, -0.5), Seq(0.0, 1.0), Seq(0.25, 0.25)))
+    // the hot path runs these over the corpus — must stay codegen'd
+    assert(!PqEncode(Literal("x"), cb).isInstanceOf[CodegenFallback])
+    assert(!PqAdcCosine(Literal("x"), Literal("y"), cb)
+      .isInstanceOf[CodegenFallback])
+    val vecs = Seq(
+      Array(0.1, 0.05, 0.4, -0.4), Array(1.0, 1.0, 0.0, 1.0),
+      Array(-0.5, 0.25, 0.3, 0.3), Array(0.0, 0.0, 0.5, -0.5))
+    val viaCodegen = vecs.toDF("v")
+      .select(Pq.encode($"v", cb).as("c"),
+        Pq.adcCosine($"v", Pq.encode($"v", cb), cb).as("s"))
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getDouble(1)))
+      .toSeq
+    val viaInterp = vecs.map { v =>
+      val enc = PqEncode(Literal.create(v, org.apache.spark.sql.types
+        .ArrayType(org.apache.spark.sql.types.DoubleType)), cb)
+      val codes = enc.eval(InternalRow.empty).asInstanceOf[Array[Byte]]
+      val score = PqAdcCosine(enc, enc, cb)
+        .score(ArrayData.toArrayData(v), codes)
+      (codes.toSeq, score)
+    }
+    assert(viaCodegen == viaInterp)
+  }
+
   test("persisted IVF-PQ: probe == inline composition; append == rebuild; format tag refuses") {
     val all = embs
     val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
