@@ -148,7 +148,15 @@ case class PqAdcCosine(left: Expression, right: Expression,
     * bit-identical to the DuckDB mirror's list_sum folds over the
     * same reconstructed list. */
   def score(q: ArrayData, codes: Array[Byte]): Double = {
-    val m = math.min(cb.length, codes.length)
+    // a code vector whose length differs from the codebook's m was
+    // built under different PQ geometry (or is truncated/corrupt) —
+    // refuse loudly, never score a silent prefix (the same stance as
+    // the out-of-range code check below)
+    require(codes.length == cb.length,
+      s"pq_adc_cosine: code vector has ${codes.length} byte(s), codebook " +
+        s"has ${cb.length} subspace(s) — codes from a different codebook " +
+        "geometry?")
+    val m = cb.length
     var dot = 0.0; var nq = 0.0; var nr = 0.0
     var j = 0
     while (j < m) {

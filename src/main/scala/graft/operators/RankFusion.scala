@@ -28,10 +28,15 @@ object RankFusion {
     * kConst = 0 a rank of 0 would make the integer div emit NULL and
     * silently drop that list's contribution from rrf_score while
     * still counting it in n_lists — a bad rank column must fail the
-    * job, not skew fused scores. */
+    * job, not skew fused scores. NULL ranks (a null value, or a
+    * failed cast from a non-numeric rank column) hit the same guard:
+    * a `__r < 1` test alone would evaluate to NULL on them and fall
+    * through to the .otherwise, reproducing exactly the silent-skew
+    * failure mode the guard exists to close. */
   private def rankContrib(kConst: Int): Column =
-    when(col("__r") < 1L, raise_error(concat(
-        lit("rrf: rank must be >= 1, got "), col("__r").cast("string"))))
+    when(col("__r").isNull || col("__r") < 1L, raise_error(concat(
+        lit("rrf: rank must be >= 1, got "),
+        coalesce(col("__r").cast("string"), lit("NULL")))))
       .otherwise(expr(s"CAST(1000000000000 AS BIGINT) div ($kConst + __r)"))
 
   /** `rankings`: DataFrames each holding (`idCol`, `rankCol`) with

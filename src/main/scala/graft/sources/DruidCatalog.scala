@@ -60,6 +60,11 @@ class DruidCatalog extends TableCatalog {
     // order of magnitude
     listingTtlNanos = Option(options.get("listingTtlMs"))
       .map(_.toLong).getOrElse(30000L) * 1000000L
+    // register for write-side invalidation: a same-session segment
+    // publish through the writer path drops this catalog's listing
+    // (DruidCatalog.invalidateRoot) so read-after-write via the
+    // catalog is consistent by default, not after the TTL
+    DruidCatalog.register(this)
   }
 
   override def name(): String = catalogName
@@ -84,7 +89,12 @@ class DruidCatalog extends TableCatalog {
       val segs =
         try DruidDeepStorage.discover(SparkSession.active, root)
         catch { case _: java.io.FileNotFoundException => Seq.empty }
-      cachedListing = (now + listingTtlNanos, segs)
+      // the NEGATIVE result (empty/missing root) is never cached: a
+      // fresh deep-storage tree's first ingest must become visible on
+      // the next resolution, not after the TTL — an empty tree is
+      // also exactly the tree whose re-LIST is cheapest
+      if (segs.nonEmpty) cachedListing = (now + listingTtlNanos, segs)
+      else cachedListing = null
       segs
     }
   }
@@ -141,4 +151,38 @@ class DruidCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+
+  private[sources] def rootPath: String = root
+}
+
+/** Write-side listing invalidation: the segment WRITER
+  * ([[DruidBatchWrite]]'s publish) calls [[invalidateRoot]] so every
+  * catalog instance over the published root drops its cached listing
+  * — same-session `CTAS/INSERT then SELECT FROM druid.<ds>` sees the
+  * new segments immediately instead of after the TTL. Instances are
+  * weakly referenced (a dropped SparkSession's catalogs get collected)
+  * and keyed by the NORMALIZED root path, so `/x/` and `/x` meet. */
+object DruidCatalog {
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.Map[DruidCatalog, java.lang.Boolean]]
+
+  private def normalize(root: String): String =
+    new org.apache.hadoop.fs.Path(root).toString
+
+  private[sources] def register(c: DruidCatalog): Unit =
+    instances.computeIfAbsent(normalize(c.rootPath),
+        _ => java.util.Collections.synchronizedMap(
+          new java.util.WeakHashMap[DruidCatalog, java.lang.Boolean]))
+      .put(c, java.lang.Boolean.TRUE)
+
+  /** Drop the cached listing of every registered catalog over `root`
+    * — a no-op when no catalog watches it. */
+  private[sources] def invalidateRoot(root: String): Unit = {
+    val m = instances.get(normalize(root))
+    if (m != null) m.synchronized {
+      m.keySet().forEach(c =>
+        c.invalidateTable(Identifier.of(Array.empty[String], "*")))
+    }
+  }
 }

@@ -282,6 +282,10 @@ private[sources] class DruidBatchWrite(
         try out.write(descriptor.getBytes(StandardCharsets.UTF_8)) finally out.close()
       }
     }
+    // publish is the visibility flip — drop any catalog listing cache
+    // over this root so same-session SELECT FROM druid.<ds> sees the
+    // new segments immediately (not after the listing TTL)
+    DruidCatalog.invalidateRoot(root)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -24,7 +24,18 @@ import org.apache.spark.sql.DataFrame
   * foreachBatch content determinism is on the source (true for the
   * file and Kafka sources replaying from checkpointed offsets): a
   * replayed batchId re-presents the same rows, so skipping it is
-  * sound. */
+  * sound.
+  *
+  * Markers are keyed by BATCH ID, which is only meaningful relative
+  * to the stream's CHECKPOINT: the two form one unit of state.
+  * Resetting/deleting the checkpoint restarts batchIds at 0, and a
+  * fresh stream's batch 0 would then hit the PRIOR run's marker and
+  * be silently SKIPPED — data loss, worse than the duplication the
+  * marker exists to stop. Likewise two streams sharing one sink
+  * collide on batchIds. Operational contract: wipe `<sink>/_batches/`
+  * together with the checkpoint, and give each stream writing a sink
+  * its own sink directory (or its own markerDir via [[oncePerBatch]]),
+  * exactly as each needs its own checkpoint. */
 object IdempotentSink {
 
   /** Append `df` to the parquet directory `sinkPath` exactly once per

@@ -127,6 +127,29 @@ class PqSpec extends SparkSpec {
     assert(viaCodegen == viaInterp)
   }
 
+  test("ADC refuses a code vector from a different codebook geometry (no silent prefix)") {
+    import graft.functions.PqAdcCosine
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.5, -0.5), Seq(0.0, 1.0)))
+    val adc = PqAdcCosine(Literal("x"), Literal("y"), cb)
+    val q = ArrayData.toArrayData(Array(0.1, 0.2, 0.3, 0.4))
+    // truncated (1 byte) and oversized (3 bytes) codes both refuse —
+    // min-truncating would score a silent prefix instead
+    val e1 = intercept[IllegalArgumentException] {
+      adc.score(q, Array[Byte](0))
+    }
+    assert(e1.getMessage.contains("different codebook geometry"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      adc.score(q, Array[Byte](0, 1, 0))
+    }
+    assert(e2.getMessage.contains("different codebook geometry"), e2.getMessage)
+    // the matching geometry still scores
+    assert(!adc.score(q, Array[Byte](0, 1)).isNaN)
+  }
+
   test("persisted IVF-PQ: probe == inline composition; append == rebuild; format tag refuses") {
     val all = embs
     val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),

@@ -97,4 +97,31 @@ class RankFusionSpec extends SparkSpec {
     }
     assert(eg.getMessage.contains("rank must be >= 1"), eg.getMessage)
   }
+
+  test("a NULL rank fails loudly too (null value or failed cast)") {
+    import spark.implicits._
+    // `__r < 1` alone is NULL on a NULL rank — the contribution would
+    // silently vanish from rrf_score while n_lists still counted the
+    // row, the exact skew the guard closes
+    val nullRank = Seq((10L, Some(1L)), (5L, Option.empty[Long]))
+      .toDF("doc_id", "rank")
+    val e = intercept[Exception] {
+      RankFusion.rrf(Seq(nullRank), "doc_id", "rank").collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"), e.getMessage)
+    // a non-numeric string rank is loud too: under ANSI the cast
+    // itself throws; with ANSI off it casts to NULL and hits the guard
+    val uncastable = Seq((10L, "1"), (5L, "not-a-rank")).toDF("doc_id", "rank")
+    val e2 = intercept[Exception] {
+      RankFusion.rrf(Seq(uncastable), "doc_id", "rank").collect()
+    }
+    assert(e2.getMessage.contains("rank must be >= 1") ||
+      e2.getMessage.toUpperCase.contains("CAST"), e2.getMessage)
+    val badG = Seq((0L, 10L, Some(1L)), (0L, 5L, Option.empty[Long]))
+      .toDF("query_id", "doc_id", "rank")
+    val eg = intercept[Exception] {
+      RankFusion.rrfGrouped(Seq(badG), "query_id", "doc_id", "rank").collect()
+    }
+    assert(eg.getMessage.contains("rank must be >= 1"), eg.getMessage)
+  }
 }

@@ -94,6 +94,38 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("write-then-read consistency: a writer publish invalidates the listing cache; an empty root is never cached") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import spark.implicits._
+    val root = Files.createTempDirectory("druidcat5").toFile
+    val fresh = new File(root, "tree") // does not exist yet
+    try {
+      val cat = new DruidCatalog
+      cat.initialize("c5", new CaseInsensitiveStringMap(
+        java.util.Map.of("root", fresh.getAbsolutePath)))
+      // 1. the NEGATIVE result (missing root) is not cached: the first
+      // ingest is visible on the very next resolution, without any
+      // invalidate and inside what would have been the TTL window
+      assert(cat.listTables(Array.empty).isEmpty)
+      writeSegment(new File(fresh, "seg1"), "events")
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq == Seq("events"))
+      // 2. the non-empty listing IS cached now — and a segment publish
+      // through the WRITER path drops it (same-session read-after-write)
+      val day = 24 * 3600 * 1000L
+      Seq((day * 10 + 1, "h1", 7L)).toDF("__time", "host", "hits")
+        .write.format("druid-segments").mode("append")
+        .option("dataSource", "metrics").option("segmentGranularity", "DAY")
+        .option("version", "v1").save(fresh.getAbsolutePath)
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq ==
+        Seq("events", "metrics"),
+        "publish must invalidate the catalog's cached listing")
+      assert(cat.tableExists(Identifier.of(Array.empty, "metrics")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("missing deep-storage root: catalog contract, not FileNotFoundException") {
     val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
     spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)
