@@ -429,6 +429,67 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Guarded (marker-fenced, resumable) IVF cell append — the shared
+    * tail of the three guarded append forms: stage the projected
+    * increment partitioned by cell, move the staged files into the
+    * live `cells/` partitions with atomic deterministic renames,
+    * commit. A batch ingest job that crashed mid-append and retried
+    * with the same `appendId` converges to exactly-once
+    * ([[graft.operators.IndexMaintenance.runGuardedAppend]]); there is
+    * no finalize step — IVF appends have no global stats to repair. */
+  private def guardedCellAppend(spark: org.apache.spark.sql.SparkSession,
+                                projected: => DataFrame, path: String,
+                                appendId: String): Boolean =
+    graft.operators.IndexMaintenance.runGuardedAppend(spark, path, appendId) {
+      stageDir =>
+        projected.write.partitionBy("cell").parquet(s"$stageDir/cells")
+    } { () => spark.catalog.refreshByPath(s"$path/cells") }
+
+  /** [[appendToIvfIndexSq8]] under the guarded protocol — the form a
+    * retried batch ingest should call. Validations (format tag, the
+    * pinned-bounds drift refusal) run at stage time; a committed
+    * appendId replays as a no-op (returns false). */
+  def appendToIvfIndexSq8Guarded(newVecs: DataFrame, idCol: String,
+                                 vecCol: String, path: String,
+                                 appendId: String): Boolean = {
+    val spark = newVecs.sparkSession
+    lazy val state = loadIvfSq8AppendState(spark, path)
+    guardedCellAppend(spark, {
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      requireWithinBounds(c, state.los, state.his, "appendToIvfIndexSq8Guarded")
+      assignToCells(c, state.cents)
+        .select(col("n_id"),
+          graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
+          col("cell"))
+    }, path, appendId)
+  }
+
+  /** [[appendToIvfIndex]] (float) under the guarded protocol. */
+  def appendToIvfIndexGuarded(newVecs: DataFrame, idCol: String,
+                              vecCol: String, path: String,
+                              appendId: String): Boolean = {
+    val spark = newVecs.sparkSession
+    guardedCellAppend(spark, {
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      assignToCells(c, collectCentroids(spark.read.parquet(s"$path/centroids")))
+    }, path, appendId)
+  }
+
+  /** [[appendToIvfIndexPq]] under the guarded protocol. */
+  def appendToIvfIndexPqGuarded(newVecs: DataFrame, idCol: String,
+                                vecCol: String, path: String,
+                                appendId: String): Boolean = {
+    val spark = newVecs.sparkSession
+    guardedCellAppend(spark, {
+      val codebook = readPqIndexState(spark, path)
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      assignToCells(c, collectCentroids(spark.read.parquet(s"$path/centroids")))
+        .select(col("n_id"),
+          graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
+          col("cell"))
+    }, path, appendId)
+  }
+
   /** Build and PERSIST a PRODUCT-QUANTIZED IVF index —
     * [[writeIvfIndexSq8]]'s layout with PQ codes in place of SQ8:
     * cell routing identical (full-precision nearest-centroid

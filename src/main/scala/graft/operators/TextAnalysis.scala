@@ -712,12 +712,19 @@ object TextAnalysis {
     * Doc ids already present in the index are REFUSED (one bounded
     * semi-join against the stored lengths): an overlapping id would
     * double its dl row and postings, silently corrupting every score.
-    * Re-ingesting a changed document is a rebuild (or a delete path),
-    * not an append. Crash window: an append that dies between the
-    * postings/dl append and the meta rewrite leaves stats stale and a
-    * RETRY would double the increment — automated ingest should guard
-    * appends with a batch marker ([[graft.streaming.IdempotentSink]]'s
-    * idiom), the same discipline as the streaming sinks. */
+    * Re-ingesting a changed document is
+    * [[graft.operators.IndexMaintenance.deleteFromBm25Index]] followed
+    * by an append (≡ rebuild, spec-pinned), not a bare append. Crash
+    * window: an append that dies between the postings/dl append and
+    * the meta rewrite leaves stats stale and a RETRY would double the
+    * increment — automated ingest should call
+    * [[appendToBm25IndexGuarded]], whose staged-move protocol makes a
+    * retried increment converge to exactly-once from any crash point.
+    * Maintenance: accumulated append files fold back to the
+    * build-shaped layout via
+    * [[graft.operators.IndexMaintenance.compactBm25Index]] (probe ≡
+    * pre-compaction bit-for-bit — unlike a rebuild, nothing
+    * re-fits). */
   def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
     val spark = newDocs.sparkSession
@@ -750,6 +757,67 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // drop any file-listing caches this session holds for the mutated
     // paths — a same-session probe must see the merged index
+    for (p <- Seq("postings", "dl", "meta"))
+      spark.catalog.refreshByPath(s"$path/$p")
+  }
+
+  /** [[appendToBm25Index]] under the marker-fenced
+    * [[graft.operators.IndexMaintenance.runGuardedAppend]] protocol —
+    * the form automated ingest should call: `appendId` names this
+    * logical increment forever, and a job that crashed ANYWHERE
+    * (mid-stage, mid-move, before the meta rewrite) and retried with
+    * the same id converges to exactly-once — staged files move into
+    * `postings/`/`dl/` by atomic per-file renames with deterministic
+    * names (an already-moved file cannot move twice), and the corpus
+    * stats are RECOMPUTED from the live dl as exact integer sums (so
+    * a retry repairs a stale meta instead of double-counting the
+    * increment, which is why this recomputes where the unguarded
+    * append merges). Same validations as the unguarded form, run at
+    * stage time: tokenization pin, overlapping-id refusal. Returns
+    * true iff this call performed (or completed) the append; false =
+    * the id was already committed (replay no-op). */
+  def appendToBm25IndexGuarded(newDocs: DataFrame, idCol: String,
+                               textCol: String, path: String,
+                               appendId: String): Boolean = {
+    val spark = newDocs.sparkSession
+    IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
+      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      val tok = meta.getAs[String]("tokenization")
+      require(tok == Bm25Tokenization,
+        s"BM25 index at $path uses tokenization '$tok'; this build appends " +
+          s"'$Bm25Tokenization' — rebuild the index")
+      val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
+      val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+      val overlap = spark.read.parquet(s"$path/dl")
+        .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
+      require(overlap == 0,
+        s"appendToBm25IndexGuarded: $overlap doc id(s) already exist in the " +
+          s"index at $path — an overlapping id would double-count its " +
+          "postings; changed documents are deleteFromBm25Index + append")
+      tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
+        .write.parquet(s"$stageDir/postings")
+      dlInc.write.parquet(s"$stageDir/dl")
+    } { () => bm25RecomputeMeta(spark, path) }
+  }
+
+  /** Recompute the BM25 meta corpus stats from the LIVE dl — exact
+    * integer sums, idempotent (the guarded append's finalize step:
+    * converges on any retry, where an increment-merge would
+    * double-count). k1/b and the tokenization pin are preserved. */
+  private[graft] def bm25RecomputeMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    spark.catalog.refreshByPath(s"$path/dl")
+    val st = spark.read.parquet(s"$path/dl")
+      .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
+      .collect()(0)
+    require(st.getLong(1) > 0,
+      s"bm25RecomputeMeta: index at $path holds no documents")
+    Seq((st.getLong(1), st.getLong(0), meta.getAs[Double]("k1"),
+        meta.getAs[Double]("b"), meta.getAs[String]("tokenization")))
+      .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     for (p <- Seq("postings", "dl", "meta"))
       spark.catalog.refreshByPath(s"$path/$p")
   }

@@ -824,8 +824,15 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
-  val annIvfSq8Sql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  val annIvfSq8Sql: String = annIvfSq8SqlWhere("")
+
+  /** The SQ8 IVF mirror with an optional predicate restricting which
+    * corpus vectors are IN the index (`asgWhere`, e.g. a delete gate's
+    * remainder) — centroids and quantization bounds stay derived from
+    * the FULL corpus, exactly matching an index built on the full
+    * corpus whose rows were then deleted (delete never re-fits). */
+  private def annIvfSq8SqlWhere(asgWhere: String): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |           FROM embeddings),
       |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
       |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
@@ -834,7 +841,7 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
       |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
       |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
-      |  FROM d, cent c) WHERE r = 1),
+      |  FROM d, cent c $asgWhere) WHERE r = 1),
       |probe AS (SELECT q_id, cell FROM (
       |  SELECT d.vec_id q_id, c.c_id cell,
       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
@@ -957,6 +964,87 @@ object PipelineQueries {
 
   val streamIvfAppendSql: String = annIvfSq8Sql
 
+  /** IVF index COMPACTION under the driver gate — the maintenance
+    * call the append/streaming story needs: the index is built on 3/4
+    * of the corpus (pinned centroids + bounds from the full
+    * distribution, as in q_ann_ivf_append), the remaining 1/4 arrives
+    * as TWO separate appends (each landing its own files into the
+    * touched cell partitions — the accumulating-small-files state),
+    * then compactIvfIndex folds the cells back to one file per cell
+    * WITHOUT re-fitting anything. The file-count shrink is asserted
+    * loudly inside the gate; because compaction rewrites bytes only,
+    * the probe must STILL equal the full-build answer — the SAME
+    * full-corpus SQ8 mirror value-checks every routed cell and ADC
+    * score bit of the compacted index. */
+  def annIvfCompact(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfsq8cmp_v1_$sfKey"
+    if (!new java.io.File(s"$base/_COMPACTED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val all = embs(s, d)
+      val prepared = Similarity.prepareQueries(all, "vec_id", "embedding")
+        .select(col("q_id").as("n_id"), col("q_v").as("n_v"))
+      val bounds = graft.operators.Quantization.fitBounds(prepared, "n_v")
+      Similarity.writeIvfIndexSq8(
+        all.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        s"$base/idx", cells = 16,
+        centroids0 = Some(
+          prepared.orderBy(col("n_id")).limit(16)
+            .select(col("n_id").as("c_id"), col("n_v").as("c_v"))),
+        bounds0 = Some(bounds))
+      Similarity.appendToIvfIndexSq8(
+        all.filter(col("vec_id") % 8 === 0), "vec_id", "embedding", s"$base/idx")
+      Similarity.appendToIvfIndexSq8(
+        all.filter(col("vec_id") % 8 === 4), "vec_id", "embedding", s"$base/idx")
+      val stats = graft.operators.IndexMaintenance
+        .compactIvfIndex(s, s"$base/idx")
+      require(stats.filesAfter < stats.filesBefore && stats.filesAfter <= 16,
+        s"q_ann_ivf_compact: compaction did not shrink the index — $stats")
+      require(new java.io.File(base, "_COMPACTED").createNewFile())
+    }
+    Similarity.queryIvfIndexSq8(s, s"$base/idx",
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfCompactSql: String = annIvfSq8Sql
+
+  /** IVF index DELETE under the driver gate — the takedown path: the
+    * index is built on the FULL corpus (default lowest-id centroids,
+    * full-corpus bounds — exactly q_ann_ivf_sq8's build), then every
+    * vec_id ≡ 2 (mod 5) is deleted via deleteFromIvfIndex (touched
+    * cells anti-joined and swapped in place; centroids/bounds/meta
+    * untouched — delete never re-fits). The mirror keeps centroids and
+    * quantization bounds derived from the FULL corpus but restricts
+    * cell membership to the remainder, which is precisely the
+    * delete(ids) ∘ build(corpus) ≡ "build(corpus ∖ ids) under the same
+    * pins" equivalence — every surviving cell route and ADC score bit
+    * is value-checked. */
+  def annIvfDelete(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfsq8del_v1_$sfKey"
+    if (!new java.io.File(s"$base/_DELETED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val all = embs(s, d)
+      Similarity.writeIvfIndexSq8(all, "vec_id", "embedding",
+        s"$base/idx", cells = 16)
+      graft.operators.IndexMaintenance.deleteFromIvfIndex(
+        all.filter(col("vec_id") % 5 === 2).select("vec_id"),
+        "vec_id", s"$base/idx")
+      require(new java.io.File(base, "_DELETED").createNewFile())
+    }
+    Similarity.queryIvfIndexSq8(s, s"$base/idx",
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfDeleteSql: String =
+    annIvfSq8SqlWhere("WHERE NOT (d.vec_id % 5 = 2)")
+
   /** PRODUCT-QUANTIZED persisted IVF index (build-once, probe-many at
     * 32× less storage than float32 — m=8 one-byte codes for 64 dims,
     * the regime past SQ8's 4×): cell routing identical to q_ann_ivf
@@ -979,8 +1067,10 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
-  val annPqSql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  val annPqSql: String = annPqSqlK(10) + "\nORDER BY q_id, rank"
+
+  private def annPqSqlK(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |           FROM embeddings),
       |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
       |cent AS (SELECT vec_id c_id, v c_v, nrm c_nrm FROM d ORDER BY vec_id LIMIT 16),
@@ -1022,8 +1112,50 @@ object PipelineQueries {
       |r AS (SELECT q_id, n_id, qcos,
       |        row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) rank
       |      FROM sc)
-      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= 10
-      |ORDER BY q_id, rank""".stripMargin
+      |SELECT q_id, n_id, rank, qcos FROM r WHERE rank <= $k""".stripMargin
+
+  /** Two-stage PQ retrieval under the driver gate — the SERVED shape
+    * of the PQ index (raw PQ@10 recall is an honest 0.36 on this
+    * corpus; the production composition measured 0.90 at k₀=100,
+    * tools/PqRecall): the persisted PQ index nominates top-30
+    * candidates per query (asymmetric-distance proxy ranking over the
+    * probed cells), and ONLY those pairs re-score with exact
+    * full-precision cosine for the final top-10 — q_ann_rerank's
+    * pattern with the PQ index as the nominator. The mirror composes
+    * the full PQ mirror at k=30 (codebook re-derivation, per-subspace
+    * argmin encode, reconstruction, ADC fold) with an exact-cosine
+    * re-rank over the candidate pairs, so nomination AND re-ranking
+    * are value-checked end to end. */
+  def annPqRerank(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_v1_$sfKey"
+    if (!new java.io.File(s"$base/meta/_SUCCESS").isFile)
+      Similarity.writeIvfIndexPq(embs(s, d), "vec_id", "embedding", base,
+        cells = 16, m = 8, ks = 16)
+    val queries = Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding")
+    val cand = Similarity.queryIvfIndexPq(s, base, queries, k = 30, nprobe = 4)
+    Similarity.rerankCandidates(embs(s, d), queries, cand,
+        "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val annPqRerankSql: String =
+    s"""WITH cand AS (SELECT q_id, n_id FROM (${annPqSqlK(30)})),
+       |fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |      FROM embeddings),
+       |fd AS (SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM fv),
+       |fs AS (SELECT c.q_id, c.n_id,
+       |        list_sum(list_transform(list_zip(q.v, n.v), p -> p[1]*p[2]))
+       |          / (q.nrm * n.nrm) cosine
+       |      FROM cand c JOIN fd q ON q.vec_id = c.q_id
+       |        JOIN fd n ON n.vec_id = c.n_id),
+       |fr AS (SELECT q_id, n_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, n_id) rank
+       |      FROM fs)
+       |SELECT q_id, n_id, rank, cosine FROM fr WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   /** SQ8-quantized ANN: per-dimension corpus min/max bounds, one
     * unsigned byte per dimension (BINARY codes — 4× smaller than
@@ -2492,10 +2624,12 @@ object PipelineQueries {
 
   val bm25Sql: String = bm25SqlK(20)
 
-  private def bm25SqlK(k: Int): String =
+  /** `docWhere` optionally restricts which documents are IN the
+    * index/corpus (a delete gate's remainder). */
+  private def bm25SqlK(k: Int, docWhere: String = ""): String =
     s"""WITH tf AS (SELECT doc, term, count(*)::BIGINT AS tf
        |  FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
-       |        FROM documents)
+       |        FROM documents $docWhere)
        |  WHERE term <> '' GROUP BY 1, 2),
        |dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc),
        |st AS (SELECT sum(dl)::BIGINT AS total_len, count(*)::BIGINT AS n_docs
@@ -2620,6 +2754,71 @@ object PipelineQueries {
   }
 
   val bm25AppendSql: String = bm25Sql
+
+  /** BM25 index COMPACTION under the driver gate: built on 3/4 of the
+    * corpus, two separate appends land the remaining 1/4 (each append
+    * adds its own postings/dl files, eroding the build's term-clustered
+    * row-group pruning — the accumulating state), then compactBm25Index
+    * re-clusters postings on term and folds dl, touching NOTHING else
+    * (meta stats/k1/b/tokenization stay the merged index's). The
+    * file-count shrink is asserted loudly inside the gate; because
+    * compaction rewrites bytes only, the probe must STILL equal the
+    * full-corpus answer — the SAME mirror as q_bm25 value-checks every
+    * score bit of the compacted index. */
+  def bm25Compact(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bm25cmp_v1_$sfKey"
+    if (!new java.io.File(s"$base/_COMPACTED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      TextAnalysis.writeBm25Index(
+        docs(s, d).filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+        s"$base/idx")
+      TextAnalysis.appendToBm25Index(
+        docs(s, d).filter(col("doc_id") % 8 === 0), "doc_id", "text",
+        s"$base/idx")
+      TextAnalysis.appendToBm25Index(
+        docs(s, d).filter(col("doc_id") % 8 === 4), "doc_id", "text",
+        s"$base/idx")
+      val stats = graft.operators.IndexMaintenance
+        .compactBm25Index(s, s"$base/idx")
+      require(stats.filesAfter < stats.filesBefore,
+        s"q_bm25_compact: compaction did not shrink the index — $stats")
+      require(new java.io.File(base, "_COMPACTED").createNewFile())
+    }
+    TextAnalysis.scoreWithBm25Index(s, s"$base/idx",
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+  }
+
+  val bm25CompactSql: String = bm25Sql
+
+  /** BM25 index DELETE under the driver gate — the takedown path the
+    * append's refusal message promises: the index is built on the FULL
+    * corpus, then every doc_id ≡ 0 (mod 4) is deleted via
+    * deleteFromBm25Index (postings/dl anti-joined and swapped; corpus
+    * stats RECOMPUTED from the surviving dl as exact integer sums —
+    * recompute converges on retry where a decrement would leave stale
+    * stats after a crash). The mirror is q_bm25's pipeline over
+    * `documents WHERE NOT (doc_id % 4 = 0)` — i.e. a from-scratch
+    * build on the remainder: delete(ids) ∘ build(corpus) ≡
+    * build(corpus ∖ ids), every score bit value-checked. */
+  def bm25Delete(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bm25del_v1_$sfKey"
+    if (!new java.io.File(s"$base/_DELETED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      TextAnalysis.writeBm25Index(docs(s, d), "doc_id", "text", s"$base/idx")
+      graft.operators.IndexMaintenance.deleteFromBm25Index(
+        docs(s, d).filter(col("doc_id") % 4 === 0).select("doc_id"),
+        "doc_id", s"$base/idx")
+      require(new java.io.File(base, "_DELETED").createNewFile())
+    }
+    TextAnalysis.scoreWithBm25Index(s, s"$base/idx",
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+  }
+
+  val bm25DeleteSql: String = bm25SqlK(20, "WHERE NOT (doc_id % 4 = 0)")
 
   /** STREAMING BM25 serving against the persisted index: the
     * q_bm25_multi query batch staged as one parquet FILE PER QUERY,

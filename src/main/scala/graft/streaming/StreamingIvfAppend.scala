@@ -33,8 +33,12 @@ import graft.operators.Similarity
   * would distort every probe's top-k). Same residual window as the
   * other sinks (crash exactly between append and marker). Operational
   * note: every micro-batch adds files to its touched cell partitions
-  * — at seconds-level triggers schedule the periodic rebuild (which
-  * also re-fits centroids/bounds) as the compaction cadence. */
+  * — at seconds-level triggers schedule
+  * [[graft.operators.IndexMaintenance.compactIvfIndex]] as the
+  * maintenance cadence: it folds the accumulated files back to one
+  * per cell WITHOUT re-fitting (probe ≡ pre-compaction bit-for-bit,
+  * spec-pinned), unlike the full rebuild, which re-fits
+  * centroids/bounds and changes probe results. */
 object StreamingIvfAppend {
 
   /** Append `stream` (a streaming DataFrame of (idCol, vecCol) rows)

@@ -1,0 +1,333 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Index lifecycle beyond build+append: COMPACTION rewrites bytes only
+  * (probe ≡ pre-compaction bit-for-bit; files fold to the cluster
+  * count), DELETE makes the index equal a build on the remaining
+  * corpus (and composes with append into changed-doc re-ingest ≡
+  * rebuild), and the GUARDED APPEND converges to exactly-once from any
+  * simulated crash point. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.Tables.documents(spark, sf())
+    .select("doc_id", "text")
+  private def embs = graft.Tables.embeddings(spark, sf())
+    .select("vec_id", "embedding")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def bm25Probe(dir: String) =
+    TextAnalysis.scoreWithBm25Index(spark, dir,
+      queryTerms = Seq("spark", "window", "agg"), k = 20)
+
+  private def metaRow(dir: String): Seq[Any] =
+    spark.read.parquet(s"$dir/meta").collect()(0).toSeq
+
+  // pinned-from-the-full-corpus centroids + bounds, so delete/append
+  // equivalences compare like with like (the production pin stance)
+  private def pins(corpus: org.apache.spark.sql.DataFrame) = {
+    val prepared = Similarity.prepareQueries(corpus, "vec_id", "embedding")
+      .select($"q_id".as("n_id"), $"q_v".as("n_v"))
+    (prepared.orderBy($"n_id").limit(16)
+       .select($"n_id".as("c_id"), $"n_v".as("c_v")),
+     Quantization.fitBounds(prepared, "n_v"))
+  }
+
+  test("BM25 compaction: probe bit-identical; appended files fold to the cluster count") {
+    val dir = tmp("bm25compact")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", dir)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 8 === 0),
+      "doc_id", "text", dir)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 8 === 4),
+      "doc_id", "text", dir)
+    val before = rows(bm25Probe(dir))
+    val metaBefore = metaRow(dir)
+    val stats = IndexMaintenance.compactBm25Index(spark, dir)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must shrink the file count, got $stats")
+    // postings+dl each fold to ≤ shuffle.partitions files (4 in tests)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(stats.filesAfter <= 2L * parts, s"got $stats")
+    assert(rows(bm25Probe(dir)) == before) // every score bit identical
+    // meta untouched — compaction never re-fits
+    assert(metaRow(dir) == metaBefore)
+    rm(dir)
+  }
+
+  test("IVF compaction (SQ8): probe bit-identical; one file per cell; partition pruning intact") {
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val dir = tmp("ivfcompact")
+    Similarity.writeIvfIndexSq8(all.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", dir, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    Similarity.appendToIvfIndexSq8(all.filter($"vec_id" % 8 === 0),
+      "vec_id", "embedding", dir)
+    Similarity.appendToIvfIndexSq8(all.filter($"vec_id" % 8 === 4),
+      "vec_id", "embedding", dir)
+    val before = rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+      .orderBy("q_id", "rank"))
+    val stats = IndexMaintenance.compactIvfIndex(spark, dir)
+    assert(stats.filesAfter < stats.filesBefore, s"got $stats")
+    assert(stats.filesAfter <= 16, s"one file per cell expected, got $stats")
+    val after = Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+    assert(rows(after.orderBy("q_id", "rank")) == before)
+    // compaction preserved the partition-pruned probe shape
+    val plan = Similarity.queryIvfIndexSq8(spark, dir,
+      q.filter($"q_id" === 0), k = 10, nprobe = 4).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+    }
+    assert(scans.nonEmpty)
+    val static = scans.head.partitionFilters
+      .filterNot(_.toString.contains("dynamicpruning"))
+    assert(static.nonEmpty)
+    val parts = scans.head.relation.location.listFiles(
+      static, scans.head.dataFilters).length
+    assert(parts <= 4, s"expected ≤4 pruned cell partitions, scanned $parts")
+    rm(dir)
+  }
+
+  test("BM25 delete: delete(ids) ∘ build(corpus) == build(corpus ∖ ids) bit-for-bit; absent id is a no-op; emptying refuses") {
+    val dir = tmp("bm25del")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir)
+    IndexMaintenance.deleteFromBm25Index(
+      docs.filter($"doc_id" % 4 === 0).select("doc_id"), "doc_id", dir)
+    val want = tmp("bm25delwant")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", want)
+    assert(rows(bm25Probe(dir)) == rows(bm25Probe(want)))
+    assert(metaRow(dir) == metaRow(want)) // exact integer stats
+    // postings/dl contents equal too — the state IS a build on the rest
+    assert(rows(spark.read.parquet(s"$dir/postings").orderBy("term", "__doc"))
+      == rows(spark.read.parquet(s"$want/postings").orderBy("term", "__doc")))
+    assert(rows(spark.read.parquet(s"$dir/dl").orderBy("__doc"))
+      == rows(spark.read.parquet(s"$want/dl").orderBy("__doc")))
+    // deleting ids not in the index: takedown semantics, a no-op
+    val before = rows(bm25Probe(dir))
+    IndexMaintenance.deleteFromBm25Index(
+      Seq(999999999L, -5L).toDF("doc_id"), "doc_id", dir)
+    assert(rows(bm25Probe(dir)) == before)
+    // deleting everything refuses loudly and leaves the index intact
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromBm25Index(
+        docs.select("doc_id"), "doc_id", dir)
+    }
+    assert(e.getMessage.contains("empties the index"), e.getMessage)
+    assert(rows(bm25Probe(dir)) == before)
+    rm(dir); rm(want)
+  }
+
+  test("BM25 changed-doc re-ingest: delete + append == rebuild with the changed text") {
+    val target = docs.orderBy($"doc_id").limit(1)
+      .collect()(0).getLong(0)
+    val changed = docs
+      .withColumn("text",
+        when($"doc_id" === target, concat($"text", lit(" spark spark agg")))
+          .otherwise($"text"))
+    val dir = tmp("bm25reingest")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir)
+    // the bare append refuses the overlapping id — the documented gate
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(changed.filter($"doc_id" === target),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    // the composition the delete path unlocks
+    IndexMaintenance.deleteFromBm25Index(
+      Seq(target).toDF("doc_id"), "doc_id", dir)
+    TextAnalysis.appendToBm25Index(changed.filter($"doc_id" === target),
+      "doc_id", "text", dir)
+    val want = tmp("bm25reingestwant")
+    TextAnalysis.writeBm25Index(changed, "doc_id", "text", want)
+    assert(rows(bm25Probe(dir)) == rows(bm25Probe(want)))
+    assert(metaRow(dir) == metaRow(want))
+    rm(dir); rm(want)
+  }
+
+  test("IVF delete: == build on the remainder under the same pins; absent id no-op; an emptied cell disappears") {
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val dir = tmp("ivfdel")
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", dir, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    IndexMaintenance.deleteFromIvfIndex(
+      all.filter($"vec_id" % 5 === 2).select("vec_id"), "vec_id", dir)
+    val want = tmp("ivfdelwant")
+    Similarity.writeIvfIndexSq8(all.filter($"vec_id" % 5 =!= 2),
+      "vec_id", "embedding", want, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
+    // absent ids: no-op (code is Array[Byte] — compare by value)
+    def cellRows() = spark.read.parquet(s"$dir/cells").orderBy("n_id")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.get(2)))
+    val before = cellRows()
+    IndexMaintenance.deleteFromIvfIndex(
+      Seq(999999999L).toDF("vec_id"), "vec_id", dir)
+    assert(cellRows() == before)
+    rm(dir); rm(want)
+
+    // a cell whose every vector dies is removed; probes stay sound
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.1f, 0.9f)), (4L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val tdir = tmp("ivfdeltiny")
+    Similarity.writeIvfIndexSq8(tiny, "vec_id", "embedding", tdir, cells = 2)
+    IndexMaintenance.deleteFromIvfIndex(
+      Seq(2L, 3L).toDF("vec_id"), "vec_id", tdir) // the whole "near 1,1" cell
+    val left = spark.read.parquet(s"$tdir/cells")
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 4L))
+    val tq = Similarity.prepareQueries(tiny.filter($"vec_id" === 1),
+      "vec_id", "embedding")
+    val probed = Similarity.queryIvfIndexSq8(spark, tdir, tq, k = 10, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(probed == Set(4L))
+    rm(tdir)
+  }
+
+  test("guarded BM25 append: clean run == unguarded; committed id replays as a no-op") {
+    val build = docs.filter($"doc_id" % 4 =!= 0)
+    val inc = docs.filter($"doc_id" % 4 === 0)
+    val a = tmp("bm25gA"); val b = tmp("bm25gB")
+    TextAnalysis.writeBm25Index(build, "doc_id", "text", a)
+    TextAnalysis.appendToBm25Index(inc, "doc_id", "text", a)
+    TextAnalysis.writeBm25Index(build, "doc_id", "text", b)
+    assert(TextAnalysis.appendToBm25IndexGuarded(inc, "doc_id", "text", b, "inc-1"))
+    assert(rows(bm25Probe(b)) == rows(bm25Probe(a)))
+    assert(metaRow(b) == metaRow(a))
+    // replay: no-op, nothing moves, nothing double-counts
+    val nPostings = spark.read.parquet(s"$b/postings").count()
+    assert(!TextAnalysis.appendToBm25IndexGuarded(inc, "doc_id", "text", b, "inc-1"))
+    spark.catalog.refreshByPath(s"$b/postings")
+    assert(spark.read.parquet(s"$b/postings").count() == nPostings)
+    assert(metaRow(b) == metaRow(a))
+    rm(a); rm(b)
+  }
+
+  test("guarded BM25 append: a retry converges from crash-before-finalize and from crash-mid-move") {
+    val build = docs.filter($"doc_id" % 4 =!= 0)
+    val inc = docs.filter($"doc_id" % 4 === 0)
+    val want = tmp("bm25gWant")
+    TextAnalysis.writeBm25Index(build, "doc_id", "text", want)
+    TextAnalysis.appendToBm25Index(inc, "doc_id", "text", want)
+    val wantProbe = rows(bm25Probe(want))
+    val wantMeta = metaRow(want)
+    val wantPostings = spark.read.parquet(s"$want/postings").count()
+
+    val dir = tmp("bm25gCrash")
+    TextAnalysis.writeBm25Index(build, "doc_id", "text", dir)
+    val staleMeta = spark.read.parquet(s"$dir/meta")
+      .collect().toSeq // the pre-append stats, to restore as "stale"
+    assert(TextAnalysis.appendToBm25IndexGuarded(inc, "doc_id", "text", dir, "inc-1"))
+
+    def restoreStaleState(moveBackOneFile: Boolean): Unit = {
+      // CRASH SNAPSHOT: files moved (all or all-but-one), meta still
+      // stale, no _COMMITTED — exactly the window the unguarded append
+      // documents (retrying IT would double-count the increment)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/_appends/inc-1/_COMMITTED"), false)
+      if (moveBackOneFile) {
+        val moved = IndexMaintenance.dataFiles(spark, s"$dir/postings")
+          .filter(_.startsWith("inc-1_")).head
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          s"$dir/_appends/inc-1/stage/postings"))
+        assert(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$dir/postings/$moved"),
+          new org.apache.hadoop.fs.Path(
+            s"$dir/_appends/inc-1/stage/postings/${moved.stripPrefix("inc-1_")}")))
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(staleMeta, 1),
+          spark.read.parquet(s"$dir/meta").schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      for (p <- Seq("postings", "dl", "meta"))
+        spark.catalog.refreshByPath(s"$dir/$p")
+    }
+
+    // crash BEFORE finalize (meta rewrite): retry re-moves nothing,
+    // recomputes the stats, commits — no double count
+    restoreStaleState(moveBackOneFile = false)
+    assert(metaRow(dir) != wantMeta) // the stale state is really stale
+    assert(TextAnalysis.appendToBm25IndexGuarded(inc, "doc_id", "text", dir, "inc-1"))
+    assert(spark.read.parquet(s"$dir/postings").count() == wantPostings)
+    assert(metaRow(dir) == wantMeta)
+    assert(rows(bm25Probe(dir)) == wantProbe)
+
+    // crash MID-MOVE: one staged file not yet moved; retry moves just
+    // it, recomputes, commits — still exactly-once
+    restoreStaleState(moveBackOneFile = true)
+    assert(TextAnalysis.appendToBm25IndexGuarded(inc, "doc_id", "text", dir, "inc-1"))
+    assert(spark.read.parquet(s"$dir/postings").count() == wantPostings)
+    assert(metaRow(dir) == wantMeta)
+    assert(rows(bm25Probe(dir)) == wantProbe)
+    rm(dir); rm(want)
+  }
+
+  test("guarded IVF appends: clean run == plain append; replay no-op; stage-time bounds refusal") {
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val a = tmp("ivfgA"); val b = tmp("ivfgB")
+    for (d <- Seq(a, b))
+      Similarity.writeIvfIndexSq8(all.filter($"vec_id" % 4 =!= 0),
+        "vec_id", "embedding", d, cells = 16,
+        centroids0 = Some(cents), bounds0 = Some(bounds))
+    Similarity.appendToIvfIndexSq8(all.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", a)
+    assert(Similarity.appendToIvfIndexSq8Guarded(
+      all.filter($"vec_id" % 4 === 0), "vec_id", "embedding", b, "day-1"))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, b, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, a, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
+    val n = spark.read.parquet(s"$b/cells").count()
+    assert(!Similarity.appendToIvfIndexSq8Guarded(
+      all.filter($"vec_id" % 4 === 0), "vec_id", "embedding", b, "day-1"))
+    spark.catalog.refreshByPath(s"$b/cells")
+    assert(spark.read.parquet(s"$b/cells").count() == n)
+    rm(a); rm(b)
+
+    // bounds drift refuses at STAGE time — the live index is untouched
+    val base = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("ivfgdrift")
+    Similarity.writeIvfIndexSq8(base, "vec_id", "embedding", dir, cells = 2)
+    val beforeN = spark.read.parquet(s"$dir/cells").count()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexSq8Guarded(
+        Seq((9L, Array(0.5f, 2.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir, "bad-1")
+    }
+    assert(e.getMessage.contains("pinned SQ8 bounds"), e.getMessage)
+    spark.catalog.refreshByPath(s"$dir/cells")
+    assert(spark.read.parquet(s"$dir/cells").count() == beforeN)
+    rm(dir)
+  }
+}
