@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Streaming BM25 serving: the split-query hazard is a REFUSAL, not a
+  * silent wrongness — a query id straddling micro-batches (or
+  * re-served after a restart) fails loudly naming the ids; whole-query
+  * staging streams to the batch answer; the opt-out accepts fragments.
+  */
+class StreamingBm25ScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sbm25_spec_${tag}_${java.util.UUID.randomUUID}").getAbsolutePath
+
+  private def docs = Tables.documents(spark, sf()).select("doc_id", "text")
+
+  private def fileSource(stage: String) = {
+    val schema = spark.read.parquet(stage).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+  }
+
+  test("a query split across micro-batches refuses loudly, naming the id") {
+    val idx = tmp("idx")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val base = tmp("split")
+    // one query's terms deliberately fragmented into two files = two
+    // AvailableNow micro-batches
+    Seq((0L, "spark")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    Seq((0L, "window")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+        "query_id", "term", k = 10,
+        sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("split across micro-batches") && msg.contains("0"),
+      msg)
+  }
+
+  test("restart continuation: a resumed stream refuses a re-served id (seen set seeded from the sink)") {
+    val idx = tmp("idx2")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val base = tmp("restart")
+    Seq((0L, "spark"), (0L, "window")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+      "query_id", "term", k = 10,
+      sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out").count() > 0)
+    // the stream RESUMES (same checkpoint — the IdempotentSink
+    // contract: checkpoint and sink live and die together) after the
+    // serving tier wrongly re-emits query 0: the new micro-batch has a
+    // fresh batchId (no marker), and the seen set — seeded from the
+    // sink, since the first run's driver state is gone — refuses
+    Seq((0L, "agg")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+        "query_id", "term", k = 10,
+        sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    }
+    assert(e.getCause.getMessage.contains("already scored"),
+      e.getCause.getMessage)
+  }
+
+  test("whole-query staging == batch multi-query; opt-out accepts fragments (documented risk)") {
+    val idx = tmp("idx3")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val queries = Seq(
+      0L -> "spark", 0L -> "window", 1L -> "hash", 1L -> "join")
+    val expected = TextAnalysis.scoreWithBm25IndexMulti(spark, idx,
+        queries.toDF("query_id", "term"), "query_id", "term", k = 5)
+      .collect().map(_.toSeq).toSet
+    val base = tmp("whole")
+    for (qid <- queries.map(_._1).distinct)
+      queries.filter(_._1 == qid).toDF("query_id", "term")
+        .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+      "query_id", "term", k = 5,
+      sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out")
+      .collect().map(_.toSeq).toSet == expected)
+
+    // opt-out: the split stages complete (each fragment scored) — the
+    // caller accepted per-fragment semantics explicitly
+    val base2 = tmp("optout")
+    Seq((7L, "spark")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base2/stage")
+    Seq((7L, "window")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base2/stage")
+    StreamingBm25Score.run(spark, fileSource(s"$base2/stage"), idx,
+      "query_id", "term", k = 5,
+      sinkPath = s"$base2/out", checkpoint = s"$base2/ckpt",
+      refuseSplitQueries = false)
+    // two fragments -> two result sets for query 7
+    assert(spark.read.parquet(s"$base2/out")
+      .filter($"rank" === 1).count() == 2)
+  }
+}
