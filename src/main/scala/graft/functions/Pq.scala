@@ -43,6 +43,14 @@ object Pq {
                 codebook: Seq[Seq[Seq[Double]]]): Column =
     toColumn(PqAdcCosine(toExpr(query), toExpr(codes), codebook))
 
+  /** [[encode]] as `array<int>` instead of BINARY — the form the
+    * k-means codebook trainer's assignment pass consumes (an exploded
+    * (pos, x) row picks its subspace's code with `element_at`; byte
+    * extraction from BINARY has no codegen-friendly SQL spelling).
+    * Same argmin, same tie-break — spec-pinned equal to [[encode]]. */
+  def encodeCodes(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    toColumn(PqEncodeInts(toExpr(vec), codebook))
+
   private[functions] def validate(codebook: Seq[Seq[Seq[Double]]]): Unit = {
     require(codebook.nonEmpty, "empty PQ codebook")
     require(codebook.forall(_.nonEmpty), "PQ codebook has an empty subspace")
@@ -118,6 +126,48 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** [[PqEncode]] emitting `array<int>` codes — delegates to the same
+  * argmin (one implementation, the two forms cannot drift). */
+case class PqEncodeInts(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression {
+
+  Pq.validate(codebook)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_codes needs array<double>, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val delegate = PqEncode(child, codebook)
+
+  /** Public for the generated-code reference-object call. */
+  def encodeInts(v: ArrayData): ArrayData = {
+    val bytes = delegate.encode(v)
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = encodeInts(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeInts", this, classOf[PqEncodeInts].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.encodeInts($x);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeInts =
+    copy(child = c)
 }
 
 case class PqAdcCosine(left: Expression, right: Expression,

