@@ -25,9 +25,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Tables are the DATASOURCES discovered under the root (the same
   * one-listing planning cost as the reference's overlord segment-list
-  * action — DruidInputFormat.java:64-115); the catalog is read-only at
-  * the DDL level (segments are written by ingestion via the writer
-  * path, never by CREATE TABLE). Resolution cost: `loadTable` runs
+  * action — DruidInputFormat.java:64-115). Writes ride the SQL surface
+  * too: `CREATE TABLE druid.<ds> AS SELECT …` and
+  * `INSERT INTO druid.<ds>` route through the segment writer with
+  * Druid's version semantics (a later statement overshadows the time
+  * chunks it touches — see [[createTable]]); destructive DDL
+  * (DROP/ALTER/RENAME) is refused — segments are immutable, cleanup is
+  * the vacuum/kill path. Resolution cost: `loadTable` runs
   * descriptor discovery + union-schema inference for the named
   * datasource — the same work `spark.read.format("druid-segments")`
   * does; Spark caches the resolved table per query. */
@@ -135,14 +139,51 @@ class DruidCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"DruidCatalog is read-only at the DDL level: $op is not supported — " +
-        "segments are created by the ingestion/writer path " +
-        "(df.write.format(\"druid-segments\"))")
+      s"DruidCatalog: $op is not supported — Druid segments are immutable; " +
+        "overwrite by writing a later version (it overshadows), remove " +
+        "overshadowed generations with the vacuum/kill path " +
+        "(graft.sources.DruidDeepStorage.vacuum)")
 
+  /** Write-option table properties forwarded to the segment writer —
+    * `CREATE TABLE … TBLPROPERTIES('segmentGranularity'='DAY', …)`
+    * (accepted bare or with Spark's `option.` prefix). */
+  private val writeProps = Seq("segmentGranularity", "version",
+    "maxRowsPerSegment", "rowsPerChunk", "complexMetrics", "appendShards")
+
+  /** CREATE TABLE / CTAS — the write half of the SQL surface:
+    * `CREATE TABLE druid.<ds> [TBLPROPERTIES(…)] AS SELECT …` routes
+    * the query through the SAME DSv2 writer as
+    * `df.write.format("druid-segments")` (real v9 segments, publish by
+    * descriptor, versioned). `INSERT INTO druid.<ds>` needs no DDL —
+    * [[loadTable]]'s table already supports BATCH_WRITE — and carries
+    * Druid's version semantics: each statement writes a LATER version
+    * over the time chunks it touches, which OVERSHADOWS those chunks'
+    * previous rows (Druid versions are immutable — "append into a
+    * version" is the streaming ingestion shape, option
+    * `appendShards`). A datasource EXISTS once its first segment
+    * publishes (discovery-based catalog): a bare CREATE TABLE with no
+    * data is accepted but stays invisible to listings until a write
+    * lands — CTAS is the natural form. Partition transforms are
+    * refused: Druid partitions by __time chunks internally
+    * (`segmentGranularity`), not by Spark DDL. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    requireTopLevel(ident.namespace())
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "DruidCatalog: PARTITIONED BY is not supported — Druid " +
+          "datasources partition by __time chunks internally " +
+          "(TBLPROPERTIES('segmentGranularity'='DAY'))")
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", root)
+    opts.put("dataSource", ident.name())
+    for (k <- writeProps)
+      Option(properties.get(k))
+        .orElse(Option(properties.get(s"option.$k")))
+        .foreach(v => opts.put(k, v))
+    new DruidSegmentsTable(schema, new CaseInsensitiveStringMap(opts))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")

@@ -126,6 +126,57 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("write DDL: CTAS creates a datasource, INSERT INTO overshadows its chunk, vacuum reclaims the overshadowed bytes") {
+    val root = Files.createTempDirectory("druidcat6").toFile
+    spark.conf.set("spark.sql.catalog.druidw", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidw.root", root.getAbsolutePath)
+    val day = 24 * 3600 * 1000L
+    try {
+      // CTAS end-to-end: create + write real v9 segments + read back
+      spark.sql(
+        s"""CREATE TABLE druidw.ev2 TBLPROPERTIES('segmentGranularity'='DAY')
+           |AS SELECT CAST(${day * 10 + 1} AS LONG) AS __time,
+           |  'a' AS host, CAST(5 AS LONG) AS hits""".stripMargin)
+      assert(spark.sql("SELECT host, hits FROM druidw.ev2").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 5L)))
+      // CTAS over an existing table refuses at analysis
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("CREATE TABLE druidw.ev2 AS SELECT 1 AS x")
+      }
+      // INSERT INTO: a later version over the same DAY chunk — Druid
+      // semantics, the new generation OVERSHADOWS the chunk's old rows
+      // the table ACCEPTs ANY SCHEMA (datasources evolve per interval),
+      // so INSERT maps columns BY NAME — the SELECT aliases them
+      spark.sql(s"""INSERT INTO druidw.ev2
+        |SELECT CAST(${day * 10 + 2} AS LONG) AS __time,
+        |  'b' AS host, CAST(7 AS LONG) AS hits""".stripMargin)
+      assert(spark.sql("SELECT host, hits FROM druidw.ev2").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 7L)))
+      // a different chunk is untouched by overshadowing
+      spark.sql(s"""INSERT INTO druidw.ev2
+        |SELECT CAST(${day * 11 + 1} AS LONG) AS __time,
+        |  'c' AS host, CAST(9 AS LONG) AS hits""".stripMargin)
+      assert(spark.sql("SELECT host, hits FROM druidw.ev2 ORDER BY hits")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("b", 7L), ("c", 9L)))
+      // vacuum (the kill task) removes the overshadowed generation;
+      // the visible rows are unchanged
+      val killed = DruidDeepStorage.vacuum(spark, root.getAbsolutePath, "ev2")
+      assert(killed.nonEmpty, "expected the overshadowed CTAS segment killed")
+      assert(spark.sql("SELECT host, hits FROM druidw.ev2 ORDER BY hits")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("b", 7L), ("c", 9L)))
+      // destructive DDL still refuses — immutable segments
+      intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE druidw.ev2")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidw")
+      spark.conf.unset("spark.sql.catalog.druidw.root")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("missing deep-storage root: catalog contract, not FileNotFoundException") {
     val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
     spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)
