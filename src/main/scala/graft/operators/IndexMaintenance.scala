@@ -268,6 +268,57 @@ object IndexMaintenance {
     } finally deleteDir(spark, staging)
   }
 
+  /** DELETE reference documents from a persisted MinHash index
+    * ([[Dedup.writeMinhashIndex]] layout) — the takedown path for the
+    * third index family: after `deleteFromMinhashIndex(ids)`, probes
+    * can never surface a deleted document as a near-dup witness. The
+    * deleted ids leave BOTH sides of the layout: `shingles/` by
+    * anti-join (the verify stage can't read their shingle sets) and
+    * `bands/` by exploding each bucket's id list, anti-joining, and
+    * regrouping (emptied buckets disappear; surviving lists are
+    * subsets of capped lists, so the build-time `maxBucketSize` bound
+    * still holds). Meta (the banding pins) is untouched.
+    *
+    * Equivalence, with one honest caveat: probe(delete ∘ build(ref))
+    * ≡ probe(build(ref ∖ ids)) as a row SET (spec-pinned) — EXCEPT
+    * for buckets the BUILD's skew cap dropped entirely: a capped-away
+    * bucket stays gone after a delete even if the remainder would now
+    * fit under the cap (resurrecting it would need the dropped ids,
+    * which the index no longer holds). That is a recall-only
+    * difference in exactly the degenerate-bucket regime the cap
+    * already documents as dropped; rebuild on the remainder to
+    * recover it. Idempotent: absent ids are no-ops. Deleting every
+    * reference document refuses loudly (an empty index cannot load —
+    * drop it instead).
+    *
+    * Cost: one shingles-sized anti-join + one bands-sized
+    * explode/regroup (the index, never the reference corpus — nothing
+    * re-shingles); both rewrites staged and swapped like the other
+    * deletes. */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
+                             path: String): Unit = {
+    val spark = ids.sparkSession
+    val del = Materialize(ids.select(col(idCol).cast("long").as("id")).distinct())
+    val staging = stagingRoot(path)
+    try {
+      val keptShingles = spark.read.parquet(s"$path/shingles")
+        .join(del, Seq("id"), "left_anti")
+      keptShingles.repartition(col("id"))
+        .write.parquet(s"$staging/shingles")
+      // refuse BEFORE any swap — an emptied index cannot load
+      require(spark.read.parquet(s"$staging/shingles").limit(1).count() > 0,
+        s"deleteFromMinhashIndex: deleting these ids empties the index at " +
+          s"$path — drop it instead")
+      spark.read.parquet(s"$path/bands")
+        .select(col("bucket"), explode(col("ids")).as("id"))
+        .join(del, Seq("id"), "left_anti")
+        .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+        .write.parquet(s"$staging/bands")
+      swapDir(spark, s"$path/shingles", s"$staging/shingles")
+      swapDir(spark, s"$path/bands", s"$staging/bands")
+    } finally deleteDir(spark, staging)
+  }
+
   // ---- guarded (resumable, exactly-once) batch append -------------------
 
   /** The marker-fenced BATCH append protocol — the

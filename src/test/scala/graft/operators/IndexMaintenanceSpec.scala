@@ -208,6 +208,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     rm(tdir)
   }
 
+  test("minhash delete: probe == build on the remainder; deleted refs never surface; absent id no-op; emptying refuses") {
+    val ref = docs.filter($"doc_id" % 2 === 1)
+    val probe = docs.filter($"doc_id" % 2 === 0)
+    def pairs(dir: String) =
+      Dedup.probeMinhashIndex(spark, dir, probe, "doc_id", "text",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = tmp("mhdel")
+    Dedup.writeMinhashIndex(ref, "doc_id", "text", dir)
+    // the spec corpus never trips the skew cap (the one regime where
+    // delete∘build ≠ build-on-remainder, documented) — assert that,
+    // so the equivalence below is the uncapped exact one
+    val maxList = spark.read.parquet(s"$dir/bands")
+      .select(max(size($"ids"))).collect()(0).getInt(0)
+    assert(maxList < 1000, s"fixture unexpectedly capped ($maxList)")
+    IndexMaintenance.deleteFromMinhashIndex(
+      ref.filter($"doc_id" % 3 === 0).select("doc_id"), "doc_id", dir)
+    val want = tmp("mhdelwant")
+    Dedup.writeMinhashIndex(ref.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "text", want)
+    val got = pairs(dir)
+    assert(got == pairs(want))
+    assert(!got.exists(_._2 % 3 == 0), "a deleted ref surfaced as a witness")
+    // absent ids: no-op
+    IndexMaintenance.deleteFromMinhashIndex(
+      Seq(999999999L).toDF("doc_id"), "doc_id", dir)
+    assert(pairs(dir) == got)
+    // emptying refuses, index intact
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromMinhashIndex(
+        ref.select("doc_id"), "doc_id", dir)
+    }
+    assert(e.getMessage.contains("empties the index"), e.getMessage)
+    assert(pairs(dir) == got)
+    rm(dir); rm(want)
+  }
+
   test("guarded BM25 append: clean run == unguarded; committed id replays as a no-op") {
     val build = docs.filter($"doc_id" % 4 =!= 0)
     val inc = docs.filter($"doc_id" % 4 === 0)
