@@ -344,6 +344,7 @@ object Dedup {
         .bounded_long_list(col("id"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull)
       .write.mode("overwrite").parquet(s"$path/bands")
+    IndexLayout.resetToBare(spark, path)
   }
 
   /** Probe a persisted MinHash index: near-dup pairs between a NEW
@@ -382,15 +383,19 @@ object Dedup {
       shingleN: Int, numHashes: Int, bandRows: Int, maxBucketSize: Int,
       bands: DataFrame, shingles: DataFrame)
 
-  /** Read the index meta + construct the band/shingle readers, once. */
+  /** Read the index meta + construct the band/shingle readers, once —
+    * all three components resolved from ONE [[IndexLayout]] snapshot,
+    * so a concurrent maintenance flip can never hand a probe mixed
+    * generations. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndexState = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val snap = IndexLayout.snapshot(spark, path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     MinhashIndexState(
       meta.getAs[Int]("shingleN"), meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bandRows"), meta.getAs[Int]("maxBucketSize"),
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/shingles"))
+      spark.read.parquet(snap.dir("bands")),
+      spark.read.parquet(snap.dir("shingles")))
   }
 
   /** [[probeMinhashIndex]] with the index state already loaded — the

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation-pointer (manifest) layout + single-writer lease for the
+  * persisted index family (BM25, IVF float/SQ8/PQ, MinHash) — the
+  * reader-atomicity layer under [[IndexMaintenance]].
+  *
+  * The problem this solves: maintenance used to swap component
+  * directories in place (rename live aside, rename staged in). That is
+  * two renames — a reader PLANNING in the window fails on a missing
+  * directory; worse, a multi-component mutation (BM25 delete rewrites
+  * postings, dl AND meta) has windows where a reader resolves a MIX of
+  * old and new components and scores silently wrong (stale avgdl over
+  * deleted postings). And on object stores rename is copy+delete, so
+  * the "atomic" swap isn't.
+  *
+  * The manifest layout (the standard iceberg-style move):
+  *
+  *   - Component rewrites land in fresh GENERATION directories
+  *     (`postings_g7/`, `cells_g12/`, ...) next to the live ones —
+  *     never touching bytes a current reader can resolve.
+  *   - One small manifest file under `<path>/_manifest/` names the
+  *     live directory of every rewritten component. Manifests are
+  *     versioned (`v00000007`); the LIVE manifest is the highest
+  *     version; publishing a new one is a single tmp-write + rename —
+  *     atomic on HDFS-likes and a single object PUT on object stores.
+  *   - Readers resolve ALL components from ONE manifest read at plan
+  *     time ([[snapshot]]), so postings+dl+meta (or cells+tombstones)
+  *     always come from one consistent generation set — never mixed.
+  *   - Components a manifest does not name resolve to their BARE path
+  *     (`<path>/postings`) — a legacy index (built before any
+  *     maintenance ran) needs no migration: its first maintenance op
+  *     writes the first manifest.
+  *   - Superseded generations are RETAINED (a reader that planned
+  *     before a flip still scans its whole old generation
+  *     consistently) until [[vacuumIndex]] drops generations
+  *     unreferenced by the newest `keepVersions` manifests.
+  *
+  * Mutation discipline: every mutating index operation (append,
+  * guarded append, compact, delete) takes the advisory per-index
+  * LEASE ([[withIndexLock]]) — one `_lock` file created exclusively
+  * under the index root, so a compaction racing an append (or two
+  * concurrent deletes) refuses loudly instead of interleaving.
+  * Readers never lock. A crashed holder leaves the lock in place:
+  * the next op refuses, naming the holder and the remedy
+  * ([[breakIndexLock]]) — liveness detection is the operator's call,
+  * not a heuristic here. A guarded append retrying with its own
+  * `appendId` reclaims its own crashed lease automatically (same
+  * owner token), keeping the retry-converges contract.
+  */
+object IndexLayout {
+
+  private[graft] val ManifestDir = "_manifest"
+  private[graft] val LockFile = "_lock"
+
+  /** One consistent resolution of an index's components: the live
+    * manifest's mapping (component → relative dir), empty for a legacy
+    * bare-layout index. Resolve every component of one logical read
+    * through ONE snapshot — that is the consistency unit. */
+  final case class Snapshot(path: String, version: Long,
+                            mapping: Map[String, String]) {
+    /** Live absolute dir of `component` (bare path when unmapped). */
+    def dir(component: String): String = s"$path/${rel(component)}"
+    def rel(component: String): String = mapping.getOrElse(component, component)
+    /** True iff the manifest names this component explicitly — used
+      * for components that only exist via maintenance (tombstones). */
+    def names(component: String): Boolean = mapping.contains(component)
+    /** Relative dir for the NEXT generation of `component`. */
+    def nextGenRel(component: String): String =
+      f"${component}_g${version + 1}%05d"
+  }
+
+  private def hfs(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def manifestVersion(name: String): Option[Long] =
+    if (name.length == 9 && name.startsWith("v") &&
+        name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
+    else None
+
+  /** Read the live manifest (highest version) — one small-file read at
+    * plan time; `version = 0`, empty mapping for a legacy index. */
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val (fs, mdir) = hfs(spark, s"$path/$ManifestDir")
+    if (!fs.exists(mdir)) return Snapshot(path, 0L, Map.empty)
+    val versions = fs.listStatus(mdir)
+      .flatMap(st => manifestVersion(st.getPath.getName))
+    if (versions.isEmpty) return Snapshot(path, 0L, Map.empty)
+    val v = versions.max
+    val in = fs.open(new Path(mdir, f"v$v%08d"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val mapping = text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"corrupt manifest line '$line' in $mdir/v$v")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+    Snapshot(path, v, mapping)
+  }
+
+  /** Publish manifest version `snap.version + 1` = `snap.mapping ++
+    * updates -- removals` — THE atomic flip: stage the file, one
+    * rename into `_manifest/`. Refuses if that version already exists
+    * (a concurrent mutation ran without the lease). An EMPTY resulting
+    * mapping is legal and resets every component to its bare path
+    * (what index rebuilds publish — see [[resetToBare]]). */
+  def commit(spark: SparkSession, snap: Snapshot,
+             updates: Map[String, String],
+             removals: Set[String] = Set.empty): Snapshot = {
+    val mapping = snap.mapping ++ updates -- removals
+    val (fs, mdir) = hfs(spark, s"${snap.path}/$ManifestDir")
+    fs.mkdirs(mdir)
+    val v = snap.version + 1
+    val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(mapping.toSeq.sorted.map { case (k, d) => s"$k=$d\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(mdir, f"v$v%08d")
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"IndexLayout.commit: manifest v$v at ${snap.path} already exists — " +
+          "a concurrent mutation committed since this snapshot was taken; " +
+          "index mutations must serialize under withIndexLock")
+    }
+    Snapshot(snap.path, v, mapping)
+  }
+
+  /** After a full REBUILD wrote the bare component dirs of an index
+    * that previously had manifest generations: publish an empty
+    * mapping so readers resolve the fresh bare layout (and stale
+    * generation dirs become vacuum-able). No-op for a legacy index. */
+  private[graft] def resetToBare(spark: SparkSession, path: String): Unit = {
+    val snap = snapshot(spark, path)
+    if (snap.version > 0 && snap.mapping.nonEmpty)
+      commit(spark, snap, Map.empty, snap.mapping.keySet)
+  }
+
+  /** Files and generations kept/dropped by a vacuum. */
+  final case class VacuumStats(droppedDirs: Seq[String],
+                               droppedManifests: Long)
+
+  /** Drop generation directories unreferenced by the newest
+    * `keepVersions` manifests (and the superseded manifests
+    * themselves). `keepVersions >= 2` keeps the previous generation
+    * set alive for readers that planned just before the latest flip —
+    * run vacuum on a cadence longer than your longest query.
+    * Bare component dirs are dropped only when every retained
+    * manifest maps that component elsewhere. */
+  def vacuumIndex(spark: SparkSession, path: String,
+                  keepVersions: Int = 2): VacuumStats =
+    withIndexLock(spark, path, "vacuum") {
+      require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+      val (fs, mdir) = hfs(spark, s"$path/$ManifestDir")
+      if (!fs.exists(mdir)) return VacuumStats(Nil, 0L)
+      val versions = fs.listStatus(mdir)
+        .flatMap(st => manifestVersion(st.getPath.getName)).sorted
+      if (versions.isEmpty) return VacuumStats(Nil, 0L)
+      // every mapping any manifest EVER published names the universe
+      // of components; the retained manifests name what must live.
+      // Version 0 is the IMPLICIT pre-manifest bare layout — it counts
+      // toward keepVersions like any other generation set, so a reader
+      // that planned against the bare dirs just before the first flip
+      // keeps its files for one retention cycle too.
+      val allMappings: Map[Long, Map[String, String]] =
+        versions.map { v =>
+          val in = fs.open(new Path(mdir, f"v$v%08d"))
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          v -> text.linesIterator.filter(_.nonEmpty).map { line =>
+            val i = line.indexOf('=')
+            line.substring(0, i) -> line.substring(i + 1)
+          }.toMap
+        }.toMap + (0L -> Map.empty[String, String])
+      val retained = (0L +: versions.toSeq).takeRight(keepVersions)
+      val components = allMappings.values.flatMap(_.keySet).toSet
+      val live: Set[String] = retained.flatMap { v =>
+        val m = allMappings(v)
+        // unmapped components of a retained manifest resolve bare
+        components.map(c => m.getOrElse(c, c))
+      }.toSet
+      val everReferenced: Set[String] =
+        allMappings.values.flatMap(_.values).toSet ++ components
+      val dropped = fs.listStatus(new Path(path)).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .filter(n => everReferenced.contains(n) ||
+          components.exists(c => n.startsWith(c + "_g")))
+        .filterNot(live.contains)
+      dropped.foreach(n => fs.delete(new Path(s"$path/$n"), true))
+      val staleManifests = versions.dropRight(keepVersions)
+      staleManifests.foreach(v => fs.delete(new Path(mdir, f"v$v%08d"), false))
+      VacuumStats(dropped.sorted, staleManifests.size.toLong)
+    }
+
+  /** Run `body` holding the index's advisory single-writer lease: an
+    * exclusive `_lock` file under the root, released on exit. A held
+    * lock whose owner token DIFFERS refuses loudly (concurrent
+    * mutation — the caller must wait, or a crashed holder must be
+    * cleared with [[breakIndexLock]]); a held lock with the SAME owner
+    * is this job's own crashed predecessor and is reclaimed (the
+    * guarded-append retry path). Reentrant within a thread. */
+  def withIndexLock[T](spark: SparkSession, path: String, op: String,
+                       owner: String = java.util.UUID.randomUUID().toString)(
+                       body: => T): T = {
+    val (fs, lock) = hfs(spark, s"$path/$LockFile")
+    if (held.get().contains(path)) return body // reentrant
+    val payload = s"op=$op\nowner=$owner\nacquiredMs=${System.currentTimeMillis}\n"
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val existing =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val sameOwner = existing.linesIterator
+        .exists(_ == s"owner=$owner")
+      if (sameOwner) {
+        // our own crashed predecessor (same logical job) — reclaim
+        fs.delete(lock, false)
+        require(tryCreate(), s"could not reclaim own lease at $path")
+      } else
+        throw new IllegalStateException(
+          s"index at $path is write-locked by another operation " +
+            s"[${existing.linesIterator.mkString("; ")}] — index mutations " +
+            "serialize (append/compact/delete must not interleave). If the " +
+            "holder crashed, clear it with IndexLayout.breakIndexLock(path) " +
+            "and rerun; every mutation here converges on retry.")
+    }
+    held.set(held.get() + path)
+    try body
+    finally {
+      held.set(held.get() - path)
+      fs.delete(lock, false)
+    }
+  }
+
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Clear a crashed mutation's lease. Only call after confirming the
+    * holder is dead — breaking a LIVE holder's lease re-opens the
+    * interleaving hazard the lease exists to close. */
+  def breakIndexLock(spark: SparkSession, path: String): Boolean = {
+    val (fs, lock) = hfs(spark, s"$path/$LockFile")
+    fs.delete(lock, false)
+  }
+}

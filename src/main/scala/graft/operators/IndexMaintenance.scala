@@ -5,11 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lifecycle operations for the persisted index family (BM25, IVF
-  * float/SQ8/PQ) beyond build + append: COMPACTION (rewrite the
-  * accumulated small files in place, bit-identical probes), DELETE
-  * (GDPR takedowns / crawl refreshes — remove documents or vectors so
-  * the index equals a build on the remaining corpus), and the
-  * GUARDED-APPEND protocol (a resumable, marker-fenced batch append a
+  * float/SQ8/PQ, MinHash) beyond build + append: COMPACTION (rewrite
+  * the accumulated small files, bit-identical probes), DELETE (GDPR
+  * takedowns / crawl refreshes — remove documents or vectors so probes
+  * equal a build on the remaining corpus), and the GUARDED-APPEND
+  * protocol (a resumable, marker-fenced batch append a
   * crashed-and-retried ingest job cannot double-count).
   *
   * Why these exist: every append — batch
@@ -22,16 +22,33 @@ import org.apache.spark.sql.functions._
   * [[TextAnalysis.writeBm25Index]] establishes. The previously
   * documented remedy — a full rebuild — RE-FITS centroids/bounds/stats,
   * so probe results change across the maintenance window. Compaction
-  * here rewrites bytes only: same rows, same meta, same centroids, same
-  * codebook — probe ≡ pre-compaction bit-for-bit (spec-pinned), which
-  * turns maintenance into a one-call, equivalence-gated operation.
+  * here rewrites bytes only: same live rows, same meta, same centroids,
+  * same codebook — probe ≡ pre-compaction bit-for-bit (spec-pinned).
   *
-  * Durability model (same stance as the segment writer): directory
-  * swaps are two renames — atomic on HDFS-like filesystems; a reader
-  * PLANNING exactly between them sees a missing directory and fails
-  * loudly (retryable), never wrong data. On object stores where rename
-  * is copy+delete, run compaction/delete in a maintenance window or
-  * against a path-versioned index root.
+  * Durability model ([[IndexLayout]]): every maintenance operation
+  * writes fresh GENERATION directories and publishes them with ONE
+  * atomic manifest flip — readers planning before the flip scan their
+  * whole old generation set consistently (postings+dl+meta, or
+  * cells+tombstones, never mixed), readers planning after see the
+  * whole new one. No in-place directory swap exists anymore, so the
+  * old "reader plans between two renames and fails loudly" window —
+  * and the silent stale-meta window a multi-directory delete had — are
+  * both gone, on any filesystem including object stores (the flip is
+  * one small-file rename/PUT). Superseded generations stay on disk
+  * until [[IndexLayout.vacuumIndex]]. Every mutation here holds the
+  * index's single-writer lease ([[IndexLayout.withIndexLock]]).
+  *
+  * IVF deletes are TOMBSTONES, not eager rewrites: a delete writes the
+  * deleted id set as a new `tombstones` generation (bytes ∝ the ids
+  * deleted since the last compaction — cheaper than touching any cell
+  * partition) and every probe anti-joins it (bounded broadcast);
+  * [[compactIvfIndex]] MATERIALIZES pending tombstones (rewrites the
+  * cells without the dead rows and clears the component) — the
+  * Lucene-liveDocs / iceberg-delete-file split of cheap logical delete
+  * from scheduled physical rewrite. BM25 and MinHash deletes rewrite
+  * eagerly (their layouts are doc-keyed or term-keyed such that a
+  * doc's rows span ~every file anyway) but publish with the same
+  * atomic flip.
   */
 object IndexMaintenance {
 
@@ -68,99 +85,110 @@ object IndexMaintenance {
   private[graft] def dataFileCount(spark: SparkSession, dir: String): Long =
     dataFiles(spark, dir).size.toLong
 
-  /** Swap `staged` into `live`: rename live aside, rename staged in,
-    * drop the old bytes, refresh this session's listing caches. The
-    * in-between window (live briefly absent) fails a concurrent
-    * planner loudly — never silently serves half a directory. */
-  private def swapDir(spark: SparkSession, live: String, staged: String): Unit = {
-    val (fs, livePath) = hfs(spark, live)
-    val stagedPath = new Path(staged)
-    require(fs.exists(stagedPath), s"swapDir: staged dir $staged missing")
-    val trash = new Path(live + "__old_" + java.util.UUID.randomUUID())
-    if (fs.exists(livePath))
-      require(fs.rename(livePath, trash), s"swapDir: could not move $live aside")
-    require(fs.rename(stagedPath, livePath),
-      s"swapDir: could not move $staged into place")
-    fs.delete(trash, true)
-    spark.catalog.refreshByPath(live)
-  }
-
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val (fs, p) = hfs(spark, dir)
     fs.delete(p, true)
   }
-
-  private def stagingRoot(path: String): String =
-    s"$path/_staging_${java.util.UUID.randomUUID()}"
 
   // ---- compaction ----------------------------------------------------
 
   /** COMPACT a persisted IVF index (float [[Similarity.writeIvfIndex]],
     * SQ8 [[Similarity.writeIvfIndexSq8]] or PQ
     * [[Similarity.writeIvfIndexPq]] — the `cells/` layout is shared):
-    * rewrite each cell partition's accumulated append files into ONE
-    * file per cell, WITHOUT re-fitting anything — centroids, bounds,
-    * codebook and meta are untouched, and the rows themselves are
-    * copied verbatim, so any probe is bit-identical before and after
-    * (spec-pinned). This is the maintenance call the streamed-append
-    * story needs: appends stay cheap (one pass over the increment),
-    * and the accumulated small files fold back to the build-shaped
-    * layout on whatever cadence operations chooses — unlike a rebuild,
-    * which re-fits and therefore CHANGES probe results.
+    * rewrite the LIVE rows (pending delete tombstones materialize and
+    * clear here) into ONE file per cell, WITHOUT re-fitting anything —
+    * centroids, bounds, codebook and meta are untouched and the rows
+    * themselves are copied verbatim, so any probe is bit-identical
+    * before and after (spec-pinned). This is the maintenance call the
+    * streamed-append story needs: appends stay cheap (one pass over
+    * the increment), deletes stay cheap (a tombstone write), and the
+    * accumulated debt folds back to the build-shaped layout on
+    * whatever cadence operations chooses — unlike a rebuild, which
+    * re-fits and therefore CHANGES probe results.
     *
-    * Scale shape: one shuffle of the index rows keyed on `cell`
+    * Scale shape: one shuffle of the live index rows keyed on `cell`
     * (`repartition(cell)` puts each cell wholly in one task, so the
     * partitioned write emits exactly one file per non-empty cell);
-    * partition pruning on probes is unchanged (same directory names).
-    */
-  def compactIvfIndex(spark: SparkSession, path: String): CompactStats = {
-    val cells = s"$path/cells"
-    val before = dataFileCount(spark, cells)
-    require(before > 0, s"compactIvfIndex: no index data under $cells")
-    val staging = stagingRoot(path)
-    try {
-      spark.read.parquet(cells)
+    * partition pruning on probes is unchanged (same `cell=` dir names
+    * inside the new generation). Published with one manifest flip —
+    * in-flight probes keep scoring the old generation. */
+  def compactIvfIndex(spark: SparkSession, path: String): CompactStats =
+    IndexLayout.withIndexLock(spark, path, "compact-ivf") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val before = dataFileCount(spark, snap.dir("cells"))
+      require(before > 0, s"compactIvfIndex: no index data under ${snap.dir("cells")}")
+      val newRel = snap.nextGenRel("cells")
+      Similarity.readIvfCellsLive(spark, snap)
         .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$staging/cells")
-      swapDir(spark, cells, s"$staging/cells")
-    } finally deleteDir(spark, staging)
-    val after = dataFileCount(spark, cells)
-    org.apache.log4j.Logger.getLogger(getClass)
-      .info(s"compactIvfIndex($path): $before files -> $after")
-    CompactStats(before, after)
-  }
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$newRel")
+      IndexLayout.commit(spark, snap,
+        Map("cells" -> newRel), removals = Set("tombstones"))
+      val after = dataFileCount(spark, s"$path/$newRel")
+      org.apache.log4j.Logger.getLogger(getClass)
+        .info(s"compactIvfIndex($path): $before files -> $after")
+      CompactStats(before, after)
+    }
 
   /** COMPACT a persisted BM25 index ([[TextAnalysis.writeBm25Index]]
-    * layout): re-cluster `postings/` on term (repartition +
+    * layout): re-cluster `postings` on term (repartition +
     * sortWithinPartitions — restoring the row-group min/max pruning
     * that [[TextAnalysis.appendToBm25Index]]'s per-append files
-    * erode) and fold `dl/` back to doc-clustered files. `meta/` is
+    * erode) and fold `dl` back to doc-clustered files. `meta` is
     * untouched — corpus stats, k1/b and the tokenization pin are
     * exactly the merged index's, and the rows are copied verbatim, so
     * every probe scores bit-identically before and after
     * (spec-pinned). One postings-sized shuffle + one dl-sized shuffle;
-    * nothing re-tokenizes. */
-  def compactBm25Index(spark: SparkSession, path: String): CompactStats = {
-    val postings = s"$path/postings"
-    val dl = s"$path/dl"
-    val before = dataFileCount(spark, postings) + dataFileCount(spark, dl)
-    require(before > 0, s"compactBm25Index: no index data under $path")
-    val staging = stagingRoot(path)
-    try {
-      spark.read.parquet(postings)
+    * nothing re-tokenizes; one manifest flip publishes both rewrites
+    * together. */
+  def compactBm25Index(spark: SparkSession, path: String): CompactStats =
+    IndexLayout.withIndexLock(spark, path, "compact-bm25") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val before = dataFileCount(spark, snap.dir("postings")) +
+        dataFileCount(spark, snap.dir("dl"))
+      require(before > 0, s"compactBm25Index: no index data under $path")
+      val pRel = snap.nextGenRel("postings")
+      val dRel = snap.nextGenRel("dl")
+      spark.read.parquet(snap.dir("postings"))
         .repartition(col("term")).sortWithinPartitions("term", "__doc")
-        .write.parquet(s"$staging/postings")
-      spark.read.parquet(dl)
+        .write.mode("overwrite").parquet(s"$path/$pRel")
+      spark.read.parquet(snap.dir("dl"))
         .repartition(col("__doc")).sortWithinPartitions("__doc")
-        .write.parquet(s"$staging/dl")
-      swapDir(spark, postings, s"$staging/postings")
-      swapDir(spark, dl, s"$staging/dl")
-    } finally deleteDir(spark, staging)
-    val after = dataFileCount(spark, postings) + dataFileCount(spark, dl)
-    org.apache.log4j.Logger.getLogger(getClass)
-      .info(s"compactBm25Index($path): $before files -> $after")
-    CompactStats(before, after)
-  }
+        .write.mode("overwrite").parquet(s"$path/$dRel")
+      IndexLayout.commit(spark, snap, Map("postings" -> pRel, "dl" -> dRel))
+      val after = dataFileCount(spark, s"$path/$pRel") +
+        dataFileCount(spark, s"$path/$dRel")
+      org.apache.log4j.Logger.getLogger(getClass)
+        .info(s"compactBm25Index($path): $before files -> $after")
+      CompactStats(before, after)
+    }
+
+  /** COMPACT a persisted MinHash index ([[Dedup.writeMinhashIndex]]
+    * layout): fold the files [[Dedup.appendToMinhashIndex]]
+    * accumulated — `shingles` re-clustered on id, `bands` re-grouped —
+    * copying rows verbatim; meta (the banding pins) untouched, so
+    * probes are row-identical before and after (spec-pinned). One
+    * shingles-sized + one bands-sized shuffle; nothing re-shingles. */
+  def compactMinhashIndex(spark: SparkSession, path: String): CompactStats =
+    IndexLayout.withIndexLock(spark, path, "compact-minhash") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val before = dataFileCount(spark, snap.dir("shingles")) +
+        dataFileCount(spark, snap.dir("bands"))
+      require(before > 0, s"compactMinhashIndex: no index data under $path")
+      val sRel = snap.nextGenRel("shingles")
+      val bRel = snap.nextGenRel("bands")
+      spark.read.parquet(snap.dir("shingles"))
+        .repartition(col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(s"$path/$sRel")
+      spark.read.parquet(snap.dir("bands"))
+        .repartition(col("bucket")).sortWithinPartitions("bucket")
+        .write.mode("overwrite").parquet(s"$path/$bRel")
+      IndexLayout.commit(spark, snap, Map("shingles" -> sRel, "bands" -> bRel))
+      val after = dataFileCount(spark, s"$path/$sRel") +
+        dataFileCount(spark, s"$path/$bRel")
+      org.apache.log4j.Logger.getLogger(getClass)
+        .info(s"compactMinhashIndex($path): $before files -> $after")
+      CompactStats(before, after)
+    }
 
   // ---- delete ----------------------------------------------------------
 
@@ -168,18 +196,24 @@ object IndexMaintenance {
     * crawl-refresh path [[TextAnalysis.appendToBm25Index]]'s refusal
     * message promises ("re-ingesting a changed document is a rebuild
     * (or a delete path), not an append"): after
-    * `deleteFromBm25Index(ids)`, the index state equals
+    * `deleteFromBm25Index(ids)`, probes equal
     * `writeBm25Index(corpus ∖ ids)` BIT-FOR-BIT (spec-pinned) —
     * postings and dl are the anti-joined rows (per-doc state is
     * per-doc), and the corpus stats are RECOMPUTED from the surviving
     * dl as exact integer sums. Recompute, not decrement, on purpose:
     * a decrement reads the deleted rows, so a delete that crashed
-    * after the postings swap and RETRIED would find nothing to
-    * decrement and leave meta stale forever — recompute converges to
-    * the correct stats on any retry, making delete idempotent end to
-    * end. Deleting an id not in the index is a no-op for it (takedown
-    * semantics). Deleting EVERY document refuses loudly (an empty
-    * index cannot score — drop it instead).
+    * after its writes and RETRIED would find nothing to decrement and
+    * leave meta stale forever — recompute converges to the correct
+    * stats on any retry, making delete idempotent end to end.
+    * Deleting an id not in the index is a no-op for it (takedown
+    * semantics; an all-absent delete skips the rewrite entirely).
+    * Deleting EVERY document refuses loudly BEFORE anything publishes
+    * (an empty index cannot score — drop it instead).
+    *
+    * Atomicity: postings, dl and meta generations publish in ONE
+    * manifest flip — no reader can ever score new postings under old
+    * stats (the silent window the old three-swap sequence had), and a
+    * reader planned before the flip scores the old index completely.
     *
     * Changed-document re-ingest composes: delete(ids) then
     * [[TextAnalysis.appendToBm25Index]] (or the guarded form) with
@@ -194,90 +228,110 @@ object IndexMaintenance {
   def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val del = Materialize(ids.select(col(idCol).as("__doc")).distinct())
-    val staging = stagingRoot(path)
-    try {
-      spark.read.parquet(s"$path/postings")
-        .join(del, Seq("__doc"), "left_anti")
-        .repartition(col("term")).sortWithinPartitions("term", "__doc")
-        .write.parquet(s"$staging/postings")
-      spark.read.parquet(s"$path/dl")
-        .join(del, Seq("__doc"), "left_anti")
-        .repartition(col("__doc")).sortWithinPartitions("__doc")
-        .write.parquet(s"$staging/dl")
-      // refuse BEFORE any swap: a delete that would empty the index
-      // must leave it untouched, not half-swapped
-      val st = spark.read.parquet(s"$staging/dl")
-        .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
-        .collect()(0)
-      require(st.getLong(1) > 0,
-        s"deleteFromBm25Index: deleting these ids empties the index at " +
-          s"$path — an empty index cannot score; drop it instead")
-      swapDir(spark, s"$path/postings", s"$staging/postings")
-      swapDir(spark, s"$path/dl", s"$staging/dl")
-      Seq((st.getLong(1), st.getLong(0),
-          meta.getAs[Double]("k1"), meta.getAs[Double]("b"),
-          meta.getAs[String]("tokenization")))
-        .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      spark.catalog.refreshByPath(s"$path/meta")
-    } finally deleteDir(spark, staging)
+    IndexLayout.withIndexLock(spark, path, "delete-bm25") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+      val del = Materialize(ids.select(col(idCol).as("__doc")).distinct())
+      val hit = spark.read.parquet(snap.dir("dl"))
+        .join(broadcast(del), Seq("__doc"), "left_semi").count()
+      if (hit == 0) return // every id absent — takedown no-op
+      val pRel = snap.nextGenRel("postings")
+      val dRel = snap.nextGenRel("dl")
+      val mRel = snap.nextGenRel("meta")
+      try {
+        spark.read.parquet(snap.dir("postings"))
+          .join(del, Seq("__doc"), "left_anti")
+          .repartition(col("term")).sortWithinPartitions("term", "__doc")
+          .write.mode("overwrite").parquet(s"$path/$pRel")
+        spark.read.parquet(snap.dir("dl"))
+          .join(del, Seq("__doc"), "left_anti")
+          .repartition(col("__doc")).sortWithinPartitions("__doc")
+          .write.mode("overwrite").parquet(s"$path/$dRel")
+        // refuse BEFORE the flip: a delete that would empty the index
+        // must leave it untouched (nothing is published yet)
+        val st = spark.read.parquet(s"$path/$dRel")
+          .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
+          .collect()(0)
+        require(st.getLong(1) > 0,
+          s"deleteFromBm25Index: deleting these ids empties the index at " +
+            s"$path — an empty index cannot score; drop it instead")
+        Seq((st.getLong(1), st.getLong(0),
+            meta.getAs[Double]("k1"), meta.getAs[Double]("b"),
+            meta.getAs[String]("tokenization")))
+          .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
+        IndexLayout.commit(spark, snap,
+          Map("postings" -> pRel, "dl" -> dRel, "meta" -> mRel))
+      } catch {
+        case t: Throwable => // unpublished generations are garbage
+          for (r <- Seq(pRel, dRel, mRel)) deleteDir(spark, s"$path/$r")
+          throw t
+      }
+    }
   }
 
   /** DELETE vectors from a persisted IVF index (float/SQ8/PQ — the
-    * shared `cells/` layout): after `deleteFromIvfIndex(ids)`, the
-    * index equals a build on the remaining corpus under the SAME
-    * centroids/bounds/codebook BIT-FOR-BIT (spec-pinned) — cell
+    * shared `cells` layout) by TOMBSTONE: the surviving tombstone set
+    * (previous ∪ the deleted ids actually present) is written as a new
+    * `tombstones` generation and published with one manifest flip;
+    * every probe anti-joins it (bounded broadcast — ids deleted since
+    * the last compaction), so after the flip probes score exactly a
+    * build on the remaining corpus under the SAME
+    * centroids/bounds/codebook BIT-FOR-BIT (spec-pinned — cell
     * assignment and codes are per-vector functions, so removing rows
-    * removes exactly those vectors' contributions and nothing else.
-    * Meta/centroids/codebook are untouched (delete never re-fits —
-    * that is the rebuild's job on its own cadence). Idempotent:
-    * deleting an absent id is a no-op, and a crashed-then-retried
-    * delete converges (the anti-join finds nothing the second time).
+    * removes exactly those vectors' contributions).
+    * [[compactIvfIndex]] materializes the tombstones physically and
+    * clears them. Meta/centroids/codebook are untouched (delete never
+    * re-fits — that is the rebuild's job on its own cadence).
     *
-    * Scale shape: ONE column-pruned pass over (n_id, cell) finds the
-    * touched cells (bounded collect — ≤ the cell count); only those
-    * cell partitions are read again (partition-pruned scan),
-    * anti-joined, rewritten and swapped — a delete of k vectors costs
-    * the touched cells' bytes, never the corpus. A cell whose rows
-    * all die is removed (probes of it simply match nothing). */
+    * Idempotent: deleting an absent id is a no-op (nothing publishes),
+    * and a crashed-then-retried delete converges — the tombstone union
+    * is a set union. Deleting EVERY vector refuses loudly (an empty
+    * index cannot answer — drop it instead).
+    *
+    * Cost: ONE column-pruned pass over the index's `n_id` column (the
+    * presence semi-join that keeps tombstones bounded by live ids) +
+    * a tombstone-sized write. No cell partition is read or rewritten —
+    * cheaper than the eager touched-cell rewrite it replaces, and the
+    * flip is atomic for readers on any store. Probes pay one broadcast
+    * anti-join until the next compaction. */
   def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
-    val cells = s"$path/cells"
-    val del = Materialize(ids.select(col(idCol).cast("long").as("n_id")).distinct())
-    val index = spark.read.parquet(cells)
-    val touched = index.join(del, Seq("n_id"), "left_semi")
-      .select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) return // nothing to delete — no-op
-    val staging = stagingRoot(path)
-    try {
-      val kept = index.filter(col("cell").isin(touched: _*))
-        .join(del, Seq("n_id"), "left_anti")
-      kept.repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$staging/cells")
-      for (c <- touched) {
-        val stagedCell = s"$staging/cells/cell=$c"
-        val liveCell = s"$cells/cell=$c"
-        val (fs, stagedPath) = hfs(spark, stagedCell)
-        if (fs.exists(stagedPath)) swapDir(spark, liveCell, stagedCell)
-        else deleteDir(spark, liveCell) // every row of the cell died
-      }
-      spark.catalog.refreshByPath(cells)
-    } finally deleteDir(spark, staging)
+    IndexLayout.withIndexLock(spark, path, "delete-ivf") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val del = ids.select(col(idCol).cast("long").as("n_id")).distinct()
+      val index = spark.read.parquet(snap.dir("cells"))
+      val present = index.select(col("n_id"))
+        .join(broadcast(del), Seq("n_id"), "left_semi").distinct()
+      val existing =
+        if (snap.names("tombstones")) spark.read.parquet(snap.dir("tombstones"))
+        else present.limit(0)
+      val newTomb = Materialize(existing.union(present).distinct())
+      val nExisting = existing.count()
+      val nNew = newTomb.count()
+      if (nNew == nExisting) return // every id absent/already dead — no-op
+      require(nNew < index.count(),
+        s"deleteFromIvfIndex: deleting these ids empties the index at " +
+          s"$path — an empty index cannot answer; drop it instead")
+      val tRel = snap.nextGenRel("tombstones")
+      newTomb.coalesce(8).write.mode("overwrite").parquet(s"$path/$tRel")
+      IndexLayout.commit(spark, snap, Map("tombstones" -> tRel))
+    }
   }
 
   /** DELETE reference documents from a persisted MinHash index
     * ([[Dedup.writeMinhashIndex]] layout) — the takedown path for the
     * third index family: after `deleteFromMinhashIndex(ids)`, probes
     * can never surface a deleted document as a near-dup witness. The
-    * deleted ids leave BOTH sides of the layout: `shingles/` by
+    * deleted ids leave BOTH sides of the layout: `shingles` by
     * anti-join (the verify stage can't read their shingle sets) and
-    * `bands/` by exploding each bucket's id list, anti-joining, and
+    * `bands` by exploding each bucket's id list, anti-joining, and
     * regrouping (emptied buckets disappear; surviving lists are
     * subsets of capped lists, so the build-time `maxBucketSize` bound
-    * still holds). Meta (the banding pins) is untouched.
+    * still holds). Meta (the banding pins) is untouched. Both
+    * rewrites publish in ONE manifest flip — a probe planned before
+    * the flip reads consistent old bands+shingles, one planned after
+    * reads the new pair.
     *
     * Equivalence, with one honest caveat: probe(delete ∘ build(ref))
     * ≡ probe(build(ref ∖ ids)) as a row SET (spec-pinned) — EXCEPT
@@ -293,30 +347,37 @@ object IndexMaintenance {
     *
     * Cost: one shingles-sized anti-join + one bands-sized
     * explode/regroup (the index, never the reference corpus — nothing
-    * re-shingles); both rewrites staged and swapped like the other
-    * deletes. */
+    * re-shingles). */
   def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
                              path: String): Unit = {
     val spark = ids.sparkSession
-    val del = Materialize(ids.select(col(idCol).cast("long").as("id")).distinct())
-    val staging = stagingRoot(path)
-    try {
-      val keptShingles = spark.read.parquet(s"$path/shingles")
-        .join(del, Seq("id"), "left_anti")
-      keptShingles.repartition(col("id"))
-        .write.parquet(s"$staging/shingles")
-      // refuse BEFORE any swap — an emptied index cannot load
-      require(spark.read.parquet(s"$staging/shingles").limit(1).count() > 0,
-        s"deleteFromMinhashIndex: deleting these ids empties the index at " +
-          s"$path — drop it instead")
-      spark.read.parquet(s"$path/bands")
-        .select(col("bucket"), explode(col("ids")).as("id"))
-        .join(del, Seq("id"), "left_anti")
-        .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
-        .write.parquet(s"$staging/bands")
-      swapDir(spark, s"$path/shingles", s"$staging/shingles")
-      swapDir(spark, s"$path/bands", s"$staging/bands")
-    } finally deleteDir(spark, staging)
+    IndexLayout.withIndexLock(spark, path, "delete-minhash") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val del = Materialize(ids.select(col(idCol).cast("long").as("id")).distinct())
+      val sRel = snap.nextGenRel("shingles")
+      val bRel = snap.nextGenRel("bands")
+      try {
+        spark.read.parquet(snap.dir("shingles"))
+          .join(del, Seq("id"), "left_anti")
+          .repartition(col("id"))
+          .write.mode("overwrite").parquet(s"$path/$sRel")
+        // refuse BEFORE the flip — an emptied index cannot load
+        require(spark.read.parquet(s"$path/$sRel").limit(1).count() > 0,
+          s"deleteFromMinhashIndex: deleting these ids empties the index at " +
+            s"$path — drop it instead")
+        spark.read.parquet(snap.dir("bands"))
+          .select(col("bucket"), explode(col("ids")).as("id"))
+          .join(del, Seq("id"), "left_anti")
+          .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+          .write.mode("overwrite").parquet(s"$path/$bRel")
+        IndexLayout.commit(spark, snap,
+          Map("shingles" -> sRel, "bands" -> bRel))
+      } catch {
+        case t: Throwable =>
+          for (r <- Seq(sRel, bRel)) deleteDir(spark, s"$path/$r")
+          throw t
+      }
+    }
   }
 
   // ---- guarded (resumable, exactly-once) batch append -------------------
@@ -328,7 +389,9 @@ object IndexMaintenance {
     * Stronger than the streaming marker (which retains a residual
     * window): every phase here is individually resumable, so a retry
     * with the same `appendId` converges to exactly-once from ANY
-    * crash point.
+    * crash point. Holds the index lease for its whole run (owner =
+    * the appendId, so a retry reclaims its own crashed predecessor's
+    * lease automatically — a DIFFERENT operation refuses).
     *
     * Protocol, under `<path>/_appends/<appendId>/` (underscore-
     * prefixed — readers of the index never see it):
@@ -339,11 +402,14 @@ object IndexMaintenance {
     *      marker written after; a crash mid-stage restages from
     *      scratch (nothing has touched the live index yet).
     *   2. MOVE — each staged data file RENAMES into the live layout
-    *      at its relative path, name-prefixed with the appendId.
-    *      Renames are atomic per file and the names are deterministic
-    *      (fixed once `_STAGED` exists), so a crashed move resumes by
-    *      moving the files still in staging — an already-moved file
-    *      cannot move twice.
+    *      (its first path segment resolved through the CURRENT
+    *      manifest — so a retry that raced a lock-break + compaction
+    *      lands remaining files in the live generation) at its
+    *      relative path, name-prefixed with the appendId. Renames are
+    *      atomic per file and the names are deterministic (fixed once
+    *      `_STAGED` exists), so a crashed move resumes by moving the
+    *      files still in staging — an already-moved file cannot move
+    *      twice.
     *   3. FINALIZE — `finalize()` runs IDEMPOTENT post-work (e.g.
     *      recomputing BM25 meta stats from the live dl — exact
     *      integer sums that converge on any retry).
@@ -365,34 +431,42 @@ object IndexMaintenance {
     val guardDir = s"$path/_appends/$appendId"
     val (fs, _) = hfs(spark, guardDir)
     if (fs.exists(new Path(s"$guardDir/_COMMITTED"))) return false
-    val stageDir = s"$guardDir/stage"
-    val stagedFlag = new Path(s"$guardDir/_STAGED")
-    if (!fs.exists(stagedFlag)) {
-      deleteDir(spark, stageDir) // partial staging from a crash mid-stage
-      stage(stageDir)
-      fs.create(stagedFlag, true).close()
+    IndexLayout.withIndexLock(spark, path, s"guarded-append",
+        owner = s"append:$appendId") {
+      val stageDir = s"$guardDir/stage"
+      val stagedFlag = new Path(s"$guardDir/_STAGED")
+      if (!fs.exists(stagedFlag)) {
+        deleteDir(spark, stageDir) // partial staging from a crash mid-stage
+        stage(stageDir)
+        fs.create(stagedFlag, true).close()
+      }
+      val snap = IndexLayout.snapshot(spark, path)
+      for (rel <- dataFiles(spark, stageDir)) {
+        val src = new Path(s"$stageDir/$rel")
+        val slash = rel.indexOf('/')
+        // resolve the component (first segment) through the manifest
+        val resolvedRel =
+          if (slash < 0) rel else s"${snap.rel(rel.substring(0, slash))}${rel.substring(slash)}"
+        val lastSlash = resolvedRel.lastIndexOf('/')
+        val targetRel =
+          if (lastSlash < 0) s"${appendId}_$resolvedRel"
+          else s"${resolvedRel.substring(0, lastSlash)}/${appendId}_${resolvedRel.substring(lastSlash + 1)}"
+        val target = new Path(s"$path/$targetRel")
+        if (fs.exists(target))
+          // rename is atomic: moved means gone from staging. Both
+          // existing means the id was reused for different data —
+          // refuse rather than guess
+          throw new IllegalStateException(
+            s"guarded append '$appendId' at $path: $target already exists " +
+              s"while $src is still staged — the appendId was reused for a " +
+              "different increment; appendIds name one logical increment")
+        fs.mkdirs(target.getParent)
+        require(fs.rename(src, target),
+          s"guarded append '$appendId': could not move $src -> $target")
+      }
+      finalize()
+      fs.create(new Path(s"$guardDir/_COMMITTED"), true).close()
+      true
     }
-    for (rel <- dataFiles(spark, stageDir)) {
-      val src = new Path(s"$stageDir/$rel")
-      val slash = rel.lastIndexOf('/')
-      val targetRel =
-        if (slash < 0) s"${appendId}_$rel"
-        else s"${rel.substring(0, slash)}/${appendId}_${rel.substring(slash + 1)}"
-      val target = new Path(s"$path/$targetRel")
-      if (fs.exists(target))
-        // rename is atomic: moved means gone from staging. Both
-        // existing means the id was reused for different data —
-        // refuse rather than guess
-        throw new IllegalStateException(
-          s"guarded append '$appendId' at $path: $target already exists " +
-            s"while $src is still staged — the appendId was reused for a " +
-            "different increment; appendIds name one logical increment")
-      fs.mkdirs(target.getParent)
-      require(fs.rename(src, target),
-        s"guarded append '$appendId': could not move $src -> $target")
-    }
-    finalize()
-    fs.create(new Path(s"$guardDir/_COMMITTED"), true).close()
-    true
   }
 }

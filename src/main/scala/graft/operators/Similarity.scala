@@ -197,7 +197,9 @@ object Similarity {
     *
     * Layout: `$path/cells/cell=<c_id>/…` (n_id, n_v) and
     * `$path/centroids` (c_id, c_v). Deterministic for a given corpus
-    * and centroid choice, so rebuilding is idempotent. */
+    * and centroid choice, so rebuilding is idempotent. Maintenance
+    * (compact/delete/guarded append) versions these components behind
+    * the [[IndexLayout]] manifest; probes resolve it at plan time. */
   def writeIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       cells: Int = 0, centroids0: Option[DataFrame] = None): Unit = {
@@ -208,7 +210,46 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCells(c, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    IndexLayout.resetToBare(corpus.sparkSession, path)
   }
+
+  /** The LIVE rows of a persisted IVF index under one
+    * [[IndexLayout.Snapshot]]: the manifest-resolved `cells`
+    * generation, minus pending delete tombstones (bounded broadcast
+    * anti-join — ids deleted since the last compaction; absent for a
+    * tombstone-free index, where this is exactly the raw cells scan).
+    * Every probe and every maintenance rewrite reads through here so
+    * deletes take effect atomically at the manifest flip. */
+  private[graft] def readIvfCellsLive(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: IndexLayout.Snapshot): DataFrame = {
+    val cells = spark.read.parquet(snap.dir("cells"))
+    if (snap.names("tombstones"))
+      cells.join(broadcast(spark.read.parquet(snap.dir("tombstones"))
+        .select(col("n_id"))), Seq("n_id"), "left_anti")
+    else cells
+  }
+
+  /** Refuse an increment that re-adds TOMBSTONED ids: the stored rows
+    * of a tombstoned id still exist physically, so the anti-join would
+    * kill the re-added row too (silent loss) or, after a naive
+    * tombstone clear, resurrect the stale stored vector. The honest
+    * composition is delete → [[IndexMaintenance.compactIvfIndex]]
+    * (materializes deletes, clears tombstones) → append. */
+  private def refuseTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: IndexLayout.Snapshot, c: DataFrame, who: String): Unit =
+    if (snap.names("tombstones")) {
+      val n = c.select("n_id")
+        .join(broadcast(spark.read.parquet(snap.dir("tombstones"))
+          .select(col("n_id"))), Seq("n_id"), "left_semi").count()
+      require(n == 0,
+        s"$who: $n id(s) in this increment are tombstoned in the index at " +
+          s"${snap.path} — their deleted rows still exist physically, so a " +
+          "bare re-append cannot serve them; run " +
+          "IndexMaintenance.compactIvfIndex (materializes pending deletes) " +
+          "and then append")
+    }
 
   /** Probe a persisted IVF index: nearest `nprobe` cells per query
     * (against the broadcast centroid table), then brute-force cosine
@@ -219,8 +260,9 @@ object Similarity {
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val index = spark.read.parquet(s"$path/cells")
+    val snap = IndexLayout.snapshot(spark, path)
+    val centroids = spark.read.parquet(snap.dir("centroids"))
+    val index = readIvfCellsLive(spark, snap)
 
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
     // computed ONCE and collected: probe rows are at most queries ×
@@ -335,6 +377,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     Seq((los, his, "sq8-v1")).toDF("los", "his", "format")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexLayout.resetToBare(spark, path)
   }
 
   /** ONE dim-bounded pass asserting every vector of `c` (column n_v)
@@ -369,10 +412,15 @@ object Similarity {
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val spark = newVecs.sparkSession
-    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
-    assignToCells(c, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    IndexLayout.withIndexLock(spark, path, "append-ivf") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      refuseTombstoned(spark, snap, c, "appendToIvfIndex")
+      val cents = collectCentroids(spark.read.parquet(snap.dir("centroids")))
+      assignToCells(c, cents)
+        .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      spark.catalog.refreshByPath(snap.dir("cells"))
+    }
   }
 
   /** APPEND new vectors to a persisted SQ8 IVF index
@@ -404,29 +452,39 @@ object Similarity {
 
   def loadIvfSq8AppendState(spark: org.apache.spark.sql.SparkSession,
                             path: String): IvfSq8AppendState = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val snap = IndexLayout.snapshot(spark, path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build appends 'sq8-v1'")
     IvfSq8AppendState(
       meta.getSeq[Double](meta.fieldIndex("los")),
       meta.getSeq[Double](meta.fieldIndex("his")),
-      collectCentroids(spark.read.parquet(s"$path/centroids")))
+      collectCentroids(spark.read.parquet(snap.dir("centroids"))))
   }
 
   /** [[appendToIvfIndexSq8]] over caller-held state — the per-batch
     * body for streaming appends: zero per-batch index-side driver
-    * work beyond the increment's own bounded drift check. */
+    * work beyond the increment's own bounded drift check and the
+    * per-batch lease + manifest resolution (a compaction between
+    * micro-batches re-points `cells`; bounds/centroids are immutable
+    * pins, safe to hold). */
   def appendToIvfIndexSq8With(state: IvfSq8AppendState, newVecs: DataFrame,
                               idCol: String, vecCol: String,
                               path: String): Unit = {
-    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    requireWithinBounds(c, state.los, state.his, "appendToIvfIndexSq8")
-    assignToCells(c, state.cents)
-      .select(col("n_id"),
-        graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
-        col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val spark = newVecs.sparkSession
+    IndexLayout.withIndexLock(spark, path, "append-ivf-sq8") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      requireWithinBounds(c, state.los, state.his, "appendToIvfIndexSq8")
+      refuseTombstoned(spark, snap, c, "appendToIvfIndexSq8")
+      assignToCells(c, state.cents)
+        .select(col("n_id"),
+          graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
+          col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      spark.catalog.refreshByPath(snap.dir("cells"))
+    }
   }
 
   /** Guarded (marker-fenced, resumable) IVF cell append — the shared
@@ -438,25 +496,30 @@ object Similarity {
     * ([[graft.operators.IndexMaintenance.runGuardedAppend]]); there is
     * no finalize step — IVF appends have no global stats to repair. */
   private def guardedCellAppend(spark: org.apache.spark.sql.SparkSession,
-                                projected: => DataFrame, path: String,
-                                appendId: String): Boolean =
+                                projected: IndexLayout.Snapshot => DataFrame,
+                                path: String, appendId: String): Boolean =
     graft.operators.IndexMaintenance.runGuardedAppend(spark, path, appendId) {
       stageDir =>
-        projected.write.partitionBy("cell").parquet(s"$stageDir/cells")
-    } { () => spark.catalog.refreshByPath(s"$path/cells") }
+        projected(IndexLayout.snapshot(spark, path))
+          .write.partitionBy("cell").parquet(s"$stageDir/cells")
+    } { () =>
+      spark.catalog.refreshByPath(
+        IndexLayout.snapshot(spark, path).dir("cells"))
+    }
 
   /** [[appendToIvfIndexSq8]] under the guarded protocol — the form a
     * retried batch ingest should call. Validations (format tag, the
-    * pinned-bounds drift refusal) run at stage time; a committed
-    * appendId replays as a no-op (returns false). */
+    * pinned-bounds drift refusal, the tombstone refusal) run at stage
+    * time; a committed appendId replays as a no-op (returns false). */
   def appendToIvfIndexSq8Guarded(newVecs: DataFrame, idCol: String,
                                  vecCol: String, path: String,
                                  appendId: String): Boolean = {
     val spark = newVecs.sparkSession
     lazy val state = loadIvfSq8AppendState(spark, path)
-    guardedCellAppend(spark, {
+    guardedCellAppend(spark, { snap =>
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       requireWithinBounds(c, state.los, state.his, "appendToIvfIndexSq8Guarded")
+      refuseTombstoned(spark, snap, c, "appendToIvfIndexSq8Guarded")
       assignToCells(c, state.cents)
         .select(col("n_id"),
           graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
@@ -469,9 +532,10 @@ object Similarity {
                               vecCol: String, path: String,
                               appendId: String): Boolean = {
     val spark = newVecs.sparkSession
-    guardedCellAppend(spark, {
+    guardedCellAppend(spark, { snap =>
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-      assignToCells(c, collectCentroids(spark.read.parquet(s"$path/centroids")))
+      refuseTombstoned(spark, snap, c, "appendToIvfIndexGuarded")
+      assignToCells(c, collectCentroids(spark.read.parquet(snap.dir("centroids"))))
     }, path, appendId)
   }
 
@@ -480,10 +544,11 @@ object Similarity {
                                 vecCol: String, path: String,
                                 appendId: String): Boolean = {
     val spark = newVecs.sparkSession
-    guardedCellAppend(spark, {
+    guardedCellAppend(spark, { snap =>
       val codebook = readPqIndexState(spark, path)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-      assignToCells(c, collectCentroids(spark.read.parquet(s"$path/centroids")))
+      refuseTombstoned(spark, snap, c, "appendToIvfIndexPqGuarded")
+      assignToCells(c, collectCentroids(spark.read.parquet(snap.dir("centroids"))))
         .select(col("n_id"),
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
           col("cell"))
@@ -537,6 +602,7 @@ object Similarity {
     Seq((m, codebook.head.length, codebook.head.head.length, s"pq-m$m-v1"))
       .toDF("m", "ks", "sub_dim", "format")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexLayout.resetToBare(spark, path)
   }
 
   /** Load the persisted PQ meta + codebook, verifying the format tag
@@ -545,7 +611,15 @@ object Similarity {
   private def readPqIndexState(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Seq[Double]]] = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val snap0 = IndexLayout.snapshot(spark, path)
+    readPqIndexStateAt(spark, snap0)
+  }
+
+  private def readPqIndexStateAt(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: IndexLayout.Snapshot): Seq[Seq[Seq[Double]]] = {
+    val path = snap.path
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     // format FIRST: probing a non-PQ index (e.g. sq8-v1) must refuse
     // on the tag, not trip over the missing PQ geometry columns
     val format = meta.getAs[String]("format")
@@ -557,7 +631,7 @@ object Similarity {
     require(format == s"pq-m$m-v1",
       s"index at $path has format '$format'; its meta says m = $m — " +
         "corrupt or cross-version index")
-    val codebook = spark.read.parquet(s"$path/codebook")
+    val codebook = spark.read.parquet(snap.dir("codebook"))
       .orderBy(col("j"), col("c")).collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
         r.getSeq[Double](r.fieldIndex("sub"))))
@@ -584,9 +658,10 @@ object Similarity {
   def queryIvfIndexPq(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val codebook = readPqIndexState(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val index = spark.read.parquet(s"$path/cells")
+    val snap = IndexLayout.snapshot(spark, path)
+    val codebook = readPqIndexStateAt(spark, snap)
+    val centroids = spark.read.parquet(snap.dir("centroids"))
+    val index = readIvfCellsLive(spark, snap)
 
     // same collected-probe shape as queryIvfIndex: the IN-list literal
     // gives the scan a STATIC partition filter; the local relation
@@ -629,14 +704,19 @@ object Similarity {
   def appendToIvfIndexPq(newVecs: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
     val spark = newVecs.sparkSession
-    val codebook = readPqIndexState(spark, path)
-    val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
-    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
-    assignToCells(c, cents)
-      .select(col("n_id"),
-        graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
-        col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    IndexLayout.withIndexLock(spark, path, "append-ivf-pq") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val codebook = readPqIndexStateAt(spark, snap)
+      val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      refuseTombstoned(spark, snap, c, "appendToIvfIndexPq")
+      val cents = collectCentroids(spark.read.parquet(snap.dir("centroids")))
+      assignToCells(c, cents)
+        .select(col("n_id"),
+          graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
+          col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      spark.catalog.refreshByPath(snap.dir("cells"))
+    }
   }
 
   /** Probe a persisted SQ8 IVF index: cell routing is FULL-precision
@@ -653,14 +733,15 @@ object Similarity {
   def queryIvfIndexSq8(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val snap = IndexLayout.snapshot(spark, path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build probes 'sq8-v1'")
     val los = meta.getSeq[Double](meta.fieldIndex("los"))
     val his = meta.getSeq[Double](meta.fieldIndex("his"))
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val index = spark.read.parquet(s"$path/cells")
+    val centroids = spark.read.parquet(snap.dir("centroids"))
+    val index = readIvfCellsLive(spark, snap)
 
     // same collected-probe shape as queryIvfIndex: the IN-list literal
     // gives the scan a STATIC partition filter; the local relation

@@ -695,6 +695,7 @@ object TextAnalysis {
     Seq((nDocs, totalLen, k1, b, Bm25Tokenization))
       .toDF("n_docs", "total_len", "k1", "b", "tokenization")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexLayout.resetToBare(spark, path)
   }
 
   /** APPEND new documents to a persisted BM25 index — incremental
@@ -729,36 +730,47 @@ object TextAnalysis {
                         path: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val tok = meta.getAs[String]("tokenization")
-    require(tok == Bm25Tokenization,
-      s"BM25 index at $path uses tokenization '$tok'; this build appends " +
-        s"'$Bm25Tokenization' — rebuild the index")
-    val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
-    val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
-    val overlap = spark.read.parquet(s"$path/dl")
-      .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
-    require(overlap == 0,
-      s"appendToBm25Index: $overlap doc id(s) already exist in the index " +
-        "at " + path + " — an overlapping id would double-count its " +
-        "postings; re-ingesting changed documents is a rebuild, not an append")
-    val st = dlInc.agg(sum(col("dl")).as("total_len"),
-      count(lit(1)).as("n_docs")).collect()(0)
-    val incDocs = st.getLong(1)
-    if (incDocs == 0) return // empty increment — nothing to merge
-    val incLen = st.getLong(0)
-    tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
-      .write.mode("append").parquet(s"$path/postings")
-    dlInc.write.mode("append").parquet(s"$path/dl")
-    Seq((meta.getAs[Long]("n_docs") + incDocs,
-        meta.getAs[Long]("total_len") + incLen,
-        meta.getAs[Double]("k1"), meta.getAs[Double]("b"), tok))
-      .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // drop any file-listing caches this session holds for the mutated
-    // paths — a same-session probe must see the merged index
-    for (p <- Seq("postings", "dl", "meta"))
-      spark.catalog.refreshByPath(s"$path/$p")
+    IndexLayout.withIndexLock(spark, path, "append-bm25") {
+      val snap = IndexLayout.snapshot(spark, path)
+      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+      val tok = meta.getAs[String]("tokenization")
+      require(tok == Bm25Tokenization,
+        s"BM25 index at $path uses tokenization '$tok'; this build appends " +
+          s"'$Bm25Tokenization' — rebuild the index")
+      val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
+      val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+      val overlap = spark.read.parquet(snap.dir("dl"))
+        .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
+      require(overlap == 0,
+        s"appendToBm25Index: $overlap doc id(s) already exist in the index " +
+          "at " + path + " — an overlapping id would double-count its " +
+          "postings; re-ingesting changed documents is a rebuild, not an append")
+      val st = dlInc.agg(sum(col("dl")).as("total_len"),
+        count(lit(1)).as("n_docs")).collect()(0)
+      val incDocs = st.getLong(1)
+      if (incDocs == 0) return // empty increment — nothing to merge
+      val incLen = st.getLong(0)
+      tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
+        .write.mode("append").parquet(snap.dir("postings"))
+      dlInc.write.mode("append").parquet(snap.dir("dl"))
+      val newMeta = Seq((meta.getAs[Long]("n_docs") + incDocs,
+          meta.getAs[Long]("total_len") + incLen,
+          meta.getAs[Double]("k1"), meta.getAs[Double]("b"), tok))
+        .toDF("n_docs", "total_len", "k1", "b", "tokenization")
+      if (snap.version > 0) {
+        // managed index: meta rewrites publish as a fresh generation +
+        // flip, never an in-place overwrite a concurrent reader could
+        // catch half-written
+        val mRel = snap.nextGenRel("meta")
+        newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
+        IndexLayout.commit(spark, snap, Map("meta" -> mRel))
+      } else
+        newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // drop any file-listing caches this session holds for the mutated
+      // paths — a same-session probe must see the merged index
+      for (p <- Seq("postings", "dl", "meta"))
+        spark.catalog.refreshByPath(snap.dir(p))
+    }
   }
 
   /** [[appendToBm25Index]] under the marker-fenced
@@ -781,14 +793,15 @@ object TextAnalysis {
                                appendId: String): Boolean = {
     val spark = newDocs.sparkSession
     IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
-      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      val snap = IndexLayout.snapshot(spark, path)
+      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
       val tok = meta.getAs[String]("tokenization")
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
           s"'$Bm25Tokenization' — rebuild the index")
       val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
       val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
-      val overlap = spark.read.parquet(s"$path/dl")
+      val overlap = spark.read.parquet(snap.dir("dl"))
         .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
       require(overlap == 0,
         s"appendToBm25IndexGuarded: $overlap doc id(s) already exist in the " +
@@ -807,19 +820,25 @@ object TextAnalysis {
   private[graft] def bm25RecomputeMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    spark.catalog.refreshByPath(s"$path/dl")
-    val st = spark.read.parquet(s"$path/dl")
+    val snap = IndexLayout.snapshot(spark, path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    spark.catalog.refreshByPath(snap.dir("dl"))
+    val st = spark.read.parquet(snap.dir("dl"))
       .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
       .collect()(0)
     require(st.getLong(1) > 0,
       s"bm25RecomputeMeta: index at $path holds no documents")
-    Seq((st.getLong(1), st.getLong(0), meta.getAs[Double]("k1"),
+    val newMeta = Seq((st.getLong(1), st.getLong(0), meta.getAs[Double]("k1"),
         meta.getAs[Double]("b"), meta.getAs[String]("tokenization")))
       .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    if (snap.version > 0) {
+      val mRel = snap.nextGenRel("meta")
+      newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
+      IndexLayout.commit(spark, snap, Map("meta" -> mRel))
+    } else
+      newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     for (p <- Seq("postings", "dl", "meta"))
-      spark.catalog.refreshByPath(s"$path/$p")
+      spark.catalog.refreshByPath(snap.dir(p))
   }
 
   /** Driver-side BM25 index state: the postings/dl READERS (file
@@ -847,14 +866,17 @@ object TextAnalysis {
     * reads only `postings`/`dl` parquet (spec-pinned). */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25IndexState = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    // ONE snapshot resolves postings+dl+meta — a maintenance flip
+    // between these reads can never hand a probe mixed generations
+    val snap = IndexLayout.snapshot(spark, path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     val tok = meta.getAs[String]("tokenization")
     require(tok == Bm25Tokenization,
       s"BM25 index at $path uses tokenization '$tok'; this build scores " +
         s"'$Bm25Tokenization' — rebuild the index")
     Bm25IndexState(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/dl"),
+      spark.read.parquet(snap.dir("postings")),
+      spark.read.parquet(snap.dir("dl")),
       meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"),
       meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
   }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The generation-pointer (manifest) layer under index maintenance:
+  * readers resolve every component of one probe from ONE manifest
+  * snapshot; maintenance publishes whole generation sets with ONE
+  * atomic flip; superseded generations survive until vacuum; and the
+  * per-index single-writer lease serializes mutations. */
+class IndexLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.Tables.documents(spark, sf())
+    .select("doc_id", "text")
+  private def embs = graft.Tables.embeddings(spark, sf())
+    .select("vec_id", "embedding")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("BM25: a reader planned BEFORE a delete keeps scoring the OLD generation consistently; a fresh plan sees the new one") {
+    val dir = tmp("layoutbm25")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir)
+    // the "in-flight reader": postings+dl+meta resolved NOW, pre-delete
+    val oldState = TextAnalysis.loadBm25Index(spark, dir)
+    def oldProbe() = rows(TextAnalysis.scoreWithBm25State(
+      oldState, Seq("spark", "window", "agg"), k = 20))
+    val preDelete = oldProbe()
+    IndexMaintenance.deleteFromBm25Index(
+      docs.filter($"doc_id" % 4 === 0).select("doc_id"), "doc_id", dir)
+    // the old reader's whole generation set survived the flip: it
+    // scores EXACTLY the pre-delete index — old postings under old
+    // stats, never new postings under old stats or any other mix
+    assert(oldProbe() == preDelete)
+    // a reader planning after the flip sees the delete
+    val want = tmp("layoutbm25want")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", want)
+    def freshProbe(d: String) = rows(TextAnalysis.scoreWithBm25Index(
+      spark, d, Seq("spark", "window", "agg"), k = 20))
+    assert(freshProbe(dir) == freshProbe(want))
+    assert(freshProbe(dir) != preDelete) // the delete actually bit
+    rm(dir); rm(want)
+  }
+
+  test("IVF: a probe planned before a delete still scans its old (tombstone-free) view; vacuum keeps the previous generation for one cycle") {
+    val all = embs
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val dir = tmp("layoutivf")
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", dir, cells = 16)
+    val preDelete = rows(
+      Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank"))
+    // plan (but do not execute) probes against the pre-delete snapshot;
+    // plannedStale stays unexecuted until after the vacuum (an executed
+    // plan legitimately reuses its own shuffle output)
+    val plannedBefore = Similarity
+      .queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+    val plannedStale = Similarity
+      .queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+    IndexMaintenance.deleteFromIvfIndex(
+      all.filter($"vec_id" % 5 === 2).select("vec_id"), "vec_id", dir)
+    assert(rows(plannedBefore) == preDelete)
+    // compaction flips cells to a new generation; the old bare cells
+    // dir must survive (implicit version-0 generation) under the
+    // default retention so the planned-before reader still executes
+    IndexMaintenance.compactIvfIndex(spark, dir)
+    val st2 = IndexLayout.vacuumIndex(spark, dir) // keepVersions = 2
+    assert(new java.io.File(s"$dir/cells").isDirectory,
+      s"default vacuum must retain the previous generation, dropped ${st2.droppedDirs}")
+    assert(rows(plannedBefore) == preDelete)
+    // aggressive vacuum (keep only the live generation) drops it: the
+    // stale reader now fails on missing files (or, if its listing
+    // cache refreshed, scans nothing) — it can never be handed the
+    // pre-delete answer as if it were live
+    val st1 = IndexLayout.vacuumIndex(spark, dir, keepVersions = 1)
+    assert(st1.droppedDirs.contains("cells"), st1.toString)
+    spark.catalog.refreshByPath(s"$dir/cells")
+    val staleOutcome =
+      try Some(rows(plannedStale)) catch { case _: Exception => None }
+    assert(staleOutcome.forall(_ != preDelete),
+      "a vacuumed-away reader silently served the stale generation")
+    // fresh plans keep working and still reflect the delete
+    val want = tmp("layoutivfwant")
+    val prepared = Similarity.prepareQueries(all, "vec_id", "embedding")
+      .select($"q_id".as("n_id"), $"q_v".as("n_v"))
+    Similarity.writeIvfIndexSq8(all.filter($"vec_id" % 5 =!= 2),
+      "vec_id", "embedding", want, cells = 16,
+      centroids0 = Some(prepared.orderBy($"n_id").limit(16)
+        .select($"n_id".as("c_id"), $"n_v".as("c_v"))),
+      bounds0 = Some(Quantization.fitBounds(prepared, "n_v")))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
+    rm(dir); rm(want)
+  }
+
+  test("rebuild over a managed index resets the manifest to the bare layout") {
+    val dir = tmp("layoutreset")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir)
+    IndexMaintenance.deleteFromBm25Index(
+      docs.filter($"doc_id" % 4 === 1).select("doc_id"), "doc_id", dir)
+    assert(IndexLayout.snapshot(spark, dir).mapping.nonEmpty)
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir) // full rebuild
+    val snap = IndexLayout.snapshot(spark, dir)
+    assert(snap.mapping.isEmpty && snap.version > 0)
+    val want = tmp("layoutresetwant")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", want)
+    assert(rows(TextAnalysis.scoreWithBm25Index(spark, dir,
+        Seq("spark", "window", "agg"), k = 20)) ==
+      rows(TextAnalysis.scoreWithBm25Index(spark, want,
+        Seq("spark", "window", "agg"), k = 20)))
+    rm(dir); rm(want)
+  }
+
+  test("lease: concurrent mutations refuse loudly; breakIndexLock recovers; a guarded append reclaims its own crashed lease") {
+    val dir = tmp("layoutlock")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", dir)
+    // another operation holds the lease -> a delete must refuse
+    IndexLayout.withIndexLock(spark, dir, "compact-bm25") {
+      val other = new Thread {
+        var error: Throwable = _
+        override def run(): Unit =
+          try IndexMaintenance.deleteFromBm25Index(
+            docs.filter($"doc_id" % 8 === 1).select("doc_id"), "doc_id", dir)
+          catch { case t: Throwable => error = t }
+      }
+      other.start(); other.join()
+      assert(other.error != null &&
+        other.error.getMessage.contains("write-locked"),
+        String.valueOf(other.error))
+      assert(other.error.getMessage.contains("breakIndexLock"))
+    }
+    // lease released on exit: the same mutation now runs
+    IndexMaintenance.deleteFromBm25Index(
+      docs.filter($"doc_id" % 8 === 1).select("doc_id"), "doc_id", dir)
+    // a crashed holder's lock blocks until broken
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val out = fs.create(lock, false)
+    out.write("op=compact-bm25\nowner=dead-job\nacquiredMs=0\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.compactBm25Index(spark, dir)
+    }
+    assert(e.getMessage.contains("dead-job"), e.getMessage)
+    assert(IndexLayout.breakIndexLock(spark, dir))
+    IndexMaintenance.compactBm25Index(spark, dir)
+    // a guarded append whose predecessor crashed holding ITS OWN lease
+    // (owner = append:<id>) reclaims it instead of refusing — the
+    // retry-converges contract
+    val out2 = fs.create(lock, false)
+    out2.write("op=guarded-append\nowner=append:inc-9\nacquiredMs=0\n"
+      .getBytes("UTF-8"))
+    out2.close()
+    assert(TextAnalysis.appendToBm25IndexGuarded(
+      docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir, "inc-9"))
+    assert(!fs.exists(lock)) // released after the append committed
+    rm(dir)
+  }
+
+  test("manifest commit from a stale snapshot refuses (the no-lease double-write guard)") {
+    val dir = tmp("layoutstale")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir)
+    val snap = IndexLayout.snapshot(spark, dir)
+    IndexLayout.commit(spark, snap, Map("x" -> "x_g00001"))
+    val e = intercept[IllegalStateException] {
+      IndexLayout.commit(spark, snap, Map("y" -> "y_g00001"))
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    rm(dir)
+  }
+}

@@ -30,8 +30,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     TextAnalysis.scoreWithBm25Index(spark, dir,
       queryTerms = Seq("spark", "window", "agg"), k = 20)
 
+  /** Live (manifest-resolved) dir of an index component. */
+  private def comp(dir: String, c: String): String =
+    IndexLayout.snapshot(spark, dir).dir(c)
+
   private def metaRow(dir: String): Seq[Any] =
-    spark.read.parquet(s"$dir/meta").collect()(0).toSeq
+    spark.read.parquet(comp(dir, "meta")).collect()(0).toSeq
 
   // pinned-from-the-full-corpus centroids + bounds, so delete/append
   // equivalences compare like with like (the production pin stance)
@@ -113,10 +117,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(rows(bm25Probe(dir)) == rows(bm25Probe(want)))
     assert(metaRow(dir) == metaRow(want)) // exact integer stats
     // postings/dl contents equal too — the state IS a build on the rest
-    assert(rows(spark.read.parquet(s"$dir/postings").orderBy("term", "__doc"))
-      == rows(spark.read.parquet(s"$want/postings").orderBy("term", "__doc")))
-    assert(rows(spark.read.parquet(s"$dir/dl").orderBy("__doc"))
-      == rows(spark.read.parquet(s"$want/dl").orderBy("__doc")))
+    assert(rows(spark.read.parquet(comp(dir, "postings")).orderBy("term", "__doc"))
+      == rows(spark.read.parquet(comp(want, "postings")).orderBy("term", "__doc")))
+    assert(rows(spark.read.parquet(comp(dir, "dl")).orderBy("__doc"))
+      == rows(spark.read.parquet(comp(want, "dl")).orderBy("__doc")))
     // deleting ids not in the index: takedown semantics, a no-op
     val before = rows(bm25Probe(dir))
     IndexMaintenance.deleteFromBm25Index(
@@ -159,7 +163,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     rm(dir); rm(want)
   }
 
-  test("IVF delete: == build on the remainder under the same pins; absent id no-op; an emptied cell disappears") {
+  test("IVF delete (tombstones): probe == build on the remainder under the same pins; absent id no-op; compaction materializes") {
     val all = embs
     val (cents, bounds) = pins(all)
     val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
@@ -178,17 +182,36 @@ class IndexMaintenanceSpec extends SparkSpec {
         .orderBy("q_id", "rank")) ==
       rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
         .orderBy("q_id", "rank")))
-    // absent ids: no-op (code is Array[Byte] — compare by value)
-    def cellRows() = spark.read.parquet(s"$dir/cells").orderBy("n_id")
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.get(2)))
-    val before = cellRows()
+    // the delete is a tombstone write, not a cell rewrite: the cells
+    // component is byte-untouched, the manifest names the tombstones
+    assert(IndexLayout.snapshot(spark, dir).names("tombstones"))
+    // absent ids: no-op — no new manifest version, nothing published
+    val vBefore = IndexLayout.snapshot(spark, dir).version
     IndexMaintenance.deleteFromIvfIndex(
       Seq(999999999L).toDF("vec_id"), "vec_id", dir)
-    assert(cellRows() == before)
+    assert(IndexLayout.snapshot(spark, dir).version == vBefore)
+    // already-deleted ids retried (the crash-retry path): also a no-op
+    IndexMaintenance.deleteFromIvfIndex(
+      all.filter($"vec_id" % 5 === 2).select("vec_id"), "vec_id", dir)
+    assert(IndexLayout.snapshot(spark, dir).version == vBefore)
+    // COMPACTION materializes the tombstones: physical rows == a build
+    // on the remainder (same pins), tombstones cleared
+    IndexMaintenance.compactIvfIndex(spark, dir)
+    val snapAfter = IndexLayout.snapshot(spark, dir)
+    assert(!snapAfter.names("tombstones"))
+    def cellRows(d: String) =
+      spark.read.parquet(comp(d, "cells")).orderBy("n_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+          r.getAs[Number](2).longValue()))
+    assert(cellRows(dir) == cellRows(want))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
     rm(dir); rm(want)
 
-    // a cell whose every vector dies is removed; probes stay sound
+    // a cell whose every vector dies: probes stay sound, live view empty
     val tiny = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(0.1f, 0.9f)), (4L, Array(0.9f, 0.1f))
@@ -197,7 +220,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     Similarity.writeIvfIndexSq8(tiny, "vec_id", "embedding", tdir, cells = 2)
     IndexMaintenance.deleteFromIvfIndex(
       Seq(2L, 3L).toDF("vec_id"), "vec_id", tdir) // the whole "near 1,1" cell
-    val left = spark.read.parquet(s"$tdir/cells")
+    val left = Similarity.readIvfCellsLive(
+        spark, IndexLayout.snapshot(spark, tdir))
       .select("n_id").collect().map(_.getLong(0)).toSet
     assert(left == Set(1L, 4L))
     val tq = Similarity.prepareQueries(tiny.filter($"vec_id" === 1),
@@ -205,7 +229,53 @@ class IndexMaintenanceSpec extends SparkSpec {
     val probed = Similarity.queryIvfIndexSq8(spark, tdir, tq, k = 10, nprobe = 2)
       .collect().map(_.getLong(1)).toSet
     assert(probed == Set(4L))
+    // deleting EVERYTHING refuses before anything publishes
+    val ev = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromIvfIndex(
+        Seq(1L, 4L).toDF("vec_id"), "vec_id", tdir)
+    }
+    assert(ev.getMessage.contains("empties the index"), ev.getMessage)
     rm(tdir)
+  }
+
+  test("IVF tombstoned re-append refuses; delete -> compact -> append == rebuild with changed vectors") {
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    // "changed" vectors borrow a neighbour's embedding — real corpus
+    // values, so they stay inside the pinned per-dimension SQ8 bounds
+    val neighbour = all.select(($"vec_id" - 1).as("vec_id"),
+      $"embedding".as("emb2"))
+    val changed = all.join(neighbour, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"vec_id" % 7 === 3 && $"emb2".isNotNull, $"emb2")
+          .otherwise($"embedding").as("embedding"))
+    val dir = tmp("ivfreingest")
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", dir, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    IndexMaintenance.deleteFromIvfIndex(
+      all.filter($"vec_id" % 7 === 3).select("vec_id"), "vec_id", dir)
+    // bare re-append of a tombstoned id refuses loudly — the stored
+    // rows still exist physically and would shadow or swallow it
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexSq8(
+        changed.filter($"vec_id" % 7 === 3), "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // the documented composition: compact (materialize) then append
+    IndexMaintenance.compactIvfIndex(spark, dir)
+    Similarity.appendToIvfIndexSq8(
+      changed.filter($"vec_id" % 7 === 3), "vec_id", "embedding", dir)
+    val want = tmp("ivfreingestwant")
+    Similarity.writeIvfIndexSq8(changed, "vec_id", "embedding", want,
+      cells = 16, centroids0 = Some(cents), bounds0 = Some(bounds))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
+    rm(dir); rm(want)
   }
 
   test("minhash delete: probe == build on the remainder; deleted refs never surface; absent id no-op; emptying refuses") {
@@ -220,7 +290,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     // the spec corpus never trips the skew cap (the one regime where
     // delete∘build ≠ build-on-remainder, documented) — assert that,
     // so the equivalence below is the uncapped exact one
-    val maxList = spark.read.parquet(s"$dir/bands")
+    val maxList = spark.read.parquet(comp(dir, "bands"))
       .select(max(size($"ids"))).collect()(0).getInt(0)
     assert(maxList < 1000, s"fixture unexpectedly capped ($maxList)")
     IndexMaintenance.deleteFromMinhashIndex(
