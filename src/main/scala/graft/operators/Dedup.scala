@@ -347,6 +347,146 @@ object Dedup {
     IndexLayout.resetToBare(spark, path)
   }
 
+  /** APPEND new reference documents to a persisted MinHash index —
+    * the last index family to get build-once/increment-forever parity
+    * with [[graft.operators.TextAnalysis.appendToBm25Index]] /
+    * [[graft.operators.Similarity.appendToIvfIndexSq8]]: a new crawl
+    * joining the reference set pays one shingle+band pass over the
+    * INCREMENT (its own size, under the meta-pinned banding
+    * parameters — never the stored corpus, which previously meant a
+    * full re-shingle rebuild) plus one bands-sized bucket merge.
+    *
+    * Mechanics: the increment's shingle rows append additively into
+    * `shingles` (per-doc state is per-doc); `bands` is REWRITTEN as a
+    * new generation — each bucket's stored id list explodes, unions
+    * with the increment's band rows, dedups and regroups under the
+    * SAME build-time `maxBucketSize` cap — and publishes with one
+    * manifest flip ([[IndexLayout]]), so a probe planned mid-append
+    * sees old bands (the extra shingle rows are unreachable without a
+    * band entry — harmless), never a half-merged bucket.
+    *
+    * Equivalence: probe(build(A) then append(B)) ≡ probe(build(A∪B))
+    * as a row set (spec-pinned), with the same honest caveat as
+    * [[IndexMaintenance.deleteFromMinhashIndex]] in the capped
+    * regime: a bucket the BUILD's skew cap dropped entirely cannot
+    * contribute its dropped ids back, so after an append such a
+    * bucket holds only post-build ids — candidates the union rebuild
+    * would have capped away too (the merged count ≥ the build count,
+    * so a bucket capped at build stays capped on the union) minus the
+    * pre-cap ids. Either way the verify stage's exact Jaccard keeps
+    * output pairs correct; the difference is recall-only, in exactly
+    * the degenerate-bucket regime the cap documents as dropped.
+    *
+    * Doc ids already present in the index REFUSE (one bounded
+    * semi-join against the stored shingles): an overlapping id would
+    * double its shingle rows and band entries. Re-ingesting a changed
+    * reference doc is [[IndexMaintenance.deleteFromMinhashIndex]]
+    * followed by an append (≡ rebuild on the modified reference,
+    * spec-pinned). Crash window: shingles land before the bands flip,
+    * so a crash in between leaves orphan shingle rows (unreachable,
+    * and a retry refuses on the overlap) — automated ingest should
+    * call [[appendToMinhashIndexGuarded]], which converges. */
+  def appendToMinhashIndex(newDocs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    IndexLayout.withIndexLock(spark, path, "append-minhash") {
+      val snap = IndexLayout.snapshot(spark, path)
+      appendToMinhashIndexBody(spark, snap, newDocs, idCol, textCol,
+        stageShingles = None)
+    }
+  }
+
+  /** [[appendToMinhashIndex]] under the marker-fenced
+    * [[IndexMaintenance.runGuardedAppend]] protocol: the increment's
+    * shingle files stage and MOVE with atomic deterministic renames,
+    * and the bands merge runs in finalize — recomputed from the live
+    * bands plus the increment's band rows with a dedup before the
+    * regroup, so a retry that finds the increment already merged
+    * converges to the same buckets instead of double-counting.
+    * Returns true iff this call performed (or completed) the append. */
+  def appendToMinhashIndexGuarded(newDocs: DataFrame, idCol: String,
+                                  textCol: String, path: String,
+                                  appendId: String): Boolean = {
+    val spark = newDocs.sparkSession
+    IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
+      val snap = IndexLayout.snapshot(spark, path)
+      appendToMinhashIndexBody(spark, snap, newDocs, idCol, textCol,
+        stageShingles = Some(s"$stageDir/shingles"))
+    } { () =>
+      val snap = IndexLayout.snapshot(spark, path)
+      mergeMinhashBands(spark, snap, newDocs, idCol, textCol)
+    }
+  }
+
+  /** Shared append body: validations + shingle write; the unguarded
+    * form also merges bands inline (the guarded form defers the merge
+    * to its idempotent finalize). */
+  private def appendToMinhashIndexBody(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: IndexLayout.Snapshot, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      stageShingles: Option[String]): Unit = {
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val shingleN = meta.getAs[Int]("shingleN")
+    val inc = newDocs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"))
+    val overlap = spark.read.parquet(snap.dir("shingles"))
+      .join(inc.select("id").distinct(), Seq("id"), "left_semi").count()
+    require(overlap == 0,
+      s"appendToMinhashIndex: $overlap doc id(s) already exist in the index " +
+        s"at ${snap.path} — an overlapping id would double its shingle rows " +
+        "and band entries; re-ingesting changed documents is " +
+        "deleteFromMinhashIndex + append, not a bare append")
+    if (inc.limit(1).count() == 0) return // empty increment
+    val incShingles = inc
+      .repartition(col("id"))
+      .select(col("id"),
+        TextFunctions.shingleHashes(col("__text"), shingleN).as("sh"))
+    stageShingles match {
+      case Some(stage) => incShingles.write.parquet(stage)
+      case None =>
+        incShingles.write.mode("append").parquet(snap.dir("shingles"))
+        spark.catalog.refreshByPath(snap.dir("shingles"))
+        mergeMinhashBands(spark, snap, newDocs, idCol, textCol)
+    }
+  }
+
+  /** Merge the increment's band rows into the stored buckets and
+    * publish as a new `bands` generation: explode stored lists ∪ the
+    * increment's (id, bucket) rows, DEDUP (makes a crashed-and-retried
+    * merge converge — re-merging an already-merged increment is a
+    * no-op), regroup under the build-time cap. One bands-sized
+    * shuffle; the stored corpus never re-shingles. */
+  private def mergeMinhashBands(
+      spark: org.apache.spark.sql.SparkSession,
+      snap0: IndexLayout.Snapshot, newDocs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    // re-snapshot: the guarded retry path may run after other
+    // committed maintenance re-pointed components
+    val snap = IndexLayout.snapshot(spark, snap0.path)
+    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val shingleN = meta.getAs[Int]("shingleN")
+    val numHashes = meta.getAs[Int]("numHashes")
+    val bandRows = meta.getAs[Int]("bandRows")
+    val cap = meta.getAs[Int]("maxBucketSize")
+    val incBand = newDocs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.minhashBands(
+          col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
+      .select(col("bucket"), col("id"))
+    val bRel = snap.nextGenRel("bands")
+    spark.read.parquet(snap.dir("bands"))
+      .select(col("bucket"), explode(col("ids")).as("id"))
+      .union(incBand)
+      .distinct()
+      .groupBy(col("bucket"))
+      .agg(graft.functions.BoundedCollect
+        .bounded_long_list(col("id"), cap).as("ids"))
+      .filter(col("ids").isNotNull)
+      .write.mode("overwrite").parquet(s"${snap.path}/$bRel")
+    IndexLayout.commit(spark, snap, Map("bands" -> bRel))
+  }
+
   /** Probe a persisted MinHash index: near-dup pairs between a NEW
     * batch and the indexed reference at exact Jaccard ≥ `threshold`
     * (verified over the 64-bit shingle identities — equal to string

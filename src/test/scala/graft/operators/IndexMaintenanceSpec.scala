@@ -315,6 +315,85 @@ class IndexMaintenanceSpec extends SparkSpec {
     rm(dir); rm(want)
   }
 
+  test("minhash append: probe(build + append) == probe(rebuild on union); overlap refuses; changed-doc delete+append == rebuild") {
+    val ref = docs.filter($"doc_id" % 2 === 1)
+    val refA = ref.filter($"doc_id" % 3 =!= 0)
+    val refB = ref.filter($"doc_id" % 3 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 0)
+    def pairs(dir: String) =
+      Dedup.probeMinhashIndex(spark, dir, probe, "doc_id", "text",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = tmp("mhapp")
+    Dedup.writeMinhashIndex(refA, "doc_id", "text", dir)
+    Dedup.appendToMinhashIndex(refB, "doc_id", "text", dir)
+    val want = tmp("mhappwant")
+    Dedup.writeMinhashIndex(ref, "doc_id", "text", want)
+    // the union build is uncapped here, so the equivalence is the
+    // exact (uncapped-regime) one the doc pins
+    val maxList = spark.read.parquet(comp(want, "bands"))
+      .select(max(size($"ids"))).collect()(0).getInt(0)
+    assert(maxList < 1000, s"fixture unexpectedly capped ($maxList)")
+    assert(pairs(dir) == pairs(want))
+    // bucket lists equal the union build's too (sorted, deduped)
+    def bands(d: String) = spark.read.parquet(comp(d, "bands"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(bands(dir) == bands(want))
+    // overlapping ids refuse
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(refB.limit(1), "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    rm(want)
+
+    // changed-doc re-ingest: delete + append == rebuild with new text
+    val target = ref.orderBy($"doc_id").limit(1).collect()(0).getLong(0)
+    val changed = ref.withColumn("text",
+      when($"doc_id" === target, concat($"text", lit(" zz yy xx ww")))
+        .otherwise($"text"))
+    IndexMaintenance.deleteFromMinhashIndex(
+      Seq(target).toDF("doc_id"), "doc_id", dir)
+    Dedup.appendToMinhashIndex(changed.filter($"doc_id" === target),
+      "doc_id", "text", dir)
+    val want2 = tmp("mhappwant2")
+    Dedup.writeMinhashIndex(changed, "doc_id", "text", want2)
+    assert(pairs(dir) == pairs(want2))
+    rm(dir); rm(want2)
+  }
+
+  test("minhash guarded append: clean run == unguarded; replay no-op; compaction folds files with probes row-identical") {
+    val ref = docs.filter($"doc_id" % 2 === 1)
+    val refA = ref.filter($"doc_id" % 3 =!= 0)
+    val refB = ref.filter($"doc_id" % 3 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 0)
+    def pairs(dir: String) =
+      Dedup.probeMinhashIndex(spark, dir, probe, "doc_id", "text",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = tmp("mhgA"); val b = tmp("mhgB")
+    Dedup.writeMinhashIndex(refA, "doc_id", "text", a)
+    Dedup.appendToMinhashIndex(refB, "doc_id", "text", a)
+    Dedup.writeMinhashIndex(refA, "doc_id", "text", b)
+    assert(Dedup.appendToMinhashIndexGuarded(refB, "doc_id", "text", b, "crawl-1"))
+    assert(pairs(b) == pairs(a))
+    // replay: no-op — no new shingle files, no new bands generation
+    val vBefore = IndexLayout.snapshot(spark, b).version
+    val nShingles = IndexMaintenance.dataFileCount(spark, comp(b, "shingles"))
+    assert(!Dedup.appendToMinhashIndexGuarded(refB, "doc_id", "text", b, "crawl-1"))
+    assert(IndexLayout.snapshot(spark, b).version == vBefore)
+    assert(IndexMaintenance.dataFileCount(spark, comp(b, "shingles")) == nShingles)
+    // compaction: file count folds, probes row-identical, meta pins kept
+    Dedup.appendToMinhashIndex(
+      docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L),
+      "doc_id", "text", b) // a second increment to accumulate files
+    val before = pairs(b)
+    val stats = IndexMaintenance.compactMinhashIndex(spark, b)
+    assert(stats.filesAfter < stats.filesBefore, s"got $stats")
+    assert(pairs(b) == before)
+    rm(a); rm(b)
+  }
+
   test("guarded BM25 append: clean run == unguarded; committed id replays as a no-op") {
     val build = docs.filter($"doc_id" % 4 =!= 0)
     val inc = docs.filter($"doc_id" % 4 === 0)
