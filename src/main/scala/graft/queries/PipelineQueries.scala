@@ -202,6 +202,44 @@ object PipelineQueries {
 
   val dedupIndexSql: String = dedupCrossSql
 
+  /** MinHash index APPEND + COMPACTION under the driver gate — the
+    * increment path that completes the third index family's
+    * lifecycle: the index is built on 2/3 of the reference corpus
+    * (odd doc_ids with doc_id % 3 ≠ 0), the remaining third arrives
+    * via the GUARDED appendToMinhashIndexGuarded (increment-sized
+    * shingle+band pass, bucket-wise merge under the build-time cap,
+    * marker-fenced), then compactMinhashIndex folds the accumulated
+    * files (file shrink asserted loudly in-gate; probes row-identical
+    * by construction). Because the append merges exact id sets, the
+    * probe equals a from-scratch build on the FULL odd reference —
+    * the SAME string-keyed all-pairs oracle as q_dedup_index
+    * value-checks every surviving pair and Jaccard bit. */
+  def dedupIndexAppend(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_mhindexapp_v1_$sfKey"
+    if (!new java.io.File(s"$base/_APPENDED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val ref = docs(s, d).filter(col("doc_id") % 2 === 1)
+      Dedup.writeMinhashIndex(
+        ref.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", s"$base/idx")
+      require(Dedup.appendToMinhashIndexGuarded(
+        ref.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        s"$base/idx", "crawl-1"))
+      val stats = graft.operators.IndexMaintenance
+        .compactMinhashIndex(s, s"$base/idx")
+      require(stats.filesAfter < stats.filesBefore,
+        s"q_dedup_index_append: compaction did not shrink the index — $stats")
+      require(new java.io.File(base, "_APPENDED").createNewFile())
+    }
+    Dedup.probeMinhashIndex(s, s"$base/idx",
+        docs(s, d).filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("corpus_id", "ref_id")
+  }
+
+  val dedupIndexAppendSql: String = dedupCrossSql
+
   /** STREAMING incremental dedup against the persisted MinHash index:
     * the even docs ("new crawl") staged as 4 parquet files, consumed
     * one file per AvailableNow micro-batch, each batch probed against
@@ -2960,6 +2998,66 @@ object PipelineQueries {
        |SELECT query_id, fused_rank, doc_id, n_lists, rrf_score
        |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
   }
+
+  /** FULLY INDEX-SERVED hybrid retrieval under the driver gate — the
+    * production serving composition every persisted-index piece
+    * exists for, now certified end to end as ONE query: per query,
+    * the persisted BM25 index serves the lexical top-30
+    * (scoreWithBm25IndexMulti — corpus never re-tokenizes), the
+    * persisted PQ index nominates top-30 ANN candidates
+    * (queryIvfIndexPq, partition-pruned ADC) which re-rank to an
+    * exact-cosine top-10 (rerankCandidates), and the two lists fuse
+    * per query with RRF (rrfGrouped, k=60). All three stages read
+    * ONLY persisted indexes. Queries 0..2 carry both a term set (the
+    * q_bm25_multi batch) and an embedding (vec_id = query_id), so the
+    * fused doc space is the shared document/vector id space. The
+    * mirror composes the two already-bit-exact stage mirrors
+    * (bm25MultiSqlK(30), annPqRerankSql) and replays the integer
+    * fixed-point fusion — every fused score of every query
+    * value-checked. */
+  def hybridServedQ(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    // persisted BM25 index (shared with q_bm25_indexed / q_stream_bm25)
+    val bmBase = s"${sys.props("java.io.tmpdir")}/graft_bm25index_v1_$sfKey"
+    if (!new java.io.File(s"$bmBase/meta/_SUCCESS").isFile)
+      TextAnalysis.writeBm25Index(docs(s, d), "doc_id", "text", bmBase)
+    // persisted PQ index (shared with q_ann_pq / q_ann_pq_rerank)
+    val pqBase = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_v1_$sfKey"
+    if (!new java.io.File(s"$pqBase/meta/_SUCCESS").isFile)
+      Similarity.writeIvfIndexPq(embs(s, d), "vec_id", "embedding", pqBase,
+        cells = 16, m = 8, ks = 16)
+    val bm = TextAnalysis.scoreWithBm25IndexMulti(s, bmBase,
+        bm25MultiQueries.toDF("query_id", "term"), "query_id", "term", k = 30)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val queries = Similarity
+      .prepareQueries(queriesDf(s, d), "vec_id", "embedding")
+      .filter(col("q_id") <= 2)
+    val cand = Similarity.queryIvfIndexPq(s, pqBase, queries, k = 30, nprobe = 4)
+    val ann = Similarity.rerankCandidates(embs(s, d), queries, cand,
+        "vec_id", "embedding", k = 10)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrfGrouped(Seq(bm, ann),
+        "query_id", "doc_id", "rank", kConst = 60, topK = 10)
+      .orderBy("query_id", "fused_rank")
+  }
+
+  lazy val hybridServedSql: String =
+    s"""WITH bm AS (SELECT query_id, doc_id, rank FROM (${bm25MultiSqlK(30)})),
+       |annr AS (SELECT q_id, n_id, rank FROM ($annPqRerankSql)),
+       |ann AS (SELECT q_id::BIGINT AS query_id, n_id AS doc_id, rank
+       |        FROM annr WHERE q_id <= 2),
+       |u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM bm
+       |      UNION ALL
+       |      SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM ann),
+       |g AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_lists,
+       |        sum(c)::BIGINT AS rrf_score FROM u GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, n_lists, rrf_score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+       |      FROM g)
+       |SELECT query_id, fused_rank, doc_id, n_lists, rrf_score
+       |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
 
   // ---- curriculum ordering ----
 
