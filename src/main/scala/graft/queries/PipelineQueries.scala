@@ -2901,7 +2901,7 @@ object PipelineQueries {
         }
       }
     }
-    s.read.parquet(s"$root/out").orderBy("query_id", "rank")
+    s.read.parquet(s"$root/out/batch-*").orderBy("query_id", "rank")
   }
 
   val streamBm25Sql: String = bm25MultiSql

@@ -20,34 +20,40 @@ import graft.operators.TextAnalysis
   * queries — PROVIDED each query's term rows arrive within one
   * micro-batch (stage query batches as whole-query files/messages,
   * the natural unit a serving tier emits). That proviso is ENFORCED,
-  * not just documented: the sink tracks the query ids it has already
-  * scored (seeded from the existing sink at stream start, maintained
-  * driver-side across batches), and a batch presenting an
-  * already-scored id REFUSES loudly — a misconfigured stage that
-  * fragments a query gets an error naming the ids, never a silent
-  * once-per-fragment scoring. `refuseSplitQueries = false` opts out
-  * for sources that legitimately re-serve ids (at the documented
-  * per-fragment-scoring risk). Gated against the same DuckDB mirror
-  * as the batch multi-query operator.
+  * not just documented: the sink tracks which batch first scored each
+  * query id (seeded from the existing sink's per-batch directories at
+  * stream start, maintained driver-side across batches), and a batch
+  * presenting an id FIRST SERVED BY A DIFFERENT BATCH refuses loudly —
+  * a misconfigured stage that fragments a query gets an error naming
+  * the ids, never a silent once-per-fragment scoring.
+  * `refuseSplitQueries = false` opts out for sources that legitimately
+  * re-serve ids (at the documented per-fragment-scoring risk).
+  * Gated against the same DuckDB mirror as the batch operator.
+  *
+  * Sink layout + delivery: each micro-batch OVERWRITES its own
+  * deterministic directory `<sink>/batch-<batchId>/` — so a batch
+  * that wrote but crashed before its marker/checkpoint CONVERGES on
+  * replay (same batchId, same rows under the foreachBatch determinism
+  * rule, overwrite of its own directory) instead of duplicating, and
+  * instead of the previous behaviour where the split-query guard saw
+  * the replayed batch's own ids in the sink and refused FOREVER with
+  * no correct remediation. The [[IdempotentSink]] marker still skips
+  * fully-committed replays without re-running the probe. Read the
+  * sink as `spark.read.parquet(s"$sink/batch-*")` (plain parquet
+  * ignores nested non-partition directories).
   *
   * The driver-side index state — meta (corpus stats + k1/b +
   * tokenization pin) and the postings/dl readers — loads ONCE at
   * stream start ([[TextAnalysis.loadBm25Index]]); micro-batches call
   * the state-passing scorer, so a continuous serving stream pays zero
-  * fixed per-batch index-side driver work.
-  *
-  * Delivery: replay-safe via [[IdempotentSink]] — a micro-batch that
-  * crashed after its append but before the checkpoint commit is
-  * skipped on replay (marker under `<sink>/_batches/`), so the sink
-  * holds each result row once; only the marker idiom's residual
-  * window (crash exactly between append and marker) can re-append. */
+  * fixed per-batch index-side driver work. */
 object StreamingBm25Score {
 
   /** Score `stream` (a streaming DataFrame of (queryIdCol, termCol)
-    * query rows) against the BM25 index at `indexPath`, appending
-    * (query_id, rank, doc_id, n_terms, score) rows to a parquet sink.
-    * Returns after the stream terminates (AvailableNow-style callers
-    * await inside). */
+    * query rows) against the BM25 index at `indexPath`, writing
+    * (query_id, rank, doc_id, n_terms, score) rows to
+    * `<sinkPath>/batch-<id>/` parquet directories. Returns after the
+    * stream terminates (AvailableNow-style callers await inside). */
   def run(spark: SparkSession, stream: DataFrame, indexPath: String,
           queryIdCol: String, termCol: String, k: Int,
           sinkPath: String, checkpoint: String,
@@ -63,47 +69,66 @@ object StreamingBm25Score {
                    sinkPath: String, checkpoint: String,
                    maxDf: Long = Long.MaxValue,
                    refuseSplitQueries: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
     val spark = stream.sparkSession
-    // ids already in the sink, read ONCE at stream start (column-pruned
-    // to query_id): a restarted stream keeps refusing ids it served in
-    // a prior run. Per-batch additions are tracked driver-side — a
-    // split query is a WITHIN-RUN hazard, caught without re-reading the
-    // sink. A batch that appended but crashed before its marker is the
-    // marker idiom's residual window; with the guard on, its replay now
-    // refuses LOUDLY (the ids are in the sink) instead of duplicating.
-    val seen = scala.collection.mutable.HashSet.empty[Long]
+    // query id -> the batchId that FIRST scored it, seeded ONCE at
+    // stream start from the sink's per-batch directories (one
+    // column-pruned read; the owning batch parses out of the file
+    // path): a restarted stream keeps refusing ids served by OTHER
+    // batches in a prior run, while a replay of a crashed batch
+    // (same batchId) passes through and converges by overwriting its
+    // own directory. Per-batch additions are tracked driver-side — a
+    // split query is a within-run hazard, caught without re-reading
+    // the sink.
+    val seen = scala.collection.mutable.HashMap.empty[Long, Long]
     if (refuseSplitQueries) {
       val p = new org.apache.hadoop.fs.Path(sinkPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        spark.read.parquet(sinkPath).select(col("query_id")).distinct()
-          .collect().foreach(r => seen += r.getLong(0))
+      val hasBatches = fs.exists(p) && fs.listStatus(p)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+      if (hasBatches)
+        spark.read.parquet(s"$sinkPath/batch-*")
+          .select(col("query_id"),
+            regexp_extract(input_file_name(), "batch-(\\d+)/", 1)
+              .cast("long").as("__b"))
+          .distinct()
+          .collect()
+          .foreach { r =>
+            val id = r.getLong(0); val b = r.getLong(1)
+            if (!seen.get(id).exists(_ <= b)) seen(id) = b
+          }
     }
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // the guard lives INSIDE the marker fence: a replayed committed
-        // batch skips the body entirely and never false-refuses its own
-        // (already-served) ids
+        // the guard lives INSIDE the marker fence: a fully-committed
+        // replayed batch skips the body entirely
         IdempotentSink.oncePerBatch(batch.sparkSession,
             s"$sinkPath/_batches", batchId) {
           val scored = TextAnalysis.scoreWithBm25StateMulti(state,
             batch.toDF(), queryIdCol, termCol, k, maxDf)
+          val target = s"$sinkPath/batch-$batchId"
           if (refuseSplitQueries) {
             val ids = batch.toDF()
               .select(col(queryIdCol).cast("long")).distinct()
               .collect().map(_.getLong(0))
-            val dup = ids.filter(seen).sorted
+            // ids this batch itself first served are a CRASH REPLAY
+            // (wrote, crashed before the marker) — the overwrite below
+            // converges them; only ids first served by a DIFFERENT
+            // batch mean a query was split across micro-batches
+            val dup = ids.filter(id => seen.get(id).exists(_ != batchId)).sorted
             if (dup.nonEmpty) throw new IllegalStateException(
               s"StreamingBm25Score: batch $batchId presents query id(s) " +
-                s"${dup.take(8).mkString(", ")} already scored by this " +
-                "sink — a query split across micro-batches would be " +
-                "scored once per fragment; stage whole queries per " +
-                "file/message (or pass refuseSplitQueries = false to " +
-                "accept per-fragment scoring)")
-            scored.write.mode("append").parquet(sinkPath)
-            seen ++= ids
-          } else scored.write.mode("append").parquet(sinkPath)
+                s"${dup.take(8).mkString(", ")} first scored by batch(es) " +
+                s"${dup.take(8).flatMap(seen.get).distinct.mkString(", ")} " +
+                "of this sink — a query split across micro-batches would " +
+                "be scored once per fragment. (A batch replaying after a " +
+                "crash is NOT this case: it re-presents its own ids and " +
+                "converges by overwriting its own batch directory.) Stage " +
+                "whole queries per file/message, or pass " +
+                "refuseSplitQueries = false to accept per-fragment scoring")
+            scored.write.mode("overwrite").parquet(target)
+            ids.foreach(id => if (!seen.contains(id)) seen(id) = batchId)
+          } else scored.write.mode("overwrite").parquet(target)
         }
         ()
       }

@@ -53,7 +53,7 @@ class StreamingBm25ScoreSpec extends SparkSpec {
     StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
       "query_id", "term", k = 10,
       sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
-    assert(spark.read.parquet(s"$base/out").count() > 0)
+    assert(spark.read.parquet(s"$base/out/batch-*").count() > 0)
     // the stream RESUMES (same checkpoint — the IdempotentSink
     // contract: checkpoint and sink live and die together) after the
     // serving tier wrongly re-emits query 0: the new micro-batch has a
@@ -66,8 +66,48 @@ class StreamingBm25ScoreSpec extends SparkSpec {
         "query_id", "term", k = 10,
         sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
     }
-    assert(e.getCause.getMessage.contains("already scored"),
+    assert(e.getCause.getMessage.contains("first scored by batch"),
       e.getCause.getMessage)
+  }
+
+  test("crash replay converges: a batch that wrote but lost its marker re-runs, overwrites its own directory, and the guard does not refuse it") {
+    val idx = tmp("idx4")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val base = tmp("replay")
+    Seq((0L, "spark"), (0L, "window")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    Seq((1L, "hash"), (1L, "join")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+      "query_id", "term", k = 5,
+      sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    val want = spark.read.parquet(s"$base/out/batch-*")
+      .collect().map(_.toSeq).toSet
+    // CRASH SNAPSHOT: a batch appended its output but died before its
+    // marker AND before the checkpoint commit — previously the guard
+    // re-read its own ids from the sink on restart and refused forever
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/out/_batches"))
+      .map(_.getPath).sortBy(_.getName)
+    val lastBatch = markers.last.getName.toLong
+    fs.delete(markers.last, false)
+    val ckpt = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$base/ckpt/commits")).map(_.getPath)
+      .filter(_.getName == lastBatch.toString)
+    ckpt.foreach(p => fs.delete(p, false))
+    // restart with the same checkpoint: the source replays the batch
+    // (same batchId, same rows), the write overwrites batch-<id>, the
+    // marker commits — the sink equals the clean run exactly
+    StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+      "query_id", "term", k = 5,
+      sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out/batch-*")
+      .collect().map(_.toSeq).toSet == want)
+    // each query id held exactly once per rank — no duplication
+    assert(spark.read.parquet(s"$base/out/batch-*")
+      .filter($"rank" === 1).count() == 2)
   }
 
   test("whole-query staging == batch multi-query; opt-out accepts fragments (documented risk)") {
@@ -85,7 +125,7 @@ class StreamingBm25ScoreSpec extends SparkSpec {
     StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
       "query_id", "term", k = 5,
       sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
-    assert(spark.read.parquet(s"$base/out")
+    assert(spark.read.parquet(s"$base/out/batch-*")
       .collect().map(_.toSeq).toSet == expected)
 
     // opt-out: the split stages complete (each fragment scored) — the
@@ -100,7 +140,7 @@ class StreamingBm25ScoreSpec extends SparkSpec {
       sinkPath = s"$base2/out", checkpoint = s"$base2/ckpt",
       refuseSplitQueries = false)
     // two fragments -> two result sets for query 7
-    assert(spark.read.parquet(s"$base2/out")
+    assert(spark.read.parquet(s"$base2/out/batch-*")
       .filter($"rank" === 1).count() == 2)
   }
 }
