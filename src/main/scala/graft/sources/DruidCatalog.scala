@@ -40,6 +40,7 @@ class DruidCatalog extends TableCatalog {
   private var catalogName: String = _
   private var root: String = _
   private var listingTtlNanos: Long = _
+  private var dropEnabled: Boolean = _
 
   /** (expiry deadline, listing) — the discovery cache. A SHOW TABLES
     * loop or a multi-table query resolves several names back-to-back;
@@ -64,6 +65,7 @@ class DruidCatalog extends TableCatalog {
     // order of magnitude
     listingTtlNanos = Option(options.get("listingTtlMs"))
       .map(_.toLong).getOrElse(30000L) * 1000000L
+    dropEnabled = Option(options.get("dropEnabled")).exists(_.toBoolean)
     // register for write-side invalidation: a same-session segment
     // publish through the writer path drops this catalog's listing
     // (DruidCatalog.invalidateRoot) so read-after-write via the
@@ -160,12 +162,18 @@ class DruidCatalog extends TableCatalog {
     * over the time chunks it touches, which OVERSHADOWS those chunks'
     * previous rows (Druid versions are immutable — "append into a
     * version" is the streaming ingestion shape, option
-    * `appendShards`). A datasource EXISTS once its first segment
-    * publishes (discovery-based catalog): a bare CREATE TABLE with no
-    * data is accepted but stays invisible to listings until a write
-    * lands — CTAS is the natural form. Partition transforms are
-    * refused: Druid partitions by __time chunks internally
-    * (`segmentGranularity`), not by Spark DDL. */
+    * `appendShards`). Overshadow-on-an-EXISTING datasource is the
+    * INSERT INTO form only: plain CTAS on an existing datasource fails
+    * Spark's own tableExists pre-check with TableAlreadyExistsException
+    * (existence here is discovery-based), so "replace these chunks" is
+    * `INSERT INTO`, never a repeated CREATE. A datasource EXISTS once
+    * its first segment publishes: a bare CREATE TABLE with no data is
+    * accepted but stays invisible to listings until a write lands —
+    * CTAS is the natural form (and a FAILED CTAS rolls back cleanly:
+    * Spark drops the half-created table, which [[dropTable]] reports
+    * as a no-op for a never-published datasource). Partition
+    * transforms are refused: Druid partitions by __time chunks
+    * internally (`segmentGranularity`), not by Spark DDL. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -188,7 +196,37 @@ class DruidCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** DROP TABLE = the KILL lifecycle, opt-in: with
+    * `spark.sql.catalog.<name>.dropEnabled = true`, dropping a
+    * datasource kills EVERY version (visible generations included —
+    * [[DruidDeepStorage.kill]]) and removes its tree; listings forget
+    * it immediately and a re-CTAS plans fresh. Without the opt-in the
+    * statement refuses loudly, naming both remedies — destructive DDL
+    * stays a deliberate choice, not a default.
+    *
+    * A datasource with NO discovered segments returns false ("no such
+    * table") in both modes: that is what Spark's non-atomic CTAS
+    * rollback calls after a failed CTAS write, and a discovery-based
+    * datasource that never published has nothing to clean — the
+    * original write failure surfaces clean instead of dragging an
+    * UnsupportedOperationException in as suppressed noise. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace().nonEmpty) return false
+    val ds = ident.name()
+    if (!safeDiscover().exists(_.dataSource == ds)) false
+    else if (!dropEnabled)
+      throw new UnsupportedOperationException(
+        s"DruidCatalog: DROP TABLE is disabled — Druid segments are " +
+          "immutable and datasource removal is the kill lifecycle. Reclaim " +
+          "overshadowed generations with DruidDeepStorage.vacuum, or opt " +
+          s"into full drops with spark.sql.catalog.$catalogName.dropEnabled" +
+          " = true (drop kills EVERY version of the datasource)")
+    else {
+      DruidDeepStorage.kill(SparkSession.active, root, ds)
+      DruidCatalog.invalidateRoot(root)
+      true
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

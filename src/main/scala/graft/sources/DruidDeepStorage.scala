@@ -91,6 +91,30 @@ object DruidDeepStorage {
     dead.map(_.path)
   }
 
+  /** KILL a whole datasource: delete EVERY discovered segment of it —
+    * visible generations included (vs [[vacuum]], which reclaims only
+    * overshadowed ones) — plus the writer-layout `<root>/<dataSource>`
+    * tree. The descriptor goes first per segment, so a crash mid-kill
+    * leaves partially-deleted segments invisible to discovery (a
+    * retried kill converges; a reader never resolves a half-deleted
+    * segment). This is the backend of `DROP TABLE` on a
+    * [[DruidCatalog]] with `dropEnabled = true`. Returns the killed
+    * segment paths. */
+  def kill(spark: SparkSession, root: String, dataSource: String): Seq[String] = {
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = discover(spark, root).filter(_.dataSource == dataSource)
+    segs.foreach { s =>
+      fs.delete(new HPath(s.path, "descriptor.json"), false)
+      fs.delete(new HPath(s.path), true)
+    }
+    // the writer always lays segments under <root>/<dataSource>/ —
+    // remove the now-empty tree (fixture segments elsewhere under the
+    // root were already removed individually above)
+    if (!dataSource.contains("/") && !dataSource.contains(".."))
+      fs.delete(new HPath(s"$root/$dataSource"), true)
+    segs.map(_.path)
+  }
+
   /** The reference's DatasourceIngestionSpec surface with deep-storage
     * discovery: scan (dataSource, interval) with optional projection
     * and Druid DimFilter JSON, reading only the timeline-visible

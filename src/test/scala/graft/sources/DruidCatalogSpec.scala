@@ -177,6 +177,65 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DROP TABLE: refused by default; with dropEnabled=true it kills every version and a re-CTAS plans fresh; failed CTAS rolls back clean") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = Files.createTempDirectory("druidcat7").toFile
+    val day = 24 * 3600 * 1000L
+    spark.conf.set("spark.sql.catalog.druidk", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidk.root", root.getAbsolutePath)
+    spark.conf.set("spark.sql.catalog.druidk.dropEnabled", "true")
+    try {
+      val cat = spark.sessionState.catalogManager.catalog("druidk")
+        .asInstanceOf[DruidCatalog]
+      // dropping a never-published datasource: false (no such table),
+      // not an exception — Spark's CTAS-rollback contract
+      assert(!cat.dropTable(Identifier.of(Array.empty, "never_published")))
+      // a FAILED CTAS write surfaces its own error (rollback calls
+      // dropTable, which no-ops) and leaves nothing behind
+      val e = intercept[Exception] {
+        spark.sql(s"""CREATE TABLE druidk.evbad AS
+          |SELECT CAST(${day * 10 + 1} AS LONG) AS __time,
+          |  raise_error('boom') AS host, CAST(1 AS LONG) AS hits""".stripMargin)
+      }
+      assert(!e.isInstanceOf[UnsupportedOperationException])
+      assert(!cat.tableExists(Identifier.of(Array.empty, "evbad")))
+      // CTAS -> DROP -> listings empty -> re-CTAS plans fresh
+      spark.sql(
+        s"""CREATE TABLE druidk.ev3 TBLPROPERTIES('segmentGranularity'='DAY')
+           |AS SELECT CAST(${day * 10 + 1} AS LONG) AS __time,
+           |  'a' AS host, CAST(5 AS LONG) AS hits""".stripMargin)
+      spark.sql(s"""INSERT INTO druidk.ev3
+        |SELECT CAST(${day * 11 + 1} AS LONG) AS __time,
+        |  'b' AS host, CAST(7 AS LONG) AS hits""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM druidk.ev3").collect()(0).getLong(0) == 2L)
+      spark.sql("DROP TABLE druidk.ev3")
+      assert(cat.listTables(Array.empty).isEmpty)
+      assert(!new File(root, "ev3").exists(),
+        "drop must remove the datasource tree (kill, not hide)")
+      // re-CTAS: a fresh generation, no resurrected rows
+      spark.sql(
+        s"""CREATE TABLE druidk.ev3 TBLPROPERTIES('segmentGranularity'='DAY')
+           |AS SELECT CAST(${day * 12 + 1} AS LONG) AS __time,
+           |  'z' AS host, CAST(1 AS LONG) AS hits""".stripMargin)
+      assert(spark.sql("SELECT host FROM druidk.ev3").collect()
+        .map(_.getString(0)).toSeq == Seq("z"))
+      // a catalog WITHOUT the opt-in still refuses on the same root
+      spark.conf.set("spark.sql.catalog.druidk2", classOf[DruidCatalog].getName)
+      spark.conf.set("spark.sql.catalog.druidk2.root", root.getAbsolutePath)
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE druidk2.ev3")
+      }
+      assert(e2.getMessage.contains("dropEnabled"), e2.getMessage)
+      spark.conf.unset("spark.sql.catalog.druidk2")
+      spark.conf.unset("spark.sql.catalog.druidk2.root")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidk")
+      spark.conf.unset("spark.sql.catalog.druidk.root")
+      spark.conf.unset("spark.sql.catalog.druidk.dropEnabled")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("missing deep-storage root: catalog contract, not FileNotFoundException") {
     val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
     spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)
