@@ -91,12 +91,21 @@ object Quantization {
     * Measured on the fixture corpus (tools/PqRecall, 50-query recall):
     * subspace distortion drops 25% (0.75 → 0.56 mean squared
     * reconstruction error, monotone per round) and raw PQ@10 recall
-    * edges up (0.264 → 0.282) — honest numbers: the synthetic
-    * embeddings are near-uniform, so there is little cluster structure
-    * for k-means to exploit; on real embedding corpora (which cluster
-    * hard) the distortion gain is what buys recall. The spec pins the
-    * robust invariants — distortion strictly improves, recall never
-    * falls below the lowest-id baseline beyond noise.
+    * edges up (0.264 → 0.282) — the synthetic embeddings are
+    * near-uniform, so there is little cluster structure to exploit.
+    * On a CLUSTERED fixture (seeded 64-Gaussian mixture, PqSpec) the
+    * refinement's real value shows where it theoretically lives —
+    * RECONSTRUCTION FIDELITY: distortion −42% and mean per-pair
+    * |ADC − exact-cosine| score error −23% (both spec-pinned), i.e.
+    * served proxy SCORES get materially closer to the truth. Raw
+    * top-k RECALL at fixed (m, ks) is NOT the metric this buys, on
+    * any fixture we measured: a centroid-true codebook collapses
+    * near-duplicate vectors to equal codes, ADC ties, and the id
+    * tiebreak decides — recall moves within noise (sometimes down).
+    * The recall lever remains the two-stage re-rank
+    * ([[Similarity.rerankCandidates]]), whose quality the refinement
+    * preserves (spec-pinned ≥ baseline − noise at 0.998 on the
+    * clustered fixture).
     *
     * Scale shape: each round is ONE corpus pass — the assignment is
     * the fused [[graft.functions.Pq.encodeCodes]] projection (all m
