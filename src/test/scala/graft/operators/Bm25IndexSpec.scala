@@ -161,7 +161,7 @@ class Bm25IndexSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$run/stage")
     graft.streaming.StreamingBm25Score.runWithState(state, src,
       "query_id", "term", k = 10, s"$run/out", s"$run/ckpt")
-    assert(rowsM(spark.read.parquet(s"$run/out")) == expected)
+    assert(rowsM(spark.read.parquet(s"$run/out/batch-*")) == expected)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(run))
   }
