@@ -316,6 +316,17 @@ object IndexMaintenance {
       val tRel = snap.nextGenRel("tombstones")
       newTomb.coalesce(8).write.mode("overwrite").parquet(s"$path/$tRel")
       IndexLayout.commit(spark, snap, Map("tombstones" -> tRel))
+      // tombstones ride every probe as a broadcast anti-join — cheap
+      // while small, but unbounded growth between compactions turns
+      // into real probe-side work (and eventually a broadcast limit).
+      // Warn loudly past 10% dead so operations schedules the
+      // materializing compaction before probes feel it.
+      val total = index.count()
+      if (total > 0 && nNew * 10 >= total)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"deleteFromIvfIndex($path): $nNew of $total stored vectors are " +
+            "now tombstoned (>10%) — every probe anti-joins that set; run " +
+            "IndexMaintenance.compactIvfIndex to materialize the deletes")
     }
   }
 
