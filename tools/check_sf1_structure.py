@@ -92,6 +92,7 @@ def main(sf1, sf01):
         ("q_ngram_jaccard", ["a_id", "b_id"], ["a_id", "b_id"]),
         ("q_dedup_cross", ["corpus_id", "ref_id"], ["corpus_id", "ref_id"]),
         ("q_dedup_index", ["corpus_id", "ref_id"], ["corpus_id", "ref_id"]),
+        ("q_dedup_index_append", ["corpus_id", "ref_id"], ["corpus_id", "ref_id"]),
         ("q_dedup_exact", ["doc_id"], ["doc_id"]),
         ("q_dedup_clusters", ["doc_id", "cluster_id"], ["doc_id", "cluster_id"]),
     ]:
