@@ -320,7 +320,10 @@ object Dedup {
     * ([[graft.functions.ShingleHashes]], hashed exactly as the
     * signatures hash them), 8 bytes per distinct shingle instead of
     * the shingle text; `$path/meta` pins the banding parameters so a
-    * probe can never silently run with mismatched banding. */
+    * probe can never silently run with mismatched banding. Appends
+    * ([[appendToMinhashIndex]]) accumulate flat (bucket, id) rows in a
+    * `bandrows` side component (absent at build) that probes union in
+    * and [[IndexMaintenance.compactMinhashIndex]] folds away. */
   def writeMinhashIndex(
       reference: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 64, bandRows: Int = 2,
@@ -348,61 +351,67 @@ object Dedup {
   }
 
   /** APPEND new reference documents to a persisted MinHash index —
-    * the last index family to get build-once/increment-forever parity
-    * with [[graft.operators.TextAnalysis.appendToBm25Index]] /
-    * [[graft.operators.Similarity.appendToIvfIndexSq8]]: a new crawl
-    * joining the reference set pays one shingle+band pass over the
-    * INCREMENT (its own size, under the meta-pinned banding
-    * parameters — never the stored corpus, which previously meant a
-    * full re-shingle rebuild) plus one bands-sized bucket merge.
+    * build-once/increment-forever parity with
+    * [[graft.operators.TextAnalysis.appendToBm25Index]] /
+    * [[graft.operators.Similarity.appendToIvfIndexSq8]], at true
+    * INCREMENT cost: the increment shingles+bands ONCE under the
+    * meta-pinned banding parameters (never the stored corpus), its
+    * shingle rows append additively into `shingles`, and its band rows
+    * land additively as FLAT (bucket, id) rows in the `bandrows` side
+    * component instead of rewriting the grouped `bands` table — the
+    * stored bands generation is never read or rewritten at append time
+    * (spec-pinned: same generation dir, same files after the append).
+    * Previously every crawl increment paid one FULL bands-table
+    * shuffle, O(index) per append where the other two families pay
+    * O(increment); with frequent small increments (the
+    * [[graft.streaming.StreamingIndexDedup]] cadence) that was the
+    * last index-sized per-append cost in the family.
     *
-    * Mechanics: the increment's shingle rows append additively into
-    * `shingles` (per-doc state is per-doc); `bands` is REWRITTEN as a
-    * new generation — each bucket's stored id list explodes, unions
-    * with the increment's band rows, dedups and regroups under the
-    * SAME build-time `maxBucketSize` cap — and publishes with one
-    * manifest flip ([[IndexLayout]]), so a probe planned mid-append
-    * sees old bands (the extra shingle rows are unreachable without a
-    * band entry — harmless), never a half-merged bucket.
+    * Probes union the pending rows in: [[probeMinhashIndexWith]]
+    * groups `bandrows` per bucket (an increment-sized group-by) and
+    * unions it with the stored buckets before the candidate join.
+    * [[IndexMaintenance.compactMinhashIndex]] folds pending rows back
+    * into one regrouped `bands` generation on the operator's cadence.
     *
     * Equivalence: probe(build(A) then append(B)) ≡ probe(build(A∪B))
-    * as a row set (spec-pinned), with the same honest caveat as
-    * [[IndexMaintenance.deleteFromMinhashIndex]] in the capped
-    * regime: a bucket the BUILD's skew cap dropped entirely cannot
-    * contribute its dropped ids back, so after an append such a
-    * bucket holds only post-build ids — candidates the union rebuild
-    * would have capped away too (the merged count ≥ the build count,
-    * so a bucket capped at build stays capped on the union) minus the
-    * pre-cap ids. Either way the verify stage's exact Jaccard keeps
-    * output pairs correct; the difference is recall-only, in exactly
-    * the degenerate-bucket regime the cap documents as dropped.
+    * as a row set (spec-pinned), with two honest cap caveats — both
+    * recall-only, both confined to the degenerate-bucket regime the
+    * build cap already documents as dropped: (1) a bucket the build's
+    * skew cap dropped entirely cannot contribute its dropped ids back;
+    * (2) until compaction the `maxBucketSize` cap applies PER
+    * COMPONENT (stored list and pending group each ≤ cap), so a bucket
+    * whose union exceeds the cap still contributes up to 2×cap
+    * candidate ids where a union rebuild would drop it — compaction
+    * regroups under the single cap. Either way the verify stage's
+    * exact Jaccard keeps every emitted pair correct.
     *
     * Doc ids already present in the index REFUSE (one bounded
     * semi-join against the stored shingles): an overlapping id would
     * double its shingle rows and band entries. Re-ingesting a changed
     * reference doc is [[IndexMaintenance.deleteFromMinhashIndex]]
     * followed by an append (≡ rebuild on the modified reference,
-    * spec-pinned). Crash window: shingles land before the bands flip,
-    * so a crash in between leaves orphan shingle rows (unreachable,
-    * and a retry refuses on the overlap) — automated ingest should
-    * call [[appendToMinhashIndexGuarded]], which converges. */
+    * spec-pinned). Crash window: shingles land before band rows, so a
+    * crash in between leaves orphan shingle rows (unreachable without
+    * a band entry, and a retry refuses on the overlap) — automated
+    * ingest calls [[appendToMinhashIndexGuarded]], which converges
+    * from any crash point. The closing manifest bump is the
+    * lost-lease fence ([[IndexLayout.withIndexLock]]). */
   def appendToMinhashIndex(newDocs: DataFrame, idCol: String,
                            textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     IndexLayout.withIndexLock(spark, path, "append-minhash") {
       val snap = IndexLayout.snapshot(spark, path)
       appendToMinhashIndexBody(spark, snap, newDocs, idCol, textCol,
-        stageShingles = None)
+        stageDir = None)
     }
   }
 
   /** [[appendToMinhashIndex]] under the marker-fenced
     * [[IndexMaintenance.runGuardedAppend]] protocol: the increment's
-    * shingle files stage and MOVE with atomic deterministic renames,
-    * and the bands merge runs in finalize — recomputed from the live
-    * bands plus the increment's band rows with a dedup before the
-    * regroup, so a retry that finds the increment already merged
-    * converges to the same buckets instead of double-counting.
+    * shingle AND band-row files stage together and MOVE with atomic
+    * deterministic renames — both components are additive, so a retry
+    * from any crash point moves only the files still staged and
+    * converges to exactly-once (no merge step exists to diverge).
     * Returns true iff this call performed (or completed) the append. */
   def appendToMinhashIndexGuarded(newDocs: DataFrame, idCol: String,
                                   textCol: String, path: String,
@@ -411,23 +420,26 @@ object Dedup {
     IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
       val snap = IndexLayout.snapshot(spark, path)
       appendToMinhashIndexBody(spark, snap, newDocs, idCol, textCol,
-        stageShingles = Some(s"$stageDir/shingles"))
+        stageDir = Some(stageDir))
     } { () =>
       val snap = IndexLayout.snapshot(spark, path)
-      mergeMinhashBands(spark, snap, newDocs, idCol, textCol)
+      for (c <- Seq("shingles", "bandrows"))
+        spark.catalog.refreshByPath(snap.dir(c))
     }
   }
 
-  /** Shared append body: validations + shingle write; the unguarded
-    * form also merges bands inline (the guarded form defers the merge
-    * to its idempotent finalize). */
+  /** Shared append body: validations + the two additive component
+    * writes (direct for the unguarded form, into the staging dir for
+    * the guarded one). Never touches the stored `bands` generation. */
   private def appendToMinhashIndexBody(
       spark: org.apache.spark.sql.SparkSession,
       snap: IndexLayout.Snapshot, newDocs: DataFrame,
       idCol: String, textCol: String,
-      stageShingles: Option[String]): Unit = {
+      stageDir: Option[String]): Unit = {
     val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
     val shingleN = meta.getAs[Int]("shingleN")
+    val numHashes = meta.getAs[Int]("numHashes")
+    val bandRows = meta.getAs[Int]("bandRows")
     val inc = newDocs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"))
     val overlap = spark.read.parquet(snap.dir("shingles"))
@@ -442,49 +454,22 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"),
         TextFunctions.shingleHashes(col("__text"), shingleN).as("sh"))
-    stageShingles match {
-      case Some(stage) => incShingles.write.parquet(stage)
+    val incBandRows = inc
+      .select(col("id"),
+        explode(TextFunctions.minhashBands(
+          col("__text"), shingleN, numHashes, bandRows)).as("bucket"))
+      .select(col("bucket"), col("id"))
+    stageDir match {
+      case Some(stage) =>
+        incShingles.write.parquet(s"$stage/shingles")
+        incBandRows.write.parquet(s"$stage/bandrows")
       case None =>
         incShingles.write.mode("append").parquet(snap.dir("shingles"))
+        incBandRows.write.mode("append").parquet(snap.dir("bandrows"))
+        IndexLayout.commit(spark, snap, Map.empty) // lost-lease fence
         spark.catalog.refreshByPath(snap.dir("shingles"))
-        mergeMinhashBands(spark, snap, newDocs, idCol, textCol)
+        spark.catalog.refreshByPath(snap.dir("bandrows"))
     }
-  }
-
-  /** Merge the increment's band rows into the stored buckets and
-    * publish as a new `bands` generation: explode stored lists ∪ the
-    * increment's (id, bucket) rows, DEDUP (makes a crashed-and-retried
-    * merge converge — re-merging an already-merged increment is a
-    * no-op), regroup under the build-time cap. One bands-sized
-    * shuffle; the stored corpus never re-shingles. */
-  private def mergeMinhashBands(
-      spark: org.apache.spark.sql.SparkSession,
-      snap0: IndexLayout.Snapshot, newDocs: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    // re-snapshot: the guarded retry path may run after other
-    // committed maintenance re-pointed components
-    val snap = IndexLayout.snapshot(spark, snap0.path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
-    val shingleN = meta.getAs[Int]("shingleN")
-    val numHashes = meta.getAs[Int]("numHashes")
-    val bandRows = meta.getAs[Int]("bandRows")
-    val cap = meta.getAs[Int]("maxBucketSize")
-    val incBand = newDocs
-      .select(col(idCol).cast("long").as("id"),
-        explode(TextFunctions.minhashBands(
-          col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
-      .select(col("bucket"), col("id"))
-    val bRel = snap.nextGenRel("bands")
-    spark.read.parquet(snap.dir("bands"))
-      .select(col("bucket"), explode(col("ids")).as("id"))
-      .union(incBand)
-      .distinct()
-      .groupBy(col("bucket"))
-      .agg(graft.functions.BoundedCollect
-        .bounded_long_list(col("id"), cap).as("ids"))
-      .filter(col("ids").isNotNull)
-      .write.mode("overwrite").parquet(s"${snap.path}/$bRel")
-    IndexLayout.commit(spark, snap, Map("bands" -> bRel))
   }
 
   /** Probe a persisted MinHash index: near-dup pairs between a NEW
@@ -521,21 +506,32 @@ object Dedup {
     * triggers). */
   case class MinhashIndexState(
       shingleN: Int, numHashes: Int, bandRows: Int, maxBucketSize: Int,
-      bands: DataFrame, shingles: DataFrame)
+      bands: DataFrame, shingles: DataFrame,
+      pendingBandRows: Option[DataFrame] = None)
 
   /** Read the index meta + construct the band/shingle readers, once —
-    * all three components resolved from ONE [[IndexLayout]] snapshot,
-    * so a concurrent maintenance flip can never hand a probe mixed
-    * generations. */
+    * every component resolved from ONE [[IndexLayout]] snapshot, so a
+    * concurrent maintenance flip can never hand a probe mixed
+    * generations. `pendingBandRows` is the flat (bucket, id) side
+    * component appends accumulate ([[appendToMinhashIndex]]) until the
+    * next [[IndexMaintenance.compactMinhashIndex]] folds it away;
+    * absent (and the probe plan unchanged vs build) when no appends
+    * are pending. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndexState = {
     val snap = IndexLayout.snapshot(spark, path)
     val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val brDir = snap.dir("bandrows")
+    val pending =
+      if (IndexMaintenance.dataFiles(spark, brDir).nonEmpty)
+        Some(spark.read.parquet(brDir))
+      else None
     MinhashIndexState(
       meta.getAs[Int]("shingleN"), meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bandRows"), meta.getAs[Int]("maxBucketSize"),
       spark.read.parquet(snap.dir("bands")),
-      spark.read.parquet(snap.dir("shingles")))
+      spark.read.parquet(snap.dir("shingles")),
+      pending)
   }
 
   /** [[probeMinhashIndex]] with the index state already loaded — the
@@ -559,7 +555,18 @@ object Dedup {
     val pg = if (probeSmall) broadcast(probeGrouped)
              else probeGrouped.hint("merge")
 
-    val bandsIdx = st.bands
+    // stored buckets ∪ the pending append rows grouped under the same
+    // cap (increment-sized — bounded by rows appended since the last
+    // compaction; a bucket present in both components joins the probe
+    // twice and the pair-level dropDuplicates below unifies them)
+    val bandsIdx = st.pendingBandRows match {
+      case None => st.bands
+      case Some(pending) => st.bands.unionByName(pending
+        .groupBy("bucket")
+        .agg(graft.functions.BoundedCollect
+          .bounded_long_list(col("id"), maxBucketSize).as("ids"))
+        .filter(col("ids").isNotNull))
+    }
     val candidates = Materialize(pg
       .join(bandsIdx.withColumnRenamed("ids", "b_ids"), "bucket")
       .select(explode(expr(

@@ -67,9 +67,15 @@ object IndexLayout {
     /** True iff the manifest names this component explicitly — used
       * for components that only exist via maintenance (tombstones). */
     def names(component: String): Boolean = mapping.contains(component)
-    /** Relative dir for the NEXT generation of `component`. */
+    /** Relative dir for the NEXT generation of `component`. The name
+      * carries a per-call random token so two mutations racing from
+      * the SAME snapshot (possible only past a lost lease) stage into
+      * DISJOINT directories: the commit version-collision check makes
+      * exactly one win, and the winner's manifest names bytes only it
+      * wrote — the loser's dirs are orphans [[vacuumIndex]] reclaims
+      * (prefix-matched on `<component>_g`). */
     def nextGenRel(component: String): String =
-      f"${component}_g${version + 1}%05d"
+      f"${component}_g${version + 1}%05d-${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
   private def hfs(spark: SparkSession, p: String): (FileSystem, Path) = {
@@ -205,32 +211,80 @@ object IndexLayout {
     * mutation — the caller must wait, or a crashed holder must be
     * cleared with [[breakIndexLock]]); a held lock with the SAME owner
     * is this job's own crashed predecessor and is reclaimed (the
-    * guarded-append retry path). Reentrant within a thread. */
+    * guarded-append retry path). Reentrant within a thread.
+    *
+    * Acquisition is create-RENAME, not exclusive-create: exclusive
+    * create is exists-then-create (check-then-act) on
+    * RawLocalFileSystem and object stores, so two racers could both
+    * "win" it. Here each acquirer writes a uniquely-named tmp file
+    * carrying a per-attempt NONCE, renames it onto `_lock`, and
+    * RE-READS the lock to confirm its own nonce survived — on
+    * filesystems whose rename refuses an existing destination (HDFS)
+    * exactly one rename succeeds; on clobbering-rename filesystems the
+    * re-read demotes a lost race to a refusal. The same-owner reclaim
+    * re-races this acquisition (never a blind delete + create), so two
+    * concurrent retries of one appendId cannot both reclaim. The
+    * residual window (clobber lands after the winner's re-read) is
+    * closed by the manifest fence: every mutation — including appends,
+    * which bump the manifest version even when no component re-points
+    * — ends in a [[commit]] whose version-collision check turns any
+    * surviving interleave into a loud refusal, never silent loss. */
   def withIndexLock[T](spark: SparkSession, path: String, op: String,
                        owner: String = java.util.UUID.randomUUID().toString)(
                        body: => T): T = {
     val (fs, lock) = hfs(spark, s"$path/$LockFile")
     if (held.get().contains(path)) return body // reentrant
-    val payload = s"op=$op\nowner=$owner\nacquiredMs=${System.currentTimeMillis}\n"
-    def tryCreate(): Boolean =
+    def readLock(): String =
       try {
-        val out = fs.create(lock, false)
-        try out.write(payload.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      val existing =
-        try {
-          val in = fs.open(lock)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        } catch { case _: java.io.IOException => "" }
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    def tryAcquire(): Boolean = {
+      val nonce = java.util.UUID.randomUUID().toString
+      val payload = s"op=$op\nowner=$owner\nnonce=$nonce\n" +
+        s"acquiredMs=${System.currentTimeMillis}\n"
+      val tmp = new Path(new Path(path), s".lock-tmp-$nonce")
+      val out = fs.create(tmp, true)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+      val renamed =
+        try !fs.exists(lock) && fs.rename(tmp, lock)
+        catch { case _: java.io.IOException => false }
+      if (!renamed) { fs.delete(tmp, false); false }
+      // confirm ownership: only the acquirer whose nonce is IN the
+      // lock file holds the lease (a clobbering rename that landed
+      // before this read demotes us to a loser)
+      else readLock().linesIterator.contains(s"nonce=$nonce")
+    }
+    if (!tryAcquire()) {
+      val existing = readLock()
       val sameOwner = existing.linesIterator
         .exists(_ == s"owner=$owner")
       if (sameOwner) {
-        // our own crashed predecessor (same logical job) — reclaim
+        // same owner token: either our own CRASHED predecessor (the
+        // guarded-append retry path — reclaim) or a LIVE holder of the
+        // same logical job (two concurrent retries of one appendId —
+        // a caller-contract violation). A live holder in THIS JVM is
+        // detectable exactly — refuse instead of yanking its lease;
+        // cross-process liveness is the operator's call, and any
+        // damage a cross-process double-reclaim could do is caught by
+        // the manifest fence. The reclaim itself RE-RACES the
+        // acquisition (never blind delete-then-assume), so of two
+        // retries reclaiming concurrently only the surviving nonce
+        // proceeds.
+        if (livePids.containsKey(path))
+          throw new IllegalStateException(
+            s"index at $path is write-locked by a LIVE operation of the " +
+              s"same owner '$owner' in this process — two concurrent " +
+              "retries of one logical increment; one appendId names one " +
+              "increment and retries must not overlap")
         fs.delete(lock, false)
-        require(tryCreate(), s"could not reclaim own lease at $path")
+        if (!tryAcquire())
+          throw new IllegalStateException(
+            s"index at $path: lost the lease-reclaim race for owner " +
+              s"'$owner' — another retry of the same operation (or a new " +
+              "mutation) acquired first; rerun once it finishes (mutations " +
+              "here converge on retry)")
       } else
         throw new IllegalStateException(
           s"index at $path is write-locked by another operation " +
@@ -240,9 +294,11 @@ object IndexLayout {
             "and rerun; every mutation here converges on retry.")
     }
     held.set(held.get() + path)
+    livePids.put(path, owner)
     try body
     finally {
       held.set(held.get() - path)
+      livePids.remove(path)
       fs.delete(lock, false)
     }
   }
@@ -250,6 +306,12 @@ object IndexLayout {
   private val held = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
   }
+
+  /** Leases held LIVE by this JVM (path → owner) — lets the
+    * same-owner reclaim distinguish a crashed predecessor from a
+    * concurrently-running retry in the same process. */
+  private val livePids =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Clear a crashed mutation's lease. Only call after confirming the
     * holder is dead — breaking a LIVE holder's lease re-opens the

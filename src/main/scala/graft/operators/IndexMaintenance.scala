@@ -164,31 +164,110 @@ object IndexMaintenance {
 
   /** COMPACT a persisted MinHash index ([[Dedup.writeMinhashIndex]]
     * layout): fold the files [[Dedup.appendToMinhashIndex]]
-    * accumulated — `shingles` re-clustered on id, `bands` re-grouped —
-    * copying rows verbatim; meta (the banding pins) untouched, so
-    * probes are row-identical before and after (spec-pinned). One
-    * shingles-sized + one bands-sized shuffle; nothing re-shingles. */
+    * accumulated — `shingles` re-clustered on id, and any PENDING
+    * `bandrows` (the flat per-append side rows) folded into `bands` by
+    * one explode ∪ rows → dedup → regroup under the build-time cap
+    * (restoring the single-cap bucket semantics the per-component
+    * probe union approximates between compactions). With no pending
+    * rows `bands` is copied verbatim and probes are row-identical
+    * before and after (spec-pinned); with pending rows probes equal a
+    * rebuild-on-union's (same spec, modulo the documented
+    * degenerate-bucket cap caveats). Meta (the banding pins) is
+    * untouched. One shingles-sized + one bands-sized shuffle; nothing
+    * re-shingles. */
   def compactMinhashIndex(spark: SparkSession, path: String): CompactStats =
     IndexLayout.withIndexLock(spark, path, "compact-minhash") {
       val snap = IndexLayout.snapshot(spark, path)
+      val pendingFiles = dataFileCount(spark, snap.dir("bandrows"))
       val before = dataFileCount(spark, snap.dir("shingles")) +
-        dataFileCount(spark, snap.dir("bands"))
+        dataFileCount(spark, snap.dir("bands")) + pendingFiles
       require(before > 0, s"compactMinhashIndex: no index data under $path")
       val sRel = snap.nextGenRel("shingles")
       val bRel = snap.nextGenRel("bands")
       spark.read.parquet(snap.dir("shingles"))
         .repartition(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/$sRel")
-      spark.read.parquet(snap.dir("bands"))
-        .repartition(col("bucket")).sortWithinPartitions("bucket")
-        .write.mode("overwrite").parquet(s"$path/$bRel")
-      IndexLayout.commit(spark, snap, Map("shingles" -> sRel, "bands" -> bRel))
+      val updates = scala.collection.mutable.Map(
+        "shingles" -> sRel, "bands" -> bRel)
+      if (pendingFiles == 0)
+        spark.read.parquet(snap.dir("bands"))
+          .repartition(col("bucket")).sortWithinPartitions("bucket")
+          .write.mode("overwrite").parquet(s"$path/$bRel")
+      else {
+        val cap = spark.read.parquet(snap.dir("meta")).collect()(0)
+          .getAs[Int]("maxBucketSize")
+        spark.read.parquet(snap.dir("bands"))
+          .select(col("bucket"), explode(col("ids")).as("id"))
+          .union(spark.read.parquet(snap.dir("bandrows"))
+            .select(col("bucket"), col("id")))
+          .distinct()
+          .groupBy(col("bucket"))
+          .agg(graft.functions.BoundedCollect
+            .bounded_long_list(col("id"), cap).as("ids"))
+          .filter(col("ids").isNotNull)
+          .repartition(col("bucket")).sortWithinPartitions("bucket")
+          .write.mode("overwrite").parquet(s"$path/$bRel")
+        // re-point bandrows at a fresh (empty, not-yet-created) name:
+        // readers resolve zero pending rows, the folded dir becomes
+        // vacuum-able, and the next append creates the new dir
+        updates += "bandrows" -> snap.nextGenRel("bandrows")
+      }
+      IndexLayout.commit(spark, snap, updates.toMap)
       val after = dataFileCount(spark, s"$path/$sRel") +
         dataFileCount(spark, s"$path/$bRel")
       org.apache.log4j.Logger.getLogger(getClass)
         .info(s"compactMinhashIndex($path): $before files -> $after")
       CompactStats(before, after)
     }
+
+  /** When [[maintainIvfIndex]] compacts: at or past EITHER threshold.
+    * `maxTombstoneFraction` bounds the probe-side anti-join debt
+    * (tombstoned ids ÷ distinct stored ids — the delete path warns at
+    * 10%, so the default materializes exactly where the warning
+    * points); `maxFilesPerCell` bounds the small-file debt appends
+    * accumulate (a probe lists and opens every file of its pruned
+    * cells, so files-per-cell is the probe's open-cost multiplier). */
+  final case class IvfMaintenancePolicy(
+      maxTombstoneFraction: Double = 0.10,
+      maxFilesPerCell: Double = 4.0)
+
+  /** Self-tending IVF lifecycle entry — measure the index's
+    * maintenance debt and run [[compactIvfIndex]] exactly when
+    * `policy` says so, making delete→probe stacks self-scheduling
+    * instead of relying on an operator reading the >10%-tombstoned
+    * warning in a log. Call it on the ingest cadence (e.g. after each
+    * append/delete batch): below both thresholds it costs one small
+    * tombstone count + one column-pruned distinct-id pass + a file
+    * listing, and compacts nothing. Probes are bit-identical across
+    * the compaction ([[compactIvfIndex]]'s contract), so the policy
+    * can fire at any time without a correctness window.
+    * @return the compaction stats iff this call compacted */
+  def maintainIvfIndex(spark: SparkSession, path: String,
+                       policy: IvfMaintenancePolicy = IvfMaintenancePolicy())
+      : Option[CompactStats] = {
+    val snap = IndexLayout.snapshot(spark, path)
+    val cellsDir = snap.dir("cells")
+    val nFiles = dataFileCount(spark, cellsDir)
+    require(nFiles > 0, s"maintainIvfIndex: no index data under $cellsDir")
+    val (fs, cp) = hfs(spark, cellsDir)
+    val nCells = fs.listStatus(cp)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .max(1)
+    val tombFraction =
+      if (!snap.names("tombstones")) 0.0
+      else {
+        val nTomb = spark.read.parquet(snap.dir("tombstones")).count()
+        if (nTomb == 0L) 0.0
+        else {
+          val ids = spark.read.parquet(cellsDir)
+            .agg(countDistinct(col("n_id"))).collect()(0).getLong(0)
+          if (ids == 0L) 1.0 else nTomb.toDouble / ids
+        }
+      }
+    val due = tombFraction >= policy.maxTombstoneFraction ||
+      nFiles.toDouble / nCells >= policy.maxFilesPerCell
+    if (due) Some(compactIvfIndex(spark, path)) else None
+  }
 
   // ---- delete ----------------------------------------------------------
 
@@ -231,9 +310,12 @@ object IndexMaintenance {
     IndexLayout.withIndexLock(spark, path, "delete-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
       val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
-      val del = Materialize(ids.select(col(idCol).as("__doc")).distinct())
+      // sized on the REAL count: over-budget takedown sets shuffle
+      // instead of failing on the broadcast ceiling
+      val del = Similarity.sizedIdSide(
+        ids.select(col(idCol).as("__doc")).distinct())
       val hit = spark.read.parquet(snap.dir("dl"))
-        .join(broadcast(del), Seq("__doc"), "left_semi").count()
+        .join(del, Seq("__doc"), "left_semi").count()
       if (hit == 0) return // every id absent — takedown no-op
       val pRel = snap.nextGenRel("postings")
       val dRel = snap.nextGenRel("dl")
@@ -299,10 +381,14 @@ object IndexMaintenance {
     val spark = ids.sparkSession
     IndexLayout.withIndexLock(spark, path, "delete-ivf") {
       val snap = IndexLayout.snapshot(spark, path)
-      val del = ids.select(col(idCol).cast("long").as("n_id")).distinct()
+      // the delete set is sized on its REAL count: takedown-sized sets
+      // broadcast, a crawl-refresh-scale set takes the shuffle path
+      // (same results) instead of dying on the broadcast ceiling
+      val del = Similarity.sizedIdSide(
+        ids.select(col(idCol).cast("long").as("n_id")).distinct())
       val index = spark.read.parquet(snap.dir("cells"))
       val present = index.select(col("n_id"))
-        .join(broadcast(del), Seq("n_id"), "left_semi").distinct()
+        .join(del, Seq("n_id"), "left_semi").distinct()
       val existing =
         if (snap.names("tombstones")) spark.read.parquet(snap.dir("tombstones"))
         else present.limit(0)
@@ -310,23 +396,30 @@ object IndexMaintenance {
       val nExisting = existing.count()
       val nNew = newTomb.count()
       if (nNew == nExisting) return // every id absent/already dead — no-op
-      require(nNew < index.count(),
+      // ONE column-pruned pass for both remaining guards: the DISTINCT
+      // id count (IVF appends never dedup n_ids, so the emptiness
+      // refusal must compare distinct-to-distinct — a duplicated index
+      // could otherwise publish all-dead and every probe would return
+      // empty) and the physical row count for the compaction warning.
+      val st = index.agg(countDistinct(col("n_id")).as("ids"),
+        count(lit(1)).as("rows")).collect()(0)
+      val distinctIds = st.getLong(0)
+      require(nNew < distinctIds,
         s"deleteFromIvfIndex: deleting these ids empties the index at " +
           s"$path — an empty index cannot answer; drop it instead")
       val tRel = snap.nextGenRel("tombstones")
       newTomb.coalesce(8).write.mode("overwrite").parquet(s"$path/$tRel")
       IndexLayout.commit(spark, snap, Map("tombstones" -> tRel))
-      // tombstones ride every probe as a broadcast anti-join — cheap
-      // while small, but unbounded growth between compactions turns
-      // into real probe-side work (and eventually a broadcast limit).
-      // Warn loudly past 10% dead so operations schedules the
-      // materializing compaction before probes feel it.
-      val total = index.count()
-      if (total > 0 && nNew * 10 >= total)
+      // tombstones ride every probe as a size-guarded anti-join —
+      // cheap while small, but unbounded growth between compactions
+      // turns into real probe-side work. Warn loudly past 10% dead so
+      // operations schedules the materializing compaction before
+      // probes feel it.
+      if (nNew * 10 >= distinctIds)
         org.apache.log4j.Logger.getLogger(getClass).warn(
-          s"deleteFromIvfIndex($path): $nNew of $total stored vectors are " +
-            "now tombstoned (>10%) — every probe anti-joins that set; run " +
-            "IndexMaintenance.compactIvfIndex to materialize the deletes")
+          s"deleteFromIvfIndex($path): $nNew of $distinctIds stored vectors " +
+            "are now tombstoned (>10%) — every probe anti-joins that set; " +
+            "run IndexMaintenance.compactIvfIndex to materialize the deletes")
     }
   }
 
@@ -364,9 +457,12 @@ object IndexMaintenance {
     val spark = ids.sparkSession
     IndexLayout.withIndexLock(spark, path, "delete-minhash") {
       val snap = IndexLayout.snapshot(spark, path)
-      val del = Materialize(ids.select(col(idCol).cast("long").as("id")).distinct())
+      val del = Similarity.sizedIdSide(
+        ids.select(col(idCol).cast("long").as("id")).distinct())
       val sRel = snap.nextGenRel("shingles")
       val bRel = snap.nextGenRel("bands")
+      val brRel = snap.nextGenRel("bandrows")
+      val pendingFiles = dataFileCount(spark, snap.dir("bandrows"))
       try {
         spark.read.parquet(snap.dir("shingles"))
           .join(del, Seq("id"), "left_anti")
@@ -381,11 +477,20 @@ object IndexMaintenance {
           .join(del, Seq("id"), "left_anti")
           .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
           .write.mode("overwrite").parquet(s"$path/$bRel")
-        IndexLayout.commit(spark, snap,
-          Map("shingles" -> sRel, "bands" -> bRel))
+        val updates = scala.collection.mutable.Map(
+          "shingles" -> sRel, "bands" -> bRel)
+        if (pendingFiles > 0) {
+          // pending append rows carry ids too — same anti-join, so a
+          // deleted id can never resurface via an uncompacted append
+          spark.read.parquet(snap.dir("bandrows"))
+            .join(del, Seq("id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$path/$brRel")
+          updates += "bandrows" -> brRel
+        }
+        IndexLayout.commit(spark, snap, updates.toMap)
       } catch {
         case t: Throwable =>
-          for (r <- Seq(sRel, bRel)) deleteDir(spark, s"$path/$r")
+          for (r <- Seq(sRel, bRel, brRel)) deleteDir(spark, s"$path/$r")
           throw t
       }
     }
@@ -474,6 +579,23 @@ object IndexMaintenance {
         fs.mkdirs(target.getParent)
         require(fs.rename(src, target),
           s"guarded append '$appendId': could not move $src -> $target")
+      }
+      // manifest FENCE: the moves mutated live generation directories
+      // resolved from `snap` — bump the version from that same snapshot
+      // so a maintenance op that raced past the lease (possible only on
+      // filesystems without an atomic lock primitive) collides loudly
+      // here. Remediation after such a collision: the moved files may
+      // sit in a superseded generation — delete `_appends/<appendId>`
+      // (restages from scratch) and rerun once the racing op finishes.
+      try IndexLayout.commit(spark, snap, Map.empty)
+      catch {
+        case e: IllegalStateException =>
+          throw new IllegalStateException(
+            s"guarded append '$appendId' at $path: a concurrent mutation " +
+              "committed between this append's snapshot and its fence — the " +
+              s"moved increment files may sit in a superseded generation. " +
+              s"Delete $guardDir (the append restages from scratch) and " +
+              "rerun after the racing operation finishes.", e)
       }
       finalize()
       fs.create(new Path(s"$guardDir/_COMMITTED"), true).close()

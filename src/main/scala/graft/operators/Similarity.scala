@@ -213,9 +213,21 @@ object Similarity {
     IndexLayout.resetToBare(corpus.sparkSession, path)
   }
 
+  /** An id-set side of a semi/anti join (tombstones, takedown sets),
+    * sized on its REAL count — the [[Dedup]] idiom: within the
+    * broadcast budget it broadcasts explicitly (the big side never
+    * shuffles); over it, it pins a shuffle join. A takedown is usually
+    * a handful of ids, but a crawl-refresh delete of a visible
+    * fraction of a 100 TB corpus must complete via the shuffle path,
+    * not fail mid-maintenance on the broadcast ceiling. */
+  private[graft] def sizedIdSide(ids: DataFrame): DataFrame = {
+    val m = Materialize(ids)
+    if (m.count() <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
+  }
+
   /** The LIVE rows of a persisted IVF index under one
     * [[IndexLayout.Snapshot]]: the manifest-resolved `cells`
-    * generation, minus pending delete tombstones (bounded broadcast
+    * generation, minus pending delete tombstones (size-guarded
     * anti-join — ids deleted since the last compaction; absent for a
     * tombstone-free index, where this is exactly the raw cells scan).
     * Every probe and every maintenance rewrite reads through here so
@@ -225,7 +237,7 @@ object Similarity {
       snap: IndexLayout.Snapshot): DataFrame = {
     val cells = spark.read.parquet(snap.dir("cells"))
     if (snap.names("tombstones"))
-      cells.join(broadcast(spark.read.parquet(snap.dir("tombstones"))
+      cells.join(sizedIdSide(spark.read.parquet(snap.dir("tombstones"))
         .select(col("n_id"))), Seq("n_id"), "left_anti")
     else cells
   }
@@ -241,7 +253,7 @@ object Similarity {
       snap: IndexLayout.Snapshot, c: DataFrame, who: String): Unit =
     if (snap.names("tombstones")) {
       val n = c.select("n_id")
-        .join(broadcast(spark.read.parquet(snap.dir("tombstones"))
+        .join(sizedIdSide(spark.read.parquet(snap.dir("tombstones"))
           .select(col("n_id"))), Seq("n_id"), "left_semi").count()
       require(n == 0,
         s"$who: $n id(s) in this increment are tombstoned in the index at " +
@@ -419,6 +431,12 @@ object Similarity {
       val cents = collectCentroids(spark.read.parquet(snap.dir("centroids")))
       assignToCells(c, cents)
         .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      // manifest FENCE: appends mutate the live generation without
+      // re-pointing any component, so bump the version from the
+      // snapshot this append resolved — a maintenance op that raced
+      // past the lease collides here loudly instead of silently
+      // dropping the appended rows at its next flip
+      IndexLayout.commit(spark, snap, Map.empty)
       spark.catalog.refreshByPath(snap.dir("cells"))
     }
   }
@@ -483,6 +501,7 @@ object Similarity {
           graft.functions.Quantize.int8(col("n_v"), state.los, state.his).as("code"),
           col("cell"))
         .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      IndexLayout.commit(spark, snap, Map.empty) // manifest fence (see appendToIvfIndex)
       spark.catalog.refreshByPath(snap.dir("cells"))
     }
   }
@@ -715,6 +734,7 @@ object Similarity {
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
           col("cell"))
         .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
+      IndexLayout.commit(spark, snap, Map.empty) // manifest fence (see appendToIvfIndex)
       spark.catalog.refreshByPath(snap.dir("cells"))
     }
   }

@@ -757,15 +757,15 @@ object TextAnalysis {
           meta.getAs[Long]("total_len") + incLen,
           meta.getAs[Double]("k1"), meta.getAs[Double]("b"), tok))
         .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-      if (snap.version > 0) {
-        // managed index: meta rewrites publish as a fresh generation +
-        // flip, never an in-place overwrite a concurrent reader could
-        // catch half-written
-        val mRel = snap.nextGenRel("meta")
-        newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
-        IndexLayout.commit(spark, snap, Map("meta" -> mRel))
-      } else
-        newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // meta rewrites ALWAYS publish as a fresh generation + manifest
+      // flip (a legacy bare index becomes managed on its first append):
+      // never an in-place overwrite a concurrent reader could catch
+      // half-written — and the commit doubles as the manifest FENCE, so
+      // a maintenance op that raced past the lease collides loudly
+      // instead of silently dropping the appended postings at its flip
+      val mRel = snap.nextGenRel("meta")
+      newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
+      IndexLayout.commit(spark, snap, Map("meta" -> mRel))
       // drop any file-listing caches this session holds for the mutated
       // paths — a same-session probe must see the merged index
       for (p <- Seq("postings", "dl", "meta"))
@@ -831,12 +831,10 @@ object TextAnalysis {
     val newMeta = Seq((st.getLong(1), st.getLong(0), meta.getAs[Double]("k1"),
         meta.getAs[Double]("b"), meta.getAs[String]("tokenization")))
       .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-    if (snap.version > 0) {
-      val mRel = snap.nextGenRel("meta")
-      newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
-      IndexLayout.commit(spark, snap, Map("meta" -> mRel))
-    } else
-      newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // always a fresh generation + flip (fence; see appendToBm25Index)
+    val mRel = snap.nextGenRel("meta")
+    newMeta.coalesce(1).write.mode("overwrite").parquet(s"$path/$mRel")
+    IndexLayout.commit(spark, snap, Map("meta" -> mRel))
     for (p <- Seq("postings", "dl", "meta"))
       spark.catalog.refreshByPath(snap.dir(p))
   }

@@ -206,14 +206,19 @@ object PipelineQueries {
     * increment path that completes the third index family's
     * lifecycle: the index is built on 2/3 of the reference corpus
     * (odd doc_ids with doc_id % 3 ≠ 0), the remaining third arrives
-    * via the GUARDED appendToMinhashIndexGuarded (increment-sized
-    * shingle+band pass, bucket-wise merge under the build-time cap,
-    * marker-fenced), then compactMinhashIndex folds the accumulated
-    * files (file shrink asserted loudly in-gate; probes row-identical
-    * by construction). Because the append merges exact id sets, the
-    * probe equals a from-scratch build on the FULL odd reference —
-    * the SAME string-keyed all-pairs oracle as q_dedup_index
-    * value-checks every surviving pair and Jaccard bit. */
+    * via the GUARDED appendToMinhashIndexGuarded (increment-sized:
+    * the stored bands are never read or rewritten — the increment's
+    * band rows land in the additive `bandrows` component,
+    * marker-fenced), then compactMinhashIndex folds pending rows and
+    * accumulated files back to the build shape (file shrink asserted
+    * loudly in-gate), and IndexLayout.vacuumIndex reclaims the
+    * superseded generations (file-count drop asserted in-gate) — the
+    * FULL lifecycle, build → guarded append → compact → vacuum →
+    * probe, under one oracle. Because the append carries exact id
+    * sets, the probe equals a from-scratch build on the FULL odd
+    * reference — the SAME string-keyed all-pairs oracle as
+    * q_dedup_index value-checks every surviving pair and Jaccard
+    * bit. */
   def dedupIndexAppend(s: SparkSession, d: String): DataFrame = synchronized {
     val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"${sys.props("java.io.tmpdir")}/graft_mhindexapp_v1_$sfKey"
@@ -230,6 +235,16 @@ object PipelineQueries {
         .compactMinhashIndex(s, s"$base/idx")
       require(stats.filesAfter < stats.filesBefore,
         s"q_dedup_index_append: compaction did not shrink the index — $stats")
+      // vacuum closes the lifecycle: the superseded pre-compact
+      // generations (bare bands/shingles, the folded bandrows dir)
+      // stop costing storage; the probe below certifies identity
+      def allFiles() = graft.operators.IndexMaintenance
+        .dataFiles(s, s"$base/idx").size
+      val filesBeforeVacuum = allFiles()
+      val vstats = graft.operators.IndexLayout
+        .vacuumIndex(s, s"$base/idx", keepVersions = 1)
+      require(vstats.droppedDirs.nonEmpty && allFiles() < filesBeforeVacuum,
+        s"q_dedup_index_append: vacuum reclaimed nothing — $vstats")
       require(new java.io.File(base, "_APPENDED").createNewFile())
     }
     Dedup.probeMinhashIndex(s, s"$base/idx",
@@ -1107,7 +1122,43 @@ object PipelineQueries {
 
   val annPqSql: String = annPqSqlK(10) + "\nORDER BY q_id, rank"
 
-  private def annPqSqlK(k: Int): String =
+  /** PQ index DELETE under the driver gate — the tombstone path on
+    * the SERVING index family (q_hybrid_served nominates from a PQ
+    * index, so its delete→probe composition deserves its own gate,
+    * not just the shared readIvfCellsLive plumbing q_ann_ivf_delete
+    * certifies on SQ8): the index is built on the FULL corpus
+    * (exactly q_ann_pq's build), then every vec_id ≡ 2 (mod 5) is
+    * tombstoned via deleteFromIvfIndex (no cell rewritten; probes
+    * anti-join the tombstone set), and the ADC probe must equal a
+    * build on the remainder under the SAME centroids + codebook — the
+    * mirror keeps the full-corpus centroid/codebook derivation and
+    * restricts cell MEMBERSHIP to the remainder, value-checking every
+    * surviving route, code and score bit. */
+  def annPqDelete(s: SparkSession, d: String): DataFrame = synchronized {
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ivfpqdel_v1_$sfKey"
+    if (!new java.io.File(s"$base/_DELETED").isFile) {
+      if (new java.io.File(base).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val all = embs(s, d)
+      Similarity.writeIvfIndexPq(all, "vec_id", "embedding",
+        s"$base/idx", cells = 16, m = 8, ks = 16)
+      graft.operators.IndexMaintenance.deleteFromIvfIndex(
+        all.filter(col("vec_id") % 5 === 2).select("vec_id"),
+        "vec_id", s"$base/idx")
+      require(new java.io.File(base, "_DELETED").createNewFile())
+    }
+    Similarity.queryIvfIndexPq(s, s"$base/idx",
+        Similarity.prepareQueries(queriesDf(s, d), "vec_id", "embedding"),
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val annPqDeleteSql: String =
+    annPqSqlK(10, asgWhere = "WHERE NOT (d.vec_id % 5 = 2)") +
+      "\nORDER BY q_id, rank"
+
+  private def annPqSqlK(k: Int, asgWhere: String = ""): String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |           FROM embeddings),
       |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM v),
@@ -1117,7 +1168,7 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
       |      (list_sum(list_transform(list_zip(d.v, c.c_v), p -> p[1]*p[2]))
       |        / (d.nrm * c.c_nrm)) DESC, c.c_id) r
-      |  FROM d, cent c) WHERE r = 1),
+      |  FROM d, cent c $asgWhere) WHERE r = 1),
       |probe AS (SELECT q_id, cell FROM (
       |  SELECT d.vec_id q_id, c.c_id cell,
       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
@@ -3001,7 +3052,9 @@ object PipelineQueries {
 
   /** FULLY INDEX-SERVED hybrid retrieval under the driver gate — the
     * production serving composition every persisted-index piece
-    * exists for, now certified end to end as ONE query: per query,
+    * exists for, certified end to end as ONE query and exposed as the
+    * operator API [[graft.operators.Retrieval.hybridServe]] (this gate
+    * certifies exactly that call): per query,
     * the persisted BM25 index serves the lexical top-30
     * (scoreWithBm25IndexMulti — corpus never re-tokenizes), the
     * persisted PQ index nominates top-30 ANN candidates
@@ -3027,18 +3080,14 @@ object PipelineQueries {
     if (!new java.io.File(s"$pqBase/meta/_SUCCESS").isFile)
       Similarity.writeIvfIndexPq(embs(s, d), "vec_id", "embedding", pqBase,
         cells = 16, m = 8, ks = 16)
-    val bm = TextAnalysis.scoreWithBm25IndexMulti(s, bmBase,
-        bm25MultiQueries.toDF("query_id", "term"), "query_id", "term", k = 30)
-      .select(col("query_id"), col("doc_id"), col("rank"))
     val queries = Similarity
       .prepareQueries(queriesDf(s, d), "vec_id", "embedding")
       .filter(col("q_id") <= 2)
-    val cand = Similarity.queryIvfIndexPq(s, pqBase, queries, k = 30, nprobe = 4)
-    val ann = Similarity.rerankCandidates(embs(s, d), queries, cand,
-        "vec_id", "embedding", k = 10)
-      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
-    graft.operators.RankFusion.rrfGrouped(Seq(bm, ann),
-        "query_id", "doc_id", "rank", kConst = 60, topK = 10)
+    graft.operators.Retrieval.hybridServe(s, bmBase, pqBase,
+        bm25MultiQueries.toDF("query_id", "term"), "query_id", "term",
+        queries, embs(s, d), "vec_id", "embedding",
+        kLex = 30, kNominate = 30, kAnn = 10, nprobe = 4,
+        rrfK = 60, topK = 10)
       .orderBy("query_id", "fused_rank")
   }
 

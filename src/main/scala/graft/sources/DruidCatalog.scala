@@ -213,6 +213,11 @@ class DruidCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     if (ident.namespace().nonEmpty) return false
     val ds = ident.name()
+    // destructive DDL decides on a FRESH discovery, never the
+    // TTL-cached listing: a datasource published by another process
+    // inside the TTL window must be droppable immediately (and a
+    // just-killed one must not re-resolve)
+    cachedListing = null
     if (!safeDiscover().exists(_.dataSource == ds)) false
     else if (!dropEnabled)
       throw new UnsupportedOperationException(

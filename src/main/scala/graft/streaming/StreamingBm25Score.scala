@@ -20,12 +20,13 @@ import graft.operators.TextAnalysis
   * queries — PROVIDED each query's term rows arrive within one
   * micro-batch (stage query batches as whole-query files/messages,
   * the natural unit a serving tier emits). That proviso is ENFORCED,
-  * not just documented: the sink tracks which batch first scored each
-  * query id (seeded from the existing sink's per-batch directories at
-  * stream start, maintained driver-side across batches), and a batch
-  * presenting an id FIRST SERVED BY A DIFFERENT BATCH refuses loudly —
-  * a misconfigured stage that fragments a query gets an error naming
-  * the ids, never a silent once-per-fragment scoring.
+  * not just documented: every committed batch leaves a small `_ids`
+  * manifest beside its parquet, each new batch streams the other
+  * batches' manifests lazily (driver memory O(batch + one manifest),
+  * never O(sink history)), and a batch presenting an id FIRST SERVED
+  * BY A DIFFERENT BATCH refuses loudly — a misconfigured stage that
+  * fragments a query gets an error naming the ids, never a silent
+  * once-per-fragment scoring.
   * `refuseSplitQueries = false` opts out for sources that legitimately
   * re-serve ids (at the documented per-fragment-scoring risk).
   * Gated against the same DuckDB mirror as the batch operator.
@@ -69,34 +70,59 @@ object StreamingBm25Score {
                    sinkPath: String, checkpoint: String,
                    maxDf: Long = Long.MaxValue,
                    refuseSplitQueries: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
     val spark = stream.sparkSession
-    // query id -> the batchId that FIRST scored it, seeded ONCE at
-    // stream start from the sink's per-batch directories (one
-    // column-pruned read; the owning batch parses out of the file
-    // path): a restarted stream keeps refusing ids served by OTHER
-    // batches in a prior run, while a replay of a crashed batch
-    // (same batchId) passes through and converges by overwriting its
-    // own directory. Per-batch additions are tracked driver-side — a
-    // split query is a within-run hazard, caught without re-reading
-    // the sink.
-    val seen = scala.collection.mutable.HashMap.empty[Long, Long]
-    if (refuseSplitQueries) {
-      val p = new org.apache.hadoop.fs.Path(sinkPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasBatches = fs.exists(p) && fs.listStatus(p)
-        .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
-      if (hasBatches)
-        spark.read.parquet(s"$sinkPath/batch-*")
-          .select(col("query_id"),
-            regexp_extract(input_file_name(), "batch-(\\d+)/", 1)
-              .cast("long").as("__b"))
-          .distinct()
-          .collect()
-          .foreach { r =>
-            val id = r.getLong(0); val b = r.getLong(1)
-            if (!seen.get(id).exists(_ <= b)) seen(id) = b
-          }
+    val sinkP = new Path(sinkPath)
+    val fs = sinkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The split-query guard is EXACT yet bounded: each committed batch
+    // leaves a tiny `_ids` manifest beside its parquet (one id per
+    // line), and each new batch streams the OTHER batches' manifests
+    // one at a time, intersecting against its own id set — driver
+    // memory is O(this batch + one manifest), never O(every query the
+    // sink has ever served); the sink's full id history is never
+    // collected. Batch dirs from the pre-manifest layout self-heal:
+    // their manifest derives once from their own parquet
+    // (column-pruned) and persists. Per-guard I/O is one small read
+    // per committed batch directory — long-lived sinks fold that on
+    // whatever retention cadence archives old batch dirs.
+    if (refuseSplitQueries && fs.exists(sinkP)) {
+      // a sink written by the pre-batch-directory layout (flat part
+      // files in the root) cannot resume: the guard can't attribute
+      // flat rows to a batch, and `batch-*` reads would silently skip
+      // them. Refuse loudly instead of forgetting the served history.
+      val flat = fs.listStatus(sinkP).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      if (flat.nonEmpty) throw new IllegalStateException(
+        s"StreamingBm25Score: sink $sinkPath holds ${flat.length} flat data " +
+          "file(s) from the pre-batch-directory layout — the split-query " +
+          "guard cannot attribute them to a batch and batch-* reads would " +
+          "not see them. Resuming requires a fresh sink + checkpoint; " +
+          "migrate the old rows by reading the flat files explicitly.")
+    }
+    def committedBatches(): Seq[(Long, Path)] =
+      if (!fs.exists(sinkP)) Seq.empty
+      else fs.listStatus(sinkP).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch-").toLong).toOption
+          .map(_ -> st.getPath))
+    def writeIdsManifest(dir: Path, ids: Array[Long]): Unit = {
+      val out = fs.create(new Path(dir, "_ids"), true)
+      try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    def batchIds(spark: SparkSession, dir: Path): Set[Long] = {
+      val mf = new Path(dir, "_ids")
+      if (!fs.exists(mf)) // pre-manifest batch dir: derive + persist once
+        writeIdsManifest(dir, spark.read.parquet(dir.toString)
+          .select(col("query_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)))
+      val in = fs.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map(_.toLong).toSet
     }
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -111,15 +137,19 @@ object StreamingBm25Score {
             val ids = batch.toDF()
               .select(col(queryIdCol).cast("long")).distinct()
               .collect().map(_.getLong(0))
-            // ids this batch itself first served are a CRASH REPLAY
-            // (wrote, crashed before the marker) — the overwrite below
-            // converges them; only ids first served by a DIFFERENT
-            // batch mean a query was split across micro-batches
-            val dup = ids.filter(id => seen.get(id).exists(_ != batchId)).sorted
-            if (dup.nonEmpty) throw new IllegalStateException(
+            val idSet = ids.toSet
+            // ids this batch itself served are a CRASH REPLAY (wrote,
+            // crashed before the marker) — the overwrite below
+            // converges them; only ids in a DIFFERENT batch's manifest
+            // mean a query was split across micro-batches
+            val conflicts = scala.collection.mutable.SortedMap.empty[Long, Long]
+            for ((b, dir) <- committedBatches() if b != batchId;
+                 id <- batchIds(batch.sparkSession, dir) if idSet.contains(id))
+              if (!conflicts.contains(id)) conflicts(id) = b
+            if (conflicts.nonEmpty) throw new IllegalStateException(
               s"StreamingBm25Score: batch $batchId presents query id(s) " +
-                s"${dup.take(8).mkString(", ")} first scored by batch(es) " +
-                s"${dup.take(8).flatMap(seen.get).distinct.mkString(", ")} " +
+                s"${conflicts.keys.take(8).mkString(", ")} first scored by " +
+                s"batch(es) ${conflicts.values.take(8).toSeq.distinct.mkString(", ")} " +
                 "of this sink — a query split across micro-batches would " +
                 "be scored once per fragment. (A batch replaying after a " +
                 "crash is NOT this case: it re-presents its own ids and " +
@@ -127,7 +157,7 @@ object StreamingBm25Score {
                 "whole queries per file/message, or pass " +
                 "refuseSplitQueries = false to accept per-fragment scoring")
             scored.write.mode("overwrite").parquet(target)
-            ids.foreach(id => if (!seen.contains(id)) seen(id) = batchId)
+            writeIdsManifest(new Path(target), ids)
           } else scored.write.mode("overwrite").parquet(target)
         }
         ()

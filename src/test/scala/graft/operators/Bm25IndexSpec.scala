@@ -124,11 +124,13 @@ class Bm25IndexSpec extends SparkSpec {
     val after = TextAnalysis.loadBm25Index(spark, incr)
     assert((after.nDocs, after.totalLen) == (before.nDocs, before.totalLen))
 
-    // tokenization pin guards the append path too
+    // tokenization pin guards the append path too (write the fake pin
+    // into the LIVE manifest-resolved meta generation)
+    val liveMeta = IndexLayout.snapshot(spark, incr).dir("meta")
     Seq((2L, 5L, 1.2, 0.75, "some-other-tokenizer"))
       .toDF("n_docs", "total_len", "k1", "b", "tokenization")
-      .coalesce(1).write.mode("overwrite").parquet(s"$incr/meta")
-    spark.catalog.refreshByPath(s"$incr/meta")
+      .coalesce(1).write.mode("overwrite").parquet(liveMeta)
+    spark.catalog.refreshByPath(liveMeta)
     val e2 = intercept[Exception] {
       TextAnalysis.appendToBm25Index(
         Seq((900L, "brand new doc")).toDF("doc_id", "text"),

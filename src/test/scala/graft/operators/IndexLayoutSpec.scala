@@ -174,6 +174,82 @@ class IndexLayoutSpec extends SparkSpec {
     rm(dir)
   }
 
+  test("two committers racing from one snapshot: exactly one wins the version, the loser's generation dirs are disjoint orphans that vacuum reclaims") {
+    val dir = tmp("layoutrace")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir)
+    // make the index managed so the race happens on a real manifest
+    IndexMaintenance.compactBm25Index(spark, dir)
+    val snap = IndexLayout.snapshot(spark, dir)
+    // the scenario the lease exists to prevent, forced deliberately:
+    // two mutations resolved the SAME snapshot (exclusive-create is
+    // check-then-act on object stores, so a lost lease race is
+    // possible there) and each stages its own postings generation
+    val relA = snap.nextGenRel("postings")
+    val relB = snap.nextGenRel("postings")
+    assert(relA != relB, "racing committers must stage disjoint dirs")
+    spark.read.parquet(snap.dir("postings"))
+      .write.parquet(s"$dir/$relA")
+    spark.read.parquet(snap.dir("postings"))
+      .write.parquet(s"$dir/$relB")
+    val won = IndexLayout.commit(spark, snap, Map("postings" -> relA))
+    val e = intercept[IllegalStateException] {
+      IndexLayout.commit(spark, snap, Map("postings" -> relB))
+    }
+    assert(e.getMessage.contains("concurrent mutation"), e.getMessage)
+    // the winner's manifest names only bytes the winner wrote
+    assert(IndexLayout.snapshot(spark, dir).rel("postings") == relA)
+    // probes stay healthy on the winner's generation
+    assert(rows(TextAnalysis.scoreWithBm25Index(spark, dir,
+      Seq("spark", "window", "agg"), k = 5)).nonEmpty)
+    // the loser's orphaned generation is reclaimed by vacuum (it was
+    // never referenced by any manifest — prefix-matched)
+    val st = IndexLayout.vacuumIndex(spark, dir, keepVersions = 1)
+    assert(st.droppedDirs.contains(relB), st.toString)
+    assert(!new java.io.File(s"$dir/$relB").exists)
+    assert(new java.io.File(s"$dir/$relA").isDirectory)
+    assert(won.version == snap.version + 1)
+    rm(dir)
+  }
+
+  test("lease reclaim: a second retry of the same owner cannot blind-reclaim a lease the first retry just re-acquired") {
+    val dir = tmp("layoutreclaim")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    // a crashed predecessor of owner append:inc-7 holds the lease
+    val out = fs.create(lock, false)
+    out.write("op=guarded-append\nowner=append:inc-7\nacquiredMs=0\n"
+      .getBytes("UTF-8"))
+    out.close()
+    // retry 1 reclaims (same owner) and RUNS holding the lease; a
+    // concurrent retry 2 of the SAME owner arriving now sees a lock
+    // whose owner matches, tries the reclaim re-race, and must LOSE
+    // (retry 1's nonce is in the lock file) instead of deleting
+    // retry 1's live lease out from under it
+    IndexLayout.withIndexLock(spark, dir, "guarded-append",
+        owner = "append:inc-7") {
+      val e = intercept[IllegalStateException] {
+        val t = new Thread {
+          var err: Throwable = _
+          override def run(): Unit =
+            try IndexLayout.withIndexLock(spark, dir, "guarded-append",
+              owner = "append:inc-7") { fail("both retries held the lease") }
+            catch { case x: Throwable => err = x }
+        }
+        t.start(); t.join()
+        if (t.err != null) throw t.err
+      }
+      assert(e.getMessage.contains("reclaim") ||
+        e.getMessage.contains("write-locked"), e.getMessage)
+      // retry 1 still holds a valid lease: its lock file survives
+      assert(fs.exists(lock))
+    }
+    assert(!fs.exists(lock)) // released cleanly
+    rm(dir)
+  }
+
   test("manifest commit from a stale snapshot refuses (the no-lease double-write guard)") {
     val dir = tmp("layoutstale")
     TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 1),

@@ -326,7 +326,15 @@ class IndexMaintenanceSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val dir = tmp("mhapp")
     Dedup.writeMinhashIndex(refA, "doc_id", "text", dir)
+    // append-cost pin: the stored bands generation is untouched by an
+    // append — same resolved dir, same file set (the increment's band
+    // rows land in the additive `bandrows` component instead)
+    val bandsDirBefore = comp(dir, "bands")
+    val bandsFilesBefore = IndexMaintenance.dataFiles(spark, bandsDirBefore)
     Dedup.appendToMinhashIndex(refB, "doc_id", "text", dir)
+    assert(comp(dir, "bands") == bandsDirBefore)
+    assert(IndexMaintenance.dataFiles(spark, bandsDirBefore) == bandsFilesBefore)
+    assert(IndexMaintenance.dataFiles(spark, comp(dir, "bandrows")).nonEmpty)
     val want = tmp("mhappwant")
     Dedup.writeMinhashIndex(ref, "doc_id", "text", want)
     // the union build is uncapped here, so the equivalence is the
@@ -335,10 +343,27 @@ class IndexMaintenanceSpec extends SparkSpec {
       .select(max(size($"ids"))).collect()(0).getInt(0)
     assert(maxList < 1000, s"fixture unexpectedly capped ($maxList)")
     assert(pairs(dir) == pairs(want))
-    // bucket lists equal the union build's too (sorted, deduped)
-    def bands(d: String) = spark.read.parquet(comp(d, "bands"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // LOGICAL bucket content (stored lists ∪ pending append rows)
+    // equals the union build's (sets — dedup + grouping order aside)
+    def bands(d: String): Map[Long, Set[Long]] = {
+      val stored = spark.read.parquet(comp(d, "bands"))
+        .select($"bucket", explode($"ids").as("id"))
+      val brDir = comp(d, "bandrows")
+      val all =
+        if (IndexMaintenance.dataFiles(spark, brDir).nonEmpty)
+          stored.unionByName(spark.read.parquet(brDir)) else stored
+      all.collect().groupBy(_.getLong(0))
+        .map { case (b, rs) => b -> rs.map(_.getLong(1)).toSet }
+    }
     assert(bands(dir) == bands(want))
+    // compaction folds the pending rows into a single bands generation
+    // whose lists equal the union build's exactly (sorted, deduped)
+    IndexMaintenance.compactMinhashIndex(spark, dir)
+    assert(IndexMaintenance.dataFiles(spark, comp(dir, "bandrows")).isEmpty)
+    def storedBands(d: String) = spark.read.parquet(comp(d, "bands"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(storedBands(dir) == storedBands(want))
+    assert(pairs(dir) == pairs(want))
     // overlapping ids refuse
     val e = intercept[IllegalArgumentException] {
       Dedup.appendToMinhashIndex(refB.limit(1), "doc_id", "text", dir)
@@ -447,12 +472,16 @@ class IndexMaintenanceSpec extends SparkSpec {
           new org.apache.hadoop.fs.Path(
             s"$dir/_appends/inc-1/stage/postings/${moved.stripPrefix("inc-1_")}")))
       }
+      // stale = the LIVE (manifest-resolved) meta still carrying the
+      // pre-append stats: finalize never ran, so whatever generation
+      // the manifest points at holds the old numbers
+      val liveMeta = comp(dir, "meta")
       spark.createDataFrame(
           spark.sparkContext.parallelize(staleMeta, 1),
-          spark.read.parquet(s"$dir/meta").schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+          spark.read.parquet(liveMeta).schema)
+        .coalesce(1).write.mode("overwrite").parquet(liveMeta)
       for (p <- Seq("postings", "dl", "meta"))
-        spark.catalog.refreshByPath(s"$dir/$p")
+        spark.catalog.refreshByPath(comp(dir, p))
     }
 
     // crash BEFORE finalize (meta rewrite): retry re-moves nothing,
@@ -514,6 +543,131 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("pinned SQ8 bounds"), e.getMessage)
     spark.catalog.refreshByPath(s"$dir/cells")
     assert(spark.read.parquet(s"$dir/cells").count() == beforeN)
+    rm(dir)
+  }
+
+  test("over-budget takedown sets take the shuffle path and delete exactly (never a broadcast-ceiling failure)") {
+    // the size guard itself: an id side over the broadcast budget pins
+    // a shuffle join; a small one broadcasts (the plan-level contract
+    // every tombstone/takedown join in this file rides on)
+    val bigSide = Similarity.sizedIdSide(
+      spark.range(Dedup.BroadcastSafeRows + 1).select($"id".as("n_id")))
+    val bigPlan = spark.range(10).select($"id".as("n_id"))
+      .join(bigSide, Seq("n_id"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan)
+    val smallSide = Similarity.sizedIdSide(
+      spark.range(10).select($"id".as("n_id")))
+    val smallPlan = spark.range(10).select($"id".as("n_id"))
+      .join(smallSide, Seq("n_id"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"), smallPlan)
+
+    // end to end: a crawl-refresh-scale delete set (present ids ∪
+    // 300k absent ids — real count over the budget) completes via the
+    // shuffle path with results identical to the small-set delete
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val dir = tmp("ivfbigdel")
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", dir, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    val bigDel = all.filter($"vec_id" % 5 === 2).select($"vec_id")
+      .unionByName(spark.range(10000000L, 10300000L).select($"id".as("vec_id")))
+    IndexMaintenance.deleteFromIvfIndex(bigDel, "vec_id", dir)
+    val want = tmp("ivfbigdelwant")
+    Similarity.writeIvfIndexSq8(all.filter($"vec_id" % 5 =!= 2),
+      "vec_id", "embedding", want, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    assert(
+      rows(Similarity.queryIvfIndexSq8(spark, dir, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")) ==
+      rows(Similarity.queryIvfIndexSq8(spark, want, q, k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")))
+    rm(dir); rm(want)
+  }
+
+  test("IVF delete with duplicated stored ids: the emptiness guard compares distinct-to-distinct and refuses an all-dead publish") {
+    import org.apache.spark.sql.functions.col
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = tmp("ivfdupdel")
+    Similarity.writeIvfIndexSq8(tiny, "vec_id", "embedding", dir, cells = 2)
+    // IVF appends never dedup ids — duplicate id 2 physically
+    Similarity.appendToIvfIndexSq8(
+      Seq((2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    spark.catalog.refreshByPath(s"$dir/cells")
+    assert(spark.read.parquet(s"$dir/cells").count() == 3) // 2 distinct, 3 rows
+    // deleting both distinct ids would leave 1 physical row but ZERO
+    // live vectors — must refuse, not publish an index whose probes
+    // all return empty
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromIvfIndex(
+        Seq(1L, 2L).toDF("vec_id"), "vec_id", dir)
+    }
+    assert(e.getMessage.contains("empties the index"), e.getMessage)
+    // nothing was published
+    assert(!IndexLayout.snapshot(spark, dir).names("tombstones"))
+    rm(dir)
+  }
+
+  test("maintainIvfIndex: the policy fires exactly at its thresholds and compaction preserves probes") {
+    val all = embs
+    val (cents, bounds) = pins(all)
+    val q = Similarity.prepareQueries(all.filter($"vec_id" < 5),
+      "vec_id", "embedding")
+    val dir = tmp("ivfmaint")
+    Similarity.writeIvfIndexSq8(all, "vec_id", "embedding", dir, cells = 16,
+      centroids0 = Some(cents), bounds0 = Some(bounds))
+    val never = IndexMaintenance.IvfMaintenancePolicy(
+      maxTombstoneFraction = 2.0, maxFilesPerCell = 1e9)
+    assert(IndexMaintenance.maintainIvfIndex(spark, dir, never).isEmpty)
+
+    // tombstone-fraction trigger, pinned EXACTLY at the threshold:
+    // fraction = dead/distinct; at == it fires, just above it doesn't
+    val nIds = all.count()
+    IndexMaintenance.deleteFromIvfIndex(
+      all.filter($"vec_id" % 5 === 2).select("vec_id"), "vec_id", dir)
+    val nDead = spark.read.parquet(
+      IndexLayout.snapshot(spark, dir).dir("tombstones")).count()
+    val frac = nDead.toDouble / nIds
+    val before = rows(Similarity.queryIvfIndexSq8(spark, dir, q,
+      k = 10, nprobe = 4).orderBy("q_id", "rank"))
+    assert(IndexMaintenance.maintainIvfIndex(spark, dir,
+      IndexMaintenance.IvfMaintenancePolicy(
+        maxTombstoneFraction = frac + 1e-9, maxFilesPerCell = 1e9)).isEmpty)
+    val st = IndexMaintenance.maintainIvfIndex(spark, dir,
+      IndexMaintenance.IvfMaintenancePolicy(
+        maxTombstoneFraction = frac, maxFilesPerCell = 1e9))
+    assert(st.nonEmpty, "policy at the exact threshold must fire")
+    // compaction materialized the tombstones; probes identical
+    assert(!IndexLayout.snapshot(spark, dir).names("tombstones"))
+    assert(rows(Similarity.queryIvfIndexSq8(spark, dir, q,
+      k = 10, nprobe = 4).orderBy("q_id", "rank")) == before)
+
+    // files-per-cell trigger, same exactness: threshold == the real
+    // ratio fires, anything above it does not
+    Similarity.appendToIvfIndexSq8( // accumulate small files (a real
+      // corpus vector re-keyed — guaranteed inside the pinned bounds)
+      all.filter($"vec_id" === 7)
+        .select(lit(10000001L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    val snap = IndexLayout.snapshot(spark, dir)
+    val files = IndexMaintenance.dataFileCount(spark, snap.dir("cells"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(snap.dir("cells")))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val ratio = files.toDouble / cells
+    assert(IndexMaintenance.maintainIvfIndex(spark, dir,
+      IndexMaintenance.IvfMaintenancePolicy(
+        maxTombstoneFraction = 2.0, maxFilesPerCell = ratio + 1e-9)).isEmpty)
+    assert(IndexMaintenance.maintainIvfIndex(spark, dir,
+      IndexMaintenance.IvfMaintenancePolicy(
+        maxTombstoneFraction = 2.0, maxFilesPerCell = ratio)).nonEmpty)
     rm(dir)
   }
 }

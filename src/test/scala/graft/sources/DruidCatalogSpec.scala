@@ -236,6 +236,51 @@ class DruidCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DROP TABLE decides on a FRESH discovery: a datasource published out-of-band inside the listing TTL drops, never 'no such table'") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = Files.createTempDirectory("druidcat8").toFile
+    val day = 24 * 3600 * 1000L
+    spark.conf.set("spark.sql.catalog.druidttl", classOf[DruidCatalog].getName)
+    spark.conf.set("spark.sql.catalog.druidttl.root", root.getAbsolutePath)
+    spark.conf.set("spark.sql.catalog.druidttl.dropEnabled", "true")
+    try {
+      spark.sql(
+        s"""CREATE TABLE druidttl.ev1 TBLPROPERTIES('segmentGranularity'='DAY')
+           |AS SELECT CAST(${day * 10 + 1} AS LONG) AS __time,
+           |  'a' AS host, CAST(5 AS LONG) AS hits""".stripMargin)
+      val cat = spark.sessionState.catalogManager.catalog("druidttl")
+        .asInstanceOf[DruidCatalog]
+      // warm the listing cache (TTL 30 s — the whole test runs inside it)
+      assert(cat.tableExists(Identifier.of(Array.empty, "ev1")))
+      // ANOTHER PROCESS publishes ev9 (simulated at the file level —
+      // no catalog invalidation fires): copy ev1's tree and rewrite
+      // the datasource name inside each descriptor.json
+      val src = new File(root, "ev1"); val dst = new File(root, "ev9")
+      org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+      def rewrite(f: File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(rewrite)
+        else if (f.getName.endsWith(".crc")) f.delete() // stale checksums
+        else if (f.getName == "descriptor.json") {
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          java.nio.file.Files.write(f.toPath,
+            text.replace("\"ev1\"", "\"ev9\"")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      rewrite(dst)
+      // the cached listing predates ev9 — destructive DDL must bypass
+      // it (a stale-cache dropTable returned false, killing nothing)
+      assert(cat.dropTable(Identifier.of(Array.empty, "ev9")),
+        "dropTable served a TTL-stale listing and skipped the kill")
+      assert(!dst.exists(), "dropTable returned true but killed nothing")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.druidttl")
+      spark.conf.unset("spark.sql.catalog.druidttl.root")
+      spark.conf.unset("spark.sql.catalog.druidttl.dropEnabled")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("missing deep-storage root: catalog contract, not FileNotFoundException") {
     val gone = new File(Files.createTempDirectory("druidcat3").toFile, "never-ingested")
     spark.conf.set("spark.sql.catalog.druidcat3", classOf[DruidCatalog].getName)

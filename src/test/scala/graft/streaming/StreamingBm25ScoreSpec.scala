@@ -143,4 +143,59 @@ class StreamingBm25ScoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base2/out/batch-*")
       .filter($"rank" === 1).count() == 2)
   }
+
+  test("guard state is manifest-backed: _ids files land per batch, a deleted manifest self-heals from the batch's parquet, and the refusal still fires") {
+    val idx = tmp("idx5")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val base = tmp("manifest")
+    Seq((0L, "spark"), (0L, "window")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+      "query_id", "term", k = 10,
+      sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out"))
+      .filter(_.getPath.getName.startsWith("batch-")).map(_.getPath)
+    assert(batchDirs.nonEmpty)
+    // every committed batch carries its id manifest
+    for (d <- batchDirs)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(d, "_ids")), d.toString)
+    // a sink written before manifests existed (simulated by deleting
+    // them) self-heals: the guard derives + persists the manifest from
+    // the batch's own parquet, and STILL refuses the re-served id
+    for (d <- batchDirs)
+      fs.delete(new org.apache.hadoop.fs.Path(d, "_ids"), false)
+    Seq((0L, "agg")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+        "query_id", "term", k = 10,
+        sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    }
+    assert(e.getCause.getMessage.contains("first scored by batch"),
+      e.getCause.getMessage)
+    for (d <- batchDirs) // re-derived and persisted
+      assert(fs.exists(new org.apache.hadoop.fs.Path(d, "_ids")), d.toString)
+  }
+
+  test("a pre-batch-directory (flat) sink refuses to resume instead of silently forgetting its served history") {
+    val idx = tmp("idx6")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", idx)
+    val base = tmp("flat")
+    // a flat sink from the old layout: part files directly in the root
+    Seq((0L, 1, 42L, 2, 1.5)).toDF("query_id", "rank", "doc_id", "n_terms", "score")
+      .coalesce(1).write.parquet(s"$base/out")
+    Seq((1L, "spark")).toDF("query_id", "term")
+      .coalesce(1).write.mode("append").parquet(s"$base/stage")
+    val e = intercept[IllegalStateException] {
+      StreamingBm25Score.run(spark, fileSource(s"$base/stage"), idx,
+        "query_id", "term", k = 10,
+        sinkPath = s"$base/out", checkpoint = s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("flat data file"), e.getMessage)
+    // opt-out path is not a loophole either — the refusal is about the
+    // sink layout, not the guard: with the guard off the stream may
+    // proceed (documented), so only assert the guarded path refuses
+  }
 }
