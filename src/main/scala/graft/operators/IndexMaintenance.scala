@@ -90,6 +90,23 @@ object IndexMaintenance {
     fs.delete(p, true)
   }
 
+  /** Output partition count for a compaction rewrite, sized by the
+    * component's REAL bytes (one output file per
+    * `spark.sql.files.maxPartitionBytes`, the same knob scans split
+    * on): a small index folds to ONE file instead of one per default
+    * shuffle partition (32 near-empty files — worse than the debt
+    * being folded), and a 100 TB component still writes
+    * scan-sized files. Listing cost only — no data pass. */
+  private def compactedPartitions(spark: SparkSession,
+                                  dirs: Seq[String]): Int = {
+    val bytes = dirs.map { d =>
+      val (fs, p) = hfs(spark, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    math.max(1L, (bytes + maxPB - 1) / maxPB).toInt
+  }
+
   // ---- compaction ----------------------------------------------------
 
   /** COMPACT a persisted IVF index (float [[Similarity.writeIvfIndex]],
@@ -174,7 +191,10 @@ object IndexMaintenance {
     * rebuild-on-union's (same spec, modulo the documented
     * degenerate-bucket cap caveats). Meta (the banding pins) is
     * untouched. One shingles-sized + one bands-sized shuffle; nothing
-    * re-shingles. */
+    * re-shingles. Output file counts are sized by component BYTES
+    * (one file per `files.maxPartitionBytes`) — a small index folds
+    * to one file per component instead of one per default shuffle
+    * partition, and a huge one still writes scan-sized files. */
   def compactMinhashIndex(spark: SparkSession, path: String): CompactStats =
     IndexLayout.withIndexLock(spark, path, "compact-minhash") {
       val snap = IndexLayout.snapshot(spark, path)
@@ -184,14 +204,17 @@ object IndexMaintenance {
       require(before > 0, s"compactMinhashIndex: no index data under $path")
       val sRel = snap.nextGenRel("shingles")
       val bRel = snap.nextGenRel("bands")
+      val sParts = compactedPartitions(spark, Seq(snap.dir("shingles")))
+      val bParts = compactedPartitions(spark,
+        Seq(snap.dir("bands"), snap.dir("bandrows")))
       spark.read.parquet(snap.dir("shingles"))
-        .repartition(col("id")).sortWithinPartitions("id")
+        .repartition(sParts, col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/$sRel")
       val updates = scala.collection.mutable.Map(
         "shingles" -> sRel, "bands" -> bRel)
       if (pendingFiles == 0)
         spark.read.parquet(snap.dir("bands"))
-          .repartition(col("bucket")).sortWithinPartitions("bucket")
+          .repartition(bParts, col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(s"$path/$bRel")
       else {
         val cap = spark.read.parquet(snap.dir("meta")).collect()(0)
@@ -205,7 +228,7 @@ object IndexMaintenance {
           .agg(graft.functions.BoundedCollect
             .bounded_long_list(col("id"), cap).as("ids"))
           .filter(col("ids").isNotNull)
-          .repartition(col("bucket")).sortWithinPartitions("bucket")
+          .repartition(bParts, col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(s"$path/$bRel")
         // re-point bandrows at a fresh (empty, not-yet-created) name:
         // readers resolve zero pending rows, the folded dir becomes
