@@ -225,6 +225,22 @@ object Similarity {
     if (m.count() <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
   }
 
+  /** [[sizedIdSide]] for an id set PERSISTED at `dir` (tombstones):
+    * the broadcast-vs-shuffle decision keys on the parquet FILE BYTES
+    * — one filesystem metadata call, zero Spark jobs — because this
+    * runs at PROBE PLAN time on the hot serving path (a count() job
+    * per probe measured +0.5 s on every delete-bearing index probe).
+    * 8 B/id on disk ⇒ the 10 MB ceiling passes ≫ the row budget the
+    * count-based guard uses; both paths return identical rows. */
+  private[graft] def sizedIdSideFromDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir).select(col("n_id"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    if (bytes <= 10L * 1024 * 1024) broadcast(df) else df.hint("merge")
+  }
+
   /** The LIVE rows of a persisted IVF index under one
     * [[IndexLayout.Snapshot]]: the manifest-resolved `cells`
     * generation, minus pending delete tombstones (size-guarded
@@ -237,8 +253,8 @@ object Similarity {
       snap: IndexLayout.Snapshot): DataFrame = {
     val cells = spark.read.parquet(snap.dir("cells"))
     if (snap.names("tombstones"))
-      cells.join(sizedIdSide(spark.read.parquet(snap.dir("tombstones"))
-        .select(col("n_id"))), Seq("n_id"), "left_anti")
+      cells.join(sizedIdSideFromDir(spark, snap.dir("tombstones")),
+        Seq("n_id"), "left_anti")
     else cells
   }
 
@@ -253,8 +269,8 @@ object Similarity {
       snap: IndexLayout.Snapshot, c: DataFrame, who: String): Unit =
     if (snap.names("tombstones")) {
       val n = c.select("n_id")
-        .join(sizedIdSide(spark.read.parquet(snap.dir("tombstones"))
-          .select(col("n_id"))), Seq("n_id"), "left_semi").count()
+        .join(sizedIdSideFromDir(spark, snap.dir("tombstones")),
+          Seq("n_id"), "left_semi").count()
       require(n == 0,
         s"$who: $n id(s) in this increment are tombstoned in the index at " +
           s"${snap.path} — their deleted rows still exist physically, so a " +
