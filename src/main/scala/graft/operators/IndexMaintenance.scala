@@ -99,12 +99,16 @@ object IndexMaintenance {
     * scan-sized files. Listing cost only — no data pass. */
   private def compactedPartitions(spark: SparkSession,
                                   dirs: Seq[String]): Int = {
-    val bytes = dirs.map { d =>
-      val (fs, p) = hfs(spark, d)
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    }.sum
+    val bytes = dirs.map(componentBytes(spark, _)).sum
     val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
     math.max(1L, (bytes + maxPB - 1) / maxPB).toInt
+  }
+
+  /** Total bytes under a component dir (0 when absent) — one
+    * filesystem metadata call, no data pass. */
+  private def componentBytes(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = hfs(spark, dir)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
   // ---- compaction ----------------------------------------------------
@@ -156,7 +160,11 @@ object IndexMaintenance {
     * every probe scores bit-identically before and after
     * (spec-pinned). One postings-sized shuffle + one dl-sized shuffle;
     * nothing re-tokenizes; one manifest flip publishes both rewrites
-    * together. */
+    * together. Output file counts are sized by component BYTES (one
+    * file per `files.maxPartitionBytes`, like [[compactMinhashIndex]])
+    * — a small index folds to one term-sorted postings file instead of
+    * one per default shuffle partition, a 100 TB one still writes
+    * scan-sized files. */
   def compactBm25Index(spark: SparkSession, path: String): CompactStats =
     IndexLayout.withIndexLock(spark, path, "compact-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
@@ -165,11 +173,13 @@ object IndexMaintenance {
       require(before > 0, s"compactBm25Index: no index data under $path")
       val pRel = snap.nextGenRel("postings")
       val dRel = snap.nextGenRel("dl")
+      val pParts = compactedPartitions(spark, Seq(snap.dir("postings")))
+      val dParts = compactedPartitions(spark, Seq(snap.dir("dl")))
       spark.read.parquet(snap.dir("postings"))
-        .repartition(col("term")).sortWithinPartitions("term", "__doc")
+        .repartition(pParts, col("term")).sortWithinPartitions("term", "__doc")
         .write.mode("overwrite").parquet(s"$path/$pRel")
       spark.read.parquet(snap.dir("dl"))
-        .repartition(col("__doc")).sortWithinPartitions("__doc")
+        .repartition(dParts, col("__doc")).sortWithinPartitions("__doc")
         .write.mode("overwrite").parquet(s"$path/$dRel")
       IndexLayout.commit(spark, snap, Map("postings" -> pRel, "dl" -> dRel))
       val after = dataFileCount(spark, s"$path/$pRel") +
@@ -290,6 +300,83 @@ object IndexMaintenance {
     val due = tombFraction >= policy.maxTombstoneFraction ||
       nFiles.toDouble / nCells >= policy.maxFilesPerCell
     if (due) Some(compactIvfIndex(spark, path)) else None
+  }
+
+  /** When [[maintainBm25Index]] compacts: at or past the file-bloat
+    * threshold. BM25 maintenance debt is SMALL FILES ONLY — appends
+    * land per-increment postings/dl files (eroding the build's
+    * term-clustered row-group pruning) and deletes rewrite
+    * immediately (no tombstones) — so the one metric is actual data
+    * files ÷ the byte-sized file count a compaction would write
+    * (one file per `files.maxPartitionBytes`). The default fires
+    * once ~4 appends of debt accumulated. */
+  final case class Bm25MaintenancePolicy(maxFileBloat: Double = 4.0)
+
+  /** Self-tending BM25 lifecycle entry — measure the index's
+    * small-file debt and run [[compactBm25Index]] exactly when
+    * `policy` says so ([[maintainIvfIndex]]'s shape for the lexical
+    * family). Call it on the ingest cadence: below the threshold it
+    * costs two filesystem listings and compacts nothing; probes are
+    * bit-identical across the compaction ([[compactBm25Index]]'s
+    * contract), so the policy can fire at any time without a
+    * correctness window.
+    * @return the compaction stats iff this call compacted */
+  def maintainBm25Index(spark: SparkSession, path: String,
+                        policy: Bm25MaintenancePolicy = Bm25MaintenancePolicy())
+      : Option[CompactStats] = {
+    val snap = IndexLayout.snapshot(spark, path)
+    val files = dataFileCount(spark, snap.dir("postings")) +
+      dataFileCount(spark, snap.dir("dl"))
+    require(files > 0, s"maintainBm25Index: no index data under $path")
+    val target = compactedPartitions(spark, Seq(snap.dir("postings"))) +
+      compactedPartitions(spark, Seq(snap.dir("dl")))
+    if (files.toDouble / target >= policy.maxFileBloat)
+      Some(compactBm25Index(spark, path))
+    else None
+  }
+
+  /** When [[maintainMinhashIndex]] compacts: at or past EITHER
+    * threshold. `maxPendingFraction` bounds the probe-side union
+    * debt — pending `bandrows` bytes ÷ folded `bands` bytes (every
+    * probe unions the pending rows into its bounded regroup until
+    * compaction folds them); `maxFileBloat` bounds the small-file
+    * debt across all three data components, measured like
+    * [[Bm25MaintenancePolicy]] against the byte-sized file count a
+    * compaction would write. */
+  final case class MinhashMaintenancePolicy(
+      maxPendingFraction: Double = 0.10,
+      maxFileBloat: Double = 4.0)
+
+  /** Self-tending MinHash lifecycle entry — measure the index's
+    * pending-append and small-file debt and run
+    * [[compactMinhashIndex]] exactly when `policy` says so, closing
+    * the [[maintainIvfIndex]] / [[maintainBm25Index]] family: all
+    * three persisted index families now self-schedule their
+    * compaction from measured debt instead of an operator reading
+    * log warnings. Measurement is filesystem metadata only (no Spark
+    * job). Probes across the compaction equal a rebuild-on-union's
+    * ([[compactMinhashIndex]]'s contract — row-identical when no
+    * appends are pending).
+    * @return the compaction stats iff this call compacted */
+  def maintainMinhashIndex(spark: SparkSession, path: String,
+                           policy: MinhashMaintenancePolicy =
+                             MinhashMaintenancePolicy())
+      : Option[CompactStats] = {
+    val snap = IndexLayout.snapshot(spark, path)
+    val sDir = snap.dir("shingles"); val bDir = snap.dir("bands")
+    val brDir = snap.dir("bandrows")
+    val files = dataFileCount(spark, sDir) + dataFileCount(spark, bDir) +
+      dataFileCount(spark, brDir)
+    require(files > 0, s"maintainMinhashIndex: no index data under $path")
+    val pendingBytes = componentBytes(spark, brDir)
+    val pendingFraction =
+      if (pendingBytes == 0L) 0.0
+      else pendingBytes.toDouble / math.max(componentBytes(spark, bDir), 1L)
+    val target = compactedPartitions(spark, Seq(sDir)) +
+      compactedPartitions(spark, Seq(bDir, brDir))
+    val due = pendingFraction >= policy.maxPendingFraction ||
+      files.toDouble / target >= policy.maxFileBloat
+    if (due) Some(compactMinhashIndex(spark, path)) else None
   }
 
   // ---- delete ----------------------------------------------------------

@@ -670,4 +670,95 @@ class IndexMaintenanceSpec extends SparkSpec {
         maxTombstoneFraction = 2.0, maxFilesPerCell = ratio)).nonEmpty)
     rm(dir)
   }
+
+  // the policies' debt metrics recomputed from the documented
+  // CONTRACT (files ÷ one-file-per-maxPartitionBytes), independent of
+  // the implementation — exact-threshold pins compare against these
+  private def compBytes(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+  private def byteTarget(bytes: Long): Long = {
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    math.max(1L, (bytes + maxPB - 1) / maxPB)
+  }
+
+  test("maintainBm25Index: the file-bloat policy fires exactly at its threshold and compaction preserves probes") {
+    val dir = tmp("bm25maint")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 4 =!= 0),
+      "doc_id", "text", dir)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 8 === 0),
+      "doc_id", "text", dir)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" % 8 === 4),
+      "doc_id", "text", dir)
+    val before = rows(bm25Probe(dir))
+    assert(IndexMaintenance.maintainBm25Index(spark, dir,
+      IndexMaintenance.Bm25MaintenancePolicy(maxFileBloat = 1e9)).isEmpty)
+    // exact-threshold pin against the recomputed bloat ratio
+    val files = IndexMaintenance.dataFileCount(spark, comp(dir, "postings")) +
+      IndexMaintenance.dataFileCount(spark, comp(dir, "dl"))
+    val ratio = files.toDouble / (byteTarget(compBytes(comp(dir, "postings"))) +
+      byteTarget(compBytes(comp(dir, "dl"))))
+    assert(ratio > 1.0, s"fixture accumulated no bloat ($ratio)")
+    assert(IndexMaintenance.maintainBm25Index(spark, dir,
+      IndexMaintenance.Bm25MaintenancePolicy(ratio + 1e-9)).isEmpty)
+    val st = IndexMaintenance.maintainBm25Index(spark, dir,
+      IndexMaintenance.Bm25MaintenancePolicy(ratio))
+    assert(st.nonEmpty, "policy at the exact threshold must fire")
+    assert(st.get.filesAfter < st.get.filesBefore, s"got $st")
+    assert(rows(bm25Probe(dir)) == before) // every score bit identical
+    // debt folded: the same threshold is quiet now
+    assert(IndexMaintenance.maintainBm25Index(spark, dir,
+      IndexMaintenance.Bm25MaintenancePolicy(ratio)).isEmpty)
+    rm(dir)
+  }
+
+  test("maintainMinhashIndex: pending-fraction and file-bloat triggers fire exactly; probes preserved across the fold") {
+    val ref = docs.filter($"doc_id" % 2 === 1)
+    val refA = ref.filter($"doc_id" % 3 =!= 0)
+    val refB = ref.filter($"doc_id" % 3 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 0)
+    def pairs() =
+      Dedup.probeMinhashIndex(spark, dir, probe, "doc_id", "text",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    lazy val dir = tmp("mhmaint")
+    Dedup.writeMinhashIndex(refA, "doc_id", "text", dir)
+    assert(IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(2.0, 1e9)).isEmpty)
+    Dedup.appendToMinhashIndex(refB, "doc_id", "text", dir)
+    // fixture never trips the skew cap, so probes before and after
+    // the fold are the same exact (uncapped) pair set
+    val maxList = spark.read.parquet(comp(dir, "bands"))
+      .select(max(size($"ids"))).collect()(0).getInt(0)
+    assert(maxList < 1000, s"fixture unexpectedly capped ($maxList)")
+    val got = pairs()
+    // pending-fraction trigger pinned exactly at the recomputed debt
+    val pend = compBytes(comp(dir, "bandrows")).toDouble /
+      math.max(compBytes(comp(dir, "bands")), 1L)
+    assert(pend > 0.0, "append left no pending bandrows")
+    assert(IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(pend + 1e-9, 1e9)).isEmpty)
+    val st = IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(pend, 1e9))
+    assert(st.nonEmpty, "policy at the exact pending threshold must fire")
+    assert(pairs() == got) // the fold changed no probe answer
+    // pending debt cleared: the fraction trigger is quiet, and the
+    // file-bloat trigger pins exactly against the folded layout
+    assert(IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(pend, 1e9)).isEmpty)
+    val files = Seq("shingles", "bands", "bandrows")
+      .map(c => IndexMaintenance.dataFileCount(spark, comp(dir, c))).sum
+    val bloat = files.toDouble /
+      (byteTarget(compBytes(comp(dir, "shingles"))) +
+        byteTarget(compBytes(comp(dir, "bands")) +
+          compBytes(comp(dir, "bandrows"))))
+    assert(IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(2.0, bloat + 1e-9)).isEmpty)
+    assert(IndexMaintenance.maintainMinhashIndex(spark, dir,
+      IndexMaintenance.MinhashMaintenancePolicy(2.0, bloat)).nonEmpty)
+    assert(pairs() == got)
+    rm(dir)
+  }
 }
