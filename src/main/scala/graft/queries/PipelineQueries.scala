@@ -2957,6 +2957,57 @@ object PipelineQueries {
 
   val streamBm25Sql: String = bm25MultiSql
 
+  /** STREAMING BM25 index INGEST under the driver gate — the
+    * write-side composition q_stream_bm25 serves from: the index is
+    * built on 2/3 of the corpus, the remaining third arrives as an
+    * AvailableNow document stream in three micro-batches
+    * (StreamingIndexIngest.bm25 — each batch a guarded exactly-once
+    * append), the stream SELF-TENDS (the Bm25MaintenancePolicy hook
+    * fires compactBm25Index mid-stream), and the gate output is the
+    * multi-query probe of the ingested index. Stream-ingest ∪ build ≡
+    * a from-scratch build on the full corpus (appends carry exact
+    * integer corpus stats; compaction is probe-identical), so the
+    * mirror is EXACTLY q_bm25_multi's — every score bit of every
+    * query's ranking value-checks the whole ingest→tend→serve loop. */
+  def streamBm25Ingest(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamingest_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamingest_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      TextAnalysis.writeBm25Index(docs(s, d).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", s"$staging/idx")
+      docs(s, d).filter(col("doc_id") % 3 === 0).repartition(3)
+        .write.parquet(s"$staging/stage")
+      val src = s.readStream
+        .schema(s.read.parquet(s"$staging/stage").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$staging/stage")
+      graft.streaming.StreamingIndexIngest.bm25(src, s"$staging/idx",
+        "doc_id", "text", checkpoint = s"$staging/ckpt",
+        ingestId = "gate",
+        maintain = Some(graft.operators.IndexMaintenance
+          .Bm25MaintenancePolicy(maxFileBloat = 2.0)))
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-ingest promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    TextAnalysis.scoreWithBm25IndexMulti(s, s"$root/idx",
+        bm25MultiQueries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val streamBm25IngestSql: String = bm25MultiSql
+
   // ---- hybrid rank fusion (RRF) ----
 
   /** Hybrid retrieval under the driver gate: BM25 top-30 for the

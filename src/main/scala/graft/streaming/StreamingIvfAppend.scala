@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Similarity
+import graft.operators.{IndexMaintenance, Similarity}
 
 /** STREAMING incremental ANN index maintenance — the write-side
   * composition of [[graft.operators.Similarity.appendToIvfIndexSq8]]
@@ -43,16 +43,27 @@ object StreamingIvfAppend {
 
   /** Append `stream` (a streaming DataFrame of (idCol, vecCol) rows)
     * into the SQ8 IVF index at `indexPath`. Returns after the stream
-    * terminates (AvailableNow-style callers await inside). */
+    * terminates (AvailableNow-style callers await inside). `maintain`
+    * makes the stream self-tending ([[StreamingIndexIngest]]'s shape
+    * for this family): the policy entry runs after every batch's
+    * append — below its thresholds it costs a listing + one pruned
+    * pass, at them it folds the accumulated per-batch cell files back
+    * to scan-sized ones with probes bit-identical across the fold.
+    * Appends re-resolve the live cells generation per batch, so a
+    * mid-stream compaction is safe by construction. */
   def run(spark: SparkSession, stream: DataFrame, indexPath: String,
-          idCol: String, vecCol: String, checkpoint: String): Unit =
+          idCol: String, vecCol: String, checkpoint: String,
+          maintain: Option[IndexMaintenance.IvfMaintenancePolicy] = None)
+      : Unit =
     runWithState(Similarity.loadIvfSq8AppendState(spark, indexPath),
-      stream, indexPath, idCol, vecCol, checkpoint)
+      stream, indexPath, idCol, vecCol, checkpoint, maintain)
 
   /** [[run]] with the append state already loaded. */
   def runWithState(state: Similarity.IvfSq8AppendState, stream: DataFrame,
                    indexPath: String, idCol: String, vecCol: String,
-                   checkpoint: String): Unit = {
+                   checkpoint: String,
+                   maintain: Option[IndexMaintenance.IvfMaintenancePolicy] =
+                     None): Unit = {
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         IdempotentSink.oncePerBatch(batch.sparkSession,
@@ -60,6 +71,11 @@ object StreamingIvfAppend {
           Similarity.appendToIvfIndexSq8With(state, batch.toDF(),
             idCol, vecCol, indexPath)
         }
+        // outside the marker: a replayed committed batch skips its
+        // append but still gets the maintenance check (idempotent,
+        // lease-guarded, probe-identical when it fires)
+        maintain.foreach(p => IndexMaintenance
+          .maintainIvfIndex(batch.sparkSession, indexPath, p))
         ()
       }
       .option("checkpointLocation", checkpoint)
