@@ -347,6 +347,17 @@ object Dedup {
         .bounded_long_list(col("id"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull)
       .write.mode("overwrite").parquet(s"$path/bands")
+    // an in-place REBUILD over a previously-appended index must not
+    // resurrect the old lifecycle's pending band rows: `bandrows` is a
+    // side component this build does not write, so the bare dir (and
+    // any rows a pre-rebuild lifecycle left there) is deleted — after
+    // resetToBare it is exactly "absent at build" again. Manifest-
+    // mapped bandrows generations become vacuum-able orphans instead.
+    val (fs, brPath) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/bandrows")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(brPath, true)
     IndexLayout.resetToBare(spark, path)
   }
 

@@ -152,21 +152,41 @@ object IndexLayout {
                                droppedManifests: Long)
 
   /** Drop generation directories unreferenced by the newest
-    * `keepVersions` manifests (and the superseded manifests
-    * themselves). `keepVersions >= 2` keeps the previous generation
-    * set alive for readers that planned just before the latest flip —
-    * run vacuum on a cadence longer than your longest query.
-    * Bare component dirs are dropped only when every retained
-    * manifest maps that component elsewhere. */
+    * `keepVersions` generation SETS (and the superseded manifests
+    * themselves). A generation set is a maximal run of manifests with
+    * the same mapping — fence manifests (appends and this vacuum's own
+    * leading fence publish the unchanged mapping as a version bump)
+    * ride with the set they duplicate instead of consuming a retention
+    * slot. `keepVersions >= 2` keeps the previous generation set alive
+    * for readers that planned just before the latest flip — run vacuum
+    * on a cadence longer than your longest query. Bare component dirs
+    * are dropped only when every retained manifest maps that component
+    * elsewhere.
+    *
+    * Vacuum is FENCED like every other mutation, but leading, not
+    * closing — the destruction must come after the fence, not before:
+    * it first commits the unchanged mapping as a version bump from its
+    * snapshot. A mutation that committed since the snapshot makes the
+    * fence collide → vacuum refuses having deleted NOTHING; a mutation
+    * that raced past a lost lease from the same snapshot (the
+    * clobbering-rename residual window) now collides at ITS commit —
+    * its staged dirs are orphans, which this vacuum may legitimately
+    * reclaim mid-write. Post-fence mutations stage generations newer
+    * than the fence version, and vacuum only deletes generation dirs
+    * whose parsed version is at most the fence — so bytes a live or
+    * future committer can still publish are never touched. */
   def vacuumIndex(spark: SparkSession, path: String,
                   keepVersions: Int = 2): VacuumStats =
     withIndexLock(spark, path, "vacuum") {
       require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
       val (fs, mdir) = hfs(spark, s"$path/$ManifestDir")
       if (!fs.exists(mdir)) return VacuumStats(Nil, 0L)
+      if (fs.listStatus(mdir)
+            .flatMap(st => manifestVersion(st.getPath.getName)).isEmpty)
+        return VacuumStats(Nil, 0L)
+      val fence = commit(spark, snapshot(spark, path), Map.empty)
       val versions = fs.listStatus(mdir)
         .flatMap(st => manifestVersion(st.getPath.getName)).sorted
-      if (versions.isEmpty) return VacuumStats(Nil, 0L)
       // every mapping any manifest EVER published names the universe
       // of components; the retained manifests name what must live.
       // Version 0 is the IMPLICIT pre-manifest bare layout — it counts
@@ -183,7 +203,27 @@ object IndexLayout {
             line.substring(0, i) -> line.substring(i + 1)
           }.toMap
         }.toMap + (0L -> Map.empty[String, String])
-      val retained = (0L +: versions.toSeq).takeRight(keepVersions)
+      // newest-first, admit manifests until keepVersions DISTINCT
+      // consecutive mappings (generation sets) are in hand
+      val retained: Seq[Long] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var sets = 0
+        var last: Option[Map[String, String]] = None
+        val it = (0L +: versions.toSeq).reverseIterator
+        var done = false
+        while (it.hasNext && !done) {
+          val v = it.next()
+          val m = allMappings(v)
+          val isNewSet = !last.contains(m)
+          if (isNewSet && sets == keepVersions) done = true
+          else {
+            if (isNewSet) sets += 1
+            last = Some(m)
+            buf += v
+          }
+        }
+        buf.toSeq
+      }
       val components = allMappings.values.flatMap(_.keySet).toSet
       val live: Set[String] = retained.flatMap { v =>
         val m = allMappings(v)
@@ -192,15 +232,25 @@ object IndexLayout {
       }.toSet
       val everReferenced: Set[String] =
         allMappings.values.flatMap(_.values).toSet ++ components
+      // a generation dir's staged-at version; bare dirs parse as 0
+      def genVersion(n: String): Long = {
+        val i = n.lastIndexOf("_g")
+        if (i < 0) 0L
+        else {
+          val digits = n.drop(i + 2).takeWhile(_.isDigit)
+          if (digits.isEmpty) 0L else digits.toLong
+        }
+      }
       val dropped = fs.listStatus(new Path(path)).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .filter(n => everReferenced.contains(n) ||
           components.exists(c => n.startsWith(c + "_g")))
+        .filter(genVersion(_) <= fence.version)
         .filterNot(live.contains)
       dropped.foreach(n => fs.delete(new Path(s"$path/$n"), true))
-      val staleManifests = versions.dropRight(keepVersions)
+      val staleManifests = versions.filterNot(retained.contains)
       staleManifests.foreach(v => fs.delete(new Path(mdir, f"v$v%08d"), false))
       VacuumStats(dropped.sorted, staleManifests.size.toLong)
     }

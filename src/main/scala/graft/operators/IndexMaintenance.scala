@@ -106,7 +106,7 @@ object IndexMaintenance {
 
   /** Total bytes under a component dir (0 when absent) — one
     * filesystem metadata call, no data pass. */
-  private def componentBytes(spark: SparkSession, dir: String): Long = {
+  private[graft] def componentBytes(spark: SparkSession, dir: String): Long = {
     val (fs, p) = hfs(spark, dir)
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
@@ -289,18 +289,48 @@ object IndexMaintenance {
     val tombFraction =
       if (!snap.names("tombstones")) 0.0
       else {
-        val nTomb = spark.read.parquet(snap.dir("tombstones")).count()
+        val tombDir = snap.dir("tombstones")
+        val nTomb = spark.read.parquet(tombDir).count()
         if (nTomb == 0L) 0.0
         else {
-          val ids = spark.read.parquet(cellsDir)
-            .agg(countDistinct(col("n_id"))).collect()(0).getLong(0)
-          if (ids == 0L) 1.0 else nTomb.toDouble / ids
+          // The exact denominator (distinct stored ids) is a full
+          // cells-component pass — too expensive to pay on every call
+          // at a streaming-append cadence when nothing about the
+          // tombstones changed. Between measurements the component can
+          // only GROW under an unchanged tombstone set (deletes write
+          // a new tombstones generation → different cache key;
+          // compaction clears it), so the cached count is a LOWER
+          // bound on the live denominator and nTomb ÷ cached is a
+          // conservative OVERestimate of the live fraction: below the
+          // threshold it proves not-due with zero Spark work; at or
+          // above it, the exact pass re-runs (the index may have grown
+          // past the debt) and refreshes the cache. Firing decisions
+          // therefore always use the exact fraction.
+          val key = s"$tombDir@${componentBytes(spark, tombDir)}"
+          val bound = Option(ivfDistinctIds.get(path)) match {
+            case Some((k, cachedDistinct)) if k == key =>
+              nTomb.toDouble / cachedDistinct
+            case _ => Double.MaxValue
+          }
+          if (bound < policy.maxTombstoneFraction) bound
+          else {
+            val ids = spark.read.parquet(cellsDir)
+              .agg(countDistinct(col("n_id"))).collect()(0).getLong(0)
+            ivfDistinctIds.put(path, (key, math.max(ids, 1L)))
+            if (ids == 0L) 1.0 else nTomb.toDouble / ids
+          }
         }
       }
     val due = tombFraction >= policy.maxTombstoneFraction ||
       nFiles.toDouble / nCells >= policy.maxFilesPerCell
     if (due) Some(compactIvfIndex(spark, path)) else None
   }
+
+  /** [[maintainIvfIndex]]'s memo of the last exact distinct-id pass:
+    * path → (tombstones generation key, distinct stored ids). JVM-
+    * local — a fresh process just re-measures once. */
+  private val ivfDistinctIds =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** When [[maintainBm25Index]] compacts: at or past the file-bloat
     * threshold. BM25 maintenance debt is SMALL FILES ONLY — appends

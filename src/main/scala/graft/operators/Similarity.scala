@@ -227,18 +227,22 @@ object Similarity {
 
   /** [[sizedIdSide]] for an id set PERSISTED at `dir` (tombstones):
     * the broadcast-vs-shuffle decision keys on the parquet FILE BYTES
-    * — one filesystem metadata call, zero Spark jobs — because this
-    * runs at PROBE PLAN time on the hot serving path (a count() job
-    * per probe measured +0.5 s on every delete-bearing index probe).
-    * 8 B/id on disk ⇒ the 10 MB ceiling passes ≫ the row budget the
+    * ([[IndexMaintenance.componentBytes]] — one filesystem metadata
+    * call, zero Spark jobs) because this runs at PROBE PLAN time on
+    * the hot serving path (a count() job per probe measured +0.5 s on
+    * every delete-bearing index probe). The ceiling is the session's
+    * own `autoBroadcastJoinThreshold` (so a deployment that sizes its
+    * broadcast budget for its executor memory sizes this join with the
+    * same knob; -1 = broadcasts disabled → always shuffle); 8 B/id on
+    * disk ⇒ the default 10 MB threshold passes ≫ the row budget the
     * count-based guard uses; both paths return identical rows. */
   private[graft] def sizedIdSideFromDir(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir).select(col("n_id"))
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    if (bytes <= 10L * 1024 * 1024) broadcast(df) else df.hint("merge")
+    val bytes = IndexMaintenance.componentBytes(spark, dir)
+    if (bytes <= spark.sessionState.conf.autoBroadcastJoinThreshold)
+      broadcast(df)
+    else df.hint("merge")
   }
 
   /** The LIVE rows of a persisted IVF index under one

@@ -21,12 +21,14 @@ import graft.operators.TextAnalysis
   * micro-batch (stage query batches as whole-query files/messages,
   * the natural unit a serving tier emits). That proviso is ENFORCED,
   * not just documented: every committed batch leaves a small `_ids`
-  * manifest beside its parquet, each new batch streams the other
-  * batches' manifests lazily (driver memory O(batch + one manifest),
-  * never O(sink history)), and a batch presenting an id FIRST SERVED
-  * BY A DIFFERENT BATCH refuses loudly — a misconfigured stage that
-  * fragments a query gets an error naming the ids, never a silent
-  * once-per-fragment scoring.
+  * manifest beside its parquet; a run folds each manifest ONCE into
+  * sorted primitive arrays (16 bytes per distinct id the sink has
+  * ever served — compact and flat, with per-batch work just binary
+  * searches; archiving old batch dirs bounds both the arrays and the
+  * fold, the archived batches simply leaving the guarded history),
+  * and a batch presenting an id FIRST SERVED BY A DIFFERENT BATCH
+  * refuses loudly — a misconfigured stage that fragments a query gets
+  * an error naming the ids, never a silent once-per-fragment scoring.
   * `refuseSplitQueries = false` opts out for sources that legitimately
   * re-serve ids (at the documented per-fragment-scoring risk).
   * Gated against the same DuckDB mirror as the batch operator.
@@ -75,17 +77,21 @@ object StreamingBm25Score {
     val spark = stream.sparkSession
     val sinkP = new Path(sinkPath)
     val fs = sinkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // The split-query guard is EXACT yet bounded: each committed batch
-    // leaves a tiny `_ids` manifest beside its parquet (one id per
-    // line), and each new batch streams the OTHER batches' manifests
-    // one at a time, intersecting against its own id set — driver
-    // memory is O(this batch + one manifest), never O(every query the
-    // sink has ever served); the sink's full id history is never
-    // collected. Batch dirs from the pre-manifest layout self-heal:
-    // their manifest derives once from their own parquet
-    // (column-pruned) and persists. Per-guard I/O is one small read
-    // per committed batch directory — long-lived sinks fold that on
-    // whatever retention cadence archives old batch dirs.
+    // The split-query guard is EXACT with per-RUN amortized I/O: each
+    // committed batch leaves a tiny `_ids` manifest beside its
+    // parquet (one id per line), and the run folds every manifest
+    // ONCE into a pair of sorted primitive arrays (id → first-serving
+    // batch, 16 bytes per distinct id the sink has ever served — a
+    // 10M-query sink history costs ~160 MB driver, flat, not the
+    // boxed-map multiples the pre-manifest seed paid, and each batch
+    // then pays binary searches plus manifest reads only for batches
+    // committed since the last one (normally zero — its own writes
+    // fold in-memory). Archiving old batch dirs on a retention
+    // cadence genuinely bounds both the fold cost and the arrays: an
+    // archived batch is simply no longer part of the guarded history.
+    // Batch dirs from the pre-manifest layout self-heal: their
+    // manifest derives once from their own parquet (column-pruned)
+    // and persists.
     if (refuseSplitQueries && fs.exists(sinkP)) {
       // a sink written by the pre-batch-directory layout (flat part
       // files in the root) cannot resume: the guard can't attribute
@@ -113,7 +119,7 @@ object StreamingBm25Score {
       try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
     }
-    def batchIds(spark: SparkSession, dir: Path): Set[Long] = {
+    def batchIds(spark: SparkSession, dir: Path): Array[Long] = {
       val mf = new Path(dir, "_ids")
       if (!fs.exists(mf)) // pre-manifest batch dir: derive + persist once
         writeIdsManifest(dir, spark.read.parquet(dir.toString)
@@ -122,7 +128,41 @@ object StreamingBm25Score {
       val in = fs.open(mf)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map(_.toLong).toSet
+      text.linesIterator.filter(_.nonEmpty).map(_.toLong).toArray
+    }
+    // per-run guard state: sorted ids with their first-serving batch,
+    // plus which batch manifests are already folded in
+    var guardIds = Array.emptyLongArray
+    var guardFirst = Array.emptyLongArray
+    val folded = scala.collection.mutable.Set.empty[Long]
+    def foldBatch(b: Long, ids: Array[Long]): Unit = {
+      val sorted = ids.sorted
+      val mi = new Array[Long](guardIds.length + sorted.length)
+      val mf = new Array[Long](mi.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < guardIds.length || j < sorted.length) {
+        val takeOld = j >= sorted.length ||
+          (i < guardIds.length && guardIds(i) <= sorted(j))
+        if (takeOld) {
+          mi(o) = guardIds(i); mf(o) = guardFirst(i); o += 1
+          i += 1
+        } else {
+          // ties take the old side first, so an id in several
+          // manifests keeps its FIRST-serving batch (manifests fold
+          // in ascending batch order) and the duplicate drops here
+          if (!(o > 0 && mi(o - 1) == sorted(j))) {
+            mi(o) = sorted(j); mf(o) = b; o += 1
+          }
+          j += 1
+        }
+      }
+      guardIds = java.util.Arrays.copyOf(mi, o)
+      guardFirst = java.util.Arrays.copyOf(mf, o)
+      folded += b
+    }
+    def firstServedBy(id: Long): Option[Long] = {
+      val i = java.util.Arrays.binarySearch(guardIds, id)
+      if (i >= 0) Some(guardFirst(i)) else None
     }
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -137,15 +177,19 @@ object StreamingBm25Score {
             val ids = batch.toDF()
               .select(col(queryIdCol).cast("long")).distinct()
               .collect().map(_.getLong(0))
-            val idSet = ids.toSet
+            // fold manifests committed since the last look (ascending,
+            // so first-serving attribution is exact); normally zero —
+            // the whole history folds once, on the run's first batch
+            for ((b, dir) <- committedBatches().sortBy(_._1)
+                 if b != batchId && !folded.contains(b))
+              foldBatch(b, batchIds(batch.sparkSession, dir))
             // ids this batch itself served are a CRASH REPLAY (wrote,
             // crashed before the marker) — the overwrite below
-            // converges them; only ids in a DIFFERENT batch's manifest
-            // mean a query was split across micro-batches
-            val conflicts = scala.collection.mutable.SortedMap.empty[Long, Long]
-            for ((b, dir) <- committedBatches() if b != batchId;
-                 id <- batchIds(batch.sparkSession, dir) if idSet.contains(id))
-              if (!conflicts.contains(id)) conflicts(id) = b
+            // converges them; only ids first served by a DIFFERENT
+            // batch mean a query was split across micro-batches
+            val conflicts = scala.collection.immutable.SortedMap.empty[Long, Long] ++
+              ids.flatMap(id => firstServedBy(id)
+                .filter(_ != batchId).map(id -> _))
             if (conflicts.nonEmpty) throw new IllegalStateException(
               s"StreamingBm25Score: batch $batchId presents query id(s) " +
                 s"${conflicts.keys.take(8).mkString(", ")} first scored by " +
@@ -158,6 +202,7 @@ object StreamingBm25Score {
                 "refuseSplitQueries = false to accept per-fragment scoring")
             scored.write.mode("overwrite").parquet(target)
             writeIdsManifest(new Path(target), ids)
+            foldBatch(batchId, ids) // later batches guard in-memory
           } else scored.write.mode("overwrite").parquet(target)
         }
         ()

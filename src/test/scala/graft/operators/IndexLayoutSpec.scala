@@ -262,4 +262,59 @@ class IndexLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"), e.getMessage)
     rm(dir)
   }
+
+  test("vacuum is fenced: it bumps the version with the mapping unchanged, and never deletes a generation staged above its fence") {
+    val dir = tmp("layoutvacfence")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir)
+    IndexMaintenance.compactBm25Index(spark, dir)
+    val before = IndexLayout.snapshot(spark, dir)
+    // a racer that snapshotted AFTER the fence stages generations
+    // numbered above it — simulate its in-progress staging dir: the
+    // vacuum must leave it alone (the racer can still publish it)
+    val inflight = f"postings_g${before.version + 9}%05d-aaaaaaaa"
+    new java.io.File(s"$dir/$inflight/part").getParentFile.mkdirs()
+    // while an orphan at or below the fence (a LOSER of a pre-fence
+    // race — its commit would collide now) is reclaimed
+    val orphan = f"postings_g${before.version}%05d-bbbbbbbb"
+    new java.io.File(s"$dir/$orphan/part").getParentFile.mkdirs()
+    val st = IndexLayout.vacuumIndex(spark, dir, keepVersions = 1)
+    val after = IndexLayout.snapshot(spark, dir)
+    assert(after.version == before.version + 1, "vacuum must fence")
+    assert(after.mapping == before.mapping, "the fence re-points nothing")
+    assert(st.droppedDirs.contains(orphan), st.toString)
+    assert(!new java.io.File(s"$dir/$orphan").exists)
+    assert(new java.io.File(s"$dir/$inflight").isDirectory,
+      "vacuum deleted a generation staged above its fence")
+    // probes stay healthy through the fence
+    assert(rows(TextAnalysis.scoreWithBm25Index(spark, dir,
+      Seq("spark", "window", "agg"), k = 5)).nonEmpty)
+    rm(dir)
+  }
+
+  test("fence manifests (appends, vacuums) do not consume retention slots: keepVersions counts generation SETS") {
+    val dir = tmp("layoutretain")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir)
+    // one real flip (bare -> compacted generations)...
+    IndexMaintenance.compactBm25Index(spark, dir)
+    // ...then two pure fences — the manifest bump IVF/MinHash appends
+    // publish (re-points nothing, exists only to collide a lost-lease
+    // racer)
+    IndexLayout.commit(spark, IndexLayout.snapshot(spark, dir), Map.empty)
+    IndexLayout.commit(spark, IndexLayout.snapshot(spark, dir), Map.empty)
+    // keepVersions=2 must retain the BARE pre-compact generation (the
+    // previous generation set) even though four manifests now exist
+    // (compact flip + two fences + vacuum's own fence) — counting
+    // versions alone would age it out, counting generation sets keeps
+    // it
+    IndexLayout.vacuumIndex(spark, dir, keepVersions = 2)
+    assert(new java.io.File(s"$dir/postings").isDirectory,
+      "a fence manifest consumed the previous generation set's slot")
+    // with keepVersions=1 the superseded bare set goes
+    IndexLayout.vacuumIndex(spark, dir, keepVersions = 1)
+    assert(!new java.io.File(s"$dir/postings").exists)
+    assert(rows(TextAnalysis.scoreWithBm25Index(spark, dir,
+      Seq("spark", "window", "agg"), k = 5)).nonEmpty)
+    rm(dir)
+  }
 }

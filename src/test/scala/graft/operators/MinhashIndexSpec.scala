@@ -73,4 +73,48 @@ class MinhashIndexSpec extends SparkSpec {
     val probe = (100 until 102).map(i => (i.toLong, "x y z x y z")).toDF("doc_id", "text")
     assert(Dedup.probeMinhashIndex(spark, p2, probe, "doc_id", "text").count() == 0)
   }
+
+  test("in-place rebuild over an appended index carries NO stale pending band rows (bare and compacted-lifecycle variants)") {
+    val oddDocs = docs.filter(col("doc_id") % 2 === 1)
+    val evenDocs = docs.filter(col("doc_id") % 2 === 0)
+    def rows(p: String) = Dedup.probeMinhashIndex(spark, p, evenDocs,
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSet
+    val fresh = rows(path) // the build-once fixture, never appended
+
+    // bare-lifecycle variant: build on a subset, append docs NOT in
+    // the eventual rebuild (bandrows lands bare holding ids the
+    // rebuild never indexes — the resurrection hazard), then rebuild
+    val p3 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mhindex_rb_${java.util.UUID.randomUUID}").getAbsolutePath
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", p3)
+    Dedup.appendToMinhashIndex(evenDocs, "doc_id", "text", p3)
+    Dedup.writeMinhashIndex(oddDocs, "doc_id", "text", p3)
+    val st = Dedup.loadMinhashIndex(spark, p3)
+    assert(st.pendingBandRows.isEmpty ||
+      st.pendingBandRows.get.limit(1).count() == 0,
+      "rebuild resurrected the pre-rebuild lifecycle's pending band rows")
+    assert(rows(p3) == fresh,
+      "rebuilt index diverges from a fresh build on the same reference")
+
+    // compacted-lifecycle variant: the pending rows were folded and
+    // bandrows re-pointed before the rebuild — the manifest reset must
+    // not resolve any pre-rebuild bytes either
+    val p4 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mhindex_rb2_${java.util.UUID.randomUUID}").getAbsolutePath
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", p4)
+    Dedup.appendToMinhashIndex(evenDocs, "doc_id", "text", p4)
+    IndexMaintenance.compactMinhashIndex(spark, p4)
+    Dedup.writeMinhashIndex(oddDocs, "doc_id", "text", p4)
+    val st2 = Dedup.loadMinhashIndex(spark, p4)
+    assert(st2.pendingBandRows.isEmpty ||
+      st2.pendingBandRows.get.limit(1).count() == 0)
+    assert(rows(p4) == fresh)
+
+    for (p <- Seq(p3, p4))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
 }
