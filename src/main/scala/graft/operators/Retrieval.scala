@@ -51,13 +51,45 @@ object Retrieval {
       queryVecs: DataFrame,
       corpus: DataFrame, corpusIdCol: String, vecCol: String,
       kLex: Int = 30, kNominate: Int = 30, kAnn: Int = 10,
+      nprobe: Int = 4, rrfK: Int = 60, topK: Int = 10): DataFrame =
+    hybridServeWith(loadHybridState(spark, bm25IndexPath, pqIndexPath),
+      queryTerms, queryIdCol, termCol, queryVecs,
+      corpus, corpusIdCol, vecCol,
+      kLex, kNominate, kAnn, nprobe, rrfK, topK)
+
+  /** The driver-side state of both serving indexes, resolved once —
+    * what a serving tier (or [[graft.streaming.StreamingHybridServe]])
+    * holds across query batches so the per-batch cost is the probes
+    * alone, never the meta reads/plan construction. Each index's
+    * state is internally snapshot-consistent ([[IndexLayout]]); the
+    * two indexes are independent structures, so there is no cross-
+    * index snapshot to take. */
+  final case class HybridServeState(bm25: TextAnalysis.Bm25IndexState,
+                                    pq: Similarity.PqIndexState)
+
+  /** Load [[HybridServeState]]: one bounded meta read per index,
+    * readers constructed once. */
+  def loadHybridState(spark: SparkSession, bm25IndexPath: String,
+                      pqIndexPath: String): HybridServeState =
+    HybridServeState(TextAnalysis.loadBm25Index(spark, bm25IndexPath),
+      Similarity.loadPqIndex(spark, pqIndexPath))
+
+  /** [[hybridServe]] over caller-held state — the per-batch body for
+    * streaming serving. Identical plan and output (the self-loading
+    * form delegates here). */
+  def hybridServeWith(
+      state: HybridServeState,
+      queryTerms: DataFrame, queryIdCol: String, termCol: String,
+      queryVecs: DataFrame,
+      corpus: DataFrame, corpusIdCol: String, vecCol: String,
+      kLex: Int = 30, kNominate: Int = 30, kAnn: Int = 10,
       nprobe: Int = 4, rrfK: Int = 60, topK: Int = 10): DataFrame = {
     require(kLex >= 1 && kNominate >= 1 && kAnn >= 1 && topK >= 1,
       s"bad k (kLex=$kLex kNominate=$kNominate kAnn=$kAnn topK=$topK)")
-    val bm = TextAnalysis.scoreWithBm25IndexMulti(spark, bm25IndexPath,
+    val bm = TextAnalysis.scoreWithBm25StateMulti(state.bm25,
         queryTerms, queryIdCol, termCol, k = kLex)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val cand = Similarity.queryIvfIndexPq(spark, pqIndexPath, queryVecs,
+    val cand = Similarity.queryIvfIndexPqWith(state.pq, queryVecs,
       k = kNominate, nprobe = nprobe)
     val ann = Similarity.rerankCandidates(corpus, queryVecs, cand,
         corpusIdCol, vecCol, k = kAnn)

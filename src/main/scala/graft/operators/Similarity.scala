@@ -696,11 +696,41 @@ object Similarity {
     * ([[rerankCandidates]] composes). */
   def queryIvfIndexPq(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame =
+    queryIvfIndexPqWith(loadPqIndex(spark, path), queries, k, nprobe)
+
+  /** Driver-side state of a persisted PQ IVF index: the collected
+    * codebook (m × ks × subDim doubles — bounded, validated against
+    * meta), the centroid reader and the LIVE cells reader (tombstone
+    * anti-join already applied), all resolved from ONE
+    * [[IndexLayout]] snapshot. Streaming callers
+    * ([[graft.streaming.StreamingHybridServe]]) load this once at
+    * stream start and probe per micro-batch via
+    * [[queryIvfIndexPqWith]] — zero per-batch index-side driver work
+    * (the [[graft.operators.TextAnalysis.loadBm25Index]] hoist,
+    * uniformly). */
+  final case class PqIndexState(codebook: Seq[Seq[Seq[Double]]],
+                                centroids: DataFrame, cells: DataFrame)
+
+  /** Load [[PqIndexState]]: one bounded meta+codebook read (format
+    * tag verified), readers constructed once. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqIndexState = {
     val snap = IndexLayout.snapshot(spark, path)
-    val codebook = readPqIndexStateAt(spark, snap)
-    val centroids = spark.read.parquet(snap.dir("centroids"))
-    val index = readIvfCellsLive(spark, snap)
+    PqIndexState(readPqIndexStateAt(spark, snap),
+      spark.read.parquet(snap.dir("centroids")),
+      readIvfCellsLive(spark, snap))
+  }
+
+  /** [[queryIvfIndexPq]] over caller-held state — the per-batch body
+    * for streaming probes. Identical plan and output (the
+    * self-reading form delegates here). */
+  def queryIvfIndexPqWith(st: PqIndexState, queries: DataFrame,
+                          k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val codebook = st.codebook
+    val centroids = st.centroids
+    val index = st.cells
 
     // same collected-probe shape as queryIvfIndex: the IN-list literal
     // gives the scan a STATIC partition filter; the local relation

@@ -3159,6 +3159,66 @@ object PipelineQueries {
        |SELECT query_id, fused_rank, doc_id, n_lists, rrf_score
        |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
 
+  /** STREAMING hybrid serving under the driver gate — q_hybrid_served
+    * applied to a QUERY STREAM ([[graft.streaming.StreamingHybridServe]]):
+    * the same three queries arrive as whole rows (query_id, terms,
+    * embedding), one file per query = one AvailableNow micro-batch,
+    * each batch served by the full certified composition (persisted
+    * BM25 top-30 ⊕ persisted-PQ nominate → exact re-rank top-10,
+    * RRF-fused) over BOTH index states loaded once at stream start,
+    * written replay-safe to per-batch sink dirs. Whole-row queries
+    * make batching invisible (every stage is per-query and both
+    * indexes are fixed), so the sink union ≡ the batch
+    * Retrieval.hybridServe — the SAME mirror as q_hybrid_served gates
+    * the whole streaming loop, every fused score value-checked. */
+  def streamHybridServe(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val sfKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val bmBase = s"${sys.props("java.io.tmpdir")}/graft_bm25index_v1_$sfKey"
+    if (!new java.io.File(s"$bmBase/meta/_SUCCESS").isFile)
+      TextAnalysis.writeBm25Index(docs(s, d), "doc_id", "text", bmBase)
+    val pqBase = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_v1_$sfKey"
+    if (!new java.io.File(s"$pqBase/meta/_SUCCESS").isFile)
+      Similarity.writeIvfIndexPq(embs(s, d), "vec_id", "embedding", pqBase,
+        cells = 16, m = 8, ks = 16)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_streamhybrid_v1_$sfKey")
+    val sentinel = new java.io.File(root, "_COMPLETE")
+    if (!sentinel.isFile) {
+      val staging = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_streamhybrid_v1_${sfKey}_build_${java.util.UUID.randomUUID}")
+      val stage = s"$staging/stage"
+      // whole-row queries: each query's terms AND embedding in one
+      // row; one file per query = one micro-batch per query
+      val vecs = embs(s, d).filter(col("vec_id") <= 2)
+        .select(col("vec_id").cast("long").as("query_id"), col("embedding"))
+      for (qid <- bm25MultiQueries.map(_._1).distinct.sorted)
+        vecs.filter(col("query_id") === qid)
+          .withColumn("terms", typedLit(
+            bm25MultiQueries.filter(_._1 == qid).map(_._2)))
+          .select("query_id", "terms", "embedding")
+          .coalesce(1).write.mode("append").parquet(stage)
+      val src = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      graft.streaming.StreamingHybridServe.run(s, src, bmBase, pqBase,
+        "query_id", "terms", "embedding", embs(s, d), "vec_id", "embedding",
+        sinkPath = s"$staging/out", checkpoint = s"$staging/ckpt")
+      require(new java.io.File(staging, "_COMPLETE").createNewFile())
+      if (sentinel.isFile) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      } else {
+        if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+        if (!staging.renameTo(root)) {
+          require(sentinel.isFile, s"stream-hybrid promote failed: $root")
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        }
+      }
+    }
+    s.read.parquet(s"$root/out/batch-*").orderBy("query_id", "fused_rank")
+  }
+
+  lazy val streamHybridServeSql: String = hybridServedSql
+
   // ---- curriculum ordering ----
 
   /** Short-to-long curriculum under the driver gate: documents
