@@ -447,13 +447,13 @@ object Dedup {
       snap: IndexLayout.Snapshot, newDocs: DataFrame,
       idCol: String, textCol: String,
       stageDir: Option[String]): Unit = {
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     val shingleN = meta.getAs[Int]("shingleN")
     val numHashes = meta.getAs[Int]("numHashes")
     val bandRows = meta.getAs[Int]("bandRows")
     val inc = newDocs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"))
-    val overlap = spark.read.parquet(snap.dir("shingles"))
+    val overlap = IndexLayout.readComponent(spark, snap.dir("shingles"))
       .join(inc.select("id").distinct(), Seq("id"), "left_semi").count()
     require(overlap == 0,
       s"appendToMinhashIndex: $overlap doc id(s) already exist in the index " +
@@ -531,17 +531,17 @@ object Dedup {
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndexState = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     val brDir = snap.dir("bandrows")
     val pending =
       if (IndexMaintenance.dataFiles(spark, brDir).nonEmpty)
-        Some(spark.read.parquet(brDir))
+        Some(IndexLayout.readComponent(spark, brDir))
       else None
     MinhashIndexState(
       meta.getAs[Int]("shingleN"), meta.getAs[Int]("numHashes"),
       meta.getAs[Int]("bandRows"), meta.getAs[Int]("maxBucketSize"),
-      spark.read.parquet(snap.dir("bands")),
-      spark.read.parquet(snap.dir("shingles")),
+      IndexLayout.readComponent(spark, snap.dir("bands")),
+      IndexLayout.readComponent(spark, snap.dir("shingles")),
       pending)
   }
 

@@ -137,6 +137,36 @@ object IndexLayout {
     Snapshot(snap.path, v, mapping)
   }
 
+  /** Read an index COMPONENT dir with its schema resolved once per
+    * path — the probe-path fast read.
+    *
+    * `spark.read.parquet(dir)` infers the schema EAGERLY per call,
+    * which runs a footer-reading Spark job (measured ~40-120 ms of
+    * driver+job time at any data size, tools/DriverCost) — per
+    * component, per probe, per rep. A component's SCHEMA is a layout
+    * invariant: every writer of a given component (build, append,
+    * compact) writes the identical column set and types, and rewrites
+    * land in fresh generation directories. So the schema is cached per
+    * absolute dir and only the FILE LISTING is re-resolved on every
+    * read — appended files are always visible, and a generation flip
+    * changes the dir (new cache key), never the bytes under an old
+    * one. Rows are never cached; every action re-scans the parquet.
+    *
+    * Edge vs the plain read: a dir whose files were all removed reads
+    * as empty instead of failing schema inference — unreachable
+    * through IndexMaintenance (components are replaced by generation,
+    * never emptied in place). */
+  private val componentSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def readComponent(
+      spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sch = componentSchemaCache.computeIfAbsent(
+      dir, d => spark.read.parquet(d).schema)
+    spark.read.schema(sch).parquet(dir)
+  }
+
   /** After a full REBUILD wrote the bare component dirs of an index
     * that previously had manifest generations: publish an empty
     * mapping so readers resolve the fresh bare layout (and stale

@@ -175,10 +175,10 @@ object IndexMaintenance {
       val dRel = snap.nextGenRel("dl")
       val pParts = compactedPartitions(spark, Seq(snap.dir("postings")))
       val dParts = compactedPartitions(spark, Seq(snap.dir("dl")))
-      spark.read.parquet(snap.dir("postings"))
+      IndexLayout.readComponent(spark, snap.dir("postings"))
         .repartition(pParts, col("term")).sortWithinPartitions("term", "__doc")
         .write.mode("overwrite").parquet(s"$path/$pRel")
-      spark.read.parquet(snap.dir("dl"))
+      IndexLayout.readComponent(spark, snap.dir("dl"))
         .repartition(dParts, col("__doc")).sortWithinPartitions("__doc")
         .write.mode("overwrite").parquet(s"$path/$dRel")
       IndexLayout.commit(spark, snap, Map("postings" -> pRel, "dl" -> dRel))
@@ -217,21 +217,21 @@ object IndexMaintenance {
       val sParts = compactedPartitions(spark, Seq(snap.dir("shingles")))
       val bParts = compactedPartitions(spark,
         Seq(snap.dir("bands"), snap.dir("bandrows")))
-      spark.read.parquet(snap.dir("shingles"))
+      IndexLayout.readComponent(spark, snap.dir("shingles"))
         .repartition(sParts, col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/$sRel")
       val updates = scala.collection.mutable.Map(
         "shingles" -> sRel, "bands" -> bRel)
       if (pendingFiles == 0)
-        spark.read.parquet(snap.dir("bands"))
+        IndexLayout.readComponent(spark, snap.dir("bands"))
           .repartition(bParts, col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(s"$path/$bRel")
       else {
-        val cap = spark.read.parquet(snap.dir("meta")).collect()(0)
+        val cap = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
           .getAs[Int]("maxBucketSize")
-        spark.read.parquet(snap.dir("bands"))
+        IndexLayout.readComponent(spark, snap.dir("bands"))
           .select(col("bucket"), explode(col("ids")).as("id"))
-          .union(spark.read.parquet(snap.dir("bandrows"))
+          .union(IndexLayout.readComponent(spark, snap.dir("bandrows"))
             .select(col("bucket"), col("id")))
           .distinct()
           .groupBy(col("bucket"))
@@ -449,23 +449,23 @@ object IndexMaintenance {
     import spark.implicits._
     IndexLayout.withIndexLock(spark, path, "delete-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
       // sized on the REAL count: over-budget takedown sets shuffle
       // instead of failing on the broadcast ceiling
       val del = Similarity.sizedIdSide(
         ids.select(col(idCol).as("__doc")).distinct())
-      val hit = spark.read.parquet(snap.dir("dl"))
+      val hit = IndexLayout.readComponent(spark, snap.dir("dl"))
         .join(del, Seq("__doc"), "left_semi").count()
       if (hit == 0) return // every id absent — takedown no-op
       val pRel = snap.nextGenRel("postings")
       val dRel = snap.nextGenRel("dl")
       val mRel = snap.nextGenRel("meta")
       try {
-        spark.read.parquet(snap.dir("postings"))
+        IndexLayout.readComponent(spark, snap.dir("postings"))
           .join(del, Seq("__doc"), "left_anti")
           .repartition(col("term")).sortWithinPartitions("term", "__doc")
           .write.mode("overwrite").parquet(s"$path/$pRel")
-        spark.read.parquet(snap.dir("dl"))
+        IndexLayout.readComponent(spark, snap.dir("dl"))
           .join(del, Seq("__doc"), "left_anti")
           .repartition(col("__doc")).sortWithinPartitions("__doc")
           .write.mode("overwrite").parquet(s"$path/$dRel")
@@ -526,11 +526,11 @@ object IndexMaintenance {
       // (same results) instead of dying on the broadcast ceiling
       val del = Similarity.sizedIdSide(
         ids.select(col(idCol).cast("long").as("n_id")).distinct())
-      val index = spark.read.parquet(snap.dir("cells"))
+      val index = IndexLayout.readComponent(spark, snap.dir("cells"))
       val present = index.select(col("n_id"))
         .join(del, Seq("n_id"), "left_semi").distinct()
       val existing =
-        if (snap.names("tombstones")) spark.read.parquet(snap.dir("tombstones"))
+        if (snap.names("tombstones")) IndexLayout.readComponent(spark, snap.dir("tombstones"))
         else present.limit(0)
       val newTomb = Materialize(existing.union(present).distinct())
       val nExisting = existing.count()
@@ -604,7 +604,7 @@ object IndexMaintenance {
       val brRel = snap.nextGenRel("bandrows")
       val pendingFiles = dataFileCount(spark, snap.dir("bandrows"))
       try {
-        spark.read.parquet(snap.dir("shingles"))
+        IndexLayout.readComponent(spark, snap.dir("shingles"))
           .join(del, Seq("id"), "left_anti")
           .repartition(col("id"))
           .write.mode("overwrite").parquet(s"$path/$sRel")
@@ -612,7 +612,7 @@ object IndexMaintenance {
         require(spark.read.parquet(s"$path/$sRel").limit(1).count() > 0,
           s"deleteFromMinhashIndex: deleting these ids empties the index at " +
             s"$path — drop it instead")
-        spark.read.parquet(snap.dir("bands"))
+        IndexLayout.readComponent(spark, snap.dir("bands"))
           .select(col("bucket"), explode(col("ids")).as("id"))
           .join(del, Seq("id"), "left_anti")
           .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
@@ -622,7 +622,7 @@ object IndexMaintenance {
         if (pendingFiles > 0) {
           // pending append rows carry ids too — same anti-join, so a
           // deleted id can never resurface via an uncompacted append
-          spark.read.parquet(snap.dir("bandrows"))
+          IndexLayout.readComponent(spark, snap.dir("bandrows"))
             .join(del, Seq("id"), "left_anti")
             .write.mode("overwrite").parquet(s"$path/$brRel")
           updates += "bandrows" -> brRel

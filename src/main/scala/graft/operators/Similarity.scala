@@ -238,7 +238,7 @@ object Similarity {
     * count-based guard uses; both paths return identical rows. */
   private[graft] def sizedIdSideFromDir(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(dir).select(col("n_id"))
+    val df = IndexLayout.readComponent(spark, dir).select(col("n_id"))
     val bytes = IndexMaintenance.componentBytes(spark, dir)
     if (bytes <= spark.sessionState.conf.autoBroadcastJoinThreshold)
       broadcast(df)
@@ -255,7 +255,7 @@ object Similarity {
   private[graft] def readIvfCellsLive(
       spark: org.apache.spark.sql.SparkSession,
       snap: IndexLayout.Snapshot): DataFrame = {
-    val cells = spark.read.parquet(snap.dir("cells"))
+    val cells = IndexLayout.readComponent(spark, snap.dir("cells"))
     if (snap.names("tombstones"))
       cells.join(sizedIdSideFromDir(spark, snap.dir("tombstones")),
         Seq("n_id"), "left_anti")
@@ -293,7 +293,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val snap = IndexLayout.snapshot(spark, path)
-    val centroids = spark.read.parquet(snap.dir("centroids"))
+    val centroids = IndexLayout.readComponent(spark, snap.dir("centroids"))
     val index = readIvfCellsLive(spark, snap)
 
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
@@ -448,7 +448,7 @@ object Similarity {
       val snap = IndexLayout.snapshot(spark, path)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndex")
-      val cents = collectCentroids(spark.read.parquet(snap.dir("centroids")))
+      val cents = collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids")))
       assignToCells(c, cents)
         .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
       // manifest FENCE: appends mutate the live generation without
@@ -491,14 +491,14 @@ object Similarity {
   def loadIvfSq8AppendState(spark: org.apache.spark.sql.SparkSession,
                             path: String): IvfSq8AppendState = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build appends 'sq8-v1'")
     IvfSq8AppendState(
       meta.getSeq[Double](meta.fieldIndex("los")),
       meta.getSeq[Double](meta.fieldIndex("his")),
-      collectCentroids(spark.read.parquet(snap.dir("centroids"))))
+      collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
   }
 
   /** [[appendToIvfIndexSq8]] over caller-held state — the per-batch
@@ -574,7 +574,7 @@ object Similarity {
     guardedCellAppend(spark, { snap =>
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexGuarded")
-      assignToCells(c, collectCentroids(spark.read.parquet(snap.dir("centroids"))))
+      assignToCells(c, collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
     }, path, appendId)
   }
 
@@ -587,7 +587,7 @@ object Similarity {
       val codebook = readPqIndexState(spark, path)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexPqGuarded")
-      assignToCells(c, collectCentroids(spark.read.parquet(snap.dir("centroids"))))
+      assignToCells(c, collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
         .select(col("n_id"),
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
           col("cell"))
@@ -658,7 +658,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       snap: IndexLayout.Snapshot): Seq[Seq[Seq[Double]]] = {
     val path = snap.path
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     // format FIRST: probing a non-PQ index (e.g. sq8-v1) must refuse
     // on the tag, not trip over the missing PQ geometry columns
     val format = meta.getAs[String]("format")
@@ -670,7 +670,7 @@ object Similarity {
     require(format == s"pq-m$m-v1",
       s"index at $path has format '$format'; its meta says m = $m — " +
         "corrupt or cross-version index")
-    val codebook = spark.read.parquet(snap.dir("codebook"))
+    val codebook = IndexLayout.readComponent(spark, snap.dir("codebook"))
       .orderBy(col("j"), col("c")).collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
         r.getSeq[Double](r.fieldIndex("sub"))))
@@ -718,7 +718,7 @@ object Similarity {
                   path: String): PqIndexState = {
     val snap = IndexLayout.snapshot(spark, path)
     PqIndexState(readPqIndexStateAt(spark, snap),
-      spark.read.parquet(snap.dir("centroids")),
+      IndexLayout.readComponent(spark, snap.dir("centroids")),
       readIvfCellsLive(spark, snap))
   }
 
@@ -778,7 +778,7 @@ object Similarity {
       val codebook = readPqIndexStateAt(spark, snap)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexPq")
-      val cents = collectCentroids(spark.read.parquet(snap.dir("centroids")))
+      val cents = collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids")))
       assignToCells(c, cents)
         .select(col("n_id"),
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
@@ -804,13 +804,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build probes 'sq8-v1'")
     val los = meta.getSeq[Double](meta.fieldIndex("los"))
     val his = meta.getSeq[Double](meta.fieldIndex("his"))
-    val centroids = spark.read.parquet(snap.dir("centroids"))
+    val centroids = IndexLayout.readComponent(spark, snap.dir("centroids"))
     val index = readIvfCellsLive(spark, snap)
 
     // same collected-probe shape as queryIvfIndex: the IN-list literal

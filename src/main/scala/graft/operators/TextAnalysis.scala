@@ -732,14 +732,14 @@ object TextAnalysis {
     import spark.implicits._
     IndexLayout.withIndexLock(spark, path, "append-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
       val tok = meta.getAs[String]("tokenization")
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
           s"'$Bm25Tokenization' — rebuild the index")
       val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
       val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
-      val overlap = spark.read.parquet(snap.dir("dl"))
+      val overlap = IndexLayout.readComponent(spark, snap.dir("dl"))
         .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
       require(overlap == 0,
         s"appendToBm25Index: $overlap doc id(s) already exist in the index " +
@@ -794,14 +794,14 @@ object TextAnalysis {
     val spark = newDocs.sparkSession
     IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
       val tok = meta.getAs[String]("tokenization")
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
           s"'$Bm25Tokenization' — rebuild the index")
       val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
       val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
-      val overlap = spark.read.parquet(snap.dir("dl"))
+      val overlap = IndexLayout.readComponent(spark, snap.dir("dl"))
         .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
       require(overlap == 0,
         s"appendToBm25IndexGuarded: $overlap doc id(s) already exist in the " +
@@ -821,9 +821,9 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import spark.implicits._
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     spark.catalog.refreshByPath(snap.dir("dl"))
-    val st = spark.read.parquet(snap.dir("dl"))
+    val st = IndexLayout.readComponent(spark, snap.dir("dl"))
       .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
       .collect()(0)
     require(st.getLong(1) > 0,
@@ -867,14 +867,14 @@ object TextAnalysis {
     // ONE snapshot resolves postings+dl+meta — a maintenance flip
     // between these reads can never hand a probe mixed generations
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = spark.read.parquet(snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
     val tok = meta.getAs[String]("tokenization")
     require(tok == Bm25Tokenization,
       s"BM25 index at $path uses tokenization '$tok'; this build scores " +
         s"'$Bm25Tokenization' — rebuild the index")
     Bm25IndexState(
-      spark.read.parquet(snap.dir("postings")),
-      spark.read.parquet(snap.dir("dl")),
+      IndexLayout.readComponent(spark, snap.dir("postings")),
+      IndexLayout.readComponent(spark, snap.dir("dl")),
       meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"),
       meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
   }
@@ -1124,7 +1124,7 @@ object TextAnalysis {
     * once — streaming callers keep it across micro-batches instead of
     * re-reading `meta/` per batch. */
   def readLmMeta(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val meta = IndexLayout.readComponent(spark, s"$path/meta").collect()(0)
     val tok = meta.getAs[String]("tokenization")
     require(tok == LmTokenization,
       s"LM index at $path uses tokenization '$tok'; this build scores " +
@@ -1141,8 +1141,8 @@ object TextAnalysis {
   def scoreWithLmState(spark: org.apache.spark.sql.SparkSession, path: String,
                        v: Long, df: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    scoreWithLm(spark.read.parquet(s"$path/model"),
-      spark.read.parquet(s"$path/ctx"), v, df, idCol, textCol)
+    scoreWithLm(IndexLayout.readComponent(spark, s"$path/model"),
+      IndexLayout.readComponent(spark, s"$path/ctx"), v, df, idCol, textCol)
 
   /** Scoring over caller-held model state: `model` = (bg, ctx, c12)
     * and `c1` = (ctx, c1) DataFrames (from the [[writeLmIndex]]
