@@ -26,6 +26,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-based AQE coalescing (Spark docs' recommended setting):
+      // reduce-stage task counts follow advisoryPartitionSizeInBytes
+      // instead of defaultParallelism — tiny stages stop paying 32
+      // tasks of pure scheduling overhead locally, and at cluster
+      // scale partitions stay in the advisory byte range either way
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

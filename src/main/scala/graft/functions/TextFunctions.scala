@@ -153,6 +153,11 @@ object TextFunctions {
   def shingleHashes(text: Column, shingleN: Int): Column =
     toColumn(ShingleHashes(toExpr(text), shingleN))
 
+  /** Per-doc term counts: array<struct<term, tf>> in first-occurrence
+    * order — the in-row (doc, term, tf) form (see [[TermCounts]]). */
+  def termCounts(text: Column): Column =
+    toColumn(TermCounts(toExpr(text)))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -366,6 +371,48 @@ case class ShingleHashes(child: Expression, shingleN: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Per-document TERM COUNTS in one expression eval: split on single
+  * spaces (Spark `split(text, " ")` semantics), drop empty tokens,
+  * count occurrences per distinct term in FIRST-OCCURRENCE order.
+  * Emits array<struct<term string, tf bigint>> — the in-row form of
+  * `explode(words) → groupBy(doc, term) → count`, with the
+  * corpus-wide (doc, term) shuffle that aggregation pays replaced by
+  * per-row local counting (a doc's terms are already co-located on
+  * its row; shuffling them to count them moves the corpus once for
+  * nothing). Downstream consumers explode this array to recover the
+  * exact (doc, term, tf) rows, and a doc's length is the tf sum —
+  * also in-row. */
+case class TermCounts(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) counts.merge(t, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TermCounts =
     copy(child = c)
 }
 

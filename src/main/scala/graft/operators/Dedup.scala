@@ -50,6 +50,13 @@ object Dedup {
     * default 10 MB autoBroadcastJoinThreshold. */
   private[graft] val BroadcastSafeRows = 250000L
 
+  /** Candidate-pair count above which the verify side's (id, text)
+    * rows are repartitioned before shingling: past this, spreading
+    * the shingle compute + checkpoint write across cores beats the
+    * exchange it costs; below it the docs shingle in less time than
+    * the shuffle's fixed overhead. */
+  private[graft] val RepartitionVerifyRows = 4096L
+
   /** Pin `d`'s next equi-join to a shuffle (sort-merge) join when its
     * REAL cardinality exceeded the broadcast-safe budget; below it the
     * planner keeps its static choice (tiny candidate sets broadcast,
@@ -157,17 +164,24 @@ object Dedup {
       .union(candidates.select(col("b_id").as("id"))).distinct(), big)
     // materialized: consumed by BOTH pair-side joins below — without
     // it the semi-join + shingling of candidate docs runs twice.
-    // Repartitioned by id BEFORE the shingle projection: the semi-join
-    // inherits the corpus scan's few input partitions, so computing +
-    // checkpointing the shingle payload there pins 1-2 threads while
-    // the rest of the cluster idles (measured at sf1: tens of seconds
-    // serial vs ~1 s parallel) — the narrow (id, text) shuffle spreads
-    // both the shingle compute and the checkpoint write across all
-    // cores, and costs one small pass over O(candidates) rows
-    val shingleSets = Materialize(df
+    // Repartitioned by id BEFORE the shingle projection when the
+    // candidate set is large: the semi-join inherits the corpus scan's
+    // few input partitions, so computing + checkpointing the shingle
+    // payload there pins 1-2 threads while the rest of the cluster
+    // idles (measured at sf1: tens of seconds serial vs ~1 s parallel)
+    // — the narrow (id, text) shuffle spreads both the shingle compute
+    // and the checkpoint write across all cores, and costs one small
+    // pass over O(candidates) rows. Gated on the REAL candidate count
+    // (the same sized-on-real-count idiom as the joins): a small
+    // verify set shingles in less time than the exchange costs, so the
+    // shuffle would be pure fixed overhead there.
+    val verifySide = df
       .join(candIds, col(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(col("id"))
+    val spread =
+      if (nCand > RepartitionVerifyRows) verifySide.repartition(col("id"))
+      else verifySide
+    val shingleSets = Materialize(spread
       .select(col("id"),
         TextFunctions.wordShingles(col("__text"), shingleN).as("sh")))
     // both pair-side joins guarded: a big pair table (and hence the
@@ -283,15 +297,21 @@ object Dedup {
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val big = candidates.count() > BroadcastSafeRows
+    val nCand = candidates.count()
+    val big = nCand > BroadcastSafeRows
 
     def shingleSide(df: DataFrame, id: String, text: String,
                     keyCol: String, shCol: String): DataFrame = {
       val ids = sizedIdSet(candidates.select(col(keyCol).as("id")).distinct(), big)
-      Materialize(df
+      val side = df
         .join(ids, col(id) === ids("id"), "left_semi")
         .select(col(id).as(keyCol), col(text).as("__text"))
-        .repartition(col(keyCol))
+      // spread the shingle compute only when the verify set is big
+      // enough for the exchange to pay for itself (see minhashPairs)
+      val spread =
+        if (nCand > RepartitionVerifyRows) side.repartition(col(keyCol))
+        else side
+      Materialize(spread
         .select(col(keyCol),
           TextFunctions.wordShingles(col("__text"), shingleN).as(shCol)))
     }
@@ -585,14 +605,20 @@ object Dedup {
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val big = candidates.count() > BroadcastSafeRows
+    val nCand = candidates.count()
+    val big = nCand > BroadcastSafeRows
 
-    // probe-side shingles: computed, for candidate probe docs only
+    // probe-side shingles: computed, for candidate probe docs only —
+    // spread across cores only when the verify set is big enough for
+    // the exchange to pay for itself (see minhashPairs)
     val aIds = sizedIdSet(candidates.select(col("a_id").as("id")).distinct(), big)
-    val probeSh = Materialize(newDocs
+    val probeSide = newDocs
       .join(aIds, col(idCol).cast("long") === aIds("id"), "left_semi")
       .select(col(idCol).cast("long").as("a_id"), col(textCol).as("__text"))
-      .repartition(col("a_id"))
+    val probeSpread =
+      if (nCand > RepartitionVerifyRows) probeSide.repartition(col("a_id"))
+      else probeSide
+    val probeSh = Materialize(probeSpread
       .select(col("a_id"),
         TextFunctions.shingleHashes(col("__text"), shingleN).as("a_sh")))
     // reference-side shingles: READ from the index, never recomputed

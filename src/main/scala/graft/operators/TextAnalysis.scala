@@ -213,10 +213,14 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     require(k >= 1, s"bad k $k")
+    // per-doc term counts IN-ROW (TermCounts — no corpus-wide
+    // (doc, term) shuffle; see bm25DocTc for the shape rationale),
+    // materialized once for the df aggregate + scoring join consumers
     val tf = Materialize(
-      df.select(col(idCol), explode(words(col(textCol))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+      df.select(col(idCol),
+          explode(graft.functions.TextFunctions.termCounts(col(textCol)))
+            .as("p"))
+        .select(col(idCol), col("p.term").as("term"), col("p.tf").as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
@@ -248,11 +252,14 @@ object TextAnalysis {
     * TakeOrdered action (V+1 rows); pass 2 RE-SCANS the corpus
     * restricted to the collected vocabulary (broadcast local
     * relation) — re-scanning beats materializing a corpus-sized
-    * incidence list — then distincts to (doc, term) with ≤V terms
-    * per doc, so the doc-keyed pair self-join is bounded by V² per
-    * document, never |doc|². Pair aggregation is one
-    * map-side-combined shuffle over ≤V² keys. Two corpus scans
-    * total; no separate count() action. */
+    * incidence list — and collects each doc's ≤V distinct vocab
+    * terms into ONE sorted array (a doc-keyed shuffle with map-side
+    * partial collect_set, per-doc state ≤V structs), generating the
+    * i<j pairs IN-ROW: the pair space stays bounded by V² per
+    * document, never |doc|², with no self-join and no second
+    * incidence derivation. Pair aggregation is one map-side-combined
+    * shuffle over ≤V² keys. Two corpus scans total; no separate
+    * count() action. */
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 50, minPairDocs: Long = 5L,
                    topK: Int = 100): DataFrame = {
@@ -274,12 +281,28 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = vocabLocal.toDF("term", "n_docs")
-    val inc = incidence0
+    // per-doc DISTINCT vocab terms collected into one sorted array,
+    // pairs generated IN-ROW (i < j over the sorted array ⇒ t1 < t2
+    // by string order — identical pair set and counts to the previous
+    // doc-keyed self-join of the distinct incidence list, which paid
+    // two aggregate exchanges plus a corpus-sized sort-merge join for
+    // the same ≤V²-per-doc pair space). One doc-keyed shuffle
+    // (collect_set partial-aggregates map-side, per-doc state ≤V
+    // structs by the vocab semi-join) + one ≤V²-key pair shuffle.
+    val perDoc = incidence0
       .join(broadcast(vocab), Seq("term"))
-      .select(col(idCol), col("term"), col("n_docs")).distinct()
-    val a = inc.select(col(idCol), col("term").as("t1"), col("n_docs").as("n_a"))
-    val b = inc.select(col(idCol), col("term").as("t2"), col("n_docs").as("n_b"))
-    a.join(b, Seq(idCol)).filter(col("t1") < col("t2"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(struct(col("term"), col("n_docs"))))
+        .as("ts"))
+    perDoc
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts) - i - 1),
+          |            y -> struct(x.term AS t1, y.term AS t2,
+          |                        x.n_docs AS n_a, y.n_docs AS n_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy("t1", "t2", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairDocs)
       .withColumn("lift",
@@ -487,14 +510,34 @@ object TextAnalysis {
     * through DECIMAL(38,6) (order-independent — a double sum would
     * hash differently per partitioning); top-k is one bounded
     * TakeOrdered, ties broken on doc id. */
-  /** The BM25 corpus passes shared by the inline operators and the
-    * index BUILD: per-(doc, term) frequency and per-doc length — the
-    * only corpus-sized work in any BM25 path. */
-  private def bm25Tf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("__doc"),
-        explode(words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf"))
+  /** The ONE BM25 corpus pass shared by the inline operators and the
+    * index BUILD: per-doc term counts computed IN-ROW
+    * ([[graft.functions.TermCounts]] — a doc's terms are already
+    * co-located on its row, so the (doc, term) count needs no
+    * shuffle) and Materialized once for the multiple consumers.
+    * Replaces the previous explode → groupBy(doc, term) corpus
+    * shuffle (and the second doc-keyed shuffle that re-aggregated
+    * `dl` from it): every BM25 path now runs ZERO corpus-sized
+    * exchanges — the only remaining shuffles are over matched
+    * postings / vocab-sized tables. (doc, term, tf) rows and values
+    * are bit-identical to the aggregated form. */
+  private def bm25DocTc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Materialize(df.select(col(idCol).cast("long").as("__doc"),
+      graft.functions.TextFunctions.termCounts(col(textCol)).as("__tc")))
+
+  /** (__doc, term, tf) from the materialized per-doc counts. */
+  private def bm25TfFromTc(docTc: DataFrame): DataFrame =
+    docTc.select(col("__doc"), explode(col("__tc")).as("p"))
+      .select(col("__doc"), col("p.term").as("term"), col("p.tf").as("tf"))
+
+  /** (__doc, dl) from the materialized per-doc counts — docs with no
+    * non-empty term are EXCLUDED, exactly as the aggregated form
+    * (they contributed no tf rows, so no dl row and no n_docs
+    * count). */
+  private def bm25DlFromTc(docTc: DataFrame): DataFrame =
+    docTc.filter(size(col("__tc")) > 0)
+      .select(col("__doc"),
+        expr("aggregate(__tc, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"))
 
   /** Per-term BM25 contribution (classic saturation curve × the
     * rational fixed-point idf) — ONE definition for every path. */
@@ -554,8 +597,8 @@ object TextAnalysis {
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Long = Long.MaxValue): DataFrame = {
-    val tf = Materialize(bm25Tf(df, idCol, textCol))
-    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val docTc = bm25DocTc(df, idCol, textCol)
+    val (tf, dl) = (bm25TfFromTc(docTc), bm25DlFromTc(docTc))
     val stats = dl.agg(sum(col("dl")).as("total_len"),
       count(lit(1)).as("n_docs"))
     bm25ScoreSingle(tf, dl, stats, queryTerms, k, k1, b, maxDf)
@@ -584,8 +627,8 @@ object TextAnalysis {
                     queries: DataFrame, queryIdCol: String, termCol: String,
                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                     maxDf: Long = Long.MaxValue): DataFrame = {
-    val tf = Materialize(bm25Tf(df, idCol, textCol))
-    val dl = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+    val docTc = bm25DocTc(df, idCol, textCol)
+    val (tf, dl) = (bm25TfFromTc(docTc), bm25DlFromTc(docTc))
     val stats = dl.agg(sum(col("dl")).as("total_len"),
       count(lit(1)).as("n_docs"))
     bm25ScoreMulti(tf, dl, stats, queries, queryIdCol, termCol, k, k1, b, maxDf)
@@ -678,10 +721,11 @@ object TextAnalysis {
                      path: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tf = Materialize(bm25Tf(df, idCol, textCol))
-    tf.repartition(col("term")).sortWithinPartitions("term", "__doc")
+    val docTc = bm25DocTc(df, idCol, textCol)
+    bm25TfFromTc(docTc)
+      .repartition(col("term")).sortWithinPartitions("term", "__doc")
       .write.mode("overwrite").parquet(s"$path/postings")
-    tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
+    bm25DlFromTc(docTc)
       .write.mode("overwrite").parquet(s"$path/dl")
     val st = spark.read.parquet(s"$path/dl")
       .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
@@ -737,8 +781,8 @@ object TextAnalysis {
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
           s"'$Bm25Tokenization' — rebuild the index")
-      val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
-      val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+      val docTc = bm25DocTc(newDocs, idCol, textCol)
+      val (tf, dlInc) = (bm25TfFromTc(docTc), bm25DlFromTc(docTc))
       val overlap = IndexLayout.readComponent(spark, snap.dir("dl"))
         .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
       require(overlap == 0,
@@ -799,8 +843,8 @@ object TextAnalysis {
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
           s"'$Bm25Tokenization' — rebuild the index")
-      val tf = Materialize(bm25Tf(newDocs, idCol, textCol))
-      val dlInc = Materialize(tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl")))
+      val docTc = bm25DocTc(newDocs, idCol, textCol)
+      val (tf, dlInc) = (bm25TfFromTc(docTc), bm25DlFromTc(docTc))
       val overlap = IndexLayout.readComponent(spark, snap.dir("dl"))
         .join(dlInc.select("__doc"), Seq("__doc"), "left_semi").count()
       require(overlap == 0,

@@ -144,4 +144,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(1).getInt(0) == 0)
     assert(rows(1).getInt(1) == 0)
   }
+
+  test("TermCounts ≡ explode(split) → groupBy(doc, term) → count, incl. edge cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c b a"),            // repeats
+      (2L, ""),                        // empty text → no terms
+      (3L, "x  y"),                    // double space → empty token dropped
+      (4L, " lead trail "),            // leading/trailing spaces
+      (5L, "solo"),
+      (6L, "ü ü é")                    // unicode terms
+    ).toDF("doc_id", "text")
+    val fused = docs.select(col("doc_id"),
+        explode(TextFunctions.termCounts(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val agg = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val f = fused.orderBy("doc_id", "term").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = agg.orderBy("doc_id", "term").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(f.toSeq == a.toSeq)
+    // dl (sum of tf) per doc matches, and the empty doc has NO row
+    val dl = docs.select(col("doc_id"),
+        TextFunctions.termCounts(col("text")).as("__tc"))
+      .filter(size(col("__tc")) > 0)
+      .select(col("doc_id"),
+        expr("aggregate(__tc, CAST(0 AS BIGINT), (a, x) -> a + x.tf)").as("dl"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dl.toSeq == Seq((1L, 6L), (3L, 2L), (4L, 2L), (5L, 1L), (6L, 3L)))
+  }
 }
