@@ -158,6 +158,11 @@ object TextFunctions {
   def termCounts(text: Column): Column =
     toColumn(TermCounts(toExpr(text)))
 
+  /** Binary-ordered i<j vocab term pairs from one doc's term counts,
+    * with the driver-collected vocab embedded (see [[VocabPairs]]). */
+  def vocabPairs(tc: Column, vocab: Seq[(String, Long)]): Column =
+    toColumn(VocabPairs(toExpr(tc), vocab.toIndexedSeq))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(text) === 0, lit(0)).otherwise(size(split(text, " ")))
@@ -413,6 +418,82 @@ case class TermCounts(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
+/** Ordered vocabulary term-pair generation for co-occurrence
+  * counting, fully in-row: input is one doc's
+  * array<struct<term string, tf long>> ([[TermCounts]] output — the
+  * per-doc DISTINCT terms); `vocab` is the driver-collected
+  * (term, n_docs) top-V table, embedded in the expression the way
+  * [[LinearTextScore]] embeds its weight table. Each eval keeps the
+  * doc's vocab members, sorts them by BINARY (UTF8String) order —
+  * exactly Spark's string ordering, so pair orientation t1 < t2
+  * matches a string-compared join filter bit-for-bit — and emits
+  * every i<j pair as struct<t1, t2, n_a, n_b>. Replaces a broadcast
+  * vocab join + per-doc collect_set shuffle + interpreted HOF pair
+  * lambdas with one compiled pass; the only shuffle left in the
+  * consumer is the ≤V²-key pair aggregation. The IndexedSeq param
+  * keeps case-class STRUCTURAL equality (canonicalization safety —
+  * same note as LinearTextScore). */
+case class VocabPairs(child: Expression, vocab: IndexedSeq[(String, Long)])
+  extends UnaryExpression with CodegenFallback {
+  private val structType = StructType(Seq(
+    StructField("t1", StringType, nullable = false),
+    StructField("t2", StringType, nullable = false),
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+
+  @transient private lazy val vocabMap: java.util.HashMap[UTF8String, java.lang.Long] = {
+    // value type must stay BOXED: a primitive-Long map would unbox
+    // get()'s null-on-miss to 0L and admit every non-vocab term
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, n) =>
+      m.put(UTF8String.fromString(t), java.lang.Long.valueOf(n)) }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var terms = new Array[UTF8String](math.min(n, vocab.size))
+    var counts = new Array[Long](terms.length)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getStruct(i, 2).getUTF8String(0)
+      val nd = vocabMap.get(t)
+      if (nd != null) { terms(m) = t; counts(m) = nd.longValue; m += 1 }
+      i += 1
+    }
+    // insertion sort by binary term order (m ≤ V by construction)
+    var a = 1
+    while (a < m) {
+      val t = terms(a); val c = counts(a)
+      var b = a - 1
+      while (b >= 0 && terms(b).compareTo(t) > 0) {
+        terms(b + 1) = terms(b); counts(b + 1) = counts(b); b -= 1
+      }
+      terms(b + 1) = t; counts(b + 1) = c
+      a += 1
+    }
+    val out = new Array[Any](if (m < 2) 0 else m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(
+          terms(i), terms(j), counts(i), counts(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): VocabPairs =
     copy(child = c)
 }
 

@@ -62,10 +62,22 @@ object BloomJoin {
   /** Exact left-semi join of `big` on `bigKey` ∈ `small.smallKey`,
     * bloom-prefiltered: non-member `big` rows drop in the scan stage,
     * before the join exchange; the semi-join then removes the bloom's
-    * false positives. Result ≡ plain `left_semi` join. */
+    * false positives. Result ≡ plain `left_semi` join.
+    *
+    * `expectedItems <= 0` sizes the bloom on the small side's REAL
+    * count (one cheap aggregate pass, floor 1024) instead of a
+    * scale-blind constant: an undersized bloom blows its fpp at scale
+    * (the prefilter stops filtering, silently), an oversized one
+    * embeds megabytes of bits into EVERY downstream task binary
+    * (observed: a 1.2 MB literal for a 30k-key side, broadcast with
+    * every stage). The result is identical either way — fpp only
+    * moves how many false positives the exact semi-join removes. */
   def semi(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = bloomOf(small, smallKey, expectedItems, fpp)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1024L, small.count())
+    val bloom = bloomOf(small, smallKey, items, fpp)
     big.where(mightContain(bloom, big(bigKey)))
       .join(small.select(small(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }

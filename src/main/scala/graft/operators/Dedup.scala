@@ -86,7 +86,7 @@ object Dedup {
     if (!candidatesBig) broadcast(ids)
     else {
       val m = Materialize(ids)
-      if (m.count() <= BroadcastSafeRows) broadcast(m) else m.hint("merge")
+      if (Materialize.count(m) <= BroadcastSafeRows) broadcast(m) else m.hint("merge")
     }
 
   private def bucketPairs(bands: DataFrame, maxBucketSize: Int): (DataFrame, Long) = {
@@ -114,7 +114,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id"))
     // the true cardinality is one cheap pass over checkpointed blocks;
     // every consumer keys its broadcast-vs-shuffle choice on it
-    val n = m.count()
+    val n = Materialize.count(m)
     if (n > BroadcastSafeRows)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"bucketPairs: $n candidate pairs exceed the broadcast-safe " +
@@ -244,7 +244,7 @@ object Dedup {
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
       maxEdits: Int): DataFrame = {
     val pairs = Materialize(candidates)
-    val big = pairs.count() > BroadcastSafeRows
+    val big = Materialize.count(pairs) > BroadcastSafeRows
     val texts = df.select(col(idCol).as("id"), col(textCol).as("__t"))
     noStaticBroadcast(noStaticBroadcast(pairs, big)
       .join(texts.select(col("id").as("a_id"), col("__t").as("__ta")), Seq("a_id")), big)
@@ -297,7 +297,7 @@ object Dedup {
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val nCand = candidates.count()
+    val nCand = Materialize.count(candidates)
     val big = nCand > BroadcastSafeRows
 
     def shingleSide(df: DataFrame, id: String, text: String,
@@ -467,7 +467,7 @@ object Dedup {
       snap: IndexLayout.Snapshot, newDocs: DataFrame,
       idCol: String, textCol: String,
       stageDir: Option[String]): Unit = {
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     val shingleN = meta.getAs[Int]("shingleN")
     val numHashes = meta.getAs[Int]("numHashes")
     val bandRows = meta.getAs[Int]("bandRows")
@@ -551,7 +551,7 @@ object Dedup {
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndexState = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     val brDir = snap.dir("bandrows")
     val pending =
       if (IndexMaintenance.dataFiles(spark, brDir).nonEmpty)
@@ -582,7 +582,7 @@ object Dedup {
       .agg(graft.functions.BoundedCollect
         .bounded_long_list(col("id"), maxBucketSize).as("a_ids"))
       .filter(col("a_ids").isNotNull))
-    val probeSmall = probeGrouped.count() <= BroadcastSafeRows
+    val probeSmall = Materialize.count(probeGrouped) <= BroadcastSafeRows
     val pg = if (probeSmall) broadcast(probeGrouped)
              else probeGrouped.hint("merge")
 
@@ -605,7 +605,7 @@ object Dedup {
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val nCand = candidates.count()
+    val nCand = Materialize.count(candidates)
     val big = nCand > BroadcastSafeRows
 
     // probe-side shingles: computed, for candidate probe docs only —

@@ -152,19 +152,62 @@ object IndexLayout {
     * changes the dir (new cache key), never the bytes under an old
     * one. Rows are never cached; every action re-scans the parquet.
     *
-    * Edge vs the plain read: a dir whose files were all removed reads
-    * as empty instead of failing schema inference — unreachable
-    * through IndexMaintenance (components are replaced by generation,
-    * never emptied in place). */
+    * The cache entry is keyed by the dir's FILE SIGNATURE
+    * (name+length+mtime of every data file — one filesystem listing,
+    * ~100× cheaper than the inference job): a rewrite-in-place that
+    * changes the schema (an index REBUILD under the same bare path, a
+    * corrupt-meta test fixture) re-infers instead of crashing the
+    * scan with a stale type, while appends (new files, same schema by
+    * the layout invariant) just refresh the signature. */
   private val componentSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.types.StructType]()
+      String, (String, org.apache.spark.sql.types.StructType)]()
 
   private[graft] def readComponent(
       spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val sch = componentSchemaCache.computeIfAbsent(
-      dir, d => spark.read.parquet(d).schema)
+    val sig = componentSignature(spark, dir)
+    val cached = componentSchemaCache.get(dir)
+    val sch =
+      if (cached != null && cached._1 == sig) cached._2
+      else {
+        val s = spark.read.parquet(dir).schema
+        componentSchemaCache.put(dir, (sig, s))
+        s
+      }
     spark.read.schema(sch).parquet(dir)
+  }
+
+  /** Collected rows of a SMALL index component (meta, codebook,
+    * centroids — driver-held index state, bounded by construction),
+    * cached per directory under a FILE-SIGNATURE key: one filesystem
+    * listing (name, length, mtime of every data file) decides whether
+    * the cached rows are current, so an in-place rebuild or append is
+    * picked up on the next read while an unchanged component skips
+    * the read-collect Spark job (~40-70 ms of fixed cost per probe
+    * per component at any data size). This is INDEX METADATA held in
+    * driver memory — what any serving system keeps resident; query
+    * DATA always re-scans parquet. */
+  private val smallComponentCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[org.apache.spark.sql.Row])]()
+
+  private def componentSignature(spark: SparkSession, dir: String): String = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) return "<absent>"
+    fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(";")
+  }
+
+  private[graft] def collectSmallComponent(
+      spark: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+    val sig = componentSignature(spark, dir)
+    val cached = smallComponentCache.get(dir)
+    if (cached != null && cached._1 == sig) return cached._2
+    val rows = readComponent(spark, dir).collect()
+    smallComponentCache.put(dir, (sig, rows))
+    rows
   }
 
   /** After a full REBUILD wrote the bare component dirs of an index

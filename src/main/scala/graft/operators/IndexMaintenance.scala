@@ -227,7 +227,7 @@ object IndexMaintenance {
           .repartition(bParts, col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(s"$path/$bRel")
       else {
-        val cap = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+        val cap = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
           .getAs[Int]("maxBucketSize")
         IndexLayout.readComponent(spark, snap.dir("bands"))
           .select(col("bucket"), explode(col("ids")).as("id"))
@@ -449,7 +449,7 @@ object IndexMaintenance {
     import spark.implicits._
     IndexLayout.withIndexLock(spark, path, "delete-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
       // sized on the REAL count: over-budget takedown sets shuffle
       // instead of failing on the broadcast ceiling
       val del = Similarity.sizedIdSide(

@@ -15,4 +15,12 @@ private[graft] object Materialize {
   def apply(d: DataFrame): DataFrame =
     if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
     else d.localCheckpoint(true)
+
+  /** Row count of a just-[[apply]]'d (checkpointed) DataFrame without
+    * a full SQL action: counts the checkpointed RDD directly, skipping
+    * the Catalyst analyze/optimize/plan pass a `df.count()` pays
+    * (~50-100 ms of driver time per call at any data size — the
+    * sized-on-real-count idiom calls this once per operator). Counts
+    * are identical: the checkpoint's row set IS the DataFrame. */
+  def count(d: DataFrame): Long = d.queryExecution.toRdd.count()
 }

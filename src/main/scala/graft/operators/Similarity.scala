@@ -133,6 +133,17 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
+  /** [[collectCentroids]] from a persisted component dir through the
+    * signature-cached small-component read — an unchanged centroid
+    * table skips the collect job on every probe after the first. */
+  private[graft] def collectCentroidsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Long, Seq[Double])] =
+    IndexLayout.collectSmallComponent(spark, dir)
+      .map(r => (r.getAs[Number](r.fieldIndex("c_id")).longValue,
+        r.getSeq[Double](r.fieldIndex("c_v"))))
+      .sortBy(_._1)
+
   /** Nearest-cell assignment as ONE fused per-row argmax expression
     * over the driver-collected centroid table (ties break to the
     * lowest c_id, matching the oracle's "cos DESC, c_id ASC") — a pure
@@ -222,7 +233,7 @@ object Similarity {
     * not fail mid-maintenance on the broadcast ceiling. */
   private[graft] def sizedIdSide(ids: DataFrame): DataFrame = {
     val m = Materialize(ids)
-    if (m.count() <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
+    if (Materialize.count(m) <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
   }
 
   /** [[sizedIdSide]] for an id set PERSISTED at `dir` (tombstones):
@@ -353,7 +364,7 @@ object Similarity {
     val q = queries.select(col("q_id"), col("q_v"))
     val cand = Materialize(candidates.select(col("q_id"), col("n_id")).distinct())
     val candSized =
-      if (cand.count() <= Dedup.BroadcastSafeRows) broadcast(cand)
+      if (Materialize.count(cand) <= Dedup.BroadcastSafeRows) broadcast(cand)
       else cand.hint("merge")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     candSized
@@ -448,7 +459,7 @@ object Similarity {
       val snap = IndexLayout.snapshot(spark, path)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndex")
-      val cents = collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids")))
+      val cents = collectCentroidsAt(spark, snap.dir("centroids"))
       assignToCells(c, cents)
         .write.mode("append").partitionBy("cell").parquet(snap.dir("cells"))
       // manifest FENCE: appends mutate the live generation without
@@ -491,14 +502,14 @@ object Similarity {
   def loadIvfSq8AppendState(spark: org.apache.spark.sql.SparkSession,
                             path: String): IvfSq8AppendState = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build appends 'sq8-v1'")
     IvfSq8AppendState(
       meta.getSeq[Double](meta.fieldIndex("los")),
       meta.getSeq[Double](meta.fieldIndex("his")),
-      collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
+      collectCentroidsAt(spark, snap.dir("centroids")))
   }
 
   /** [[appendToIvfIndexSq8]] over caller-held state — the per-batch
@@ -574,7 +585,7 @@ object Similarity {
     guardedCellAppend(spark, { snap =>
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexGuarded")
-      assignToCells(c, collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
+      assignToCells(c, collectCentroidsAt(spark, snap.dir("centroids")))
     }, path, appendId)
   }
 
@@ -587,7 +598,7 @@ object Similarity {
       val codebook = readPqIndexState(spark, path)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexPqGuarded")
-      assignToCells(c, collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids"))))
+      assignToCells(c, collectCentroidsAt(spark, snap.dir("centroids")))
         .select(col("n_id"),
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
           col("cell"))
@@ -658,7 +669,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       snap: IndexLayout.Snapshot): Seq[Seq[Seq[Double]]] = {
     val path = snap.path
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     // format FIRST: probing a non-PQ index (e.g. sq8-v1) must refuse
     // on the tag, not trip over the missing PQ geometry columns
     val format = meta.getAs[String]("format")
@@ -670,10 +681,10 @@ object Similarity {
     require(format == s"pq-m$m-v1",
       s"index at $path has format '$format'; its meta says m = $m — " +
         "corrupt or cross-version index")
-    val codebook = IndexLayout.readComponent(spark, snap.dir("codebook"))
-      .orderBy(col("j"), col("c")).collect()
+    val codebook = IndexLayout.collectSmallComponent(spark, snap.dir("codebook"))
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
         r.getSeq[Double](r.fieldIndex("sub"))))
+      .sortBy(t => (t._1, t._2))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     require(codebook.length == m &&
@@ -778,7 +789,7 @@ object Similarity {
       val codebook = readPqIndexStateAt(spark, snap)
       val c = newVecs.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
       refuseTombstoned(spark, snap, c, "appendToIvfIndexPq")
-      val cents = collectCentroids(IndexLayout.readComponent(spark, snap.dir("centroids")))
+      val cents = collectCentroidsAt(spark, snap.dir("centroids"))
       assignToCells(c, cents)
         .select(col("n_id"),
           graft.functions.Pq.encode(col("n_v"), codebook).as("code"),
@@ -804,7 +815,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     val format = meta.getAs[String]("format")
     require(format == "sq8-v1",
       s"index at $path has format '$format'; this build probes 'sq8-v1'")

@@ -252,24 +252,27 @@ object TextAnalysis {
     * TakeOrdered action (V+1 rows); pass 2 RE-SCANS the corpus
     * restricted to the collected vocabulary (broadcast local
     * relation) — re-scanning beats materializing a corpus-sized
-    * incidence list — and collects each doc's ≤V distinct vocab
-    * terms into ONE sorted array (a doc-keyed shuffle with map-side
-    * partial collect_set, per-doc state ≤V structs), generating the
-    * i<j pairs IN-ROW: the pair space stays bounded by V² per
-    * document, never |doc|², with no self-join and no second
-    * incidence derivation. Pair aggregation is one map-side-combined
-    * shuffle over ≤V² keys. Two corpus scans total; no separate
-    * count() action. */
+    * incidence list — generating each doc's i<j vocab-member pairs
+    * fully IN-ROW (the collected top-V table rides inside the
+    * VocabPairs expression): the pair space stays bounded by V² per
+    * document, never |doc|², with no vocab join, no per-doc
+    * aggregation and no self-join. Pair aggregation is the ONLY
+    * shuffle — map-side-combined over ≤V² keys. Two corpus scans
+    * total; no separate count() action. */
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 50, minPairDocs: Long = 5L,
                    topK: Int = 100): DataFrame = {
     require(vocabSize >= 2, s"bad vocabSize $vocabSize")
     require(topK >= 1, s"bad topK $topK")
-    def incidence0 = df
-      .select(col(idCol), explode(words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
+    // per-doc DISTINCT terms in-row (TermCounts — no (doc, term)
+    // distinct shuffle; the counts map holds each term once per doc)
+    def docTerms = df
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.termCounts(col(textCol)))
+          .as("p"))
+      .select(col(idCol), col("p.term").as("term"))
     // one action: (marker row carrying N) + top-V vocabulary terms
-    val head = incidence0.distinct()
+    val head = docTerms
       .union(df.select(col(idCol), lit("").as("term")))
       .groupBy("term").agg(count(lit(1)).as("n_docs"))
       .orderBy((col("term") === "").desc, col("n_docs").desc, col("term").asc)
@@ -278,29 +281,18 @@ object TextAnalysis {
     val n: Long = head.find(_.getString(0) == "").map(_.getLong(1)).getOrElse(0L)
     val vocabLocal = head.filter(_.getString(0) != "")
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vocab = vocabLocal.toDF("term", "n_docs")
-    // per-doc DISTINCT vocab terms collected into one sorted array,
-    // pairs generated IN-ROW (i < j over the sorted array ⇒ t1 < t2
-    // by string order — identical pair set and counts to the previous
+    // pass 2, fully IN-ROW until the pair aggregation: the collected
+    // top-V table rides inside the VocabPairs expression, which keeps
+    // each doc's vocab members, binary-sorts them (⇒ t1 < t2 by
+    // string order, as the previous join filter compared) and emits
+    // the i<j pairs — identical pair set and counts to the previous
     // doc-keyed self-join of the distinct incidence list, which paid
     // two aggregate exchanges plus a corpus-sized sort-merge join for
-    // the same ≤V²-per-doc pair space). One doc-keyed shuffle
-    // (collect_set partial-aggregates map-side, per-doc state ≤V
-    // structs by the vocab semi-join) + one ≤V²-key pair shuffle.
-    val perDoc = incidence0
-      .join(broadcast(vocab), Seq("term"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(struct(col("term"), col("n_docs"))))
-        .as("ts"))
-    perDoc
-      .select(explode(expr(
-        """flatten(transform(ts, (x, i) ->
-          |  transform(slice(ts, i + 2, size(ts) - i - 1),
-          |            y -> struct(x.term AS t1, y.term AS t2,
-          |                        x.n_docs AS n_a, y.n_docs AS n_b))))"""
-          .stripMargin)).as("p"))
+    // the same ≤V²-per-doc pair space. The ONLY shuffle left is the
+    // map-side-combined ≤V²-key pair aggregation.
+    df.select(explode(graft.functions.TextFunctions.vocabPairs(
+        graft.functions.TextFunctions.termCounts(col(textCol)),
+        vocabLocal)).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy("t1", "t2", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
@@ -776,7 +768,7 @@ object TextAnalysis {
     import spark.implicits._
     IndexLayout.withIndexLock(spark, path, "append-bm25") {
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
       val tok = meta.getAs[String]("tokenization")
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
@@ -838,7 +830,7 @@ object TextAnalysis {
     val spark = newDocs.sparkSession
     IndexMaintenance.runGuardedAppend(spark, path, appendId) { stageDir =>
       val snap = IndexLayout.snapshot(spark, path)
-      val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+      val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
       val tok = meta.getAs[String]("tokenization")
       require(tok == Bm25Tokenization,
         s"BM25 index at $path uses tokenization '$tok'; this build appends " +
@@ -865,7 +857,7 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import spark.implicits._
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     spark.catalog.refreshByPath(snap.dir("dl"))
     val st = IndexLayout.readComponent(spark, snap.dir("dl"))
       .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
@@ -911,7 +903,7 @@ object TextAnalysis {
     // ONE snapshot resolves postings+dl+meta — a maintenance flip
     // between these reads can never hand a probe mixed generations
     val snap = IndexLayout.snapshot(spark, path)
-    val meta = IndexLayout.readComponent(spark, snap.dir("meta")).collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, snap.dir("meta"))(0)
     val tok = meta.getAs[String]("tokenization")
     require(tok == Bm25Tokenization,
       s"BM25 index at $path uses tokenization '$tok'; this build scores " +
@@ -1168,7 +1160,7 @@ object TextAnalysis {
     * once — streaming callers keep it across micro-batches instead of
     * re-reading `meta/` per batch. */
   def readLmMeta(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-    val meta = IndexLayout.readComponent(spark, s"$path/meta").collect()(0)
+    val meta = IndexLayout.collectSmallComponent(spark, s"$path/meta")(0)
     val tok = meta.getAs[String]("tokenization")
     require(tok == LmTokenization,
       s"LM index at $path uses tokenization '$tok'; this build scores " +

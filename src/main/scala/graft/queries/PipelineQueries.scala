@@ -2523,8 +2523,12 @@ object PipelineQueries {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // expectedItems <= 0 ⇒ bloom sized on the urgent-key side's real
+    // count — scale-adaptive (a fixed 1M both oversized the bloom
+    // locally, bloating every task binary by 1.2 MB, and would
+    // undersize it at 100 TB, silently de-fanging the prefilter)
     BloomJoin.semi(li, urgent, "l_orderkey", "o_orderkey",
-        expectedItems = 1000000L, fpp = 0.01)
+        expectedItems = 0L, fpp = 0.01)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")

@@ -175,4 +175,30 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dl.toSeq == Seq((1L, 6L), (3L, 2L), (4L, 2L), (5L, 1L), (6L, 3L)))
   }
+
+  test("VocabPairs ≡ vocab join + t1<t2 self-join pair counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a c b"), (2L, "a zz c"), (3L, "q"), (4L, ""),
+      (5L, "é a b"), (6L, "a a a b")
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("a", 4L), ("b", 3L), ("c", 2L), ("é", 1L))
+    // fused in-row pairs
+    val fused = docs.select(explode(TextFunctions.vocabPairs(
+        TextFunctions.termCounts(col("text")), vocab)).as("p"))
+      .groupBy("p.t1", "p.t2", "p.n_a", "p.n_b").agg(count(lit(1)).as("n_ab"))
+    // reference: distinct incidence ⋈ vocab, doc-keyed self-join, t1<t2
+    val inc = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+      .join(vocab.toDF("term", "n_docs"), Seq("term"))
+    val a = inc.select(col("doc_id"), col("term").as("t1"), col("n_docs").as("n_a"))
+    val b = inc.select(col("doc_id"), col("term").as("t2"), col("n_docs").as("n_b"))
+    val ref = a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+    val f = fused.orderBy("t1", "t2").collect().map(_.toSeq).toSeq
+    val r = ref.orderBy("t1", "t2").collect().map(_.toSeq).toSeq
+    assert(f == r && f.nonEmpty)
+  }
 }
