@@ -260,14 +260,42 @@ object BpeTrainer {
     * token array per input row. */
   def bpeSegment(df: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)]): DataFrame = {
-    val applied = merges.foldLeft(
-        encode(array_remove(split(col("__word"), ""), "")): Column) {
+    val applied = mergeChain(merges, col("__word"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__word"))
+      .filter(col("__word") =!= "")
+      .select(col(idCol), col("__word").as("word"), decode(applied).as("tokens"))
+  }
+
+  /** The framed-encoding merge chain applied to one word column —
+    * shared by [[bpeSegment]] and [[bpeSegmentVocab]] so the two can
+    * never drift on replace semantics. */
+  private def mergeChain(merges: Seq[(String, String)], word: Column): Column =
+    merges.foldLeft(encode(array_remove(split(word, ""), "")): Column) {
       case (acc, (a, b)) =>
         call_function("replace", acc,
           lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep"))
     }
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("__word"))
-      .filter(col("__word") =!= "")
-      .select(col(idCol), col("__word").as("word"), decode(applied).as("tokens"))
+
+  /** Segment the corpus' DISTINCT words with occurrence counts — the
+    * aggregate-before-segment form of [[bpeSegment]] for consumers
+    * that only need per-WORD segmentations (not per-document token
+    * streams): count word occurrences first (map-side combined,
+    * vocabulary-sized result), then run the merge chain ONCE per
+    * distinct word instead of once per corpus occurrence. A word's
+    * segmentation is a pure function of the word, so
+    * `bpeSegmentVocab(df) ≡ bpeSegment(df).groupBy(word, tokens)
+    * .agg(count)` row-for-row (spec-pinned) — at corpus scale this is
+    * the difference between O(total words) and O(|vocab|) replace
+    * chains (guide: aggregate before the expensive projection).
+    * Returns (word, tokens, n). */
+  def bpeSegmentVocab(df: DataFrame, textCol: String,
+                      merges: Seq[(String, String)],
+                      wordFilter: Option[String] = None): DataFrame = {
+    val rawWords = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val words = wordFilter.fold(rawWords)(f => rawWords.filter(col("word").rlike(f)))
+    words.groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), decode(mergeChain(merges, col("word"))).as("tokens"),
+        col("n"))
   }
 }

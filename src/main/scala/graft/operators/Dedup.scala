@@ -85,8 +85,8 @@ object Dedup {
   private def sizedIdSet(ids: DataFrame, candidatesBig: Boolean): DataFrame =
     if (!candidatesBig) broadcast(ids)
     else {
-      val m = Materialize(ids)
-      if (Materialize.count(m) <= BroadcastSafeRows) broadcast(m) else m.hint("merge")
+      val (m, n) = Materialize.withCount(ids)
+      if (n <= BroadcastSafeRows) broadcast(m) else m.hint("merge")
     }
 
   private def bucketPairs(bands: DataFrame, maxBucketSize: Int): (DataFrame, Long) = {
@@ -105,16 +105,15 @@ object Dedup {
         bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
           .filter(size(col("ids")).between(2, maxBucketSize))
           .withColumn("ids", array_sort(col("ids")))
-    val m = Materialize(grouped
+    // the true cardinality rides the checkpoint job (withCount); every
+    // consumer keys its broadcast-vs-shuffle choice on it
+    val (m, n) = Materialize.withCount(grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    // the true cardinality is one cheap pass over checkpointed blocks;
-    // every consumer keys its broadcast-vs-shuffle choice on it
-    val n = Materialize.count(m)
     if (n > BroadcastSafeRows)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"bucketPairs: $n candidate pairs exceed the broadcast-safe " +
@@ -243,8 +242,8 @@ object Dedup {
   def editPairsFromCandidates(
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
       maxEdits: Int): DataFrame = {
-    val pairs = Materialize(candidates)
-    val big = Materialize.count(pairs) > BroadcastSafeRows
+    val (pairs, nPairs) = Materialize.withCount(candidates)
+    val big = nPairs > BroadcastSafeRows
     val texts = df.select(col(idCol).as("id"), col(textCol).as("__t"))
     noStaticBroadcast(noStaticBroadcast(pairs, big)
       .join(texts.select(col("id").as("a_id"), col("__t").as("__ta")), Seq("a_id")), big)
@@ -291,13 +290,12 @@ object Dedup {
     // (one cheap checkpoint-block pass) sizes every downstream
     // broadcast decision — the static estimate under the explode is
     // bogus-small
-    val candidates = Materialize(ga.join(gb, "bucket")
+    val (candidates, nCand) = Materialize.withCount(ga.join(gb, "bucket")
       .select(explode(expr(
         """flatten(transform(a_ids, x ->
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val nCand = Materialize.count(candidates)
     val big = nCand > BroadcastSafeRows
 
     def shingleSide(df: DataFrame, id: String, text: String,
@@ -574,7 +572,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     import st.{shingleN, numHashes, bandRows, maxBucketSize}
 
-    val probeGrouped = Materialize(newDocs
+    val (probeGrouped, nProbe) = Materialize.withCount(newDocs
       .select(col(idCol).cast("long").as("id"),
         explode(TextFunctions.minhashBands(
           col(textCol), shingleN, numHashes, bandRows)).as("bucket"))
@@ -582,7 +580,7 @@ object Dedup {
       .agg(graft.functions.BoundedCollect
         .bounded_long_list(col("id"), maxBucketSize).as("a_ids"))
       .filter(col("a_ids").isNotNull))
-    val probeSmall = Materialize.count(probeGrouped) <= BroadcastSafeRows
+    val probeSmall = nProbe <= BroadcastSafeRows
     val pg = if (probeSmall) broadcast(probeGrouped)
              else probeGrouped.hint("merge")
 
@@ -598,14 +596,13 @@ object Dedup {
           .bounded_long_list(col("id"), maxBucketSize).as("ids"))
         .filter(col("ids").isNotNull))
     }
-    val candidates = Materialize(pg
+    val (candidates, nCand) = Materialize.withCount(pg
       .join(bandsIdx.withColumnRenamed("ids", "b_ids"), "bucket")
       .select(explode(expr(
         """flatten(transform(a_ids, x ->
           |  transform(b_ids, y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id"))
-    val nCand = Materialize.count(candidates)
     val big = nCand > BroadcastSafeRows
 
     // probe-side shingles: computed, for candidate probe docs only —
@@ -659,15 +656,18 @@ object Dedup {
     * over (cluster, score) — max_by with a (score, -id) struct key,
     * no window, no sort. */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
-                          scoreCol: String, threshold: Double = 0.8): DataFrame = {
-    val cl = clusters(df, idCol, textCol, threshold = threshold)
-    df.select(col(idCol), col(scoreCol))
-      .join(cl, Seq(idCol))
+                          scoreCol: String, threshold: Double = 0.8): DataFrame =
+    // the score rides the label join (carry), so the corpus is scanned
+    // and label-joined ONCE — the previous clusters()-then-join-df form
+    // paid a second corpus scan and a second id-keyed join for a column
+    // the label join could carry for free
+    clustersFromPairs(df, idCol,
+        minhashPairs(df, idCol, textCol, threshold = threshold),
+        carry = Seq(scoreCol))
       .groupBy(col("cluster_id"))
       .agg(
         max_by(col(idCol), struct(col(scoreCol), negate(col(idCol)))).as("keep_id"),
         count(lit(1)).as("n_members"))
-  }
 
   /** Leakage-safe train/validation split: assign each document to a
     * split by hashing its NEAR-DUP CLUSTER label, never its own id —
@@ -717,7 +717,8 @@ object Dedup {
     * Lineage is truncated either way, so per-round plans stay O(1). */
   def clustersFromPairs(df: DataFrame, idCol: String, pairsDf: DataFrame,
                         maxIter: Int = 20,
-                        driverEdgeLimit: Long = 200000L): DataFrame = {
+                        driverEdgeLimit: Long = 200000L,
+                        carry: Seq[String] = Nil): DataFrame = {
     def materialize(d: DataFrame): DataFrame = Materialize(d)
     // (count, order-independent hash xor) of the DISTINCT edge set —
     // equal fingerprints across a round ⇒ fixed point reached (xor is
@@ -819,10 +820,13 @@ object Dedup {
           fp._1 > BroadcastSafeRows)
       }
 
-    // roots and singletons label themselves via the left join
-    df.select(col(idCol))
+    // roots and singletons label themselves via the left join; `carry`
+    // columns ride along so callers that need them (canonical pick's
+    // score) never pay a second corpus scan + id join
+    df.select((idCol +: carry).map(col): _*)
       .join(labels, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .select(col(idCol) +: coalesce(col("cluster_id"), col(idCol)).as("cluster_id")
+        +: carry.map(col): _*)
   }
 
   /** Keep-one-per-cluster dedup: drop every near-duplicate except the

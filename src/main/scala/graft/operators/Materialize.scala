@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{functions => F}
 
 /** Eager materialization with lineage truncation for multi-consumed
   * or iterated DataFrames.
@@ -23,4 +24,28 @@ private[graft] object Materialize {
     * sized-on-real-count idiom calls this once per operator). Counts
     * are identical: the checkpoint's row set IS the DataFrame. */
   def count(d: DataFrame): Long = d.queryExecution.toRdd.count()
+
+  /** Materialize AND count in ONE job: an [[Observation]] over a
+    * pass-through `count(1)` metric rides the checkpoint's own
+    * materialization action, so the sized-on-real-count idiom stops
+    * paying a second (RDD-count) job per decision point — at any data
+    * size that job is pure fixed cost (the rows were just computed;
+    * only the count was missing). The CollectMetrics node passes rows
+    * through unchanged, and the returned DataFrame is the plain
+    * checkpoint scan. Falls back to the explicit RDD count if the
+    * checkpoint action did not surface metrics (defensive: the
+    * fallback is the previous behavior, identical result). */
+  def withCount(d: DataFrame): (DataFrame, Long) = {
+    val obs = Observation()
+    val m = apply(d.observe(obs, F.count(F.lit(1)).as("n")))
+    // the metric promise completes on the (async) listener-bus event
+    // for the checkpoint action just run — normally already done or
+    // milliseconds away; the await cap only bounds the defensive case
+    val n = try {
+      scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(10, "s"))
+        .getLong(0)
+    } catch { case _: java.util.concurrent.TimeoutException => count(m) }
+    (m, n)
+  }
 }

@@ -232,8 +232,8 @@ object Similarity {
     * fraction of a 100 TB corpus must complete via the shuffle path,
     * not fail mid-maintenance on the broadcast ceiling. */
   private[graft] def sizedIdSide(ids: DataFrame): DataFrame = {
-    val m = Materialize(ids)
-    if (Materialize.count(m) <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
+    val (m, n) = Materialize.withCount(ids)
+    if (n <= Dedup.BroadcastSafeRows) broadcast(m) else m.hint("merge")
   }
 
   /** [[sizedIdSide]] for an id set PERSISTED at `dir` (tombstones):
@@ -362,9 +362,10 @@ object Similarity {
     require(k >= 1, s"bad k $k")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
     val q = queries.select(col("q_id"), col("q_v"))
-    val cand = Materialize(candidates.select(col("q_id"), col("n_id")).distinct())
+    val (cand, nCand) = Materialize.withCount(
+      candidates.select(col("q_id"), col("n_id")).distinct())
     val candSized =
-      if (Materialize.count(cand) <= Dedup.BroadcastSafeRows) broadcast(cand)
+      if (nCand <= Dedup.BroadcastSafeRows) broadcast(cand)
       else cand.hint("merge")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     candSized

@@ -2637,12 +2637,17 @@ object PipelineQueries {
     val docsDf = docs(s, d)
     val merges = graft.operators.BpeTrainer.bpeMerges(
       docsDf, "text", numMerges = 5, wordFilter = Some("^[a-z]+$"))
+    // aggregate-before-segment: a word's segmentation is a pure
+    // function of the word, so counting occurrences FIRST and running
+    // the merge chain once per DISTINCT word computes the same
+    // (word, toks, n_tok, n) rows with O(|vocab|) replace chains
+    // instead of O(total corpus words) — bpeSegmentVocab ≡
+    // bpeSegment + groupBy is spec-pinned (BpeTrainerSpec)
     graft.operators.BpeTrainer
-      .bpeSegment(docsDf, "doc_id", "text", merges.map(m => (m._2, m._3)))
-      .filter(col("word").rlike("^[a-z]+$"))
+      .bpeSegmentVocab(docsDf, "text", merges.map(m => (m._2, m._3)),
+        wordFilter = Some("^[a-z]+$"))
       .select(col("word"), array_join(col("tokens"), " ").as("toks"),
-        size(col("tokens")).as("n_tok"))
-      .groupBy("word", "toks", "n_tok").agg(count(lit(1)).as("n"))
+        size(col("tokens")).as("n_tok"), col("n"))
       .orderBy("word")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class BpeTrainerSpec extends SparkSpec {
 
@@ -88,6 +89,26 @@ class BpeTrainerSpec extends SparkSpec {
     got.foreach { case (w, toks) => assert(toks == segment(w), s"word $w") }
     // every token reassembles to its word
     got.foreach { case (w, toks) => assert(toks.mkString == w) }
+  }
+
+  test("bpeSegmentVocab == bpeSegment + groupBy(word) occurrence counts") {
+    // includes a filtered-out token (digits), an empty-split artifact
+    // (double space) and repeated words so the counts are non-trivial
+    val texts = Seq("low lower lowest low low 42 low",
+      "wide  wider low newest")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val merges = train(texts, 4).map(m => (m._2, m._3))
+    val expected = BpeTrainer.bpeSegment(df, "id", "text", merges)
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word"), array_join(col("tokens"), " ").as("toks"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = BpeTrainer.bpeSegmentVocab(df, "text", merges,
+        wordFilter = Some("^[a-z]+$"))
+      .select(col("word"), array_join(col("tokens"), " ").as("toks"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._3 > 1))
   }
 
   test("adaptive paths agree: in-memory loop == distributed rounds") {
