@@ -719,7 +719,9 @@ object Dedup {
                         maxIter: Int = 20,
                         driverEdgeLimit: Long = 200000L,
                         carry: Seq[String] = Nil): DataFrame = {
-    def materialize(d: DataFrame): DataFrame = Materialize(d)
+    require(!carry.contains("cluster_id") && !carry.contains(idCol),
+      s"carry columns collide with reserved output columns " +
+        s"('cluster_id', '$idCol'): ${carry.mkString(", ")}")
     // (count, order-independent hash xor) of the DISTINCT edge set —
     // equal fingerprints across a round ⇒ fixed point reached (xor is
     // overflow-free; edges are deduped, so no cancellation ambiguity)
@@ -727,6 +729,31 @@ object Dedup {
       val r = d.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
+    }
+    // checkpoint an edge set AND take its fingerprint in ONE action:
+    // both Observation metrics ride the checkpoint's materialization
+    // job, so every CC entry — and every star round — stops paying a
+    // separate fingerprint pass over the edges it just wrote (the
+    // withCount idiom, Materialize.withCount, extended to two metrics).
+    // Fallback on a dropped listener event: the explicit aggregate.
+    def materializeFp(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val m = Materialize(d.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("x")))
+      val fp = try {
+        val r = scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(10, "s"))
+        (r.getLong(0), r.getLong(1))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            "clustersFromPairs: observation metrics did not arrive " +
+              "within 10s (listener bus dropped the event?) — falling " +
+              "back to an explicit fingerprint pass")
+          fingerprint(m)
+      }
+      (m, fp)
     }
 
     // large-star: every node links its larger neighbors to the min of
@@ -754,10 +781,9 @@ object Dedup {
         .distinct()
     }
 
-    var edges = materialize(
+    var (edges, fp) = materializeFp(
       pairsDf.select(col("a_id").as("src"), col("b_id").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
-    var fp = fingerprint(edges)
 
     // ADAPTIVE: a near-dup edge set is orders smaller than the corpus
     // (it is O(duplicate pairs), already deduped and skew-capped). When
@@ -799,8 +825,7 @@ object Dedup {
         var converged = false
         var i = 0
         while (!converged && i < maxIter) {
-          val next = materialize(smallStar(largeStar(edges)))
-          val nfp = fingerprint(next)
+          val (next, nfp) = materializeFp(smallStar(largeStar(edges)))
           converged = nfp == fp
           edges = next
           fp = nfp

@@ -45,7 +45,17 @@ private[graft] object Materialize {
       scala.concurrent.Await
         .result(obs.future, scala.concurrent.duration.Duration(10, "s"))
         .getLong(0)
-    } catch { case _: java.util.concurrent.TimeoutException => count(m) }
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // loud: a dropped SQLExecutionEnd event (AsyncEventQueue under
+        // load) would otherwise silently stall EVERY sizing decision
+        // 10s before falling back to the RDD count
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          "withCount: observation metric did not arrive within 10s " +
+            "(listener bus dropped the event?) — falling back to an " +
+            "RDD count job")
+        count(m)
+    }
     (m, n)
   }
 }

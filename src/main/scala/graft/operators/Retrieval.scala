@@ -86,14 +86,23 @@ object Retrieval {
       nprobe: Int = 4, rrfK: Int = 60, topK: Int = 10): DataFrame = {
     require(kLex >= 1 && kNominate >= 1 && kAnn >= 1 && topK >= 1,
       s"bad k (kLex=$kLex kNominate=$kNominate kAnn=$kAnn topK=$topK)")
-    val bm = TextAnalysis.scoreWithBm25StateMulti(state.bm25,
-        queryTerms, queryIdCol, termCol, k = kLex)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-    val cand = Similarity.queryIvfIndexPqWith(state.pq, queryVecs,
-      k = kNominate, nprobe = nprobe)
-    val ann = Similarity.rerankCandidates(corpus, queryVecs, cand,
-        corpusIdCol, vecCol, k = kAnn)
-      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    // the lexical and semantic branches read DISJOINT persisted
+    // indexes and meet only at the fusion: materialize both top-k
+    // lists from concurrent driver threads (guide §2.6) so the two
+    // branches' action chains (postings prune / probe collect +
+    // sized-count checkpoint + re-rank) overlap instead of queueing
+    val (bm, ann) = Concurrent.materialize2(
+      () => TextAnalysis.scoreWithBm25StateMulti(state.bm25,
+          queryTerms, queryIdCol, termCol, k = kLex)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      () => {
+        val cand = Similarity.queryIvfIndexPqWith(state.pq, queryVecs,
+          k = kNominate, nprobe = nprobe)
+        Similarity.rerankCandidates(corpus, queryVecs, cand,
+            corpusIdCol, vecCol, k = kAnn)
+          .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+            col("rank"))
+      })
     RankFusion.rrfGrouped(Seq(bm, ann), "query_id", "doc_id", "rank",
       kConst = rrfK, topK = topK)
   }

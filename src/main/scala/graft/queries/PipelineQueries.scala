@@ -3026,15 +3026,21 @@ object PipelineQueries {
     * already-bit-exact ranker mirrors and replays the same fusion. */
   def hybridRankQ(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bm = graft.operators.TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
-        queryTerms = Seq("spark", "window", "agg"), k = 30)
-      .select(col("doc_id"), col("rank"))
-    val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
-    val fam = graft.operators.TextAnalysis
-      .ngramFamiliarity(docs(s, d), "doc_id", "text")
-      .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
-      .withColumn("rank", row_number().over(famOrd))
-      .select(col("doc_id"), col("rank"))
+    // the BM25 pass and the familiarity pass are independent corpus
+    // scans that meet only at the fusion — materialize both top-30
+    // lists concurrently (guide §2.6; see operators.Concurrent)
+    val (bm, fam) = graft.operators.Concurrent.materialize2(
+      () => graft.operators.TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "window", "agg"), k = 30)
+        .select(col("doc_id"), col("rank")),
+      () => {
+        val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
+        graft.operators.TextAnalysis
+          .ngramFamiliarity(docs(s, d), "doc_id", "text")
+          .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
+          .withColumn("rank", row_number().over(famOrd))
+          .select(col("doc_id"), col("rank"))
+      })
     graft.operators.RankFusion.rrf(Seq(bm, fam), "doc_id", "rank",
         kConst = 60, topK = 10)
       .orderBy("fused_rank")
@@ -3069,15 +3075,21 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val queries = bm25MultiQueries.toDF("query_id", "term")
-    val bm = graft.operators.TextAnalysis.bm25TopKMulti(
-        docs(s, d), "doc_id", "text", queries, "query_id", "term", k = 30)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-    val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
-    val fam0 = graft.operators.TextAnalysis
-      .ngramFamiliarity(docs(s, d), "doc_id", "text")
-      .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
-      .withColumn("rank", row_number().over(famOrd))
-      .select(col("doc_id"), col("rank"))
+    // the per-query BM25 pass and the corpus-familiarity pass are
+    // independent corpus scans that meet only at the fusion —
+    // materialize both concurrently (guide §2.6; operators.Concurrent)
+    val (bm, fam0) = graft.operators.Concurrent.materialize2(
+      () => graft.operators.TextAnalysis.bm25TopKMulti(
+          docs(s, d), "doc_id", "text", queries, "query_id", "term", k = 30)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      () => {
+        val famOrd = Window.orderBy(col("familiarity").desc, col("doc_id").asc)
+        graft.operators.TextAnalysis
+          .ngramFamiliarity(docs(s, d), "doc_id", "text")
+          .orderBy(col("familiarity").desc, col("doc_id").asc).limit(30)
+          .withColumn("rank", row_number().over(famOrd))
+          .select(col("doc_id"), col("rank"))
+      })
     val qids = queries.select(col("query_id")).distinct()
     val fam = fam0.crossJoin(broadcast(qids))
       .select(col("query_id"), col("doc_id"), col("rank"))

@@ -65,11 +65,11 @@ object ProfileSpread {
     time("bucketPairs-shape scan-direct")(noop(bp(docs)))
     time("bucketPairs-shape repartition-first")(noop(bp(spread)))
     time("bucketPairs + localCheckpoint") {
-      val m = graft.operators.Materialize(bp(docs)); ()
+      graft.operators.Materialize(bp(docs)); ()
     }
     time("lc + rdd-count") {
-      val m = graft.operators.Materialize(bp(docs))
-      graft.operators.Materialize.count(m); ()
+      graft.operators.Materialize.count(
+        graft.operators.Materialize(bp(docs))); ()
     }
     spark.stop()
   }
