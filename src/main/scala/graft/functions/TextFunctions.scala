@@ -391,14 +391,34 @@ case class ShingleHashes(child: Expression, shingleN: Int)
   * exact (doc, term, tf) rows, and a doc's length is the tf sum —
   * also in-row. */
 case class TermCounts(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("term", StringType, nullable = false),
       StructField("tf", LongType, nullable = false))),
     containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+
+  /** Real codegen (not CodegenFallback): this runs in the corpus-wide
+    * Project of EVERY BM25/tf-idf path — a CodegenFallback marker
+    * would kick that whole Project (scan → count → length math) out
+    * of WholeStageCodegen (CollapseCodegenStages.supportCodegen
+    * rejects the stage), de-compiling the surrounding expressions.
+    * The generated code calls [[compute]] directly on the unboxed
+    * UTF8String; the counting loop itself is the same tight kernel. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(u: UTF8String): ArrayData = {
+    val toks = u.toString.split(" ", -1)
     val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
     var i = 0
     while (i < toks.length) {
@@ -437,7 +457,7 @@ case class TermCounts(child: Expression)
   * keeps case-class STRUCTURAL equality (canonicalization safety —
   * same note as LinearTextScore). */
 case class VocabPairs(child: Expression, vocab: IndexedSeq[(String, Long)])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   private val structType = StructType(Seq(
     StructField("t1", StringType, nullable = false),
     StructField("t2", StringType, nullable = false),
@@ -454,8 +474,21 @@ case class VocabPairs(child: Expression, vocab: IndexedSeq[(String, Long)])
     m
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Real codegen — same rationale as [[TermCounts]]: keeps the
+    * corpus-wide co-occurrence Project inside WholeStageCodegen. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("vocabPairs", this, classOf[VocabPairs].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     var terms = new Array[UTF8String](math.min(n, vocab.size))
     var counts = new Array[Long](terms.length)

@@ -163,6 +163,21 @@ object IndexLayout {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Size bound for the driver-side component caches: past the cap the
+    * cache clears and re-warms lazily (a leak guard for long-lived
+    * sessions that touch many index generations — correctness never
+    * depends on an entry being present). Gates touch tens of dirs; a
+    * serving session cycling thousands of generations would otherwise
+    * grow these maps without bound. */
+  private val ComponentCacheMaxEntries = 512
+
+  private def boundedPut[V](
+      cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String, v: V): Unit = {
+    if (cache.size() >= ComponentCacheMaxEntries) cache.clear()
+    cache.put(key, v)
+  }
+
   private[graft] def readComponent(
       spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val sig = componentSignature(spark, dir)
@@ -171,7 +186,7 @@ object IndexLayout {
       if (cached != null && cached._1 == sig) cached._2
       else {
         val s = spark.read.parquet(dir).schema
-        componentSchemaCache.put(dir, (sig, s))
+        boundedPut(componentSchemaCache, dir, (sig, s))
         s
       }
     spark.read.schema(sch).parquet(dir)
@@ -200,13 +215,42 @@ object IndexLayout {
       .mkString(";")
   }
 
+  /** [[componentSignature]] strengthened with a CRC of each data
+    * file's first 4 KiB — closes the same-mtime-tick rewrite edge
+    * (filesystem mtime granularity can be 1 ms or coarser: a rewrite
+    * within one tick with identical file names and lengths would
+    * otherwise serve stale cached rows). Only the ROW cache pays the
+    * pread — its components are bounded tiny files (meta, codebook,
+    * centroids) and the read replaces a full Spark collect job.
+    * Residual (documented): a same-tick rewrite identical in name,
+    * length AND first 4 KiB per file — parquet writes put data pages
+    * in the first block, so a content change there is detected. */
+  private def smallComponentSignature(spark: SparkSession,
+                                      dir: String): String = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) return "<absent>"
+    fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val crc = new java.util.zip.CRC32()
+        val in = fs.open(st.getPath)
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          if (n > 0) crc.update(buf, 0, n)
+        } finally in.close()
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:${crc.getValue}"
+      }
+      .mkString(";")
+  }
+
   private[graft] def collectSmallComponent(
       spark: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
-    val sig = componentSignature(spark, dir)
+    val sig = smallComponentSignature(spark, dir)
     val cached = smallComponentCache.get(dir)
     if (cached != null && cached._1 == sig) return cached._2
     val rows = readComponent(spark, dir).collect()
-    smallComponentCache.put(dir, (sig, rows))
+    boundedPut(smallComponentCache, dir, (sig, rows))
     rows
   }
 

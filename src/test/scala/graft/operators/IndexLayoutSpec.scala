@@ -317,4 +317,40 @@ class IndexLayoutSpec extends SparkSpec {
       Seq("spark", "window", "agg"), k = 5)).nonEmpty)
     rm(dir)
   }
+
+  test("collectSmallComponent detects a same-tick in-place rewrite (same file name, length AND mtime)") {
+    val dir = tmp("sametick")
+    val cdir = s"$dir/meta"
+    Seq((1L, 111L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(cdir)
+    val first = IndexLayout.collectSmallComponent(spark, cdir)
+    assert(first.map(_.getLong(1)).toSeq == Seq(111L))
+    // craft a same-length replacement: identical schema and row count,
+    // different value (fixed-width long encoding ⇒ equal file bytes)
+    val alt = s"$dir/alt"
+    Seq((1L, 222L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(alt)
+    val dataFile = new java.io.File(cdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val altFile = new java.io.File(alt).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(altFile.length == dataFile.length,
+      "test premise: the rewrite must not change the file length")
+    val mtime = dataFile.lastModified()
+    java.nio.file.Files.copy(altFile.toPath, dataFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop Hadoop LocalFileSystem's checksum sidecars: the raw copy
+    // above models a writer outside the Hadoop API (a mismatched
+    // sidecar would already fail the read loudly — the SILENT case
+    // this spec pins is name+length+mtime all unchanged)
+    new java.io.File(cdir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    assert(dataFile.setLastModified(mtime))
+    // name, length and mtime are all unchanged — only the first-block
+    // CRC in the signature can catch this rewrite
+    val second = IndexLayout.collectSmallComponent(spark, cdir)
+    assert(second.map(_.getLong(1)).toSeq == Seq(222L),
+      "same-tick in-place rewrite served stale cached rows")
+    rm(dir)
+  }
 }
